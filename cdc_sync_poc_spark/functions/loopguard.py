@@ -1,0 +1,102 @@
+"""Loop-prevention dedup — the reference's FN_IS_LOOP semantics.
+
+Reference (poc/asis-oracle/init/04_create_procedures.sql:31-44): an event
+is LOOP_BLOCKED iff an *applied* event with the same CHANGE_HASH exists
+within the last 5 minutes; blocked events are NOT recorded into
+CDC_PROCESSED_HASH, so they do not extend the blocking window. That makes
+the semantics sequential per hash: walk events in time order, apply the
+first, then apply each next one iff its gap from the LAST APPLIED event
+exceeds the window.
+
+This is genuinely beyond SQL window functions (state depends on prior
+*decisions*, not prior rows), so the batch form uses ``applyInPandas``
+keyed by change_hash — the exact sharding a Structured Streaming
+``transformWithState`` operator would use (streaming twin:
+cdc_sync_poc_spark/streaming/dedup.py). Scale: state per key is one
+timestamp; groups are tiny (hash collisions are rare); the shuffle is on
+the high-cardinality hash key so it distributes evenly at 100 TB — no
+skew, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes (FN_IS_LOOP interval, :40)
+
+
+def with_loop_blocked(cdc: DataFrame) -> DataFrame:
+    """Add boolean ``loop_blocked`` per the sequential greedy semantics.
+
+    Input needs columns: change_hash, ts (timestamp), cdc_seq. Output =
+    input columns + loop_blocked, same rows.
+
+    Fast path: a hash that occurs once can never be blocked, and with a
+    high-cardinality content hash that is almost every row — those rows
+    bypass Python entirely (a window count + literal false). Only the
+    rare multi-occurrence hash groups go through the Arrow/pandas walk,
+    so the Python cost is O(duplicate hashes), not O(events). This
+    mirrors how a transformWithState operator would behave: state only
+    materializes for keys that repeat.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    in_cols = [f.name for f in cdc.schema.fields]
+    schema = T.StructType(
+        list(cdc.schema.fields) + [T.StructField("loop_blocked", T.BooleanType())]
+    )
+
+    def walk(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts", "cdc_seq"]).copy()
+        blocked = []
+        last_applied_us = None
+        for ts in group["ts"]:
+            us = ts.value // 1000  # pandas ns -> us
+            if last_applied_us is not None and us - last_applied_us <= WINDOW_US:
+                blocked.append(True)
+            else:
+                blocked.append(False)
+                last_applied_us = us
+        group["loop_blocked"] = blocked
+        return group
+
+    w = Window.partitionBy("change_hash")
+    counted = cdc.withColumn("__n", F.count("*").over(w))
+    singles = (
+        counted.filter(F.col("__n") == 1)
+        .drop("__n")
+        .withColumn("loop_blocked", F.lit(False))
+    )
+    multis = (
+        counted.filter(F.col("__n") > 1)
+        .drop("__n")
+        .groupBy("change_hash")
+        .applyInPandas(walk, schema=schema)
+        .select(*in_cols, "loop_blocked")
+    )
+    return singles.unionByName(multis)
+
+
+# DuckDB oracle twin of the same greedy walk (recursive CTE; rn-indexed
+# sequential scan per hash group). Compose inside a WITH RECURSIVE that
+# already defines `cdc`.
+WALK_CTES = """
+g AS (
+  SELECT cdc_seq, pk, op, operation, ts, ts_ms, val, prop_k, change_hash,
+         row_number() OVER (PARTITION BY change_hash ORDER BY ts, cdc_seq) AS rn
+  FROM cdc
+),
+walk AS (
+  SELECT g.*, g.ts AS last_applied, FALSE AS loop_blocked
+  FROM g WHERE rn = 1
+  UNION ALL
+  SELECT g.*,
+         CASE WHEN epoch_us(g.ts) - epoch_us(w.last_applied) > 300000000
+              THEN g.ts ELSE w.last_applied END AS last_applied,
+         (epoch_us(g.ts) - epoch_us(w.last_applied) <= 300000000) AS loop_blocked
+  FROM g JOIN walk w ON g.change_hash = w.change_hash AND g.rn = w.rn + 1
+)
+"""

@@ -1,0 +1,206 @@
+"""§2.4 — aggregations (monitoring counters & browse stats).
+
+The reference keeps these as in-memory AtomicLongs and per-key maps
+(CdcMonitoringService.java:34-47) or ad-hoc GROUP BY SQL
+(SimulatorController.java:261-297). Here each is a hash aggregate with
+map-side partial aggregation — the shuffle moves one row per (key,
+partition), not per event, which is what makes the counters viable at
+100 TB. Sums over monetary doubles are computed over DECIMAL inputs
+(exact, order-independent) then cast to double, so results are bit-stable
+regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.cdc.envelope import _with_walk, classified_view
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table
+
+
+@register(
+    "a01_global_counters",
+    oracle=_with_walk(
+        """
+SELECT count(*)::BIGINT AS total_received,
+       count(*) FILTER (WHERE status = 'SUCCESS')::BIGINT AS total_success,
+       count(*) FILTER (WHERE status IN ('FAILED', 'TARGET_NOT_FOUND'))::BIGINT AS total_failed,
+       CASE WHEN count(*) > 0
+            THEN round(count(*) FILTER (WHERE status = 'SUCCESS') * 100.0::DOUBLE / count(*), 4)
+            ELSE 0.0 END AS success_rate
+FROM classified
+"""
+    ),
+)
+def a01_global_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global received/success/failed + guarded success-rate
+    (CdcMonitoringService.java:34-36,54-57,115-125)."""
+    cls = classified_view(spark, sf_dir)
+    received = F.count("*")
+    success = F.count_if(F.col("status") == "SUCCESS")
+    failed = F.count_if(F.col("status").isin("FAILED", "TARGET_NOT_FOUND"))
+    return cls.agg(
+        received.alias("total_received"),
+        success.alias("total_success"),
+        failed.alias("total_failed"),
+        F.when(received > 0, F.round(success * 100.0 / received, 4))
+        .otherwise(0.0)
+        .alias("success_rate"),
+    )
+
+
+@register(
+    "a02_group_by_topic",
+    oracle=_with_walk(
+        """
+SELECT concat('asis.ASIS_USER.', upper(op)) AS topic,
+       count(*)::BIGINT AS received,
+       count(*) FILTER (WHERE status = 'SUCCESS')::BIGINT AS success,
+       count(*) FILTER (WHERE status <> 'SUCCESS')::BIGINT AS failed
+FROM classified GROUP BY 1
+"""
+    ),
+)
+def a02_group_by_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic lazily-created counters (TableStats,
+    CdcMonitoringService.java:39,155-157,189-195) as one hash aggregate."""
+    cls = classified_view(spark, sf_dir)
+    return (
+        cls.withColumn("topic", F.concat(F.lit("asis.ASIS_USER."), F.upper("op")))
+        .groupBy("topic")
+        .agg(
+            F.count("*").alias("received"),
+            F.count_if(F.col("status") == "SUCCESS").alias("success"),
+            F.count_if(F.col("status") != "SUCCESS").alias("failed"),
+        )
+    )
+
+
+@register(
+    "a03_group_by_status",
+    oracle=_with_walk(
+        """
+SELECT status, count(*)::BIGINT AS cnt
+FROM classified
+WHERE upper('customer') LIKE '%CUST%'
+GROUP BY status
+"""
+    ),
+)
+def a03_group_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY STATUS with an UPPER(...) LIKE table filter
+    (SimulatorController.java:270-284)."""
+    cls = classified_view(spark, sf_dir)
+    return (
+        cls.withColumn("table_name", F.lit("customer"))
+        .filter(F.upper(F.col("table_name")).like("%CUST%"))
+        .groupBy("status")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "a04_max_last_ts",
+    oracle=_with_walk(
+        """
+SELECT operation,
+       max(CASE WHEN status = 'SUCCESS' THEN ts END) AS last_success,
+       max(CASE WHEN status <> 'SUCCESS' THEN ts END) AS last_error
+FROM classified GROUP BY operation
+"""
+    ),
+)
+def a04_max_last_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lastSuccess/lastError per key — conditional MAX aggregates
+    (CdcMonitoringService.java:66,88,193-194)."""
+    cls = classified_view(spark, sf_dir)
+    return cls.groupBy("operation").agg(
+        F.max(F.when(F.col("status") == "SUCCESS", F.col("ts"))).alias("last_success"),
+        F.max(F.when(F.col("status") != "SUCCESS", F.col("ts"))).alias("last_error"),
+    )
+
+
+@register(
+    "a05_next_id",
+    oracle="SELECT coalesce(max(o_orderkey), 0) + 1 AS next_id FROM orders",
+)
+def a05_next_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NVL(MAX(pk),0)+1 PK allocation (SimulatorController.java:337-340).
+    Scale note: fine as a query; as a generator it serializes — a real
+    pipeline uses monotonically_increasing_id or a key service."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        (F.coalesce(F.max("o_orderkey"), F.lit(0)) + 1).alias("next_id")
+    )
+
+
+@register(
+    "a06_min_max_filtered",
+    oracle="""
+SELECT min(o_orderkey) AS min_id,
+       max(CASE WHEN o_orderkey > 3 THEN o_orderkey END) AS max_id_protected
+FROM orders
+""",
+)
+def a06_min_max_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN / filtered MAX protecting seed rows
+    (SimulatorController.java:422-424,500-508)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_orderkey").alias("min_id"),
+        F.max(F.when(F.col("o_orderkey") > 3, F.col("o_orderkey"))).alias(
+            "max_id_protected"
+        ),
+    )
+
+
+@register(
+    "a07_count_union",
+    oracle="""
+SELECT 'customer' AS table_name, count(*)::BIGINT AS n FROM customer
+UNION ALL SELECT 'orders', count(*)::BIGINT FROM orders
+UNION ALL SELECT 'lineitem', count(*)::BIGINT FROM lineitem
+UNION ALL SELECT 'supplier', count(*)::BIGINT FROM supplier
+UNION ALL SELECT 'nation', count(*)::BIGINT FROM nation
+""",
+)
+def a07_count_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count report via UNION ALL of per-table counts
+    (poc/asis-oracle/init/05_insert_sample_data.sql:38-44)."""
+    parts = []
+    for name in ("customer", "orders", "lineitem", "supplier", "nation"):
+        t = load_table(spark, sf_dir, name)
+        parts.append(
+            t.agg(F.count("*").alias("n")).select(
+                F.lit(name).alias("table_name"), F.col("n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "a08_exists_count",
+    oracle="""
+SELECT ((SELECT count(*) FROM events WHERE event_type = 'error') > 0) AS loop_detected,
+       ((SELECT count(*) FROM customer WHERE c_custkey = 1) > 0) AS user_exists
+""",
+)
+def a08_exists_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) used as EXISTS (loop check
+    poc/asis-oracle/init/04_create_procedures.sql:37-42; user-exists
+    00_setup_user.sql:13). Spark planner stops early via limit-1
+    semantics when expressed as a semi-join; here the scalar form."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    loops = ev.filter(F.col("event_type") == "error").agg(
+        (F.count("*") > 0).alias("loop_detected")
+    )
+    users = cust.filter(F.col("c_custkey") == 1).agg(
+        (F.count("*") > 0).alias("user_exists")
+    )
+    return loops.crossJoin(users)

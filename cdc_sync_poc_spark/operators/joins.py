@@ -1,0 +1,228 @@
+"""§2.3 — joins.
+
+The reference's "joins" are per-row point lookups (FN_CONVERT_CODE one
+SELECT per call) and MERGE statements; here each becomes a single
+set-based join whose physical strategy Catalyst picks: broadcast hash
+join for the small dims (explicit ``broadcast()`` hints), shuffled hash /
+sort-merge with AQE skew handling for large-large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.cdc.envelope import CDC_CTE, cdc_view
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table
+
+
+@register(
+    "j01_broadcast_lookup",
+    oracle="""
+SELECT s_suppkey, s_name, n_name AS nation_name, r_name AS region_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def j01_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi lookup join vs small dims — the set-based form of
+    FN_CONVERT_CODE's per-row point lookup (composite-key PK,
+    poc/tobe-oracle/init/03_create_mapping_tables.sql:20,40-59).
+    Both dims broadcast: zero shuffle of the fact side."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@register(
+    "j02_merge_upsert_join",
+    oracle=f"""
+WITH {CDC_CTE},
+state AS (
+  SELECT change_hash, max(ts_ms) AS processed_ms
+  FROM cdc WHERE cdc_seq % 3 <> 0 GROUP BY change_hash
+),
+updates AS (
+  SELECT change_hash, max(ts_ms) AS update_ms
+  FROM cdc WHERE cdc_seq % 3 = 0 GROUP BY change_hash
+)
+SELECT coalesce(s.change_hash, u.change_hash) AS change_hash,
+       CASE WHEN s.change_hash IS NOT NULL AND u.change_hash IS NOT NULL THEN 'UPDATED'
+            WHEN u.change_hash IS NOT NULL THEN 'INSERTED'
+            ELSE 'KEPT' END AS merge_action,
+       greatest(coalesce(s.processed_ms, 0), coalesce(u.update_ms, 0)) AS processed_ms
+FROM state s FULL OUTER JOIN updates u ON s.change_hash = u.change_hash
+""",
+)
+def j02_merge_upsert_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE as outer-join semantics (SP_RECORD_HASH's MERGE INTO
+    CDC_PROCESSED_HASH, poc/tobe-oracle/init/04_create_procedures.sql:54-63):
+    WHEN MATCHED -> UPDATE timestamp, WHEN NOT MATCHED -> INSERT.
+    Pure-DataFrame formulation: full-outer join + coalesce/greatest."""
+    cdc = cdc_view(spark, sf_dir)
+    state = (
+        cdc.filter(F.col("cdc_seq") % 3 != 0)
+        .groupBy("change_hash")
+        .agg(F.max("ts_ms").alias("processed_ms"))
+    )
+    updates = (
+        cdc.filter(F.col("cdc_seq") % 3 == 0)
+        .groupBy("change_hash")
+        .agg(F.max("ts_ms").alias("update_ms"))
+    )
+    s, u = state.alias("s"), updates.alias("u")
+    return s.join(u, F.col("s.change_hash") == F.col("u.change_hash"), "full_outer").select(
+        F.coalesce(F.col("s.change_hash"), F.col("u.change_hash")).alias("change_hash"),
+        F.when(
+            F.col("s.change_hash").isNotNull() & F.col("u.change_hash").isNotNull(),
+            "UPDATED",
+        )
+        .when(F.col("u.change_hash").isNotNull(), "INSERTED")
+        .otherwise("KEPT")
+        .alias("merge_action"),
+        F.greatest(
+            F.coalesce(F.col("s.processed_ms"), F.lit(0)),
+            F.coalesce(F.col("u.update_ms"), F.lit(0)),
+        ).alias("processed_ms"),
+    )
+
+
+@register(
+    "j03_antijoin_seen",
+    oracle=f"""
+WITH {CDC_CTE},
+seen AS (SELECT change_hash, ts FROM cdc WHERE cdc_seq % 2 = 0),
+candidates AS (SELECT * FROM cdc WHERE cdc_seq % 2 = 1)
+SELECT c.cdc_seq, c.pk, c.change_hash
+FROM candidates c
+WHERE NOT EXISTS (
+  SELECT 1 FROM seen s
+  WHERE s.change_hash = c.change_hash
+    AND epoch_us(c.ts) - epoch_us(s.ts) BETWEEN 0 AND 300000000
+)
+""",
+)
+def j03_antijoin_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed anti join — FN_IS_LOOP as a set operation: events
+    whose hash was seen by the opposite direction within the last 5 min
+    are excluded (poc/asis-oracle/init/04_create_procedures.sql:31-44).
+    Spark: left_anti join with an equi key (hash) + range predicate; the
+    equi key keeps it a hash join, the range is a post-filter — this is
+    the scalable shape (never a pure theta join)."""
+    cdc = cdc_view(spark, sf_dir)
+    seen = cdc.filter(F.col("cdc_seq") % 2 == 0).select(
+        F.col("change_hash").alias("s_hash"), F.col("ts").alias("s_ts")
+    )
+    cand = cdc.filter(F.col("cdc_seq") % 2 == 1)
+    cond = (
+        (cand.change_hash == seen.s_hash)
+        & (F.unix_micros(cand.ts) - F.unix_micros(seen.s_ts) >= 0)
+        & (F.unix_micros(cand.ts) - F.unix_micros(seen.s_ts) <= 300_000_000)
+    )
+    return cand.join(seen, cond, "left_anti").select("cdc_seq", "pk", "change_hash")
+
+
+@register(
+    "j04_target_exists",
+    oracle=f"""
+WITH {CDC_CTE},
+last AS (
+  SELECT * FROM (
+    SELECT pk, operation, row_number() OVER (PARTITION BY pk ORDER BY cdc_seq DESC) AS rn
+    FROM cdc) WHERE rn = 1
+)
+SELECT l.pk, l.operation,
+       CASE WHEN b.c_custkey IS NULL THEN 'TARGET_NOT_FOUND' ELSE 'FOUND' END AS target_status
+FROM last l LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) b ON l.pk = b.c_custkey
+WHERE l.operation IN ('UPDATE', 'DELETE')
+""",
+)
+def j04_target_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-check join (SQL%ROWCOUNT=0 after UPDATE/DELETE ->
+    TARGET_NOT_FOUND, poc/tobe-oracle/init/04_create_procedures.sql:193-218).
+    One left join replaces per-row rowcount checks; semi/anti variants
+    are the two WHERE slices of this result."""
+    cdc = cdc_view(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
+    last = (
+        cdc.select("cdc_seq", "pk", "operation")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("operation").isin("UPDATE", "DELETE"))
+    )
+    base = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    return last.join(F.broadcast(base), last.pk == base.c_custkey, "left").select(
+        "pk",
+        "operation",
+        F.when(F.col("c_custkey").isNull(), "TARGET_NOT_FOUND")
+        .otherwise("FOUND")
+        .alias("target_status"),
+    )
+
+
+@register(
+    "j05_conflict_fullouter",
+    oracle=f"""
+WITH {CDC_CTE},
+asis AS (
+  SELECT * FROM (
+    SELECT pk, val AS asis_val, ts_ms AS asis_ms,
+           row_number() OVER (PARTITION BY pk ORDER BY cdc_seq DESC) AS rn
+    FROM cdc WHERE cdc_seq % 2 = 0) WHERE rn = 1
+),
+tobe AS (
+  SELECT * FROM (
+    SELECT pk, val AS tobe_val, ts_ms AS tobe_ms,
+           row_number() OVER (PARTITION BY pk ORDER BY cdc_seq DESC) AS rn
+    FROM cdc WHERE cdc_seq % 2 = 1) WHERE rn = 1
+)
+SELECT coalesce(a.pk, t.pk) AS pk,
+       CASE WHEN a.pk IS NOT NULL AND t.pk IS NOT NULL THEN 'CONFLICT'
+            WHEN a.pk IS NOT NULL THEN 'ASIS_ONLY' ELSE 'TOBE_ONLY' END AS conflict_type,
+       a.asis_val, t.tobe_val
+FROM asis a FULL OUTER JOIN tobe t ON a.pk = t.pk
+""",
+)
+def j05_conflict_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer conflict detection (design-only in the reference —
+    docs/02-설계/03_케이스_분류.md:399-426, 04_충돌_정책.md:100-192 —
+    implemented greenfield here): simultaneous ASIS/TOBE changes on the
+    same pk; overlap -> conflict, disjoint -> merge candidates."""
+    cdc = cdc_view(spark, sf_dir)
+
+    def side(parity: int, tag: str) -> DataFrame:
+        w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
+        return (
+            cdc.filter(F.col("cdc_seq") % 2 == parity)
+            .select("cdc_seq", "pk", "val", "ts_ms")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("pk").alias(f"{tag}_pk"),
+                F.col("val").alias(f"{tag}_val"),
+                F.col("ts_ms").alias(f"{tag}_ms"),
+            )
+        )
+
+    a, t = side(0, "asis"), side(1, "tobe")
+    return a.join(t, a.asis_pk == t.tobe_pk, "full_outer").select(
+        F.coalesce(F.col("asis_pk"), F.col("tobe_pk")).alias("pk"),
+        F.when(F.col("asis_pk").isNotNull() & F.col("tobe_pk").isNotNull(), "CONFLICT")
+        .when(F.col("asis_pk").isNotNull(), "ASIS_ONLY")
+        .otherwise("TOBE_ONLY")
+        .alias("conflict_type"),
+        F.col("asis_val"),
+        F.col("tobe_val"),
+    )

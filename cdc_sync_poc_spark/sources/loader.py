@@ -1,0 +1,73 @@
+"""Batch sources: the driver's parquet fixture tables.
+
+Spark analog of the reference's JDBC scans (SimulatorController.java:92-96)
+and Debezium initial snapshot (register-connectors.sh:104): a columnar
+parquet scan with predicate pushdown + column pruning, which at 100 TB is
+the difference between reading one partition and reading the lake.
+
+Timestamp normalization (all event-time arithmetic is UTC, session.py):
+
+* parquet TIMESTAMP(NANOS) is illegal for Spark's vectorized reader; we
+  flip ``spark.sql.legacy.parquet.nanosAsLong`` (a runtime SQL conf, so
+  it works on any caller-provided session) and rebuild the column with
+  ``timestamp_micros(ns div 1000)`` — same floor-to-micros semantics
+  DuckDB applies when reading the same file.
+* parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ and
+  is cast to TIMESTAMP (session tz = UTC, a no-op re-interpretation).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=None)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as TIMESTAMP(NANOS) (driver-side footer read)."""
+    schema = pq.ParquetFile(path).schema_arrow
+    return tuple(
+        f.name
+        for f in schema
+        if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with normalized TIMESTAMP columns."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,105 @@
+"""Streaming loop-prevention (SURVEY §2.6 st01-st03, streaming twins).
+
+Two implementations, by fidelity/need:
+
+* ``watermark_dedup`` — built-in ``dropDuplicatesWithinWatermark`` on
+  change_hash with a 5-minute watermark: drops any event whose hash was
+  seen within the watermark window. State eviction (st03's 10-minute
+  SP_CLEANUP_HASH job) is automatic watermark GC — no cleanup job at
+  all. This is the production default: fully JVM-side, RocksDB-backed
+  state at scale.
+* ``transform_with_state_dedup`` — ``transformWithStateInPandas`` keyed
+  by change_hash, reproducing the reference's exact sequential
+  semantics (blocked events do NOT refresh the window — FN_IS_LOOP +
+  SP_RECORD_HASH, poc/asis-oracle/init/04_create_procedures.sql:31-44)
+  AND emitting the blocked rows (PROCESSED_YN='S' audit parity) with a
+  state TTL. Use when blocked-row emission parity is required
+  (SURVEY §4 custom piece 3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+LOOP_WINDOW = "5 minutes"  # FN_IS_LOOP interval (:40)
+STATE_TTL_MS = 10 * 60 * 1000  # SP_CLEANUP_HASH retention (:71)
+
+
+def watermark_dedup(cdc: DataFrame, watermark: str = LOOP_WINDOW) -> DataFrame:
+    """Built-in streaming dedup: first event per hash passes, duplicates
+    within the watermark window are dropped silently."""
+    return cdc.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["change_hash"]
+    )
+
+
+try:  # transformWithStateInPandas requires Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LoopGuardProcessor(StatefulProcessor):
+        """Sequential loop-guard with blocked-row emission: per hash key,
+        keep last_applied_us; an event within 5 min of it is emitted with
+        loop_blocked=true and does NOT refresh the state."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            import pyspark.sql.types as T
+
+            self._state = handle.getValueState(
+                "last_applied_us",
+                T.StructType([T.StructField("us", T.LongType())]),
+                ttlDurationMs=STATE_TTL_MS,
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            window_us = 5 * 60 * 1_000_000
+            last = self._state.get()
+            last_us = last[0] if last is not None else None
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "cdc_seq"])
+                blocked = []
+                for ts in pdf["ts"]:
+                    us = ts.value // 1000
+                    if last_us is not None and us - last_us <= window_us:
+                        blocked.append(True)
+                    else:
+                        blocked.append(False)
+                        last_us = us
+                out = pdf.copy()
+                out["loop_blocked"] = blocked
+                yield out
+            if last_us is not None:
+                self._state.update((last_us,))
+
+        def close(self) -> None:
+            pass
+
+    HAVE_TWS = True
+except ImportError:  # pragma: no cover
+    HAVE_TWS = False
+
+
+def transform_with_state_dedup(cdc: DataFrame) -> DataFrame:
+    """Apply LoopGuardProcessor keyed by change_hash (emits every row
+    with a loop_blocked flag — the streaming equivalent of
+    functions/loopguard.with_loop_blocked)."""
+    if not HAVE_TWS:  # pragma: no cover
+        raise NotImplementedError("transformWithStateInPandas needs Spark >= 4.0")
+    out_schema = (
+        "cdc_seq long, pk long, op string, operation string, ts timestamp,"
+        " val double, change_hash string, loop_blocked boolean"
+    )
+    return (
+        cdc.groupBy("change_hash")
+        .transformWithStateInPandas(
+            LoopGuardProcessor(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

@@ -1,0 +1,90 @@
+"""Spark-vs-DuckDB result comparison mirroring the driver's check:
+row count + schema (sorted column names) + order-insensitive values.
+
+Stricter than the driver on purpose: values must match EXACTLY (bitwise
+for floats) — the engine is built so both engines produce identical
+bits (exact decimal/integer aggregation, sequential float folds, shared
+hash functions). A NEAR verdict (<=1e-9 relative) is reported distinctly
+so any drift is visible before it can flip a driver hash.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    return v
+
+
+def _normalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_normalize_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
+    """Return 'MATCH', or raise AssertionError with detail. 'NEAR' if
+    all values within 1e-9 relative but not exact."""
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"column mismatch: spark={sorted(spark_pdf.columns)} "
+        f"duck={sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    if a == b:
+        return "MATCH"
+    near = True
+    n_diff = 0
+    first_diff = None
+    for ra, rb in zip(a, b):
+        if ra == rb:
+            continue
+        for va, vb in zip(ra, rb):
+            if va == vb:
+                continue
+            if (
+                isinstance(va, float)
+                and isinstance(vb, float)
+                and math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-12)
+            ):
+                n_diff += 1
+                if first_diff is None:
+                    first_diff = (va, vb)
+                continue
+            raise AssertionError(
+                f"value mismatch: spark={va!r} duck={vb!r}\n"
+                f"spark row: {ra}\nduck row:  {rb}"
+            )
+    if near:
+        raise AssertionError(
+            f"NEAR-only match ({n_diff} float cells differ in low bits, "
+            f"first: {first_diff}) — driver hash would likely FAIL; make "
+            "the computation exact"
+        )
+    return "MATCH"

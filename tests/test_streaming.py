@@ -1,0 +1,110 @@
+"""Structured Streaming shell: file-source stream -> cdc view ->
+watermark dedup -> foreachBatch MERGE writer; final state must equal the
+batch MERGE (ap01) final state (single micro-batch => identical
+semantics; duplicate-hash drops cannot change the merged row because
+equal hash implies equal (pk, operation, val))."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    # fixture stores ts as TIMESTAMP(NANOS); the stream schema declares
+    # microsecond timestamps, so down-cast on the way in
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    import pyarrow.compute as pc
+
+    t = t.set_column(
+        idx, "ts", pc.floor_temporal(t["ts"], unit="microsecond").cast(pa.timestamp("us"))
+    )
+    pq.write_table(t, events_dir / "part-0.parquet")
+    out_dir = tmp_path / "out"
+    return str(events_dir), str(out_dir)
+
+
+def test_stream_pipeline_matches_batch_merge(spark, stream_dirs):
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.operators.apply import apply_final_state
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from cdc_sync_poc_spark.streaming.writer import run_stream_pipeline
+
+    events_path, out_dir = stream_dirs
+    base = load_table(spark, SF_DIR, "customer")
+    q, writer = run_stream_pipeline(spark, events_path, base, out_dir)
+    q.awaitTermination(120)
+
+    got = {
+        (r.pk, r.name, round(r.acctbal, 6))
+        for r in writer.current_state().collect()
+    }
+    want = {
+        (r.pk, r.name, round(r.acctbal, 6))
+        for r in apply_final_state(spark, SF_DIR)
+        .select("pk", "name", "acctbal")
+        .collect()
+    }
+    assert got == want
+
+    audit = spark.read.parquet(f"{out_dir}/audit")
+    statuses = {r.status for r in audit.select("status").distinct().collect()}
+    assert "SUCCESS" in statuses
+    assert "TARGET_NOT_FOUND" in statuses
+
+
+def test_watermark_dedup_drops_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per change_hash
+    within the window (st01's built-in streaming form)."""
+    import pandas as pd
+
+    from cdc_sync_poc_spark.streaming.dedup import watermark_dedup
+    from cdc_sync_poc_spark.streaming.source import file_event_stream, stream_cdc_view
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:01:00",  # same payload -> same hash, within 5 min
+                    "2024-01-01 00:02:00",  # again
+                    "2024-01-01 00:03:00",  # different payload
+                ]
+            ),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["click", "click", "click", "click"],
+            "value": [10.0, 10.0, 10.0, 99.0],
+            "props": ['{"k": 1}'] * 4,
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    in_dir = tmp_path / "dup_in"
+    in_dir.mkdir()
+    pdf.to_parquet(in_dir / "part-0.parquet")
+
+    out = []
+    stream = watermark_dedup(stream_cdc_view(file_event_stream(spark, str(in_dir))))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: out.extend(df.select("cdc_seq", "change_hash").collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    hashes = [r.change_hash for r in out]
+    assert len(out) == 2  # 3 duplicates collapsed to 1, plus the distinct one
+    assert len(set(hashes)) == 2

@@ -1,0 +1,87 @@
+"""Targeted unit tests: loop-guard greedy semantics, mapping compiler,
+epoch decode thresholds, multimodal stub."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_loopguard_greedy_not_lag(spark):
+    """Blocked events must NOT refresh the window (FN_IS_LOOP +
+    SP_RECORD_HASH semantics): chain t0, t0+3min, t0+6min with one hash
+    -> [applied, blocked, applied]. A naive lag-based dedup would block
+    the third event."""
+    from cdc_sync_poc_spark.functions.loopguard import with_loop_blocked
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, "h"),
+        (1, t0 + dt.timedelta(minutes=3), "h"),
+        (2, t0 + dt.timedelta(minutes=6), "h"),
+        (3, t0 + dt.timedelta(minutes=20), "h"),  # far out -> applied
+    ]
+    df = spark.createDataFrame(rows, ["cdc_seq", "ts", "change_hash"])
+    got = {
+        r.cdc_seq: r.loop_blocked
+        for r in with_loop_blocked(df).collect()
+    }
+    assert got == {0: False, 1: True, 2: False, 3: False}
+
+
+def test_epoch_decode_thresholds(spark):
+    """CdcSyncService.java:253-261 thresholds, reproduced exactly:
+    >1e14 micros (floored to millis), <1e5 epoch-days, else millis."""
+    from cdc_sync_poc_spark.operators.rowops import decode_epoch
+
+    df = spark.createDataFrame(
+        [(1_700_000_000_123_456,), (1_700_000_000_123,), (19_723,)], ["v"]
+    )
+    out = [r.d for r in df.select(decode_epoch(F.col("v")).alias("d")).collect()]
+    assert out[0] == dt.datetime(2023, 11, 14, 22, 13, 20, 123000)  # micros->ms
+    assert out[1] == dt.datetime(2023, 11, 14, 22, 13, 20, 123000)
+    assert out[2] == dt.datetime(2024, 1, 1)  # 19723 days since epoch
+
+
+def test_mapping_compiler_errors(spark):
+    from cdc_sync_poc_spark.plans.mapping import (
+        ColumnMapping,
+        TableMapping,
+        compile_select,
+    )
+
+    df = spark.createDataFrame([(1, "Y")], ["id", "flag"])
+    spec = TableMapping(
+        "t", "t2", "id",
+        (ColumnMapping("id", "pk"), ColumnMapping("flag", "is_active", "CASE_YN")),
+    )
+    out = compile_select(df, spec).collect()
+    assert out[0].pk == 1 and out[0].is_active == 1
+
+    bad = TableMapping(
+        "t", "t2", "id", (ColumnMapping("id", "x", "CODE_MAP", "MISSING"),)
+    )
+    with pytest.raises(ValueError, match="CODE_MAP needs a dim"):
+        compile_select(df, bad)
+
+
+def test_multimodal_decode_is_stubbed():
+    from cdc_sync_poc_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
+
+
+def test_canonical_hash_shape(spark):
+    """64-char lowercase sha256 hex over 'table|pk|op|payload'."""
+    from cdc_sync_poc_spark.functions.hashing import change_hash
+
+    df = spark.createDataFrame([(5, "INSERT", "1.00")], ["pk", "op", "payload"])
+    h = df.select(
+        change_hash("customer", F.col("pk"), F.col("op"), F.col("payload")).alias("h")
+    ).collect()[0].h
+    import hashlib
+
+    assert h == hashlib.sha256(b"customer|5|INSERT|1.00").hexdigest()
