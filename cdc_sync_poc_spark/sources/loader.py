@@ -60,6 +60,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # engine semantics are UTC (see session.py); enforce on caller-provided
+    # sessions too so NTZ->LTZ casts and epoch arithmetic are stable
+    if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
