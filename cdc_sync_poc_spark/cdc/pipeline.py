@@ -114,3 +114,73 @@ def plan_mapping_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = compile_select(cust, _BOOK_SPEC, {"NATION_MAP": nation_dim})
     # surface decimal as double for the oracle compare
     return out.withColumn("balance", F.col("balance").cast("double"))
+
+
+@register(
+    "plan_mapping_roundtrip",
+    oracle="""
+WITH m AS (SELECT CAST(n_nationkey AS VARCHAR) AS sk, n_name AS tv
+           FROM nation WHERE n_nationkey < 20),
+fwd AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         coalesce(mm.tv, CAST(c.c_nationkey AS VARCHAR)) AS nation_cd
+  FROM customer c LEFT JOIN m mm ON CAST(c.c_nationkey AS VARCHAR) = mm.sk
+),
+rev AS (
+  SELECT f.c_custkey, f.c_nationkey,
+         CAST(coalesce(r.sk, f.nation_cd) AS INTEGER) AS nationkey_rt
+  FROM fwd f LEFT JOIN m r ON f.nation_cd = r.tv
+)
+SELECT c_custkey AS member_id, c_nationkey AS nationkey_orig, nationkey_rt,
+       (c_nationkey = nationkey_rt) AS roundtrip_ok
+FROM rev
+""",
+)
+def plan_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional topology (SURVEY §7.1 M4): the SAME mapping spec
+    machinery drives both directions (ASIS->TOBE and TOBE->ASIS are two
+    TableMappings with mirrored code dims — the reference's reverse
+    mapping rows, poc/asis-oracle/init/03_create_mapping_tables.sql:24-35).
+    The round-trip must be the identity: mapped codes invert through the
+    reverse dim, unmapped codes invert through the stringified fallback.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    fwd_dim = nation.select(
+        F.col("n_nationkey").cast("string").alias("source_value"),
+        F.col("n_name").alias("target_value"),
+    )
+    rev_dim = nation.select(
+        F.col("n_name").alias("source_value"),
+        F.col("n_nationkey").cast("string").alias("target_value"),
+    )
+    fwd_spec = TableMapping(
+        "customer",
+        "tb_member",
+        "c_custkey",
+        (
+            ColumnMapping("c_custkey", "member_id"),
+            ColumnMapping("c_nationkey", "nationkey_orig"),
+            ColumnMapping("c_nationkey", "nation_cd", "CODE_MAP", "NATION_MAP"),
+        ),
+    )
+    fwd = compile_select(cust, fwd_spec, {"NATION_MAP": fwd_dim})
+    rev_spec = TableMapping(
+        "tb_member",
+        "customer",
+        "member_id",
+        (
+            ColumnMapping("member_id", "member_id"),
+            ColumnMapping("nationkey_orig", "nationkey_orig"),
+            ColumnMapping("nation_cd", "nationkey_rt_str", "CODE_MAP", "NATION_REV"),
+        ),
+    )
+    rev = compile_select(fwd, rev_spec, {"NATION_REV": rev_dim})
+    return rev.select(
+        "member_id",
+        "nationkey_orig",
+        F.col("nationkey_rt_str").cast("int").alias("nationkey_rt"),
+        (F.col("nationkey_orig") == F.col("nationkey_rt_str").cast("int")).alias(
+            "roundtrip_ok"
+        ),
+    )

@@ -36,7 +36,10 @@ def watermark_dedup(cdc: DataFrame, watermark: str = LOOP_WINDOW) -> DataFrame:
     )
 
 
-try:  # transformWithStateInPandas requires Spark >= 4.0
+try:  # transformWithStateInPandas requires Spark >= 4.0 AND protobuf
+    # (the state-server wire protocol); both absent -> fall back to the
+    # watermark dedup / batch applyInPandas twin
+    import google.protobuf.descriptor  # noqa: F401
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
