@@ -74,27 +74,28 @@ class ParquetMergeWriter:
         tmp = self.state_dir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
 
-        # audit BEFORE swapping state: these plans scan the current state
-        # dir lazily (ap03: TARGET_NOT_FOUND for UPDATE/DELETE on missing)
-        notfound = (
-            last.filter(F.col("operation").isin("UPDATE", "DELETE"))
-            .join(state.select("pk"), "pk", "left_anti")
-            .select(
-                "cdc_seq",
-                "pk",
-                "operation",
-                F.lit("TARGET_NOT_FOUND").alias("status"),
-                F.lit(batch_id).alias("batch_id"),
-            )
-        )
-        applied = last.join(state.select("pk"), "pk", "left_semi").select(
+        # audit BEFORE swapping state: the plan scans the current state
+        # dir lazily. Every change row gets a status (sink_audit_log
+        # parity): UPDATE/DELETE on a missing key -> TARGET_NOT_FOUND
+        # (ap03), everything else -> SUCCESS (INSERT on an existing key
+        # is the ap02 dup->update path, still SUCCESS).
+        state_keys = state.select(F.col("pk").alias("state_pk"))
+        audit = last.join(
+            state_keys, last.pk == state_keys.state_pk, "left"
+        ).select(
             "cdc_seq",
             "pk",
             "operation",
-            F.lit("SUCCESS").alias("status"),
+            F.when(
+                F.col("operation").isin("UPDATE", "DELETE")
+                & F.col("state_pk").isNull(),
+                "TARGET_NOT_FOUND",
+            )
+            .otherwise("SUCCESS")
+            .alias("status"),
             F.lit(batch_id).alias("batch_id"),
         )
-        applied.unionByName(notfound).write.mode("append").parquet(self.audit_dir)
+        audit.write.mode("append").parquet(self.audit_dir)
 
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.state_dir)

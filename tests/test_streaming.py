@@ -108,3 +108,52 @@ def test_watermark_dedup_drops_duplicates(spark, tmp_path):
     hashes = [r.change_hash for r in out]
     assert len(out) == 2  # 3 duplicates collapsed to 1, plus the distinct one
     assert len(set(hashes)) == 2
+
+
+def test_multibatch_sequential_merge(spark, tmp_path):
+    """Two micro-batches applied in order: an INSERT landing in batch 1
+    makes the key exist, so batch 2's UPDATE on it applies — the
+    sequential semantics the reference's worker has row-by-row, here
+    realized batch-by-batch (maxFilesPerTrigger=1)."""
+    import pandas as pd
+
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from cdc_sync_poc_spark.streaming.writer import run_stream_pipeline
+
+    def events(ids, ts, etypes, vals):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(ts).astype("datetime64[us]"),
+                "user_id": [200] * len(ids),  # pk = 2200, not in customer
+                "event_type": etypes,
+                "value": vals,
+                "props": ['{"k": 1}'] * len(ids),
+            }
+        )
+
+    in_dir = tmp_path / "mb_in"
+    in_dir.mkdir()
+    # batch 1: INSERT pk=2200
+    events([0], ["2024-01-01 00:00:00"], ["signup"], [10.0]).to_parquet(
+        in_dir / "b1.parquet"
+    )
+    # batch 2: UPDATE pk=2200 (applies only because batch 1 inserted it)
+    events([1], ["2024-01-01 01:00:00"], ["click"], [77.0]).to_parquet(
+        in_dir / "b2.parquet"
+    )
+
+    base = load_table(spark, SF_DIR, "customer")
+    q, writer = run_stream_pipeline(spark, str(in_dir), base, str(tmp_path / "mb_out"))
+    q.awaitTermination(120)
+
+    row = writer.current_state().filter("pk = 2200").collect()
+    assert len(row) == 1
+    assert row[0].acctbal == 77.0  # batch-2 UPDATE applied to batch-1 INSERT
+
+    audit = spark.read.parquet(str(tmp_path / "mb_out/audit"))
+    by_batch = {
+        (r.batch_id, r.operation): r.status for r in audit.collect() if r.pk == 2200
+    }
+    assert by_batch[(0, "INSERT")] == "SUCCESS"  # insert of a new key
+    assert by_batch[(1, "UPDATE")] == "SUCCESS"  # key exists since batch 1
