@@ -75,7 +75,9 @@ classified AS (
 
 def cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark twin of CDC_CTE."""
-    ev = load_table(spark, sf_dir, "events")
+    from cdc_sync_poc_spark.sources.loader import spread_small_input
+
+    ev = spread_small_input(load_table(spark, sf_dir, "events"))
     et = F.col("event_type")
     op = (
         F.when(et == "signup", "c")

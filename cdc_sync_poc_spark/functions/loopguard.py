@@ -41,7 +41,6 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
     mirrors how a transformWithState operator would behave: state only
     materializes for keys that repeat.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     in_cols = [f.name for f in cdc.schema.fields]
@@ -63,21 +62,34 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
         group["loop_blocked"] = blocked
         return group
 
-    w = Window.partitionBy("change_hash")
-    counted = cdc.withColumn("__n", F.count("*").over(w))
-    singles = (
-        counted.filter(F.col("__n") == 1)
-        .drop("__n")
-        .withColumn("loop_blocked", F.lit(False))
+    # The three branches below (dup-set agg, anti join, semi join) would
+    # each recompute the sha256 change-hash from the raw events; cache the
+    # hashed view once (it is slim — at 100 TB this would be a persisted
+    # bronze table rather than an in-memory cache, same idea).
+    cdc = cdc.persist()
+
+    # duplicate-hash key set: aggregates hash->count with map-side combine
+    # (only the 64-byte hash column moves, one row per distinct hash per
+    # partition), then keeps the hashes seen more than once — a tiny set
+    # for any content-hash stream, so it broadcasts. Rows with unique
+    # hashes never shuffle at all (broadcast anti join is map-only); only
+    # the few duplicate-hash rows are exchanged for the pandas walk.
+    dup_hashes = (
+        cdc.groupBy("change_hash")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("change_hash")
     )
+    singles = cdc.join(
+        F.broadcast(dup_hashes), "change_hash", "left_anti"
+    ).withColumn("loop_blocked", F.lit(False))
     multis = (
-        counted.filter(F.col("__n") > 1)
-        .drop("__n")
+        cdc.join(F.broadcast(dup_hashes), "change_hash", "left_semi")
         .groupBy("change_hash")
         .applyInPandas(walk, schema=schema)
         .select(*in_cols, "loop_blocked")
     )
-    return singles.unionByName(multis)
+    return singles.select(*in_cols, "loop_blocked").unionByName(multis)
 
 
 # DuckDB oracle twin of the same greedy walk (recursive CTE; rn-indexed

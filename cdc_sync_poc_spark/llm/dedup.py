@@ -60,9 +60,11 @@ def _shingles(docs: DataFrame) -> DataFrame:
     Splits the text ONCE into an array column before the transform
     lambda (an element_at(split(...), i) inside the lambda would re-split
     per element — O(words^2) work per document)."""
-    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("w")).filter(
-        F.size("w") >= 3
-    )
+    from cdc_sync_poc_spark.sources.loader import spread_small_input
+
+    base = spread_small_input(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    ).filter(F.size("w") >= 3)
     sh = F.array_distinct(
         F.expr(
             "transform(sequence(1, size(w) - 2),"
@@ -221,17 +223,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the high bit of each hex nibble, sign of the vote sum is the bit.
     Near-dups share fingerprints (or differ in few bits); grouping by
     fingerprint gives O(n) clustering."""
+    from cdc_sync_poc_spark.sources.loader import spread_small_input
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tok = (
+        spread_small_input(docs)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .select("doc_id", F.md5("w").alias("h"))
+    )
     positions = F.explode(F.array(*[F.lit(i) for i in range(1, 17)])).alias("i")
     bits = (
-        tok.select("doc_id", "w", positions)
+        tok.select("doc_id", "h", positions)
         .select(
             "doc_id",
             "i",
-            F.when(
-                F.expr("substr(md5(w), i, 1)").isin(*list("89abcdef")), 1
-            )
+            F.when(F.expr("substr(h, i, 1)").isin(*list("89abcdef")), 1)
             .otherwise(-1)
             .alias("v"),
         )

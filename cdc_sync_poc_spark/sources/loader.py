@@ -73,5 +73,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_input(df: DataFrame, max_parts: int = 16) -> DataFrame:
+    """Parallelize an expression-heavy pipeline over a small scan.
+
+    The fixtures are single-row-group parquet files, so their scans are
+    one task no matter what maxPartitionBytes says — which serializes
+    everything computed above them (sha256 hashing, shingle explodes).
+    Callers on those hot paths spread the input when the scan has fewer
+    splits than cores; on a real lake the input arrives in many
+    files/row-groups and this no-ops. Kept OUT of the general loader so
+    scan-light plans keep their shuffle-free shape.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    target = min(parallelism, max_parts)
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
