@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_sync_poc_spark.cdc.envelope import _with_walk, classified_view
+from cdc_sync_poc_spark.cdc.envelope import _with_walk, cdc_view
 from cdc_sync_poc_spark.operators.apply import merge_final_state
 from cdc_sync_poc_spark.plans.mapping import ColumnMapping, TableMapping, compile_select
 from cdc_sync_poc_spark.registry import register
@@ -55,8 +55,16 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     + merge join) — at 100 TB both keys are high-cardinality and evenly
     distributed, and the mapping dims stay broadcast.
     """
-    cls = classified_view(spark, sf_dir)
-    eligible = cls.filter(~F.col("status").isin("LOOP_BLOCKED", "FAILED"))
+    # eligibility only needs the loop flag + validity — the
+    # TARGET_NOT_FOUND classification (a join against base keys) is an
+    # apply-time outcome, so the merge join below already decides it;
+    # skipping classified_view avoids one broadcast join + distinct.
+    from cdc_sync_poc_spark.functions.loopguard import with_loop_blocked
+
+    walk = with_loop_blocked(cdc_view(spark, sf_dir))
+    eligible = walk.filter(
+        ~F.col("loop_blocked") & ~((F.col("prop_k") > 95) | (F.col("val") < 0.05))
+    )
     w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
     last = (
         eligible.select("cdc_seq", "pk", "operation", "val")
