@@ -37,8 +37,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "sim_topk_bruteforce",
+    "sim_ann_lsh",
     "text_quality",
+    "plan_mapping_roundtrip",
     "mm_decode_features",
 ]
 

@@ -91,3 +91,47 @@ def stream_cdc_view(events: DataFrame) -> DataFrame:
             "customer", pk, operation, F.format_string("%.2f", F.col("value"))
         ).alias("change_hash"),
     )
+
+
+def parse_envelopes_permissive(raw: DataFrame, json_col: str = "json"):
+    """Malformed-envelope tolerance (CdcKafkaConsumer.java:161-217:
+    null/empty -> drop, unparseable -> log + drop, wrapper optional).
+
+    PERMISSIVE from_json yields NULL structs for corrupt input instead of
+    failing the batch; the split below routes good rows onward and bad
+    rows to a dead-letter frame with the original payload preserved —
+    the streaming analog of st06 quarantine, applied at the parse stage.
+    Returns (parsed_ok, corrupt).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    inner = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField(
+                "source", T.StructType([T.StructField("table", T.StringType())])
+            ),
+        ]
+    )
+    wrapped = T.StructType([T.StructField("payload", inner)])
+    j = F.col(json_col)
+    env = F.coalesce(
+        F.from_json(j, wrapped).getField("payload"), F.from_json(j, inner)
+    )
+    with_env = raw.withColumn("__env", env)
+    # valid iff json non-null/non-empty AND produced an op after
+    # unwrapping (matches the consumer's null/op checks)
+    ok = with_env.filter(
+        j.isNotNull() & (F.length(F.trim(j)) > 0) & F.col("__env.op").isNotNull()
+    ).select(
+        "*",
+        F.col("__env.op").alias("op"),
+        F.col("__env.ts_ms").alias("ts_ms"),
+        F.col("__env.source.table").alias("table_name"),
+    ).drop("__env")
+    corrupt = with_env.filter(
+        j.isNull() | (F.length(F.trim(j)) == 0) | F.col("__env.op").isNull()
+    ).drop("__env").withColumn("error", F.lit("MALFORMED_ENVELOPE"))
+    return ok, corrupt

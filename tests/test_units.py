@@ -85,3 +85,26 @@ def test_canonical_hash_shape(spark):
     import hashlib
 
     assert h == hashlib.sha256(b"customer|5|INSERT|1.00").hexdigest()
+
+
+def test_permissive_envelope_parse_quarantines_corrupt(spark):
+    """Malformed/null/empty envelopes drop to a dead-letter frame with
+    the raw payload preserved; valid wrapped AND bare envelopes parse
+    (CdcKafkaConsumer.java:161-217 tolerance)."""
+    from cdc_sync_poc_spark.streaming.source import parse_envelopes_permissive
+
+    rows = [
+        (1, '{"payload": {"op": "c", "ts_ms": 5, "source": {"table": "t"}}}'),
+        (2, '{"op": "u", "ts_ms": 6, "source": {"table": "t"}}'),  # bare
+        (3, "{not json at all"),
+        (4, ""),
+        (5, None),
+        (6, '{"unrelated": true}'),  # parseable but not an envelope
+    ]
+    raw = spark.createDataFrame(rows, ["id", "json"])
+    ok, corrupt = parse_envelopes_permissive(raw)
+    got_ok = {(r.id, r.op, r.ts_ms, r.table_name) for r in ok.collect()}
+    assert got_ok == {(1, "c", 5, "t"), (2, "u", 6, "t")}
+    bad = {r.id for r in corrupt.collect()}
+    assert bad == {3, 4, 5, 6}
+    assert all(r.error == "MALFORMED_ENVELOPE" for r in corrupt.collect())
