@@ -31,9 +31,9 @@ BENCH_QUERIES = [
     "bench_q3_shipping",
     "bench_q5_local_supplier",
     "bench_q18_large_orders",
+    "st01_loop_dedup",
     "pipeline_e2e",
     "ap01_merge_cdc",
-    "st01_loop_dedup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -89,7 +89,12 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
         .applyInPandas(walk, schema=schema)
         .select(*in_cols, "loop_blocked")
     )
-    return singles.select(*in_cols, "loop_blocked").unionByName(multis)
+    # persist the walked result: five downstream operators (st01, the
+    # audit/classified family, ap05, pipeline_e2e) consume this exact
+    # plan, and Spark's cache matches on plan equality so they all share
+    # one materialization. (The streaming twin needs no cache — its
+    # state store IS the materialization.)
+    return singles.select(*in_cols, "loop_blocked").unionByName(multis).persist()
 
 
 # DuckDB oracle twin of the same greedy walk (recursive CTE; rn-indexed
