@@ -217,3 +217,115 @@ FROM classified
 from cdc_sync_poc_spark.registry import ORACLES  # noqa: E402
 
 ORACLES["ap05_exactly_once_mark"] = _ap05_oracle()
+
+
+@register(
+    "ap06_sequential_replay",
+    oracle=f"""
+WITH RECURSIVE {CDC_CTE},
+g AS (
+  SELECT pk, operation, val,
+         row_number() OVER (PARTITION BY pk ORDER BY cdc_seq) AS rn
+  FROM cdc
+),
+keys AS (SELECT pk, max(rn) AS n FROM g GROUP BY pk),
+init AS (
+  SELECT k.pk, (b.c_custkey IS NOT NULL) AS ex, b.c_acctbal AS cur_val, 0 AS rn
+  FROM keys k LEFT JOIN customer b ON k.pk = b.c_custkey
+),
+replay AS (
+  SELECT pk, ex, cur_val, rn FROM init
+  UNION ALL
+  SELECT g.pk,
+         CASE g.operation WHEN 'DELETE' THEN FALSE
+                          WHEN 'INSERT' THEN TRUE ELSE r.ex END,
+         CASE WHEN g.operation = 'INSERT'
+                OR (g.operation = 'UPDATE' AND r.ex) THEN g.val
+              ELSE r.cur_val END,
+         g.rn
+  FROM g JOIN replay r ON g.pk = r.pk AND g.rn = r.rn + 1
+),
+final_changed AS (
+  SELECT r.pk, r.ex, r.cur_val
+  FROM replay r JOIN keys k ON r.pk = k.pk AND r.rn = k.n
+)
+SELECT pk, concat('U', CAST(pk AS VARCHAR)) AS name, cur_val AS acctbal,
+       'APPLIED' AS src
+FROM final_changed WHERE ex
+UNION ALL
+SELECT b.c_custkey AS pk, b.c_name AS name, b.c_acctbal AS acctbal, 'BASE' AS src
+FROM customer b
+WHERE NOT EXISTS (SELECT 1 FROM keys k WHERE k.pk = b.c_custkey)
+""",
+)
+def ap06_sequential_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact row-at-a-time replay of the reference worker's apply loop
+    (cursor FOR ... ORDER BY CDC_SEQ with per-row I/U/D dispatch,
+    poc/tobe-oracle/init/04_create_procedures.sql:184-232): a per-key
+    state machine where INSERT creates-or-updates (ap02), UPDATE applies
+    only if the row currently exists (ap03), DELETE is idempotent (ap04)
+    — including intra-changeset chains (INSERT then UPDATE on a key the
+    base never had), which the single-shot MERGE form (ap01) collapses
+    to last-wins.
+
+    Physical shape: change rows join base state (broadcast), then ONE
+    applyInPandas keyed by pk walks each key's ordered ops — the same
+    sharding transformWithState would use; Python cost is O(changes),
+    state per key is (exists, value). The untouched base remains
+    JVM-side (broadcast anti join).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cdc = cdc_view(spark, sf_dir).select("cdc_seq", "pk", "operation", "val")
+    base = load_table(spark, sf_dir, "customer")
+    base_state = base.select(
+        F.col("c_custkey").alias("b_pk"),
+        F.col("c_acctbal").alias("b_val"),
+    )
+    joined = cdc.join(F.broadcast(base_state), cdc.pk == base_state.b_pk, "left")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("ex", T.BooleanType()),
+            T.StructField("acctbal", T.DoubleType()),
+        ]
+    )
+
+    def replay(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("cdc_seq")
+        pk = int(group["pk"].iloc[0])
+        ex = bool(group["b_pk"].notna().iloc[0])
+        val = group["b_val"].iloc[0]
+        for op, v in zip(group["operation"], group["val"]):
+            if op == "INSERT":
+                ex, val = True, v
+            elif op == "UPDATE":
+                if ex:
+                    val = v
+            else:  # DELETE
+                ex = False
+        return pd.DataFrame({"pk": [pk], "ex": [ex], "acctbal": [val]})
+
+    changed = (
+        joined.groupBy("pk")
+        .applyInPandas(replay, schema=out_schema)
+        .filter(F.col("ex"))
+        .select(
+            "pk",
+            F.concat(F.lit("U"), F.col("pk").cast("string")).alias("name"),
+            "acctbal",
+            F.lit("APPLIED").alias("src"),
+        )
+    )
+    untouched = (
+        base.join(cdc.select("pk").distinct(), base.c_custkey == F.col("pk"), "left_anti")
+        .select(
+            F.col("c_custkey").alias("pk"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.lit("BASE").alias("src"),
+        )
+    )
+    return changed.unionByName(untouched)
