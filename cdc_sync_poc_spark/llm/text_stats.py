@@ -1,0 +1,162 @@
+"""Corpus-level text statistics (M6 extension): tf-idf term ranking,
+global top terms, and event sessionization — the analysis passes a
+training-data pipeline runs after cleaning/dedup.
+
+tf-idf uses the rational form tf * N / df (no logarithm): libm log()
+implementations are not guaranteed bit-identical across engines, while
+double multiply/divide are correctly rounded everywhere — so the ranking
+is identical AND the scores hash-match the oracle. (ml.feature's
+HashingTF/IDF would be the MLlib route; this stays in SQL for
+verifiability and avoids fixed-dim hashing collisions entirely.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
+
+_TOK_CTES = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok GROUP BY doc_id, term
+),
+doclen AS (SELECT doc_id, count(*)::BIGINT AS n_terms FROM tok GROUP BY doc_id),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+"""
+
+
+@register(
+    "text_tfidf_top_term",
+    oracle=f"""
+WITH {_TOK_CTES},
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / (doclen.n_terms * df.df) AS tfidf
+  FROM tf
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, round(tfidf, 9) AS tfidf
+FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored)
+WHERE rn = 1
+""",
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic term per document by rational tf-idf
+    (tf * N / (doc_len * df)): two hash aggregates (term frequencies,
+    document frequencies) + a broadcast of the tiny df/N sides + one
+    row_number window per doc. The df table is vocabulary-sized, so at
+    100 TB it broadcasts while the tf side stays partitioned by doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.col("n_docs")
+                / (F.col("n_terms") * F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf", 9).alias("tfidf"))
+    )
+
+
+@register(
+    "text_top_terms",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS n
+FROM tok GROUP BY term
+ORDER BY n DESC, term LIMIT 20
+""",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 vocabulary terms — the corpus Zipf head. Hash
+    aggregate with map-side combine then a 20-row TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs).select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no::BIGINT AS session_no,
+       count(*)::BIGINT AS n_events,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s
+FROM sessions GROUP BY user_id, session_no
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: the lag/cumsum
+    island pattern (partitioned by user — embarrassingly parallel, no
+    global order). The streaming twin is F.session_window with a
+    watermark; the batch island form is the oracle-checkable ground
+    truth for it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000").alias(
+            "duration_s"
+        ),
+    )

@@ -204,3 +204,31 @@ def a08_exists_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") > 0).alias("user_exists")
     )
     return loops.crossJoin(users)
+
+
+@register(
+    "a09_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+""",
+)
+def a09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (extension beyond the
+    reference's counters — latency/value distribution monitoring a real
+    sync service needs). Spark's `percentile` and DuckDB's quantile_cont
+    share the (n-1)*p linear-interpolation definition and match
+    bit-exactly. At 100 TB the exact form sorts per group; the scale
+    path is `approx_percentile` (t-digest) once cross-engine hash
+    parity is no longer the gate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count("*").alias("n"),
+    )

@@ -45,6 +45,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.llm.multimodal  # noqa: F401
     import cdc_sync_poc_spark.llm.similarity  # noqa: F401
     import cdc_sync_poc_spark.llm.text  # noqa: F401
+    import cdc_sync_poc_spark.llm.text_stats  # noqa: F401
     import cdc_sync_poc_spark.operators.aggregates  # noqa: F401
     import cdc_sync_poc_spark.operators.apply  # noqa: F401
     import cdc_sync_poc_spark.operators.bench_relational  # noqa: F401
