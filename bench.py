@@ -47,36 +47,41 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run(spark=None, sf_dir: str | None = None, names: list[str] | None = None) -> dict:
+    """Run the bench and return the result dict (separated from main()
+    so tests can drive it with a shared session)."""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     load_all_queries()
-    spark = get_spark("cdc-sync-poc-spark-bench")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("cdc-sync-poc-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM + codegen + parquet footer caches
     QUERIES["bench_q1_pricing"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names or BENCH_QUERIES:
         t0 = time.perf_counter()
         n = QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if owns_session:
+        spark.stop()
+    return result
+
+
+def main() -> None:
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":

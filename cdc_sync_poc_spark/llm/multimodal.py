@@ -134,3 +134,50 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "media_type", "brightness", F.col("n_frames").cast("long")
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+meta AS (
+  SELECT doc_id, h,
+         ({_HEX_VAL.format(pos=1)} * 16 + {_HEX_VAL.format(pos=2)}) % 8 + 1 AS n_frames
+  FROM m
+  WHERE doc_id % 3 = 2  -- videos only (media_type routing)
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx,
+       md5(concat(h, ':', CAST(unnest(range(0, n_frames)) AS VARCHAR))) AS frame_key
+FROM meta
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing for video rows: modality routing (only
+    media_type='video' rows fan out), per-row frame explode driven by
+    the decoded frame count, and a deterministic per-frame content key.
+    The actual frame decode is the stubbed step (decode_image); the
+    Spark-side shape — filter -> explode(sequence) -> per-frame rows —
+    is the real pipeline and is what the oracle checks. Scale: fan-out
+    is bounded by n_frames; rows stay within their partition (map-only,
+    no shuffle)."""
+    m = media_table(spark, sf_dir)
+    frames = (
+        m.filter(F.col("media_type") == "video")
+        .withColumn("h", F.lower(F.hex("media_bytes")))
+        .withColumn(
+            "n_frames",
+            (F.expr("conv(substring(h, 1, 2), 16, 10)").cast("long") % 8 + 1).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "h",
+            F.explode(F.expr("sequence(0, n_frames - 1)")).alias("frame_idx"),
+        )
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5(F.concat(F.col("h"), F.lit(":"), F.col("frame_idx").cast("string"))).alias(
+            "frame_key"
+        ),
+    )

@@ -1,0 +1,31 @@
+"""bench.py driver contract: one JSON-serializable dict with metric /
+value / unit / queries / sf, and every listed query resolvable."""
+
+from __future__ import annotations
+
+import json
+
+from tests.conftest import SF_DIR
+
+
+def test_bench_run_contract(spark):
+    import bench
+
+    result = bench.run(
+        spark=spark, sf_dir=SF_DIR, names=["bench_q1_pricing", "dedup_exact"]
+    )
+    line = json.dumps(result)  # must be one serializable JSON line
+    parsed = json.loads(line)
+    assert parsed["unit"] == "sec"
+    assert set(parsed["queries"]) == {"bench_q1_pricing", "dedup_exact"}
+    assert parsed["value"] >= 0 and parsed["sf"] == 0.001
+    assert abs(parsed["value"] - sum(parsed["queries"].values())) < 1e-6
+
+
+def test_bench_list_is_resolvable():
+    import bench
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert not missing
