@@ -226,3 +226,54 @@ def j05_conflict_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asis_val"),
         F.col("tobe_val"),
     )
+
+
+@register(
+    "j06_asof_join",
+    oracle=f"""
+WITH {CDC_CTE},
+candidates AS (
+  SELECT c.cdc_seq, c.pk, c.ts, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.cdc_seq
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM cdc c JOIN orders o
+    ON c.pk = o.o_custkey AND o.o_orderdate <= c.ts
+)
+SELECT cdc_seq, pk, o_orderkey AS asof_orderkey,
+       o_orderdate AS asof_orderdate, o_totalprice AS asof_totalprice
+FROM candidates WHERE rn = 1
+""",
+)
+def j06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension — the reference has none, SURVEY §2.3 note;
+    as-of semantics appear there only as the LWW policy): for each change
+    event, the latest order of the same key at-or-before the event time.
+
+    Spark lacks a native as-of join; the scalable composition is an equi
+    join on the key (hash join — the range predicate stays a post-filter,
+    never a theta join) + row_number per event picking the latest match.
+    Per-key match counts are bounded (orders per customer), so the
+    intermediate stays linear. The alternative for unbounded histories is
+    applyInPandas with pd.merge_asof per key bucket."""
+    cdc = cdc_view(spark, sf_dir).select("cdc_seq", "pk", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    j = cdc.join(
+        orders,
+        (cdc.pk == orders.o_custkey) & (orders.o_orderdate <= cdc.ts),
+    )
+    w = Window.partitionBy("cdc_seq").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cdc_seq",
+            "pk",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+            F.col("o_totalprice").alias("asof_totalprice"),
+        )
+    )
