@@ -106,3 +106,55 @@ def transform_with_state_dedup(cdc: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState variant — the stateful API that works in this
+# environment (transformWithState needs a protobuf-based state server,
+# see HAVE_TWS). Same sequential semantics, state persisted in the
+# checkpoint across micro-batches.
+# ---------------------------------------------------------------------------
+
+_GUARD_STATE_SCHEMA = "last_applied_us LONG"
+_GUARD_OUT_SCHEMA = (
+    "cdc_seq long, pk long, op string, operation string, ts timestamp,"
+    " val double, change_hash string, loop_blocked boolean"
+)
+
+
+def _guard_fn(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+    """Greedy loop-guard with persistent per-hash state: blocked events
+    do NOT refresh the window (FN_IS_LOOP + SP_RECORD_HASH semantics)."""
+    window_us = 5 * 60 * 1_000_000
+    last = state.get[0] if state.exists else None
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "cdc_seq"])
+    blocked = []
+    for ts in rows["ts"]:
+        us = ts.value // 1000
+        if last is not None and us - last <= window_us:
+            blocked.append(True)
+        else:
+            blocked.append(False)
+            last = us
+    if last is not None:
+        state.update((int(last),))
+    out = rows.copy()
+    out["loop_blocked"] = blocked
+    yield out
+
+
+def stateful_dedup(cdc: DataFrame) -> DataFrame:
+    """Streaming loop-guard via applyInPandasWithState keyed by
+    change_hash: emits every row with a loop_blocked flag, carrying
+    last-applied state across micro-batches through the checkpointed
+    state store. This is the working streaming twin of
+    functions/loopguard.with_loop_blocked in this environment."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return cdc.groupBy("change_hash").applyInPandasWithState(
+        _guard_fn,
+        outputStructType=_GUARD_OUT_SCHEMA,
+        stateStructType=_GUARD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
