@@ -277,3 +277,71 @@ def j06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("asof_totalprice"),
         )
     )
+
+
+@register(
+    "j07_range_join_bucketed",
+    oracle="""
+WITH ob AS (
+  SELECT o_orderkey, o_orderdate,
+         unnest(list_distinct([
+           year(o_orderdate) * 12 + month(o_orderdate),
+           year(o_orderdate + INTERVAL 7 DAY) * 12 + month(o_orderdate + INTERVAL 7 DAY)
+         ])) AS bucket
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+lb AS (
+  SELECT l_orderkey, l_shipdate,
+         year(l_shipdate) * 12 + month(l_shipdate) AS bucket
+  FROM lineitem
+)
+SELECT ob.o_orderkey, count(*)::BIGINT AS n_shipped_within_7d
+FROM ob JOIN lb ON ob.bucket = lb.bucket
+WHERE lb.l_shipdate >= ob.o_orderdate
+  AND lb.l_shipdate < ob.o_orderdate + INTERVAL 7 DAY
+GROUP BY ob.o_orderkey
+""",
+)
+def j07_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join via bucketization (extension — the reference
+    has no range joins, SURVEY §2.3 note): count shipments falling in
+    each urgent order's 7-day window, with NO shared key between the
+    sides — a pure temporal-proximity join.
+
+    A naive range join is a cross product; the scalable shape bucketizes
+    the range key (calendar month), explodes each probe interval into
+    the <=2 buckets it can overlap, equi-joins on the bucket (hash
+    join), and applies the range predicate as a post-filter. Each
+    (order, item) pair meets in exactly one bucket (the item's), so no
+    dedup pass is needed. Work is O(sum of bucket-pair products) —
+    bucket granularity is the scale lever, same as blocking keys in
+    dedup."""
+    mi = lambda c: F.year(c) * 12 + F.month(c)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        mi(F.col("o_orderdate")),
+                        mi(F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")),
+                    )
+                )
+            ).alias("bucket"),
+        )
+    )
+    items = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", mi(F.col("l_shipdate")).alias("l_bucket")
+    )
+    return (
+        orders.join(items, orders.bucket == items.l_bucket)
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped_within_7d"))
+    )

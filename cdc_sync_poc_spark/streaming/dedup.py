@@ -1,20 +1,24 @@
 """Streaming loop-prevention (SURVEY §2.6 st01-st03, streaming twins).
 
-Two implementations, by fidelity/need:
+Three implementations, by fidelity/need:
 
 * ``watermark_dedup`` — built-in ``dropDuplicatesWithinWatermark`` on
   change_hash with a 5-minute watermark: drops any event whose hash was
   seen within the watermark window. State eviction (st03's 10-minute
   SP_CLEANUP_HASH job) is automatic watermark GC — no cleanup job at
   all. This is the production default: fully JVM-side, RocksDB-backed
-  state at scale.
-* ``transform_with_state_dedup`` — ``transformWithStateInPandas`` keyed
-  by change_hash, reproducing the reference's exact sequential
-  semantics (blocked events do NOT refresh the window — FN_IS_LOOP +
-  SP_RECORD_HASH, poc/asis-oracle/init/04_create_procedures.sql:31-44)
-  AND emitting the blocked rows (PROCESSED_YN='S' audit parity) with a
-  state TTL. Use when blocked-row emission parity is required
-  (SURVEY §4 custom piece 3).
+  state at scale. (First-seen-wins within the window — NOT the exact
+  sequential semantics; use a stateful variant for that.)
+* ``stateful_dedup`` — ``applyInPandasWithState`` keyed by change_hash:
+  the reference's exact sequential semantics (blocked events do NOT
+  refresh the window — FN_IS_LOOP + SP_RECORD_HASH,
+  poc/asis-oracle/init/04_create_procedures.sql:31-44) AND emits blocked
+  rows (PROCESSED_YN='S' audit parity), with per-hash state carried
+  across micro-batches in the checkpointed store. The working choice in
+  this environment; tested cross-batch in tests/test_tws_dedup.py.
+* ``transform_with_state_dedup`` — the ``transformWithStateInPandas``
+  forward path (adds TTL config); requires the protobuf state server,
+  absent here, so it is HAVE_TWS-gated.
 """
 
 from __future__ import annotations
