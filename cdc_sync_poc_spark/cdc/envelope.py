@@ -378,3 +378,16 @@ def sink_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "change_hash",
     )
+
+
+@register(
+    "src_point_lookup",
+    oracle="SELECT * FROM customer WHERE c_custkey = 42",
+)
+def src_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row point lookup by PK (SELECT * FROM t WHERE pk = ?,
+    SimulatorController.java:433,521). In Spark the equality predicate
+    pushes to the parquet scan; on a lake laid out with min/max column
+    stats (or Delta/Iceberg data skipping) this reads only the files
+    whose range contains the key."""
+    return load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)

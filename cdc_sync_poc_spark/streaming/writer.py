@@ -107,11 +107,16 @@ def run_stream_pipeline(
     base: DataFrame,
     out_dir: str,
     trigger: dict | None = None,
+    dedup: str = "watermark",
 ):
-    """Wire source -> cdc view -> watermark dedup -> foreachBatch merge.
+    """Wire source -> cdc view -> loop dedup -> foreachBatch merge.
     Returns the started StreamingQuery. Default trigger availableNow for
-    tests; production uses processingTime='5 seconds' (st04)."""
-    from cdc_sync_poc_spark.streaming.dedup import watermark_dedup
+    tests; production uses processingTime='5 seconds' (st04).
+
+    dedup: 'watermark' (built-in first-seen-wins, production default) or
+    'stateful' (applyInPandasWithState, exact sequential semantics with
+    blocked rows dropped before the merge)."""
+    from cdc_sync_poc_spark.streaming.dedup import stateful_dedup, watermark_dedup
     from cdc_sync_poc_spark.streaming.source import file_event_stream, stream_cdc_view
 
     writer = ParquetMergeWriter(
@@ -121,7 +126,10 @@ def run_stream_pipeline(
     )
     writer.init_state(base)
     cdc = stream_cdc_view(file_event_stream(spark, events_path))
-    deduped = watermark_dedup(cdc)
+    if dedup == "stateful":
+        deduped = stateful_dedup(cdc).filter("NOT loop_blocked").drop("loop_blocked")
+    else:
+        deduped = watermark_dedup(cdc)
     q = (
         deduped.writeStream.foreachBatch(writer.apply_batch)
         .option("checkpointLocation", os.path.join(out_dir, "checkpoint"))

@@ -157,3 +157,30 @@ def test_multibatch_sequential_merge(spark, tmp_path):
     }
     assert by_batch[(0, "INSERT")] == "SUCCESS"  # insert of a new key
     assert by_batch[(1, "UPDATE")] == "SUCCESS"  # key exists since batch 1
+
+
+def test_stream_pipeline_stateful_dedup_variant(spark, stream_dirs):
+    """The stateful (applyInPandasWithState) dedup variant produces the
+    same final merged state: blocked rows are exact-content duplicates,
+    so dropping them cannot change last-wins results."""
+    from cdc_sync_poc_spark.operators.apply import apply_final_state
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from cdc_sync_poc_spark.streaming.writer import run_stream_pipeline
+
+    events_path, out_dir = stream_dirs
+    base = load_table(spark, SF_DIR, "customer")
+    q, writer = run_stream_pipeline(
+        spark, events_path, base, out_dir + "_stateful", dedup="stateful"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pk, r.name, round(r.acctbal, 6))
+        for r in writer.current_state().collect()
+    }
+    want = {
+        (r.pk, r.name, round(r.acctbal, 6))
+        for r in apply_final_state(spark, SF_DIR)
+        .select("pk", "name", "acctbal")
+        .collect()
+    }
+    assert got == want
