@@ -232,3 +232,52 @@ def a09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.99)").alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "a10_pivot_report",
+    oracle="""
+SELECT l_returnflag,
+       cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(18,2)) END) as double) AS qty_o,
+       cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(18,2)) END) as double) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a10_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted matrix report (extension; the reference renders these
+    dashboards in Java). Spark's .pivot with explicit values compiles to
+    conditional aggregates — one pass, no extra shuffle versus the flat
+    group-by; explicit value lists avoid the extra distinct-values job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(qty).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_o"),
+            F.col("F").alias("qty_f"),
+        )
+    )
+
+
+@register(
+    "a11_rollup_report",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def a11_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (extension): per (flag, status), per flag, and
+    grand total in one pass — Catalyst expands the grouping sets into a
+    single aggregate over replicated rows; at scale this beats three
+    separate aggregation jobs reading the fact table thrice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum(qty).cast("double").alias("sum_qty")
+    )
