@@ -35,9 +35,9 @@ BENCH_QUERIES = [
     "pipeline_e2e",
     "ap01_merge_cdc",
     "dedup_exact",
+    "dedup_ngram_jaccard",  # materializes the shared shingle cache
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_ann_lsh",

@@ -181,22 +181,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
+        # tiny candidate set, consumed three times below (cand_docs,
+        # final semi-join) — persist so the band pipeline runs once
+        .persist()
     )
-    scount = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
+    # verification touches candidate docs only: the candidate-doc set is
+    # tiny (LSH prunes hard), so broadcast-semi-join the shingle table
+    # down to it BEFORE the intersect self-join — the full shingle table
+    # is never shuffled for verification.
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), sh.doc_id == F.col("d"), "left_semi")
+    scount = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = shc.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    co = (
+        sa.join(sb, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ni"))
     )
+    inter = co.join(pairs, ["doc_a", "doc_b"], "left_semi")
     ca = scount.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = scount.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
         .filter(jac >= MINHASH_JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
