@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): the distributed implementations
+must agree with straight-line Python reference implementations on
+arbitrary inputs — the automated layer the reference never had
+(SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# keep example counts small: each example runs Spark jobs
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _greedy_reference(events, window_s=300):
+    """Straight-line greedy walk: blocked iff within window of the last
+    APPLIED event of the same hash."""
+    out = {}
+    last_applied: dict[str, float] = {}
+    for seq, ts, h in sorted(events, key=lambda e: (e[1], e[0])):
+        last = last_applied.get(h)
+        if last is not None and (ts - last).total_seconds() <= window_s:
+            out[seq] = True
+        else:
+            out[seq] = False
+            last_applied[h] = ts
+    return out
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=12),
+    hashes=st.lists(st.sampled_from(["h1", "h2"]), min_size=1, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_loopguard_matches_reference(spark, gaps, hashes):
+    from cdc_sync_poc_spark.functions.loopguard import with_loop_blocked
+
+    n = min(len(gaps), len(hashes))
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        t = t + dt.timedelta(seconds=gaps[i])
+        rows.append((i, t, hashes[i]))
+    df = spark.createDataFrame(rows, ["cdc_seq", "ts", "change_hash"])
+    got = {r.cdc_seq: r.loop_blocked for r in with_loop_blocked(df).collect()}
+    assert got == _greedy_reference(rows)
+
+
+def _merge_reference(base, changes):
+    """Single-shot MERGE of last-change-per-key against base."""
+    last = {}
+    for seq, pk, op, val in changes:
+        if pk not in last or seq > last[pk][0]:
+            last[pk] = (seq, op, val)
+    out = dict(base)
+    for pk, (_seq, op, val) in last.items():
+        if op == "DELETE":
+            out.pop(pk, None)
+        elif op == "UPDATE":
+            if pk in out:
+                out[pk] = val
+        else:  # INSERT (creates or updates)
+            out[pk] = val
+    return out
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # pk
+            st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+            st.integers(min_value=0, max_value=99),  # val
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    base_keys=st.sets(st.integers(min_value=0, max_value=9), max_size=6),
+)
+@settings(**_SETTINGS)
+def test_merge_final_state_matches_reference(spark, ops, base_keys):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.operators.apply import merge_final_state
+
+    base_rows = [(pk, f"name{pk}", float(pk)) for pk in sorted(base_keys)]
+    changes = [(i, pk, op, float(v)) for i, (pk, op, v) in enumerate(ops)]
+
+    base = spark.createDataFrame(
+        base_rows or [(999_999, "sentinel", 0.0)],
+        ["c_custkey", "c_name", "c_acctbal"],
+    )
+    cdf = spark.createDataFrame(changes, ["cdc_seq", "pk", "operation", "val"])
+    w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
+    last = (
+        cdf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    got = {r.pk: r.acctbal for r in merge_final_state(base, last).collect()}
+
+    ref_base = {pk: float(pk) for pk in base_keys} or {999_999: 0.0}
+    want = _merge_reference(ref_base, changes)
+    assert got == want
