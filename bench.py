@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
+    "sim_ann_topk_all",
     "text_quality",
     "plan_mapping_roundtrip",
     "mm_decode_features",

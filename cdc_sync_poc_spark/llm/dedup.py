@@ -10,13 +10,21 @@ Scale design (the point of each operator at 100 TB):
   an equi join on (band_id, band_key) — near-dup pairs without the
   O(n^2) cross join. Verification touches only candidate pairs.
 * simhash: map-only signature then a groupBy on the 16-bit fingerprint.
-* ngram-jaccard: pair generation restricted to (lang, source) buckets —
-  the blocking-key pattern; the intersect join runs on the shingle key.
-* embedding: pair generation restricted to label buckets (an IVF-style
-  coarse quantization); exact cosine only within buckets.
+* ngram-jaccard: candidate pairs come from MinHash banding (6 bands of
+  2 — a recall-oriented s-curve) with (lang, source) equality as a
+  secondary filter; no self-join is ever keyed on low-cardinality
+  metadata alone, so block sizes stay bounded at any corpus size.
+* embedding: candidate pairs restricted to a random-hyperplane sign
+  bucket (the LSH primitive from llm/similarity.py) with label as a
+  secondary filter; exact cosine only inside a bucket. The sign-bit
+  count is the scale knob: buckets shrink exponentially as bits grow.
 
-Hash functions are md5 (lexicographic min-wise hashing) so Spark and the
-DuckDB oracle agree bit-for-bit without sharing any RNG.
+All min-wise hashes derive from ONE md5 per shingle via the
+Kirsch–Mitzenmacher construction g_j = (h1 + j*h2) mod 2^32, where
+h1/h2 are the first two 32-bit halves of the md5 hex — a single digest
+instead of N_HASHES digests, pure BIGINT arithmetic on both engines
+(Spark `conv(substr(md5..))`, DuckDB `'0x'||substr(md5..)` cast), so
+Spark and the DuckDB oracle agree bit-for-bit without sharing any RNG.
 """
 
 from __future__ import annotations
@@ -28,13 +36,21 @@ from cdc_sync_poc_spark.registry import register
 from cdc_sync_poc_spark.sources.loader import load_table
 
 N_HASHES = 12
-BAND_SIZE = 4  # 3 bands of 4 -> s-curve threshold ~ (1/3)^(1/4) ~ 0.76
+BAND_SIZE = 4  # minhash: 3 bands of 4 -> s-curve threshold ~ (1/3)^(1/4) ~ 0.76
+NGRAM_BAND_SIZE = 2  # ngram: 6 bands of 2 -> threshold ~ (1/6)^(1/2) ~ 0.41
+_MOD32 = 4_294_967_296  # 2^32
 MINHASH_JACCARD_MIN = 0.2
 NGRAM_JACCARD_MIN = 0.05
 # near-dup cut tuned to the synthetic corpus (random-ish vectors: max
 # within-label cosine ~0.5, p99 ~0.29 -> 0.3 keeps the top ~1% of pairs);
 # production embeddings would use ~0.95
 COSINE_DUP_MIN = 0.3
+# sign bits for the embedding-dedup candidate bucket: 4 bits / 16
+# buckets keeps recall usable at the loose 0.3 cosine cut of the
+# synthetic corpus (P[4-bit collision | cos 0.3] ~ 0.13); production
+# near-dup at ~0.95 cosine would run 8-16 bits — the bucket count is
+# the scale knob, block size ~ n / 2^bits.
+DEDUP_SIGN_BITS = 4
 
 
 @register(
@@ -87,25 +103,139 @@ scount AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id)
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {_SHINGLE_CTES},
+def _mh_band_ctes(band_size: int) -> str:
+    """DuckDB CTEs mirroring ``_minhash_sig`` + ``_band_pairs``: the
+    Kirsch–Mitzenmacher signature and the LSH band candidate pairs."""
+    return f"""
 mh AS (
-  SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+  SELECT doc_id, j,
+         min((CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)
+              + j * CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT))
+             % {_MOD32}) AS mh
   FROM sh CROSS JOIN range(1, {N_HASHES + 1}) t(j)
   GROUP BY doc_id, j
 ),
 band AS (
-  SELECT doc_id, (j - 1) // {BAND_SIZE} AS band_id,
-         md5(string_agg(mh, ',' ORDER BY j)) AS band_key
-  FROM mh GROUP BY doc_id, (j - 1) // {BAND_SIZE}
+  SELECT doc_id, (j - 1) // {band_size} AS band_id,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_key
+  FROM mh GROUP BY doc_id, (j - 1) // {band_size}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM band a JOIN band b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+)"""
+
+
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh1..mhN) min-wise signature. ONE md5 per shingle row;
+    the N_HASHES functions are g_j = (h1 + j*h2) mod 2^32 over the two
+    32-bit hex halves (Kirsch–Mitzenmacher), so the per-row cost is a
+    single digest plus BIGINT multiply-adds in whole-stage codegen. The
+    signature reduces to one row per doc with map-side partial agg
+    before it moves — one shuffle on doc_id."""
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint")
+    gs = F.array(
+        *[(h1 + F.lit(j) * h2) % F.lit(_MOD32) for j in range(1, N_HASHES + 1)]
+    )
+    return (
+        sh.select("doc_id", gs.alias("hs"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.col("hs")[j - 1]).alias(f"mh{j}")
+                for j in range(1, N_HASHES + 1)
+            ]
+        )
+        # one row per doc; shared by the minhash (band 4) and ngram
+        # (band 2) queries — Spark's cache manager matches the identical
+        # analyzed plan, so whichever runs first materializes it
+        .cache()
+    )
+
+
+def _band_pairs(mh: DataFrame, band_size: int) -> DataFrame:
+    """LSH banding: concat each band's signature slice into a band key,
+    equi-join on (band_id, band_key) — candidate near-dup pairs without
+    the O(n^2) cross join; band_size tunes the s-curve threshold."""
+    n_bands = N_HASHES // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{b * band_size + k}") for k in range(1, band_size + 1)],
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    band = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_key").alias("band_key"))
+    a = band.select(
+        F.col("doc_id").alias("doc_a"), "band_id", F.col("band_key").alias("k_a")
+    )
+    b = band.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_key").alias("k_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("k_a") == F.col("k_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _verify_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification, PAIR-driven: expand each candidate
+    pair by doc_a's shingles, then equi-join on (doc_b, shingle) to
+    count the intersection — O(|pairs| x shingles/doc) work, bounded by
+    the LSH candidate count. (A shingle-keyed self-join of the candidate
+    docs would instead cost O(sum over shingles of docs^2), which
+    explodes on boilerplate shingles shared by many near-dup docs.) The
+    candidate-doc set is tiny, so a broadcast semi-join shrinks the
+    shingle table first — the full shingle table is never shuffled."""
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), sh.doc_id == F.col("d"), "left_semi")
+    scount = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = shc.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    ca = scount.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = scount.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_mh_band_ctes(BAND_SIZE)},
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS ni
   FROM pairs p
@@ -122,97 +252,15 @@ WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= {MINHASH_JACCARD_MIN}
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: shingle -> 12 min-wise hashes -> 3 bands
-    of 4 -> equi-join on band buckets -> exact-Jaccard verification of
-    candidates only. Min-wise hashing over md5 hex strings (lexicographic
-    min is a valid uniform min-hash and engine-portable)."""
+    """MinHash + LSH near-dup: shingle -> 12 Kirsch–Mitzenmacher min-wise
+    hashes (one md5 per shingle) -> 3 bands of 4 -> equi-join on band
+    buckets -> exact-Jaccard verification of candidates only."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
-    # all N_HASHES md5s as one array per shingle row, then element-wise
-    # MIN aggregates in a single groupBy(doc_id) — no seed explosion, one
-    # shuffle with map-side partial aggregation (the signature reduces to
-    # one row per doc before it moves)
-    hash_arr = F.array(
-        *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))
-            for j in range(1, N_HASHES + 1)
-        ]
-    )
-    mh = (
-        sh.select("doc_id", hash_arr.alias("hs"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.col("hs")[j - 1]).alias(f"mh{j}")
-                for j in range(1, N_HASHES + 1)
-            ]
-        )
-    )
-    n_bands = N_HASHES // BAND_SIZE
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"mh{b * BAND_SIZE + k}") for k in range(1, BAND_SIZE + 1)],
-                )
-            ).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
-    band = mh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_key").alias("band_key"))
-    a = band.select(
-        F.col("doc_id").alias("doc_a"), "band_id", F.col("band_key").alias("k_a")
-    )
-    b = band.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band_id").alias("band_id_b"),
-        F.col("band_key").alias("k_b"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("band_id") == F.col("band_id_b"))
-            & (F.col("k_a") == F.col("k_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-        # tiny candidate set, consumed three times below (cand_docs,
-        # final semi-join) — persist so the band pipeline runs once
-        .persist()
-    )
-    # verification touches candidate docs only: the candidate-doc set is
-    # tiny (LSH prunes hard), so broadcast-semi-join the shingle table
-    # down to it BEFORE the intersect self-join — the full shingle table
-    # is never shuffled for verification.
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("d")))
-        .distinct()
-    )
-    shc = sh.join(F.broadcast(cand_docs), sh.doc_id == F.col("d"), "left_semi")
-    scount = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = shc.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
-    co = (
-        sa.join(sb, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ni"))
-    )
-    inter = co.join(pairs, ["doc_a", "doc_b"], "left_semi")
-    ca = scount.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = scount.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
-    return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .filter(jac >= MINHASH_JACCARD_MIN)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    # tiny candidate set, consumed three times downstream (cand_docs,
+    # final semi-join) — persist so the band pipeline runs once
+    pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
+    return _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN)
 
 
 @register(
@@ -272,15 +320,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {_SHINGLE_CTES},
+{_mh_band_ctes(NGRAM_BAND_SIZE)},
 meta AS (SELECT doc_id, lang, source FROM documents),
-bpairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM meta a JOIN meta b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+cand AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN meta ma ON ma.doc_id = p.doc_a
+  JOIN meta mb ON mb.doc_id = p.doc_b
+  WHERE ma.lang = mb.lang AND ma.source = mb.source
 ),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS ni
-  FROM bpairs p
+  FROM cand p
   JOIN sh sa ON sa.doc_id = p.doc_a
   JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
   GROUP BY p.doc_a, p.doc_b
@@ -294,45 +345,34 @@ WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= {NGRAM_JACCARD_MIN}
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup with blocking keys: candidate pairs only
-    within (lang, source) buckets — the classic blocking pattern that
-    turns O(n^2) into sum of per-bucket squares. Intersections computed
-    via an equi join on the shingle key."""
+    """n-gram Jaccard near-dup, scale-safe candidates: MinHash banding
+    at band size 2 (6 bands — a recall-oriented s-curve for the low 0.05
+    Jaccard cut) generates candidate pairs on the high-cardinality band
+    key; (lang, source) equality is a SECONDARY filter on those pairs,
+    not a join key — block sizes never depend on metadata cardinality,
+    so the plan has no per-block O(n^2) at any corpus size. Exact
+    shingle-intersection Jaccard verifies candidates only."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
+    bpairs = _band_pairs(_minhash_sig(sh), NGRAM_BAND_SIZE)
     meta = docs.select("doc_id", "lang", "source")
-    a = meta.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source"
-    )
-    b = meta.select(
+    ma = meta.select(F.col("doc_id").alias("doc_a"), "lang", "source")
+    mb = meta.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
     )
-    bpairs = a.join(
-        b,
-        (F.col("lang") == F.col("lang_b"))
-        & (F.col("source") == F.col("source_b"))
-        & (F.col("doc_a") < F.col("doc_b")),
-    ).select("doc_a", "doc_b")
-    scount = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
-    inter = (
-        bpairs.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ni"))
+    pairs = (
+        bpairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .filter(
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+        )
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    ca = scount.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = scount.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
-    return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= NGRAM_JACCARD_MIN)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return _verify_jaccard(sh, pairs, NGRAM_JACCARD_MIN)
 
 
 _VEC_CTES = """
@@ -349,22 +389,34 @@ n AS (
 """
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-WITH {_VEC_CTES}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-             / (a.nrm * b.nrm), 6) AS cosine
-FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-      / (a.nrm * b.nrm) >= {COSINE_DUP_MIN}
-""",
-)
+def _embedding_cosine_oracle() -> str:
+    from cdc_sync_poc_spark.llm.similarity import bucket_sql
+
+    return f"""
+WITH {_VEC_CTES},
+b AS (SELECT vec_id, label, v, nrm,
+      {bucket_sql("v", DEDUP_SIGN_BITS)} AS bucket FROM n)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b2.v[i]))
+             / (a.nrm * b2.nrm), 6) AS cosine
+FROM b a JOIN b b2
+  ON a.bucket = b2.bucket AND a.label = b2.label AND a.vec_id < b2.vec_id
+WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b2.v[i]))
+      / (a.nrm * b2.nrm) >= {COSINE_DUP_MIN}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup within label buckets (IVF-style coarse
-    partition: exact cosine only inside a bucket). All arithmetic in
-    float64 with sequential folds so Spark and DuckDB agree bitwise."""
+    """Embedding-cosine near-dup, scale-safe candidates: the primary
+    join key is a random-hyperplane sign bucket (the LSH primitive from
+    llm/similarity.py — bucket count 2^bits is the scale knob, so block
+    sizes shrink as bits grow), with label equality as a SECONDARY
+    condition. Exact cosine only inside a (bucket, label) block; all
+    arithmetic in float64 with sequential folds so Spark and DuckDB
+    agree bitwise."""
+    from cdc_sync_poc_spark.llm.similarity import bucket_col
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     norm = F.sqrt(
@@ -373,13 +425,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
         )
     )
-    n = emb.select("vec_id", "label", v.alias("v"), norm.alias("nrm"))
+    n = emb.select(
+        "vec_id", "label", v.alias("v"), norm.alias("nrm")
+    ).withColumn("bucket", bucket_col("v", DEDUP_SIGN_BITS))
     a = n.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+        F.col("vec_id").alias("vec_a"), "label", "bucket",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = n.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     dot = F.expr(
@@ -390,7 +445,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
         )
         .withColumn("cosine_raw", cos)
         .filter(F.col("cosine_raw") >= COSINE_DUP_MIN)

@@ -1,20 +1,32 @@
 """Similarity search over the ``embeddings`` table (array<float> column):
-brute-force cosine top-k as the exact baseline, and an LSH-bucketed ANN
-variant as the scale path (SURVEY §7.1 M6).
+brute-force cosine top-k as the exact baseline, a single-query
+LSH-bucketed ANN, and the batch multi-probe ANN a training-data
+pipeline actually runs (top-k for EVERY vector).
 
 Scale design: brute-force is a broadcast of the (tiny) query vector over
 a map-only scan + TakeOrderedAndProject top-k — linear, shuffle-free,
 and the right baseline even at 100 TB (it reads every vector once). The
-ANN variant prunes candidates to one hyperplane-sign bucket (a random-
-hyperplane LSH specialization using coordinate hyperplanes) — bucket
-assignment is map-only and the search touches ~1/2^8 of the data; the
-production path would store the bucket as a partition key so partition
-pruning skips the rest of the lake entirely.
+ANN variants prune candidates to random-hyperplane sign buckets
+(Charikar SimHash LSH with Rademacher ±1 hyperplanes): bucket
+assignment is map-only; the batch query is an equi-join on the bucket
+key — high-cardinality (2^N_SIGN_BITS grows with the configured bit
+count, the scale knob) — followed by a per-query-vector top-k window.
+Multi-probe (flipping the lowest-confidence sign bits) recovers recall
+without growing the bucket count; the production path would store the
+bucket as a partition key so partition pruning skips the rest of the
+lake entirely.
+
+The hyperplanes are deterministic Rademacher vectors derived from md5
+in the DRIVER (plain Python, module import time) and inlined as literal
+arrays into both the Spark expression and the DuckDB oracle SQL — no
+engine-side RNG to mirror.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
@@ -24,6 +36,56 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 ANN_TOP_K = 5
 N_SIGN_BITS = 8
+N_PROBE_FLIPS = 2  # multi-probe: own bucket + flip of bit 1 and bit 2
+EMB_DIM = 64
+
+
+def _rademacher_planes(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component (b, i) is the low bit of
+    md5("hp|b|i"). Rademacher entries are a valid Charikar hyperplane
+    family, and deriving them from md5 keeps the construction
+    reproducible across engines without sharing an RNG."""
+    return [
+        [
+            1.0 if hashlib.md5(f"hp|{b}|{i}".encode()).digest()[0] & 1 else -1.0
+            for i in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+HYPERPLANES = _rademacher_planes(N_SIGN_BITS, EMB_DIM)
+
+
+def bucket_col(vcol: str = "v", n_bits: int = N_SIGN_BITS) -> F.Column:
+    """Spark column: n_bits-char '0'/'1' bucket string — sign of
+    <v, r_b> for each hyperplane, all in whole-stage codegen. Fewer
+    bits = bigger buckets = more recall; more bits = harder pruning —
+    the scale knob for any consumer of this primitive."""
+    bits = []
+    for w in HYPERPLANES[:n_bits]:
+        arr = "array(" + ",".join(f"{x:.1f}D" for x in w) + ")"
+        s = (
+            f"aggregate(zip_with({vcol}, {arr}, (x, w) -> x * w),"
+            " CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
+        )
+        bits.append(f"CASE WHEN {s} >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ",".join(bits) + ")")
+
+
+def bucket_sql(vcol: str = "v", n_bits: int = N_SIGN_BITS) -> str:
+    """DuckDB expression mirroring ``bucket_col`` bit-for-bit (same
+    literal hyperplanes, same sequential double arithmetic)."""
+    bits = []
+    for w in HYPERPLANES[:n_bits]:
+        arr = "[" + ",".join(f"{x:.1f}" for x in w) + "]::DOUBLE[]"
+        s = (
+            f"list_sum(list_transform(range(1, {EMB_DIM + 1}),"
+            f" i -> {vcol}[i] * ({arr})[i]))"
+        )
+        bits.append(f"CASE WHEN {s} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ",".join(bits) + ")"
+
 
 _V64 = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
@@ -89,17 +151,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET = (
-    "array_to_string(list_transform(range(1, {nb}), "
-    "i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '')"
-).format(nb=N_SIGN_BITS + 1)
-
-
 @register(
     "sim_ann_lsh",
     oracle=f"""
 WITH {_VEC_CTES},
-bucketed AS (SELECT vec_id, v, nrm, {_BUCKET} AS bucket FROM n),
+bucketed AS (SELECT vec_id, v, nrm, {bucket_sql("v")} AS bucket FROM n),
 qb AS (SELECT bucket AS qbucket, v AS qv, nrm AS qn FROM bucketed
        WHERE vec_id = {QUERY_VEC_ID})
 SELECT b.vec_id, b.bucket,
@@ -113,15 +169,13 @@ LIMIT {ANN_TOP_K}
 """,
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via hyperplane-sign LSH: bucket = sign bits of the first 8
-    dims; search only the query's bucket. Deterministic, engine-portable
-    bucketing; recall/latency tuned by the number of sign bits."""
+    """Single-query ANN via random-hyperplane LSH: bucket = sign bits of
+    8 Rademacher projections; search only the query's bucket.
+    Deterministic, engine-portable bucketing; recall/latency tuned by
+    the number of sign bits (and by multi-probe — see
+    sim_ann_topk_all for the batch + probe variant)."""
     n = _normed(spark, sf_dir)
-    bucket = F.expr(
-        "array_join(transform(slice(v, 1, {nb}),"
-        " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')".format(nb=N_SIGN_BITS)
-    )
-    bucketed = n.withColumn("bucket", bucket)
+    bucketed = n.withColumn("bucket", bucket_col("v"))
     q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("bucket").alias("qbucket"),
         F.col("v").alias("qv"),
@@ -135,4 +189,92 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
         .limit(ANN_TOP_K)
         .select("vec_id", "bucket", F.round(F.col("cosine_raw"), 6).alias("cosine"))
+    )
+
+
+def _flip_sql(bucket: str, k: int) -> str:
+    """DuckDB: bucket string with bit k (1-based) flipped."""
+    return (
+        f"concat(substr({bucket}, 1, {k - 1}),"
+        f" CASE WHEN substr({bucket}, {k}, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substr({bucket}, {k + 1}))"
+    )
+
+
+def _flip_col(bucket: F.Column, k: int) -> F.Column:
+    """Spark: bucket string with bit k (1-based) flipped."""
+    return F.concat(
+        F.substring(bucket, 1, k - 1),
+        F.when(F.substring(bucket, k, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, k + 1, N_SIGN_BITS),
+    )
+
+
+_PROBE_LIST_SQL = "[" + ", ".join(
+    ["bucket"] + [_flip_sql("bucket", k) for k in range(1, N_PROBE_FLIPS + 1)]
+) + "]"
+
+
+@register(
+    "sim_ann_topk_all",
+    oracle=f"""
+WITH {_VEC_CTES},
+b AS (SELECT vec_id, v, nrm, {bucket_sql("v")} AS bucket FROM n),
+probes AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+         unnest({_PROBE_LIST_SQL}) AS bucket
+  FROM b
+),
+scored AS (
+  SELECT p.q_id, c.vec_id,
+         list_sum(list_transform(range(1, 65), i -> c.v[i] * p.qv[i]))
+         / (c.nrm * p.qn) AS cosr
+  FROM probes p JOIN b c USING (bucket)
+  WHERE c.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosr,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosr DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id AS nn_id, rnk, round(cosr, 6) AS cosine
+FROM ranked WHERE rnk <= {ANN_TOP_K}
+""",
+)
+def sim_ann_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-probe ANN: top-k neighbors for EVERY vector — the
+    operator a 100 TB dedup/retrieval pipeline actually runs. Each
+    vector probes its own sign bucket plus N_PROBE_FLIPS one-bit-flip
+    buckets (multi-probe recall recovery); candidates come from an
+    equi-join on the bucket key (high-cardinality, grows 2^bits);
+    ranking is a row_number window partitioned by the query vector id —
+    also high-cardinality, so no single-task stage anywhere. A
+    candidate lives in exactly one bucket and probe buckets are
+    distinct, so (query, candidate) pairs are already unique — no
+    dedup step needed before ranking."""
+    n = _normed(spark, sf_dir)
+    bucketed = n.select("vec_id", "v", "nrm", bucket_col("v").alias("bucket"))
+    probes = F.array(
+        F.col("bucket"),
+        *[_flip_col(F.col("bucket"), k) for k in range(1, N_PROBE_FLIPS + 1)],
+    )
+    qp = bucketed.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(probes).alias("bucket"),
+    )
+    cand = qp.join(bucketed, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosr"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cosr", cos)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nn_id"),
+            "rnk",
+            F.round(F.col("cosr"), 6).alias("cosine"),
+        )
     )
