@@ -62,8 +62,13 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_sync_poc_spark.functions.loopguard import with_loop_blocked
 
     walk = with_loop_blocked(cdc_view(spark, sf_dir))
+    # null-safe: a NULL prop_k row is NOT FAILED (the classified CASE
+    # falls through), so it must stay eligible — coalesce keeps it
     eligible = walk.filter(
-        ~F.col("loop_blocked") & ~((F.col("prop_k") > 95) | (F.col("val") < 0.05))
+        ~F.col("loop_blocked")
+        & ~F.coalesce(
+            (F.col("prop_k") > 95) | (F.col("val") < 0.05), F.lit(False)
+        )
     )
     w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
     last = (

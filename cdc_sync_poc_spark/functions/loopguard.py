@@ -2,11 +2,15 @@
 
 Reference (poc/asis-oracle/init/04_create_procedures.sql:31-44): an event
 is LOOP_BLOCKED iff an *applied* event with the same CHANGE_HASH exists
-within the last 5 minutes; blocked events are NOT recorded into
-CDC_PROCESSED_HASH, so they do not extend the blocking window. That makes
-the semantics sequential per hash: walk events in time order, apply the
-first, then apply each next one iff its gap from the LAST APPLIED event
-exceeds the window.
+STRICTLY within the last 5 minutes (FN_IS_LOOP tests PROCESSED_AT >
+SYSTIMESTAMP - 5 MIN, so a gap of exactly 5 minutes is NOT blocked);
+blocked events are NOT recorded into CDC_PROCESSED_HASH, so they do not
+extend the blocking window. Validation-failed events (stage 1 FAILED)
+never reach SP_RECORD_HASH either, so they too leave the window
+untouched. That makes the semantics sequential per hash: walk events in
+time order; each event is blocked iff its gap from the LAST
+APPLIED-AND-VALID event is under the window, and only unblocked valid
+events refresh the state.
 
 This is genuinely beyond SQL window functions (state depends on prior
 *decisions*, not prior rows), so the batch form uses ``applyInPandas``
@@ -31,7 +35,11 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
     """Add boolean ``loop_blocked`` per the sequential greedy semantics.
 
     Input needs columns: change_hash, ts (timestamp), cdc_seq. Output =
-    input columns + loop_blocked, same rows.
+    input columns + loop_blocked, same rows. If ``prop_k`` and ``val``
+    are present, validation-failed rows (prop_k > 95 OR val < 0.05,
+    null-safe — the st06 predicate) can be blocked but never refresh
+    the window (SP_RECORD_HASH is skipped for stage-1 failures);
+    without those columns every row counts as valid.
 
     Fast path: a hash that occurs once can never be blocked, and with a
     high-cardinality content hash that is almost every row — those rows
@@ -44,6 +52,15 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     in_cols = [f.name for f in cdc.schema.fields]
+    has_validity = {"prop_k", "val"}.issubset(cdc.columns)
+    invalid_col = (
+        F.coalesce(
+            (F.col("prop_k") > 95) | (F.col("val") < 0.05), F.lit(False)
+        )
+        if has_validity
+        else F.lit(False)
+    )
+    cdc = cdc.withColumn("__invalid", invalid_col)
     schema = T.StructType(
         list(cdc.schema.fields) + [T.StructField("loop_blocked", T.BooleanType())]
     )
@@ -52,13 +69,14 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
         group = group.sort_values(["ts", "cdc_seq"]).copy()
         blocked = []
         last_applied_us = None
-        for ts in group["ts"]:
+        for ts, invalid in zip(group["ts"], group["__invalid"]):
             us = ts.value // 1000  # pandas ns -> us
-            if last_applied_us is not None and us - last_applied_us <= WINDOW_US:
+            if last_applied_us is not None and us - last_applied_us < WINDOW_US:
                 blocked.append(True)
             else:
                 blocked.append(False)
-                last_applied_us = us
+                if not invalid:  # stage-1 failures never record the hash
+                    last_applied_us = us
         group["loop_blocked"] = blocked
         return group
 
@@ -103,17 +121,25 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
 WALK_CTES = """
 g AS (
   SELECT cdc_seq, pk, op, operation, ts, ts_ms, val, prop_k, change_hash,
+         coalesce(prop_k > 95 OR val < 0.05, FALSE) AS invalid,
          row_number() OVER (PARTITION BY change_hash ORDER BY ts, cdc_seq) AS rn
   FROM cdc
 ),
 walk AS (
-  SELECT g.*, g.ts AS last_applied, FALSE AS loop_blocked
+  SELECT g.*, CASE WHEN g.invalid THEN NULL ELSE g.ts END AS last_applied,
+         FALSE AS loop_blocked
   FROM g WHERE rn = 1
   UNION ALL
   SELECT g.*,
-         CASE WHEN epoch_us(g.ts) - epoch_us(w.last_applied) > 300000000
-              THEN g.ts ELSE w.last_applied END AS last_applied,
-         (epoch_us(g.ts) - epoch_us(w.last_applied) <= 300000000) AS loop_blocked
+         CASE
+           WHEN w.last_applied IS NOT NULL
+                AND epoch_us(g.ts) - epoch_us(w.last_applied) < 300000000
+             THEN w.last_applied
+           WHEN g.invalid THEN w.last_applied
+           ELSE g.ts
+         END AS last_applied,
+         coalesce(epoch_us(g.ts) - epoch_us(w.last_applied) < 300000000,
+                  FALSE) AS loop_blocked
   FROM g JOIN walk w ON g.change_hash = w.change_hash AND g.rn = w.rn + 1
 )
 """

@@ -44,7 +44,15 @@ def salted_join(
 ) -> DataFrame:
     """Join ``large`` (skewed) with ``small`` on ``on`` + matching salt,
     spreading each hot key over ``factor`` partitions. Result equals the
-    unsalted join (each large row matches exactly one salt copy)."""
+    unsalted join (each large row matches exactly one salt copy) ONLY
+    for inner/left joins: a right or full_outer join would emit each
+    unmatched small-side row once per exploded salt copy, so those are
+    rejected rather than silently duplicating rows."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer joins duplicate unmatched small-side rows per salt copy"
+        )
     l = salt_large_side(large, unique_col, factor)
     s = explode_small_side(small, factor)
     joined = l.join(s, on & (l[SALT_COL] == s[SALT_COL]), how)

@@ -120,19 +120,70 @@ def st05_late_and_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data detection: watermark = running max event time over
     arrival order minus 5 min (the engine's principled replacement for
     the reference's wall-clock window, SURVEY §7.3c; event/processing
-    time split per CdcKafkaConsumer.java:197-202)."""
+    time split per CdcKafkaConsumer.java:197-202).
+
+    A running max is inherently sequential, but a global
+    Window.orderBy funnels the whole stream through one task. Two-level
+    chunked decomposition instead: rows -> 2^14-row chunks ->  2^14-chunk
+    superchunks. The prefix max BEFORE each row is
+    greatest(within-chunk windowed max, chunk-prefix max), where the
+    chunk-prefix max combines a window PARTITIONED by superchunk with a
+    broadcast triangular join over the (tiny) superchunk table — every
+    window in the plan is partitioned, every per-row stage is map-side,
+    and the sequential residue shrinks by 2^28 per level."""
+    C1 = 1 << 14  # rows per chunk
+    C2 = 1 << 14  # chunks per superchunk
     cdc = cdc_view(spark, sf_dir)
-    w = (
-        Window.orderBy("cdc_seq")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wm_us = F.max(F.unix_micros("ts")).over(w)
-    return cdc.select(
+    base = cdc.select(
         "cdc_seq",
         "ts",
-        F.coalesce(
-            F.unix_micros("ts") < wm_us - 300_000_000, F.lit(False)
-        ).alias("is_late"),
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"cdc_seq div {C1}").alias("chunk"),
+        F.expr(f"cdc_seq div {C1 * C2}").alias("sc"),
+    )
+    # per-chunk max (hash agg, map-side partial) and per-superchunk max
+    cmax = base.groupBy("chunk", "sc").agg(F.max("us").alias("cmax"))
+    scmax = cmax.groupBy("sc").agg(F.max("cmax").alias("scmax"))
+    # prefix max over STRICTLY EARLIER superchunks: triangular broadcast
+    # join on the superchunk table (rows = n / 2^28 — trivially small)
+    sc_b = scmax.select(F.col("sc").alias("sc_b"), F.col("scmax").alias("scmax_b"))
+    sc_prev = (
+        scmax.join(F.broadcast(sc_b), F.col("sc_b") < F.col("sc"), "left")
+        .groupBy("sc")
+        .agg(F.max("scmax_b").alias("sc_prev_max"))
+    )
+    # prefix max over earlier chunks WITHIN the superchunk (partitioned
+    # window over <=2^14 rows per partition), combined with the
+    # superchunk prefix -> max over ALL earlier chunks
+    w_chunk = (
+        Window.partitionBy("sc").orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_info = (
+        cmax.join(F.broadcast(sc_prev), "sc")
+        .select(
+            "chunk",
+            F.greatest(
+                F.max("cmax").over(w_chunk), F.col("sc_prev_max")
+            ).alias("chunk_prev_max"),
+        )
+    )
+    # within-chunk running max (partitioned by chunk — bounded 2^14 rows
+    # per task); greatest() skips NULLs, so first rows degrade correctly
+    w_row = (
+        Window.partitionBy("chunk").orderBy("cdc_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm_us = F.greatest(F.max("us").over(w_row), F.col("chunk_prev_max"))
+    return (
+        base.join(F.broadcast(chunk_info), "chunk")
+        .select(
+            "cdc_seq",
+            "ts",
+            F.coalesce(
+                F.col("us") < wm_us - 300_000_000, F.lit(False)
+            ).alias("is_late"),
+        )
     )
 
 

@@ -70,16 +70,17 @@ try:  # transformWithStateInPandas requires Spark >= 4.0 AND protobuf
             for pdf in rows:
                 pdf = pdf.sort_values(["ts", "cdc_seq"])
                 blocked = []
-                for ts in pdf["ts"]:
+                for ts, invalid in zip(pdf["ts"], _invalid_series(pdf)):
                     us = ts.value // 1000
-                    if last_us is not None and us - last_us <= window_us:
+                    if last_us is not None and us - last_us < window_us:
                         blocked.append(True)
                     else:
                         blocked.append(False)
-                        last_us = us
+                        if not invalid:
+                            last_us = us
                 out = pdf.copy()
                 out["loop_blocked"] = blocked
-                yield out
+                yield out[_OUT_COLS]
             if last_us is not None:
                 self._state.update((last_us,))
 
@@ -124,27 +125,44 @@ _GUARD_OUT_SCHEMA = (
     "cdc_seq long, pk long, op string, operation string, ts timestamp,"
     " val double, change_hash string, loop_blocked boolean"
 )
+_OUT_COLS = [
+    "cdc_seq", "pk", "op", "operation", "ts", "val", "change_hash",
+    "loop_blocked",
+]
+
+
+def _invalid_series(pdf: pd.DataFrame) -> pd.Series:
+    """Validation flag per row (st06 predicate, null-safe): rows failing
+    stage-1 validation never record their hash, so they must not refresh
+    the guard window. Streams without prop_k/val treat all rows valid."""
+    if "prop_k" in pdf.columns and "val" in pdf.columns:
+        return (
+            (pdf["prop_k"] > 95) | (pdf["val"] < 0.05)
+        ).fillna(False).astype(bool)
+    return pd.Series(False, index=pdf.index)
 
 
 def _guard_fn(key, pdfs, state) -> "Iterator[pd.DataFrame]":
     """Greedy loop-guard with persistent per-hash state: blocked events
-    do NOT refresh the window (FN_IS_LOOP + SP_RECORD_HASH semantics)."""
+    do NOT refresh the window, and neither do validation-failed events
+    (FN_IS_LOOP + SP_RECORD_HASH semantics; strictly-within boundary)."""
     window_us = 5 * 60 * 1_000_000
     last = state.get[0] if state.exists else None
     rows = pd.concat(list(pdfs)).sort_values(["ts", "cdc_seq"])
     blocked = []
-    for ts in rows["ts"]:
+    for ts, invalid in zip(rows["ts"], _invalid_series(rows)):
         us = ts.value // 1000
-        if last is not None and us - last <= window_us:
+        if last is not None and us - last < window_us:
             blocked.append(True)
         else:
             blocked.append(False)
-            last = us
+            if not invalid:
+                last = us
     if last is not None:
         state.update((int(last),))
     out = rows.copy()
     out["loop_blocked"] = blocked
-    yield out
+    yield out[_OUT_COLS]
 
 
 def stateful_dedup(cdc: DataFrame) -> DataFrame:

@@ -19,13 +19,14 @@ _SETTINGS = dict(
 
 
 def _greedy_reference(events, window_s=300):
-    """Straight-line greedy walk: blocked iff within window of the last
-    APPLIED event of the same hash."""
+    """Straight-line greedy walk: blocked iff STRICTLY within the window
+    of the last APPLIED event of the same hash (FN_IS_LOOP boundary:
+    a gap of exactly the window is applied)."""
     out = {}
     last_applied: dict[str, float] = {}
     for seq, ts, h in sorted(events, key=lambda e: (e[1], e[0])):
         last = last_applied.get(h)
-        if last is not None and (ts - last).total_seconds() <= window_s:
+        if last is not None and (ts - last).total_seconds() < window_s:
             out[seq] = True
         else:
             out[seq] = False
