@@ -81,12 +81,19 @@ def spread_small_input(df: DataFrame, max_parts: int = 16) -> DataFrame:
     everything computed above them (sha256 hashing, shingle explodes).
     Callers on those hot paths spread the input when the scan has fewer
     splits than cores; on a real lake the input arrives in many
-    files/row-groups and this no-ops. Kept OUT of the general loader so
+    files/row-groups and this no-ops. The split estimate is
+    metadata-only (``inputFiles``) — never ``df.rdd``, which forces a
+    plan-to-RDD conversion per call. Kept OUT of the general loader so
     scan-light plans keep their shuffle-free shape.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     target = min(parallelism, max_parts)
-    if df.rdd.getNumPartitions() < target:
+    # metadata-only split estimate: the scan's file list (each fixture
+    # file is a single row group, so files ~= splits). A multi-row-group
+    # file underestimates and costs one harmless repartition; a real
+    # lake has many files and no-ops here.
+    n_splits = len(df.inputFiles())
+    if n_splits < target:
         df = df.repartition(target)
     return df
 

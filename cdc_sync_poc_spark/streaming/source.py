@@ -46,19 +46,50 @@ def file_event_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# Reference consumer parity (application.yml:24-25 + KafkaConfig.java:41-59):
+#   bootstrap-servers: localhost:29092      -> kafka.bootstrap.servers
+#   auto-offset-reset: earliest             -> startingOffsets=earliest
+#   MAX_POLL_RECORDS=100 per poll, 3 concurrent listener threads ->
+#     maxOffsetsPerTrigger caps a micro-batch the way max.poll.records
+#     caps a poll (st07); Spark reads every partition in parallel, so no
+#     thread-count knob is needed.
+#   enable.auto.commit / group-id           -> replaced by checkpointing
+#     (exactly-once offsets instead of the consumer group's at-least-once)
+KAFKA_DEFAULT_PATTERN = "asis\\..*|tobe\\..*"  # 6 topics, both directions
+KAFKA_MAX_OFFSETS_PER_TRIGGER = 100_000  # 100 rec/poll x 1000 simulated pollers
+
+
+def kafka_reader_options(
+    bootstrap: str,
+    pattern: str = KAFKA_DEFAULT_PATTERN,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int = KAFKA_MAX_OFFSETS_PER_TRIGGER,
+) -> dict[str, str]:
+    """The exact option dict for ``spark.readStream.format("kafka")`` —
+    separated from the builder so the config parity is unit-testable
+    without a broker (tests/test_streaming.py)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribePattern": pattern,
+        "startingOffsets": starting_offsets,
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+        # a replayed batch re-reads the same offsets; missing segments
+        # (retention) should fail loudly rather than silently skip
+        "failOnDataLoss": "true",
+    }
+
+
 def kafka_event_stream(
-    spark: SparkSession, bootstrap: str, pattern: str = "asis\\..*|tobe\\..*"
+    spark: SparkSession, bootstrap: str, pattern: str = KAFKA_DEFAULT_PATTERN
 ) -> DataFrame:
     """Kafka CDC source (CdcKafkaConsumer.java:60-107 as one readStream).
-    Requires a broker + the spark-sql-kafka package; import-gated."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribePattern", pattern)
-        .option("startingOffsets", "earliest")
-        .option("maxOffsetsPerTrigger", 100_000)
-        .load()
-    )
+    Real reader construction; needs a broker + the spark-sql-kafka
+    package at .load() time, so the executable harness in this
+    environment is ``file_event_stream`` (same downstream semantics)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(bootstrap, pattern).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def stream_cdc_view(events: DataFrame) -> DataFrame:

@@ -5,57 +5,123 @@ Scheduler job, st04):
 
 1. last-wins per key within the batch (s01 — makes the apply
    order-insensitive inside a batch),
-2. MERGE into the base table (ap01): without Delta Lake in this
-   environment, MERGE is realized as overwrite-by-join — read current
-   state, full-outer join the changes, write the new state. With Delta/
-   Iceberg available the same step is a real ``MERGE INTO`` (row-level
-   upsert, no full rewrite); the join logic is byte-identical
-   (operators/apply.py::merge_final_state).
-3. audit append (sink_audit_log) + TARGET_NOT_FOUND log (ap03).
+2. MERGE into the base table (ap01): the state table is hash-bucketed
+   by pk into ``n_buckets`` parquet directories (``bucket=K/``), and a
+   batch rewrites ONLY the buckets that contain changed keys — the
+   plain-parquet analog of the reference's row-level MERGE
+   (poc/tobe-oracle/init/04_create_procedures.sql:184-232). With
+   Delta/Iceberg available the same step is a real ``MERGE INTO``; the
+   join logic is byte-identical (operators/apply.py::merge_final_state).
+3. audit append (sink_audit_log) + TARGET_NOT_FOUND log (ap03), written
+   idempotently into a per-batch partition.
 
-Scale note: overwrite-by-join rewrites the table per batch — fine for a
-PoC-parity harness, wrong at 100 TB; the production writer is Delta
-MERGE on a table partitioned by key range so each batch touches only
-the files holding changed keys (plus deletion vectors to avoid
-rewrites). The reference's per-row commits
-(04_create_procedures.sql:99) have no scale path at all.
+Scale: a batch touching k distinct keys rewrites at most
+min(k, n_buckets) buckets — i.e. ~(k / n_buckets) of the table instead
+of all of it; at 100 TB you raise ``n_buckets`` (or switch to Delta
+row-level MERGE + deletion vectors) so each rewrite stays bounded. The
+reference's per-row commits (04_create_procedures.sql:99) have no scale
+path at all.
+
+Replay/crash semantics (at-least-once foreachBatch made effectively
+exactly-once):
+
+* audit — written with ``mode=overwrite`` into ``batch_id=<B>/``, so a
+  replayed batch replaces its own audit partition instead of appending
+  duplicates.
+* state — each touched bucket directory is swapped via rename (atomic
+  on a POSIX filesystem); a crash mid-batch leaves some buckets new and
+  some old, and the replay re-derives the same merged result because
+  the MERGE is idempotent (last-wins upsert; DELETE of a missing key is
+  a no-op, ap04).
+* known bounded deviation: audit statuses are computed against the
+  pre-batch state, so a replay AFTER a partial swap can reclassify a
+  DELETE as TARGET_NOT_FOUND (the row is already gone). Status strings
+  may differ on that narrow path; row counts and final state do not.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
 class ParquetMergeWriter:
-    """MERGE-into-parquet state maintainer for foreachBatch."""
+    """MERGE-into-parquet state maintainer for foreachBatch, with
+    pk-hash-bucketed state so each batch rewrites only touched buckets."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, audit_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        audit_dir: str,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.state_dir = state_dir
         self.audit_dir = audit_dir
+        self.n_buckets = n_buckets
+
+    def _bucket(self, col: F.Column) -> F.Column:
+        """Deterministic bucket for a pk (stable across batches/retries)."""
+        return F.pmod(F.xxhash64(col.cast("long")), F.lit(self.n_buckets))
 
     def init_state(self, base: DataFrame) -> None:
-        base.select(
-            F.col("c_custkey").alias("pk"),
-            F.col("c_name").alias("name"),
-            F.col("c_acctbal").alias("acctbal"),
-        ).write.mode("overwrite").parquet(self.state_dir)
+        (
+            base.select(
+                F.col("c_custkey").alias("pk"),
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").alias("acctbal"),
+            )
+            .withColumn("bucket", self._bucket(F.col("pk")))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self.state_dir)
+        )
 
     def current_state(self) -> DataFrame:
-        return self.spark.read.parquet(self.state_dir)
+        return self.spark.read.parquet(self.state_dir).drop("bucket")
+
+    def _swap_buckets(self, tmp_dir: str, buckets: list[int]) -> None:
+        """Replace each touched live bucket dir with the rewritten one.
+        Per-bucket rename is atomic; untouched buckets are never opened,
+        read, or rewritten."""
+        for k in buckets:
+            live = os.path.join(self.state_dir, f"bucket={k}")
+            new = os.path.join(tmp_dir, f"bucket={k}")
+            old = os.path.join(self.state_dir, f".old.bucket={k}")
+            if os.path.exists(old):  # leftover from a crashed swap
+                shutil.rmtree(old)
+            if os.path.exists(live):
+                os.rename(live, old)
+            if os.path.exists(new):  # a bucket can merge to empty
+                os.rename(new, live)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def apply_batch(self, changes: DataFrame, batch_id: int) -> None:
-        """The foreachBatch body: last-wins -> merge -> audit."""
+        """The foreachBatch body: last-wins -> bucket-pruned merge ->
+        idempotent audit -> atomic bucket swap."""
         w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
         last = (
             changes.select("cdc_seq", "pk", "operation", "val")
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
+            .withColumn("bucket", self._bucket(F.col("pk")))
+            .persist()
         )
-        state = self.current_state()
+        touched = sorted(r.bucket for r in last.select("bucket").distinct().collect())
+        if not touched:
+            last.unpersist()
+            return
+
+        # partition pruning: the filter on the partition column means the
+        # scan lists/reads ONLY the touched bucket directories
+        state = self.spark.read.parquet(self.state_dir).filter(
+            F.col("bucket").isin([int(b) for b in touched])
+        )
         j = state.join(last, state.pk == last.pk, "full_outer")
         s_pk, l_pk = state.pk, last.pk
         keep = ~((F.col("operation") == "DELETE") & l_pk.isNotNull()).eqNullSafe(
@@ -71,14 +137,22 @@ class ParquetMergeWriter:
                 "acctbal"
             ),
         )
-        tmp = self.state_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        tmp = f"{self.state_dir}.tmp-batch-{batch_id}"
+        (
+            merged.withColumn("bucket", self._bucket(F.col("pk")))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
 
-        # audit BEFORE swapping state: the plan scans the current state
-        # dir lazily. Every change row gets a status (sink_audit_log
-        # parity): UPDATE/DELETE on a missing key -> TARGET_NOT_FOUND
-        # (ap03), everything else -> SUCCESS (INSERT on an existing key
-        # is the ap02 dup->update path, still SUCCESS).
+        # audit BEFORE swapping state (the plan scans the pre-batch state
+        # lazily); every change row gets a status (sink_audit_log parity):
+        # UPDATE/DELETE on a missing key -> TARGET_NOT_FOUND (ap03),
+        # everything else -> SUCCESS (INSERT on an existing key is the
+        # ap02 dup->update path, still SUCCESS). A batch key's state row
+        # necessarily lives in a touched bucket, so the pruned state is
+        # sufficient for the existence check. mode=overwrite into the
+        # per-batch partition dir makes replays idempotent.
         state_keys = state.select(F.col("pk").alias("state_pk"))
         audit = last.join(
             state_keys, last.pk == state_keys.state_pk, "left"
@@ -93,12 +167,13 @@ class ParquetMergeWriter:
             )
             .otherwise("SUCCESS")
             .alias("status"),
-            F.lit(batch_id).alias("batch_id"),
         )
-        audit.write.mode("append").parquet(self.audit_dir)
+        audit.write.mode("overwrite").parquet(
+            os.path.join(self.audit_dir, f"batch_id={batch_id}")
+        )
+        last.unpersist()
 
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.state_dir)
+        self._swap_buckets(tmp, touched)
 
 
 def run_stream_pipeline(

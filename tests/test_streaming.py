@@ -159,6 +159,87 @@ def test_multibatch_sequential_merge(spark, tmp_path):
     assert by_batch[(1, "UPDATE")] == "SUCCESS"  # key exists since batch 1
 
 
+def test_kafka_reader_options_parity():
+    """The Kafka reader options must carry the reference consumer's
+    config (application.yml:24-25 + KafkaConfig.java:41-59): earliest
+    offsets, the 6-topic subscribe pattern, bounded micro-batches, and
+    loud failure on lost offsets. No broker needed — the builder and the
+    option dict are separate."""
+    from cdc_sync_poc_spark.streaming.source import kafka_reader_options
+
+    opts = kafka_reader_options("broker:9092")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribePattern"] == "asis\\..*|tobe\\..*"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["failOnDataLoss"] == "true"
+    custom = kafka_reader_options(
+        "b:1", pattern="only\\.this", starting_offsets="latest",
+        max_offsets_per_trigger=500,
+    )
+    assert custom["subscribePattern"] == "only\\.this"
+    assert custom["startingOffsets"] == "latest"
+    assert custom["maxOffsetsPerTrigger"] == "500"
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The MERGE writer hash-buckets state by pk and a batch must leave
+    every untouched bucket's files byte-identical (the partition-pruned
+    analog of row-level MERGE); replaying the same batch must not
+    duplicate audit rows and must leave the state unchanged."""
+    import hashlib
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.streaming.writer import ParquetMergeWriter
+
+    out = tmp_path / "bucketed"
+    writer = ParquetMergeWriter(
+        spark, str(out / "state"), str(out / "audit"), n_buckets=8
+    )
+    base = spark.range(0, 400).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("name"), F.col("id")).alias("c_name"),
+        F.col("id").cast("double").alias("c_acctbal"),
+    )
+    writer.init_state(base)
+
+    def bucket_digests():
+        digests = {}
+        for bdir in sorted(Path(out, "state").glob("bucket=*")):
+            h = hashlib.sha256()
+            for f in sorted(bdir.rglob("*.parquet")):
+                h.update(f.name.encode())
+                h.update(f.read_bytes())
+            digests[bdir.name] = h.hexdigest()
+        return digests
+
+    before = bucket_digests()
+    assert len(before) == 8  # 400 keys spread over every bucket
+
+    # one UPDATE -> exactly one touched bucket
+    changes = spark.createDataFrame(
+        [(1, 7, "UPDATE", 123.0)], ["cdc_seq", "pk", "operation", "val"]
+    )
+    writer.apply_batch(changes, batch_id=0)
+    after = bucket_digests()
+    changed = {k for k in before if before[k] != after.get(k)}
+    assert len(changed) == 1  # only pk=7's bucket rewritten
+    assert {r.acctbal for r in writer.current_state().filter("pk = 7").collect()} == {
+        123.0
+    }
+
+    # replay the same batch: audit stays one row, state stays identical
+    writer.apply_batch(changes, batch_id=0)
+    audit = spark.read.parquet(str(out / "audit"))
+    assert audit.count() == 1
+    assert writer.current_state().count() == 400
+    assert {r.acctbal for r in writer.current_state().filter("pk = 7").collect()} == {
+        123.0
+    }
+
+
 def test_stream_pipeline_stateful_dedup_variant(spark, stream_dirs):
     """The stateful (applyInPandasWithState) dedup variant produces the
     same final merged state: blocked rows are exact-content duplicates,
