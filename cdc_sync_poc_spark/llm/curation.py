@@ -1,0 +1,301 @@
+"""Corpus-curation operators (LLM-data-pipeline extension, round 2):
+repetition-based quality filtering, deterministic stratified sampling,
+normalization-then-dedup, corpus mixing weights, and embedding
+quantization accounting — the steps between "raw crawl" and "training
+mix" that SURVEY §7.1 M6's dedup/similarity family feeds into.
+
+Scale design:
+
+* text_repetition_filter — entirely map-side: every metric (top-bigram
+  fraction, duplicate-trigram fraction) is an expression over the
+  per-row words array; no explode, no shuffle, no Python. At 100 TB
+  this runs at scan speed.
+* sample_stratified — map-only Bernoulli keep decision from a
+  deterministic md5-derived bucket (never rand(): retries and replays
+  must sample identically); per-stratum rates are a broadcast-free
+  literal CASE. Downsampling a 100 TB crawl is a pure scan.
+* dedup_normalized — canonicalize (casefold / trim / whitespace
+  collapse) BEFORE content hashing, then one shuffle on the hash:
+  catches the near-misses exact dedup loses to formatting noise.
+* corpus_mix_weights — two-level agg (per-source, then global) over
+  integer token counts; the smoothed denominator folds a SORTED list so
+  both engines sum in the same order (cross-partition double-sum order
+  is otherwise nondeterministic).
+* emb_quantize_error — map-only int8 quantization roundtrip per vector
+  (scale = 127/max|v|), reporting the reconstruction error a retrieval
+  pipeline would budget for.
+
+All arithmetic follows the bit-exact cross-engine recipe: integer
+counts, double division of exact integers, sequential folds, md5-hex
+hashing parsed identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table
+
+# Gopher-style repetition cuts, tuned to the synthetic corpus (observed
+# top-bigram fraction 0.01-0.17 median 0.03; duplicate-trigram fraction
+# 0-0.07): production crawls use looser cuts (0.18 / 0.30, Rae et al.
+# 2021 table A1); these split this corpus non-trivially.
+TOP_BIGRAM_MAX = 0.05
+DUP_TRIGRAM_MAX = 0.02
+
+# per-lang keep rates, scaled to integer basis points (bucket < rate_bp
+# out of 10000) so the keep decision compares integers, not floats
+SAMPLE_RATES_BP = {"en": 2500, "zh": 5000, "de": 8000, "es": 8000, "fr": 8000}
+SAMPLE_DEFAULT_BP = 10000
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, len(words)),
+                        i -> concat(words[i], ' ', words[i+1])) AS bg,
+         list_transform(range(1, len(words) - 1),
+                        i -> concat(words[i], ' ', words[i+1], ' ', words[i+2])) AS tg
+  FROM w WHERE len(words) >= 3
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(list_max(list_transform(list_distinct(bg),
+              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+           / CAST(len(bg) AS DOUBLE) AS top_bigram_frac,
+         1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)
+           / CAST(len(tg) AS DOUBLE) AS dup_trigram_frac
+  FROM b
+)
+SELECT doc_id, lang,
+       round(top_bigram_frac, 6) AS top_bigram_frac,
+       round(dup_trigram_frac, 6) AS dup_trigram_frac,
+       (top_bigram_frac < {TOP_BIGRAM_MAX}
+        AND dup_trigram_frac < {DUP_TRIGRAM_MAX}) AS keep
+FROM m
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher rules family): fraction
+    of bigram mass held by the most frequent bigram + fraction of
+    duplicated trigrams, with a keep verdict. Every metric is a pure
+    array expression over the words column — map-only, no explode, no
+    shuffle; the natural first pass over a raw crawl."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    bg = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+    )
+    tg = F.expr(
+        "transform(sequence(1, size(w) - 2),"
+        " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+        " element_at(w, i + 2)))"
+    )
+    withg = base.select("doc_id", "lang", bg.alias("bg"), tg.alias("tg"))
+    top_bg = F.expr(
+        "array_max(transform(array_distinct(bg),"
+        " x -> size(filter(bg, y -> y = x))))"
+    )
+    top_frac = top_bg.cast("double") / F.size("bg").cast("double")
+    dup_frac = F.lit(1.0) - (
+        F.size(F.array_distinct(F.col("tg"))).cast("double")
+        / F.size("tg").cast("double")
+    )
+    return withg.select(
+        "doc_id",
+        "lang",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+        ((top_frac < TOP_BIGRAM_MAX) & (dup_frac < DUP_TRIGRAM_MAX)).alias("keep"),
+    )
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(SAMPLE_RATES_BP.items())
+    )
+    return f"CASE lang {whens} ELSE {SAMPLE_DEFAULT_BP} END"
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 10000 AS bucket,
+         {_rate_case_sql()} AS rate_bp
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket FROM s WHERE bucket < rate_bp
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep a row iff its
+    md5-derived bucket (0..9999) falls under the stratum's rate in
+    basis points — rebalancing an over-represented language the way a
+    training-mix pipeline does. Deterministic by construction (never
+    rand(): task retries, replays, and the oracle must all sample the
+    same rows); map-only, integer comparisons, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(bp))
+            for lang, bp in sorted(SAMPLE_RATES_BP.items())
+        ],
+        F.lit(SAMPLE_DEFAULT_BP),
+    )
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("r"))
+        .filter(F.col("bucket") < F.col("r"))
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_hash
+  FROM documents
+)
+SELECT norm_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+FROM n GROUP BY norm_hash
+""",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonicalization (casefold, trim, whitespace
+    collapse): catches duplicates that differ only in formatting noise,
+    which raw content hashing (dedup_exact) misses. Normalization is a
+    map-side expression; then the same single hash-shuffle as exact
+    dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    oracle="""
+WITH per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+         list_sum(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE))))) AS denom
+  FROM per_src
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       round(CAST(p.n_tokens AS DOUBLE) / CAST(t.tot_tokens AS DOUBLE), 6)
+         AS weight_prop,
+       round(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.denom, 6) AS weight_sqrt
+FROM per_src p, tot t
+""",
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix weights per source: proportional-to-tokens and
+    sqrt-smoothed (temperature-style upweighting of small sources).
+    Token counts aggregate as exact integers; the smoothed denominator
+    folds a SORTED list of per-source sqrt values so both engines add
+    doubles in the same order (a bare SUM over doubles is
+    partition-order-dependent). Two hash aggs + a broadcast of the
+    1-row total — scan-bound at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(F.split(F.col("text"), " ")).alias("nw"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.expr(
+            "aggregate(array_sort(collect_list(sqrt(CAST(n_tokens AS DOUBLE)))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("denom"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"), 6
+        ).alias("weight_prop"),
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double")) / F.col("denom"), 6
+        ).alias("weight_sqrt"),
+    )
+
+
+@register(
+    "emb_quantize_error",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> round(x * scale)) AS qv, v
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(sqrt(list_sum(list_transform(range(1, 65),
+             i -> (v[i] - qv[i] / scale) * (v[i] - qv[i] / scale)))), 6)
+         AS l2_err
+FROM q
+""",
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization roundtrip per embedding: scale =
+    127/max|v|, quantize-dequantize, report the L2 reconstruction
+    error — the accounting a retrieval pipeline does before swapping
+    float vectors for int8 storage (4x smaller index). Map-only
+    expressions; the actual int8 cast would live in the parquet writer
+    schema."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    base = emb.select("vec_id", v.alias("v"))
+    scale = F.lit(127.0) / F.expr("array_max(transform(v, x -> abs(x)))")
+    s = base.select("vec_id", "v", scale.alias("scale"))
+    q = s.select(
+        "vec_id", "scale", "v",
+        F.expr("transform(v, x -> round(x * scale))").alias("qv"),
+    )
+    err = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(v, qv, (x, y) -> (x - y / scale) * (x - y / scale)),"
+            " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.round(err, 6).alias("l2_err"),
+    )

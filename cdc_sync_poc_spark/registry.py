@@ -48,8 +48,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _PRIORITY_PREFIXES = [
     # SURVEY §2 core, untested by the driver in round 1
     "r0", "r1", "j0", "s0", "st0", "cf0",
-    # changed this round — need fresh driver rows
-    "dedup_", "sim_",
+    # changed/added this round — need fresh driver rows
+    "dedup_", "sim_", "sample_", "corpus_", "emb_",
     # round-1 green rows below the cutoff is acceptable
     "src_", "sink_", "ap0", "pipeline_", "plan_", "mm_", "text_",
     "events_", "a0", "a1", "bench_",
@@ -69,6 +69,7 @@ def load_all_queries() -> None:
     everything changed this round (idempotent)."""
     import cdc_sync_poc_spark.cdc.envelope  # noqa: F401
     import cdc_sync_poc_spark.cdc.pipeline  # noqa: F401
+    import cdc_sync_poc_spark.llm.curation  # noqa: F401
     import cdc_sync_poc_spark.llm.dedup  # noqa: F401
     import cdc_sync_poc_spark.llm.multimodal  # noqa: F401
     import cdc_sync_poc_spark.llm.similarity  # noqa: F401
