@@ -389,6 +389,100 @@ n AS (
 """
 
 
+@register(
+    "dedup_minhash_cluster",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+{_mh_band_ctes(BAND_SIZE)},
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS ni
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN scount ca ON ca.doc_id = i.doc_a
+  JOIN scount cb ON cb.doc_id = i.doc_b
+  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= {MINHASH_JACCARD_MIN}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach AS (
+  SELECT src, src AS r FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT reach.src, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT src AS doc_id, min(r) AS cluster_id FROM reach GROUP BY src
+""",
+)
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    MinHash pair graph, labeling every clustered doc with the minimum
+    doc_id of its component (the canonical survivor a dedup pass keeps).
+
+    This is the engine's iterative-algorithm pattern: Pregel-style
+    min-label propagation — per round, each node takes the min of its
+    label and its neighbors' labels (one shuffle join + hash agg on
+    high-cardinality keys), repeated until a round changes nothing.
+    Rounds needed = component diameter (near-dup clusters are tiny, so
+    2-4 in practice, log-diameter worst case); the driver only ever
+    sees a 1-row convergence check per round, never the data. At
+    production scale the same loop runs over a checkpointed edge table
+    (GraphX/GraphFrames' connectedComponents is this exact algorithm).
+
+    The DuckDB oracle states the same fixpoint as a recursive-CTE
+    transitive closure + min aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
+    verified = _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN).select(
+        "doc_a", "doc_b"
+    )
+    e1 = verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    e2 = verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # lineage truncation is what makes the iteration viable: without it
+    # every round's logical plan nests the previous round's, and
+    # analysis/planning time grows per round even though the data is
+    # cached. localCheckpoint cuts the plan at the materialized rows
+    # (the cluster equivalent is a reliable checkpoint dir — what
+    # GraphFrames' connectedComponents does every few rounds).
+    edges = e1.union(e2).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(50):  # safety cap far above any near-dup diameter
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        # the change flag rides along in the same pass (NULL nbr_min
+        # compares to NULL -> filtered out), saving a compare join
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.col("nbr_min")).alias("lbl"),
+                (F.col("nbr_min") < F.col("lbl")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("doc_id", "lbl")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
 def _embedding_cosine_oracle() -> str:
     from cdc_sync_poc_spark.llm.similarity import bucket_sql
 
