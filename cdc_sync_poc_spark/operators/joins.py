@@ -345,3 +345,43 @@ def j07_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_shipped_within_7d"))
     )
+
+
+@register(
+    "j08_salted_skew_join",
+    oracle="""
+SELECT p_brand, count(*)::BIGINT AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def j08_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join on the driver-checked surface (extension — the
+    reference has no hot-key handling at all; its per-row lookups simply
+    serialize): the fact side gets a deterministic salt from a unique
+    column, the dim side explodes into one copy per salt value, and the
+    join key becomes (key, salt) so one hot key spreads over ``factor``
+    reducers. The oracle is the PLAIN unsalted join — the hash gate
+    proves result equivalence, which is the whole contract of salting
+    (functions/salting.py; equivalence holds for inner/left only, and
+    salted_join rejects anything else)."""
+    from cdc_sync_poc_spark.functions.salting import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li,
+        part,
+        F.col("l_partkey") == F.col("p_partkey"),
+        unique_col="l_orderkey",
+        factor=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
