@@ -91,20 +91,42 @@ _FEATURE_SCHEMA = (
 )
 
 
-def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake feature extraction over Arrow batches — the
-    stand-in for decode_image/resize/frame-sample. brightness = byte sum
-    mod 256; n_frames = first byte mod 8 + 1."""
-    for pdf in batches:
-        out = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "brightness": pdf["media_bytes"].map(lambda b: sum(b) % 256),
-                "n_frames": pdf["media_bytes"].map(lambda b: b[0] % 8 + 1),
-            }
-        )
-        yield out
+def fake_feature_kernel(data: bytes) -> tuple[int, int]:
+    """Default per-blob kernel (deterministic, oracle-reproducible):
+    brightness = byte sum mod 256; n_frames = first byte mod 8 + 1."""
+    return sum(data) % 256, data[0] % 8 + 1
+
+
+# The drop-in point for a real decoder: swap this module-level kernel
+# (e.g. ``multimodal.FEATURE_KERNEL = real_kernel`` where real_kernel
+# calls decode_image + a feature net) and the mapInPandas plan —
+# schema, blob pruning, Arrow batching, partitioning — is untouched.
+# The kernel installed at PLAN BUILD time is captured into the
+# serialized task closure (``_extract_features`` is a factory), so it
+# ships to executors on a real cluster — no module re-import surprises.
+FEATURE_KERNEL = fake_feature_kernel
+
+
+def _extract_features(kernel=None):
+    """Factory: an Arrow-batched mapInPandas generator applying the
+    per-blob ``kernel`` (defaults to the installed FEATURE_KERNEL; fake
+    by default, a real decode_image-based kernel drops in without
+    changing the plan) to each media payload."""
+    kernel = kernel or FEATURE_KERNEL
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["media_bytes"].map(kernel)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "brightness": feats.map(lambda t: t[0]),
+                    "n_frames": feats.map(lambda t: t[1]),
+                }
+            )
+
+    return gen
 
 
 _HEX_VAL = "(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
@@ -130,7 +152,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the real Arrow batch path (schema in/out, blob handling);
     the oracle recomputes the same features from the hex encoding."""
     m = media_table(spark, sf_dir).select("doc_id", "media_type", "media_bytes")
-    out = m.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+    out = m.mapInPandas(_extract_features(), schema=_FEATURE_SCHEMA)
     return out.select(
         "doc_id", "media_type", "brightness", F.col("n_frames").cast("long")
     )

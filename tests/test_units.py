@@ -74,6 +74,37 @@ def test_multimodal_decode_is_stubbed():
         decode_image(b"\x00")
 
 
+def test_multimodal_kernel_drops_in_without_plan_change(spark):
+    """A real decoder replaces the fake kernel via the closure-captured
+    hook — same mapInPandas plan, different per-blob features."""
+    from cdc_sync_poc_spark.llm import multimodal as mm
+
+    rows = spark.createDataFrame(
+        [(1, "image", bytes([10, 20])), (2, "audio", bytes([200, 5]))],
+        "doc_id long, media_type string, media_bytes binary",
+    )
+
+    def real_kernel(data: bytes) -> tuple[int, int]:
+        # stands in for decode_image(data) + feature net
+        return len(data), 99
+
+    out = {
+        r.doc_id: (r.brightness, r.n_frames)
+        for r in rows.mapInPandas(
+            mm._extract_features(real_kernel), schema=mm._FEATURE_SCHEMA
+        ).collect()
+    }
+    assert out == {1: (2, 99), 2: (2, 99)}
+    # default path still the oracle-reproducible fake kernel
+    fake = {
+        r.doc_id: (r.brightness, r.n_frames)
+        for r in rows.mapInPandas(
+            mm._extract_features(), schema=mm._FEATURE_SCHEMA
+        ).collect()
+    }
+    assert fake == {1: (30, 3), 2: (205, 1)}
+
+
 def test_canonical_hash_shape(spark):
     """64-char lowercase sha256 hex over 'table|pk|op|payload'."""
     from cdc_sync_poc_spark.functions.hashing import change_hash
