@@ -32,6 +32,8 @@ SECTIONS = [
      "Gopher repetition metrics as pure array expressions: scan -> project, zero exchanges"),
     ("sample_stratified",
      "Deterministic stratified sampling: scan -> filter, map-only"),
+    ("j08_salted_skew_join",
+     "Skew salting: dim exploded 8x, fact salted by xxhash64, join on (key, salt)"),
 ]
 
 
