@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "sim_ann_topk_all",
+    "sim_ivf_topk",
     "text_quality",
     "plan_mapping_roundtrip",
     "mm_decode_features",

@@ -38,6 +38,8 @@ ANN_TOP_K = 5
 N_SIGN_BITS = 8
 N_PROBE_FLIPS = 2  # multi-probe: own bucket + flip of bit 1 and bit 2
 EMB_DIM = 64
+N_CELLS = 16  # IVF coarse-quantizer cells (scale knob: cell ~ n/cells)
+N_PROBE_CELLS = 2  # IVF probes: search the query's nearest cells only
 
 
 def _rademacher_planes(bits: int, dim: int) -> list[list[float]]:
@@ -277,4 +279,88 @@ def sim_ann_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
             F.round(F.col("cosr"), 6).alias("cosine"),
         )
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH {_VEC_CTES},
+c AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
+      ORDER BY vec_id LIMIT {N_CELLS}),
+sc AS (
+  SELECT n.vec_id, c.cell_id, n.v, n.nrm,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                  i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn) AS cosc
+  FROM n CROSS JOIN c
+),
+rk AS (
+  SELECT vec_id, cell_id, v, nrm,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosc DESC, cell_id) AS rn
+  FROM sc
+),
+assigned AS (SELECT vec_id, cell_id, v, nrm FROM rk WHERE rn = 1),
+qc AS (SELECT cell_id FROM rk
+       WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE_CELLS})
+SELECT a.vec_id, a.cell_id,
+       round(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      i -> a.v[i] * q.qv[i])) / (a.nrm * q.qn), 6) AS cosine
+FROM assigned a JOIN qc USING (cell_id), q
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                  i -> a.v[i] * q.qv[i])) / (a.nrm * q.qn) DESC, a.vec_id
+LIMIT {ANN_TOP_K}
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN, the partition-pruning scale path: a coarse
+    quantizer of N_CELLS centroids partitions the corpus into cells;
+    a query searches only its N_PROBE_CELLS nearest cells.
+
+    Centroids here are a deterministic sample (the N_CELLS lowest
+    vec_ids — sample-init, the step k-means starts from; each Lloyd
+    refinement round is one more broadcast-join + hash-agg pass of the
+    same shape, deliberately omitted to keep the oracle exact).
+    Assignment is a map-side broadcast join (16 tiny centroid rows)
+    + an argmax window on vec_id — high-cardinality, no single-task
+    stage. At rest the cell_id becomes a partition key, so a probe
+    reads N_PROBE_CELLS/N_CELLS of the lake and skips the rest
+    entirely — the IVF twin of the LSH bucket pruning in
+    sim_ann_lsh/sim_ann_topk_all."""
+    n = _normed(spark, sf_dir)
+    cents = (
+        n.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    cosc = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, z) -> acc + z)"
+    ) / (F.col("nrm") * F.col("cn"))
+    scored = n.crossJoin(F.broadcast(cents)).withColumn("cosc", cosc)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cell_id", "v", "nrm"
+    )
+    qcells = ranked.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= N_PROBE_CELLS)
+    ).select("cell_id")
+    q = n.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
+    return (
+        assigned.join(F.broadcast(qcells), "cell_id")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosr", cos)
+        .orderBy(F.desc("cosr"), F.asc("vec_id"))
+        .limit(ANN_TOP_K)
+        .select("vec_id", "cell_id", F.round(F.col("cosr"), 6).alias("cosine"))
     )
