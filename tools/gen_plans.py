@@ -34,6 +34,8 @@ SECTIONS = [
      "Deterministic stratified sampling: scan -> filter, map-only"),
     ("j08_salted_skew_join",
      "Skew salting: dim exploded 8x, fact salted by xxhash64, join on (key, salt)"),
+    ("sim_ivf_topk",
+     "IVF-Flat ANN: broadcast coarse-quantizer cells, per-vector argmax window, probe-cell semi-join"),
 ]
 
 
