@@ -111,8 +111,14 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
     # audit/classified family, ap05, pipeline_e2e) consume this exact
     # plan, and Spark's cache matches on plan equality so they all share
     # one materialization. (The streaming twin needs no cache — its
-    # state store IS the materialization.)
-    return singles.select(*in_cols, "loop_blocked").unionByName(multis).persist()
+    # state store IS the materialization.) Materialize it NOW with a
+    # count (the work is needed by every consumer anyway) so the input
+    # cache can be released immediately — holding both the hashed input
+    # AND the result doubled st01's memory footprint in round 2.
+    result = singles.select(*in_cols, "loop_blocked").unionByName(multis).persist()
+    result.count()
+    cdc.unpersist()
+    return result
 
 
 # DuckDB oracle twin of the same greedy walk (recursive CTE; rn-indexed

@@ -459,6 +459,7 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("lbl"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(50):  # safety cap far above any near-dup diameter
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -480,6 +481,15 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("doc_id", "lbl")
         if changed == 0:
             break
+    else:
+        # exiting via the cap without convergence would silently diverge
+        # from the recursive-CTE fixpoint oracle; fail loudly so a hash
+        # mismatch is traceable to non-convergence, not arithmetic
+        raise RuntimeError(
+            "dedup_minhash_cluster: min-label propagation did not "
+            f"converge within 50 rounds (changed={changed}); component "
+            "diameter exceeds the cap"
+        )
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
 
 

@@ -91,10 +91,23 @@ _FEATURE_SCHEMA = (
 )
 
 
-def fake_feature_kernel(data: bytes) -> tuple[int, int]:
-    """Default per-blob kernel (deterministic, oracle-reproducible):
-    brightness = byte sum mod 256; n_frames = first byte mod 8 + 1."""
-    return sum(data) % 256, data[0] % 8 + 1
+def _default_kernel():
+    """Build the default per-blob kernel (deterministic,
+    oracle-reproducible): brightness = byte sum mod 256; n_frames =
+    first byte mod 8 + 1.
+
+    Defined as a ``<locals>`` function ON PURPOSE: cloudpickle ships
+    such functions BY VALUE inside the task closure, whereas a
+    module-level function is pickled by reference and would require
+    ``cdc_sync_poc_spark`` to be importable on every executor — not
+    true when the driver builds its session from an arbitrary cwd
+    without shipping the package (the exact failure a vanilla-session
+    run from /tmp exposes)."""
+
+    def fake_feature_kernel(data: bytes) -> tuple[int, int]:
+        return sum(data) % 256, data[0] % 8 + 1
+
+    return fake_feature_kernel
 
 
 # The drop-in point for a real decoder: swap this module-level kernel
@@ -104,7 +117,7 @@ def fake_feature_kernel(data: bytes) -> tuple[int, int]:
 # The kernel installed at PLAN BUILD time is captured into the
 # serialized task closure (``_extract_features`` is a factory), so it
 # ships to executors on a real cluster — no module re-import surprises.
-FEATURE_KERNEL = fake_feature_kernel
+FEATURE_KERNEL = _default_kernel()
 
 
 def _extract_features(kernel=None):

@@ -268,11 +268,13 @@ def ap06_sequential_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     base never had), which the single-shot MERGE form (ap01) collapses
     to last-wins.
 
-    Physical shape: change rows join base state (broadcast), then ONE
-    applyInPandas keyed by pk walks each key's ordered ops — the same
-    sharding transformWithState would use; Python cost is O(changes),
-    state per key is (exists, value). The untouched base remains
-    JVM-side (broadcast anti join).
+    Physical shape: change rows SHUFFLE-join base state on pk (the base
+    is the 100 TB side — never broadcast; with the state table bucketed
+    by pk, as streaming/writer.py writes it, the join is co-located and
+    shuffle-free), then ONE applyInPandas keyed by pk walks each key's
+    ordered ops — the same sharding transformWithState would use;
+    Python cost is O(changes), state per key is (exists, value). The
+    untouched base remains JVM-side (anti join on the same key).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -283,7 +285,7 @@ def ap06_sequential_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("b_pk"),
         F.col("c_acctbal").alias("b_val"),
     )
-    joined = cdc.join(F.broadcast(base_state), cdc.pk == base_state.b_pk, "left")
+    joined = cdc.join(base_state, cdc.pk == base_state.b_pk, "left")
 
     out_schema = T.StructType(
         [

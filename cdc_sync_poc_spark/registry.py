@@ -38,21 +38,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver samples the FIRST 50 registered queries (dict insertion
-# order) for its CORRECTNESS gate. Round 1 sampled only the extension
-# families and left the §2 core (r/j/s/st/cf) past the cutoff, so
-# ``load_all_queries`` rebuilds the dicts in this explicit priority
-# order: §2 operator families first, then queries under active change
-# this round, then queries that already carry round-1 driver evidence.
-# Prefix match, first hit wins; unmatched ids keep relative order at the
-# end.
+# order) for its CORRECTNESS gate; the sample rotates per round so every
+# query eventually carries fresh driver evidence. Round 1 covered the
+# extension families, round 2 the §2 core (r/j/s/st/cf) + dedup/sim.
+# Round 3 therefore front-loads (a) the five round-2 additions that have
+# never been in any sample, (b) everything modified this round (st01
+# persist fix, ap06 join change, minhash_cluster convergence guard,
+# sim_ivf Lloyd round), and (c) the families whose last green row
+# predates commit 8160c4a's envelope changes (src/sink/ap/pipeline) or
+# is r1-only (plan/mm/text/events/a/bench). The fresh round-2 rows
+# rotate to the back. Prefix match, first hit wins; unmatched ids keep
+# relative order at the end.
 _PRIORITY_PREFIXES = [
-    # SURVEY §2 core, untested by the driver in round 1
-    "r0", "r1", "j0", "s0", "st0", "cf0",
-    # changed/added this round — need fresh driver rows
-    "dedup_", "sim_", "sample_", "corpus_", "emb_",
-    # round-1 green rows below the cutoff is acceptable
-    "src_", "sink_", "ap0", "pipeline_", "plan_", "mm_", "text_",
-    "events_", "a0", "a1", "bench_",
+    # never in any driver sample (added round 2 at positions 51+)
+    "sim_ivf", "sample_", "corpus_", "emb_", "text_repetition",
+    # modified in round 3 — need fresh rows
+    "st01", "ap06", "dedup_minhash_cluster",
+    # stale evidence: r1 rows predating the 8160c4a envelope changes
+    "src_", "sink_", "ap0", "pipeline_",
+    # r1-only rows, unmodified — refresh while there is room
+    "plan_", "mm_", "text_", "events_", "a0", "a1", "bench_",
+    # green in round 2, unchanged — rotate behind the cutoff
+    "r0", "r1", "j0", "s0", "st0", "cf0", "dedup_", "sim_",
 ]
 
 

@@ -93,6 +93,12 @@ def spread_small_input(df: DataFrame, max_parts: int = 16) -> DataFrame:
     # file underestimates and costs one harmless repartition; a real
     # lake has many files and no-ops here.
     n_splits = len(df.inputFiles())
+    if not n_splits:
+        # non-file-backed input (createDataFrame, post-shuffle view):
+        # inputFiles() is empty, and such plans already have shuffle
+        # parallelism — repartitioning them would add a pointless
+        # exchange, so no-op
+        return df
     if n_splits < target:
         df = df.repartition(target)
     return df

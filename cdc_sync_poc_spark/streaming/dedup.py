@@ -132,9 +132,9 @@ _OUT_COLS = [
 
 
 def _invalid_series(pdf: pd.DataFrame) -> pd.Series:
-    """Validation flag per row (st06 predicate, null-safe): rows failing
-    stage-1 validation never record their hash, so they must not refresh
-    the guard window. Streams without prop_k/val treat all rows valid."""
+    """Validation flag per row (st06 predicate, null-safe) — used by the
+    gated Spark-4 LoopGuardProcessor path only; the
+    applyInPandasWithState closure carries its own by-value copy."""
     if "prop_k" in pdf.columns and "val" in pdf.columns:
         return (
             (pdf["prop_k"] > 95) | (pdf["val"] < 0.05)
@@ -142,27 +142,50 @@ def _invalid_series(pdf: pd.DataFrame) -> pd.Series:
     return pd.Series(False, index=pdf.index)
 
 
-def _guard_fn(key, pdfs, state) -> "Iterator[pd.DataFrame]":
-    """Greedy loop-guard with persistent per-hash state: blocked events
-    do NOT refresh the window, and neither do validation-failed events
-    (FN_IS_LOOP + SP_RECORD_HASH semantics; strictly-within boundary)."""
-    window_us = 5 * 60 * 1_000_000
-    last = state.get[0] if state.exists else None
-    rows = pd.concat(list(pdfs)).sort_values(["ts", "cdc_seq"])
-    blocked = []
-    for ts, invalid in zip(rows["ts"], _invalid_series(rows)):
-        us = ts.value // 1000
-        if last is not None and us - last < window_us:
-            blocked.append(True)
-        else:
-            blocked.append(False)
-            if not invalid:
-                last = us
-    if last is not None:
-        state.update((int(last),))
-    out = rows.copy()
-    out["loop_blocked"] = blocked
-    yield out[_OUT_COLS]
+def _make_guard_fn():
+    """Build the applyInPandasWithState update function as a
+    ``<locals>`` closure so cloudpickle ships it (and its helper) BY
+    VALUE — a module-level function is pickled by reference and would
+    require this package importable on every executor, which is not
+    true for a driver session built from an arbitrary cwd."""
+
+    def invalid_series(pdf: pd.DataFrame) -> pd.Series:
+        # validation flag per row (st06 predicate, null-safe): rows
+        # failing stage-1 validation never record their hash, so they
+        # must not refresh the guard window; streams without
+        # prop_k/val treat all rows valid
+        if "prop_k" in pdf.columns and "val" in pdf.columns:
+            return (
+                (pdf["prop_k"] > 95) | (pdf["val"] < 0.05)
+            ).fillna(False).astype(bool)
+        return pd.Series(False, index=pdf.index)
+
+    out_cols = list(_OUT_COLS)
+
+    def guard_fn(key, pdfs, state):
+        # greedy loop-guard with persistent per-hash state: blocked
+        # events do NOT refresh the window, and neither do
+        # validation-failed events (FN_IS_LOOP + SP_RECORD_HASH
+        # semantics; strictly-within boundary)
+        window_us = 5 * 60 * 1_000_000
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "cdc_seq"])
+        blocked = []
+        for ts, invalid in zip(rows["ts"], invalid_series(rows)):
+            us = ts.value // 1000
+            if last is not None and us - last < window_us:
+                blocked.append(True)
+            else:
+                blocked.append(False)
+                if not invalid:
+                    last = us
+        if last is not None:
+            state.update((int(last),))
+        out = rows.copy()
+        out["loop_blocked"] = blocked
+        yield out[out_cols]
+
+    return guard_fn
 
 
 def stateful_dedup(cdc: DataFrame) -> DataFrame:
@@ -174,7 +197,7 @@ def stateful_dedup(cdc: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return cdc.groupBy("change_hash").applyInPandasWithState(
-        _guard_fn,
+        _make_guard_fn(),
         outputStructType=_GUARD_OUT_SCHEMA,
         stateStructType=_GUARD_STATE_SCHEMA,
         outputMode="append",

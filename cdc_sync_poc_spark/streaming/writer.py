@@ -32,7 +32,9 @@ exactly-once):
   on a POSIX filesystem); a crash mid-batch leaves some buckets new and
   some old, and the replay re-derives the same merged result because
   the MERGE is idempotent (last-wins upsert; DELETE of a missing key is
-  a no-op, ap04).
+  a no-op, ap04). A crash BETWEEN a swap's two renames leaves a bucket
+  only as ``.old.bucket=K``; ``_recover_buckets`` renames it back
+  before any state read, so the replay always sees pre-batch state.
 * known bounded deviation: audit statuses are computed against the
   pre-batch state, so a replay AFTER a partial swap can reclassify a
   DELETE as TARGET_NOT_FOUND (the row is already gone). Status strings
@@ -82,18 +84,45 @@ class ParquetMergeWriter:
         )
 
     def current_state(self) -> DataFrame:
+        self._recover_buckets()
         return self.spark.read.parquet(self.state_dir).drop("bucket")
+
+    def _recover_buckets(self) -> None:
+        """Repair a crash that landed between the two renames of a swap:
+        rename(live -> .old) succeeded but rename(new -> live) did not,
+        so the bucket's data exists ONLY as ``.old.bucket=K`` (hidden
+        from the parquet reader — its keys would silently vanish from
+        the next merge). Restore such buckets by renaming them back;
+        delete ``.old`` only when the live dir exists (crash after the
+        second rename, where ``.old`` is a true leftover). Runs before
+        every state read so the documented replay idempotence holds."""
+        if not os.path.isdir(self.state_dir):
+            return
+        for entry in os.listdir(self.state_dir):
+            if not entry.startswith(".old.bucket="):
+                continue
+            old = os.path.join(self.state_dir, entry)
+            live = os.path.join(self.state_dir, entry[len(".old.") :])
+            if os.path.exists(live):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, live)
 
     def _swap_buckets(self, tmp_dir: str, buckets: list[int]) -> None:
         """Replace each touched live bucket dir with the rewritten one.
         Per-bucket rename is atomic; untouched buckets are never opened,
-        read, or rewritten."""
+        read, or rewritten. ``_recover_buckets`` ran before the state
+        scan, so any ``.old`` seen here is from a crash that happened
+        AFTER its live dir was restored or replaced — safe to drop."""
         for k in buckets:
             live = os.path.join(self.state_dir, f"bucket={k}")
             new = os.path.join(tmp_dir, f"bucket={k}")
             old = os.path.join(self.state_dir, f".old.bucket={k}")
-            if os.path.exists(old):  # leftover from a crashed swap
-                shutil.rmtree(old)
+            if os.path.exists(old):
+                if os.path.exists(live):  # true leftover
+                    shutil.rmtree(old)
+                else:  # crashed mid-swap and not yet recovered
+                    os.rename(old, live)
             if os.path.exists(live):
                 os.rename(live, old)
             if os.path.exists(new):  # a bucket can merge to empty
@@ -102,8 +131,9 @@ class ParquetMergeWriter:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def apply_batch(self, changes: DataFrame, batch_id: int) -> None:
-        """The foreachBatch body: last-wins -> bucket-pruned merge ->
-        idempotent audit -> atomic bucket swap."""
+        """The foreachBatch body: crash recovery -> last-wins ->
+        bucket-pruned merge -> idempotent audit -> atomic bucket swap."""
+        self._recover_buckets()
         w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
         last = (
             changes.select("cdc_seq", "pk", "operation", "val")

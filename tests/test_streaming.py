@@ -265,3 +265,77 @@ def test_stream_pipeline_stateful_dedup_variant(spark, stream_dirs):
         .collect()
     }
     assert got == want
+
+
+def test_crash_between_swap_renames_recovers(spark, tmp_path):
+    """A crash between _swap_buckets' two renames leaves a bucket only
+    as .old.bucket=K (hidden from the parquet reader). The next state
+    read must restore it — without recovery the replay would silently
+    drop every non-batch key in that bucket."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.streaming.writer import ParquetMergeWriter
+
+    out = tmp_path / "crash"
+    writer = ParquetMergeWriter(
+        spark, str(out / "state"), str(out / "audit"), n_buckets=8
+    )
+    base = spark.range(0, 400).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("name"), F.col("id")).alias("c_name"),
+        F.col("id").cast("double").alias("c_acctbal"),
+    )
+    writer.init_state(base)
+
+    # crash simulation: rename(live -> .old) committed, rename(new ->
+    # live) lost — the bucket exists only under the hidden name
+    state_dir = out / "state"
+    victim = sorted(state_dir.glob("bucket=*"))[0]
+    os.rename(victim, state_dir / f".old.{victim.name}")
+
+    changes = spark.createDataFrame(
+        [(1, 7, "UPDATE", 123.0)],
+        "cdc_seq long, pk long, operation string, val double",
+    )
+    writer.apply_batch(changes, batch_id=0)
+
+    state = writer.current_state()
+    assert state.count() == 400  # no keys vanished
+    assert {r.acctbal for r in state.filter("pk = 7").collect()} == {123.0}
+    assert not list(state_dir.glob(".old.bucket=*"))
+
+    # a true leftover (.old alongside its live dir, i.e. crash AFTER the
+    # second rename) is deleted, not restored
+    some = sorted(state_dir.glob("bucket=*"))[0]
+    shutil.copytree(some, state_dir / f".old.{some.name}")
+    assert writer.current_state().count() == 400
+    assert not list(state_dir.glob(".old.bucket=*"))
+
+
+def test_stream_final_state_matches_duckdb_oracle(spark, duck, stream_dirs):
+    """E2E ground truth: the stateful-dedup stream's final state equals
+    the DuckDB oracle of ap01_merge_cdc row-for-row at sf0.001 — the
+    stream -> writer-state path checked against an independent engine,
+    not just against our own batch plan."""
+    from cdc_sync_poc_spark.registry import ORACLES, load_all_queries
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from cdc_sync_poc_spark.streaming.writer import run_stream_pipeline
+
+    load_all_queries()
+    events_path, out_dir = stream_dirs
+    base = load_table(spark, SF_DIR, "customer")
+    q, writer = run_stream_pipeline(
+        spark, events_path, base, out_dir + "_oracle", dedup="stateful"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.pk, r.name, round(r.acctbal, 6))
+        for r in writer.current_state().collect()
+    }
+    oracle = duck.sql(ORACLES["ap01_merge_cdc"]).fetchall()  # pk,name,acctbal,src
+    want = {(pk, name, round(acctbal, 6)) for pk, name, acctbal, _src in oracle}
+    assert got == want

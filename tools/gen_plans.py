@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Regenerate PLANS.md: executed-plan snapshots for the physical-plan
-claims in ARCHITECTURE.md (local[32], sf0.1, AQE initial plans)."""
+claims in ARCHITECTURE.md (sf0.1, AQE initial plans; the header derives
+the master string from the session so the evidence states its own
+capture configuration)."""
 
 from __future__ import annotations
 
@@ -46,14 +48,15 @@ def main() -> None:
 
     load_all_queries()
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master("local[32]")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    master = spark.sparkContext.master
     lines = [
         "# PLANS — physical-plan evidence (generated)",
         "",
-        "Executed-plan snapshots (`local[32]`, sf0.1, AQE initial plans) for",
+        f"Executed-plan snapshots (`{master}`, sf0.1, AQE initial plans) for",
         "the claims in ARCHITECTURE.md. Regenerate with `tools/gen_plans.py`;",
         "plans are stable across runs. Lines are truncated at "
         f"{MAX_LINE} chars.",
