@@ -282,54 +282,112 @@ def sim_ann_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ivf_topk",
-    oracle=f"""
-WITH {_VEC_CTES},
-c AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
-      ORDER BY vec_id LIMIT {N_CELLS}),
-sc AS (
+# Fixed-point scale for the Lloyd centroid update: v[i] * 2^20 is EXACT
+# in binary floating point (power-of-two multiply only shifts the
+# exponent), and floor of an exact double is engine-stable, so the
+# per-cell per-dimension BIGINT sums are order-independent and agree
+# bitwise between Spark's hash aggregate and DuckDB — no sorted-fold
+# collect_list needed, the update stays a plain scalable hash agg.
+_FP_SCALE = float(1 << 20)
+
+
+def _ivf_assign_ctes(cents_cte: str, tag: str) -> str:
+    """DuckDB CTE pair scoring every vector against centroid set
+    ``cents_cte`` and ranking cells per vector (argmax cosine,
+    tie-break on cell_id) — mirrors the Spark window below."""
+    return f"""
+sc{tag} AS (
   SELECT n.vec_id, c.cell_id, n.v, n.nrm,
          list_sum(list_transform(range(1, {EMB_DIM + 1}),
                   i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn) AS cosc
-  FROM n CROSS JOIN c
+  FROM n CROSS JOIN {cents_cte} c
 ),
-rk AS (
+rk{tag} AS (
   SELECT vec_id, cell_id, v, nrm,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY cosc DESC, cell_id) AS rn
-  FROM sc
+  FROM sc{tag}
+)"""
+
+
+def _ivf_oracle() -> str:
+    dim_sums = ", ".join(
+        f"CAST(sum(CAST(floor(v[{i + 1}] * {_FP_SCALE}) AS BIGINT))"
+        f" AS BIGINT) AS s{i}"
+        for i in range(EMB_DIM)
+    )
+    coords = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / ({_FP_SCALE} * cnt)" for i in range(EMB_DIM)
+    )
+    return f"""
+WITH {_VEC_CTES},
+c0 AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
+       ORDER BY vec_id LIMIT {N_CELLS}),
+{_ivf_assign_ctes("c0", "0")},
+a0 AS (SELECT vec_id, cell_id, v FROM rk0 WHERE rn = 1),
+sums AS (
+  SELECT cell_id, count(*)::BIGINT AS cnt, {dim_sums}
+  FROM a0 GROUP BY cell_id
 ),
-assigned AS (SELECT vec_id, cell_id, v, nrm FROM rk WHERE rn = 1),
-qc AS (SELECT cell_id FROM rk
+c1 AS (
+  SELECT cell_id, cv,
+         sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+  FROM (SELECT cell_id, [{coords}]::DOUBLE[] AS cv FROM sums)
+),
+{_ivf_assign_ctes("c1", "1")},
+a1 AS (SELECT vec_id, cell_id, v, nrm FROM rk1 WHERE rn = 1),
+qc AS (SELECT cell_id FROM rk1
        WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE_CELLS})
 SELECT a.vec_id, a.cell_id,
        round(list_sum(list_transform(range(1, {EMB_DIM + 1}),
                       i -> a.v[i] * q.qv[i])) / (a.nrm * q.qn), 6) AS cosine
-FROM assigned a JOIN qc USING (cell_id), q
+FROM a1 a JOIN qc USING (cell_id), q
 WHERE a.vec_id <> {QUERY_VEC_ID}
 ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
                   i -> a.v[i] * q.qv[i])) / (a.nrm * q.qn) DESC, a.vec_id
 LIMIT {ANN_TOP_K}
-""",
-)
+"""
+
+
+def _assign_to_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Score every vector against every (broadcast) centroid and rank
+    cells per vector — argmax cosine, tie-break on cell_id. Returns the
+    ranked frame; rn = 1 is the assignment, rn <= k the probe cells."""
+    cosc = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, z) -> acc + z)"
+    ) / (F.col("nrm") * F.col("cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
+    return (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("cosc", cosc)
+        .withColumn("rn", F.row_number().over(w))
+    )
+
+
+@register("sim_ivf_topk", oracle=_ivf_oracle())
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN, the partition-pruning scale path: a coarse
     quantizer of N_CELLS centroids partitions the corpus into cells;
     a query searches only its N_PROBE_CELLS nearest cells.
 
-    Centroids here are a deterministic sample (the N_CELLS lowest
-    vec_ids — sample-init, the step k-means starts from; each Lloyd
-    refinement round is one more broadcast-join + hash-agg pass of the
-    same shape, deliberately omitted to keep the oracle exact).
-    Assignment is a map-side broadcast join (16 tiny centroid rows)
-    + an argmax window on vec_id — high-cardinality, no single-task
-    stage. At rest the cell_id becomes a partition key, so a probe
-    reads N_PROBE_CELLS/N_CELLS of the lake and skips the rest
-    entirely — the IVF twin of the LSH bucket pruning in
-    sim_ann_lsh/sim_ann_topk_all."""
+    Centroids: deterministic sample-init (the N_CELLS lowest vec_ids)
+    followed by ONE Lloyd refinement round — recompute each cell's
+    centroid as the member mean, then re-assign every vector once. The
+    iteration count is fixed so the DuckDB oracle replays the identical
+    computation; the mean uses fixed-point BIGINT dimension sums
+    (order-independent integer arithmetic, see _FP_SCALE) so both
+    engines derive bit-identical centroids. Each round is the same
+    physical shape: a map-side broadcast join (N_CELLS tiny centroid
+    rows) + an argmax window partitioned by the high-cardinality
+    vec_id, and the update is one hash aggregate with map-side partial
+    combine — no single-task stage anywhere. At rest the refined
+    cell_id becomes a partition key, so a probe reads
+    N_PROBE_CELLS/N_CELLS of the lake and skips the rest entirely —
+    the IVF twin of the LSH bucket pruning in sim_ann_lsh /
+    sim_ann_topk_all."""
     n = _normed(spark, sf_dir)
-    cents = (
+    cents0 = (
         n.orderBy("vec_id")
         .limit(N_CELLS)
         .select(
@@ -338,17 +396,42 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cn"),
         )
     )
-    cosc = F.expr(
-        "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
-        " (acc, z) -> acc + z)"
-    ) / (F.col("nrm") * F.col("cn"))
-    scored = n.crossJoin(F.broadcast(cents)).withColumn("cosc", cosc)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    assigned = ranked.filter(F.col("rn") == 1).select(
+    assigned0 = (
+        _assign_to_cells(n, cents0)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "v")
+    )
+
+    # Lloyd update: per-cell mean via exact fixed-point integer sums
+    # (one hash agg, 64 + 1 aggregates, map-side combined)
+    sums = assigned0.groupBy("cell_id").agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(F.floor(F.col("v")[i] * _FP_SCALE).cast("long")).alias(f"s{i}")
+            for i in range(EMB_DIM)
+        ],
+    )
+    mean_coords = F.array(
+        *[
+            F.col(f"s{i}").cast("double") / (F.lit(_FP_SCALE) * F.col("cnt"))
+            for i in range(EMB_DIM)
+        ]
+    )
+    cents1 = sums.select("cell_id", mean_coords.alias("cv")).withColumn(
+        "cn",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE),"
+                " (acc, y) -> acc + y)"
+            )
+        ),
+    )
+
+    ranked1 = _assign_to_cells(n, cents1)
+    assigned1 = ranked1.filter(F.col("rn") == 1).select(
         "vec_id", "cell_id", "v", "nrm"
     )
-    qcells = ranked.filter(
+    qcells = ranked1.filter(
         (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= N_PROBE_CELLS)
     ).select("cell_id")
     q = n.filter(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -356,7 +439,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
     return (
-        assigned.join(F.broadcast(qcells), "cell_id")
+        assigned1.join(F.broadcast(qcells), "cell_id")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .withColumn("cosr", cos)
