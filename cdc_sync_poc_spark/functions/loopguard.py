@@ -80,11 +80,16 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
         group["loop_blocked"] = blocked
         return group
 
-    # The three branches below (dup-set agg, anti join, semi join) would
-    # each recompute the sha256 change-hash from the raw events; cache the
-    # hashed view once (it is slim — at 100 TB this would be a persisted
-    # bronze table rather than an in-memory cache, same idea).
-    cdc = cdc.persist()
+    # The three branches below (dup-set agg, anti join, semi join) each
+    # recompute the sha256 change-hash from the raw events during the ONE
+    # materialization of the persisted result. That recompute is
+    # deliberate: scan+hash is cheap next to the walk, persisting the
+    # input as well doubles the memory footprint for no reuse, and
+    # persist-then-unpersist is a trap — Spark's non-cascading cache
+    # invalidation (SPARK-24596) lazily RECOMPILES the dependent result
+    # cache and drops its blocks, so every downstream consumer would
+    # silently rebuild the walk. At 100 TB the hashed view would be a
+    # persisted bronze table on storage, not an executor-memory cache.
 
     # duplicate-hash key set: aggregates hash->count with map-side combine
     # (only the 64-byte hash column moves, one row per distinct hash per
@@ -111,14 +116,8 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
     # audit/classified family, ap05, pipeline_e2e) consume this exact
     # plan, and Spark's cache matches on plan equality so they all share
     # one materialization. (The streaming twin needs no cache — its
-    # state store IS the materialization.) Materialize it NOW with a
-    # count (the work is needed by every consumer anyway) so the input
-    # cache can be released immediately — holding both the hashed input
-    # AND the result doubled st01's memory footprint in round 2.
-    result = singles.select(*in_cols, "loop_blocked").unionByName(multis).persist()
-    result.count()
-    cdc.unpersist()
-    return result
+    # state store IS the materialization.)
+    return singles.select(*in_cols, "loop_blocked").unionByName(multis).persist()
 
 
 # DuckDB oracle twin of the same greedy walk (recursive CTE; rn-indexed

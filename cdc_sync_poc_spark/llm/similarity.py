@@ -349,19 +349,41 @@ LIMIT {ANN_TOP_K}
 """
 
 
-def _assign_to_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
-    """Score every vector against every (broadcast) centroid and rank
-    cells per vector — argmax cosine, tie-break on cell_id. Returns the
-    ranked frame; rn = 1 is the assignment, rn <= k the probe cells."""
+def _score_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Score every vector against every (broadcast) centroid: map-only
+    (the crossJoin build side is N_CELLS tiny rows).
+
+    (Measured alternative, kept out: expanding the dot product to an
+    explicit 64-term Add chain pushes past codegen's method-size
+    limits and falls back to interpreted eval of a 191-node tree —
+    slower than the sequential fold below.)"""
     cosc = F.expr(
         "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
         " (acc, z) -> acc + z)"
     ) / (F.col("nrm") * F.col("cn"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
+    return n.crossJoin(F.broadcast(cents)).withColumn("cosc", cosc)
+
+
+def _argmax_cell(scored: DataFrame, *carry: str) -> DataFrame:
+    """Per-vector argmax cosine with cell_id-ascending tie-break, as a
+    HASH AGGREGATE rather than a window: max(struct(cosc, -cell_id))
+    realizes the same (cosc DESC, cell_id ASC) ordering the oracle's
+    row_number uses, and the map-side partial max collapses the N_CELLS
+    scored rows per vector to ONE before any exchange — the broadcast
+    crossJoin keeps a vector's scored rows in its input partition, so
+    the shuffle carries 1/N_CELLS of the windowed variant's bytes and
+    there is no sort anywhere. ``carry`` columns are functionally
+    dependent on vec_id (identical within a group), so first() is
+    deterministic."""
+    aggs = [
+        F.max(F.struct(F.col("cosc"), (-F.col("cell_id")).alias("ncell"))).alias(
+            "best"
+        )
+    ] + [F.first(c).alias(c) for c in carry]
     return (
-        n.crossJoin(F.broadcast(cents))
-        .withColumn("cosc", cosc)
-        .withColumn("rn", F.row_number().over(w))
+        scored.groupBy("vec_id")
+        .agg(*aggs)
+        .select("vec_id", (-F.col("best.ncell")).alias("cell_id"), *carry)
     )
 
 
@@ -379,9 +401,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent integer arithmetic, see _FP_SCALE) so both
     engines derive bit-identical centroids. Each round is the same
     physical shape: a map-side broadcast join (N_CELLS tiny centroid
-    rows) + an argmax window partitioned by the high-cardinality
-    vec_id, and the update is one hash aggregate with map-side partial
-    combine — no single-task stage anywhere. At rest the refined
+    rows) + a per-vector argmax HASH AGGREGATE (max-struct, partial
+    max map-side — see _argmax_cell), and the update is one hash
+    aggregate with map-side combine — no window sort and no
+    single-task stage anywhere. At rest the refined
     cell_id becomes a partition key, so a probe reads
     N_PROBE_CELLS/N_CELLS of the lake and skips the rest entirely —
     the IVF twin of the LSH bucket pruning in sim_ann_lsh /
@@ -396,11 +419,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cn"),
         )
     )
-    assigned0 = (
-        _assign_to_cells(n, cents0)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id", "v")
-    )
+    assigned0 = _argmax_cell(_score_cells(n, cents0), "v")
 
     # Lloyd update: per-cell mean via exact fixed-point integer sums
     # (one hash agg, 64 + 1 aggregates, map-side combined)
@@ -417,7 +436,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(EMB_DIM)
         ]
     )
-    cents1 = sums.select("cell_id", mean_coords.alias("cv")).withColumn(
+    cents1_plan = sums.select("cell_id", mean_coords.alias("cv")).withColumn(
         "cn",
         F.sqrt(
             F.expr(
@@ -426,14 +445,28 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-
-    ranked1 = _assign_to_cells(n, cents1)
-    assigned1 = ranked1.filter(F.col("rn") == 1).select(
-        "vec_id", "cell_id", "v", "nrm"
+    # materialize the N_CELLS refined centroids on the DRIVER and
+    # re-inject them as a local relation — the centers exchange every
+    # distributed k-means does per iteration (k rows, O(k*dim) bytes,
+    # independent of corpus size). Three downstream subplans consume
+    # the centroids (re-assignment broadcast, probe ranking, final
+    # probe); inlining them means the round-0 chain executes exactly
+    # once instead of once per consumer. Doubles round-trip the driver
+    # bit-exactly, so oracle parity is unaffected.
+    cents1 = spark.createDataFrame(
+        cents1_plan.collect(), schema="cell_id long, cv array<double>, cn double"
     )
-    qcells = ranked1.filter(
-        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= N_PROBE_CELLS)
-    ).select("cell_id")
+
+    scored1 = _score_cells(n, cents1)
+    assigned1 = _argmax_cell(scored1, "v", "nrm")
+    # probe cells: top-N_PROBE_CELLS for the single query vector — a
+    # 16-row sort, driver-trivial at any scale
+    qcells = (
+        scored1.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.desc("cosc"), F.asc("cell_id"))
+        .limit(N_PROBE_CELLS)
+        .select("cell_id")
+    )
     q = n.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )

@@ -54,7 +54,12 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # the single local JVM plays driver AND all 32 executor threads;
+        # the host budget is 128 GiB (see ARCHITECTURE), and a small heap
+        # turns the session-shared caches (loop-guard result, shingle/
+        # signature views) into eviction-recompute churn under repeated
+        # queries. On a real cluster this is spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
     )
