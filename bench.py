@@ -58,6 +58,14 @@ BENCH_QUERIES = [
     "text_quality",
     "plan_mapping_roundtrip",
     "mm_decode_features",
+    # round-3 additions (append-only)
+    "bench_q6_forecast",
+    "bench_q4_priority",
+    "bench_q10_returned",
+    "bench_q12_latemix",
+    "corpus_contamination",
+    "dedup_span_exact",
+    "text_oov_ratio",
 ]
 
 N_REPS = 3

@@ -299,3 +299,93 @@ def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("scale"), 6).alias("scale"),
         F.round(err, 6).alias("l2_err"),
     )
+
+
+@register(
+    "corpus_train_split",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+tagged AS (
+  SELECT CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+         lang, n_chars, n_tokens
+  FROM s
+)
+SELECT split, lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM tagged GROUP BY split, lang
+""",
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10) by md5 bucket of
+    doc_id — the same replay-safe construction as sample_stratified
+    (never rand(): retries, replays, and the oracle must all route the
+    same document to the same split), reported as per-(split, lang)
+    document/char/token totals. Map-only routing + one low-cardinality
+    hash agg; at 100 TB the split column becomes a partition key so
+    each training job reads only its slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            "n_chars",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def _emb_norm_stats_oracle() -> str:
+    from cdc_sync_poc_spark.llm.similarity import _FP_SCALE, _VEC_CTES
+
+    return f"""
+WITH {_VEC_CTES}
+SELECT label, count(*)::BIGINT AS n_vectors,
+       min(nrm) AS min_norm, max(nrm) AS max_norm,
+       CAST(sum(CAST(floor(nrm * {_FP_SCALE}) AS BIGINT)) AS DOUBLE)
+         / ({_FP_SCALE} * count(*)) AS mean_norm
+FROM n GROUP BY label
+"""
+
+
+@register("emb_norm_stats", oracle=_emb_norm_stats_oracle())
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm distribution stats (count, min, max,
+    mean) — the sanity pass a retrieval pipeline runs before indexing
+    to catch collapsed or exploding vectors. min/max of doubles are
+    exact under any aggregation order; the MEAN uses the same
+    fixed-point BIGINT sum as the IVF Lloyd update (llm/similarity.py
+    _FP_SCALE) so Spark's hash agg and DuckDB agree bitwise. One
+    map-combined hash agg, map-only otherwise."""
+    from cdc_sync_poc_spark.llm.similarity import _FP_SCALE, _normed
+
+    n = _normed(spark, sf_dir)
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        (
+            F.sum(F.floor(F.col("nrm") * _FP_SCALE).cast("long")).cast("double")
+            / (F.lit(_FP_SCALE) * F.count("*"))
+        ).alias("mean_norm"),
+    )

@@ -1,0 +1,181 @@
+"""Corpus-hygiene operators (LLM-data-pipeline extension, SURVEY §7.1
+M6 family): benchmark-contamination detection, span-level exact dedup,
+and out-of-vocabulary scoring — the pre-training data checks that run
+AFTER document-level dedup (llm/dedup.py) and quality filters
+(llm/curation.py).
+
+Scale design:
+
+* contamination: the benchmark/eval set is always tiny next to the
+  corpus (here the ``doc_id % 97 == 0`` slice stands in for a held-out
+  suite), so its distinct-shingle set BROADCASTS; the corpus side is a
+  map-only shingle explode + one broadcast hash join + one hash agg on
+  doc_id — the corpus is never shuffled by content.
+* span dedup: one shuffle on the 128-bit span hash (uniform keys, no
+  skew) with map-side partial agg — identical shape to dedup_exact but
+  at sub-document granularity, which catches boilerplate shared across
+  otherwise-distinct pages.
+* oov scoring: the classic two-pass vocabulary pattern — pass 1 builds
+  the top-K vocab (hash agg on term + a K-row TakeOrdered), pass 2
+  re-scans with the vocab broadcast. K rows broadcast regardless of
+  corpus size; the only corpus shuffle is the per-doc count agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.llm.dedup import _SHINGLE_CTES, _shingles
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
+
+BENCH_MOD = 97  # doc_id % 97 == 0 -> the stand-in benchmark slice
+SPAN_WORDS = 20  # span-level dedup granularity
+VOCAB_K = 200  # oov vocabulary size
+
+
+@register(
+    "corpus_contamination",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*)::BIGINT AS n_hits
+  FROM sh s JOIN bench b USING (shingle)
+  WHERE s.doc_id % {BENCH_MOD} <> 0
+  GROUP BY s.doc_id
+)
+SELECT h.doc_id, h.n_hits, c.n AS n_shingles,
+       round(CAST(h.n_hits AS DOUBLE) / c.n, 6) AS contamination_frac
+FROM hits h JOIN scount c ON c.doc_id = h.doc_id
+""",
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents sharing any
+    word shingle with the held-out benchmark slice, with the shared
+    fraction as the contamination score (the n-gram-overlap decontam
+    step every pre-training pipeline runs against its eval suites).
+
+    Uses the same distinct 3-gram shingles as the dedup family
+    (llm/dedup.py::_shingles), so the shingle cache is shared. The
+    benchmark shingle set is broadcast — see module docstring."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    scount = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.join(scount, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        F.col("n_shingles").alias("n_shingles"),
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_shingles"), 6
+        ).alias("contamination_frac"),
+    )
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - {SPAN_WORDS - 2}, {SPAN_WORDS}),
+             i -> array_to_string(words[i : i + {SPAN_WORDS - 1}], ' '))) AS span
+  FROM w WHERE len(words) >= {SPAN_WORDS}
+),
+spans AS (SELECT doc_id, md5(span) AS span_hash FROM raw)
+SELECT span_hash, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(doc_id) AS keep_doc
+FROM spans GROUP BY span_hash HAVING count(*) > 1
+""",
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: hash each non-overlapping SPAN_WORDS-word
+    window and report spans occurring more than once — the
+    sub-document pass that catches boilerplate (headers, license
+    blocks, navigation) shared across otherwise-distinct documents,
+    which document-level hashing can never see. One shuffle on the
+    uniform 128-bit span hash; same shape as dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread_small_input(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    ).filter(F.size("w") >= SPAN_WORDS)
+    spans = F.expr(
+        f"transform(sequence(1, size(w) - {SPAN_WORDS - 1}, {SPAN_WORDS}),"
+        f" i -> concat_ws(' ', slice(w, i, {SPAN_WORDS})))"
+    )
+    return (
+        base.select("doc_id", F.explode(spans).alias("span"))
+        .select("doc_id", F.md5("span").alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+@register(
+    "text_oov_ratio",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM toks GROUP BY term
+    ORDER BY c DESC, term LIMIT {VOCAB_K}
+  )
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_ratio
+FROM toks t LEFT JOIN vocab v USING (term)
+GROUP BY t.doc_id
+""",
+)
+def text_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary quality score: fraction of a document's tokens
+    outside the corpus top-VOCAB_K vocabulary — a cheap proxy for
+    gibberish/noise used as a curation filter. Two-pass: corpus-level
+    vocab build, then a broadcast-join re-scan (see module docstring).
+    The top-K cutoff orders by (count DESC, term ASC) so boundary ties
+    are deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread_small_input(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(VOCAB_K)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.round(oov.cast("double") / F.count("*"), 6).alias("oov_ratio"),
+        )
+    )

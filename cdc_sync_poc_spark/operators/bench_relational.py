@@ -173,3 +173,147 @@ def bench_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_custkey", "o_orderdate")
         .agg(F.sum(qty).cast("double").alias("total_qty"))
     )
+
+
+@register(
+    "bench_q6_forecast",
+    oracle="""
+SELECT cast(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT))::BIGINT as double)
+         / 10000 AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+)
+def bench_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped revenue-change forecast: the canonical
+    filter-everything scan aggregate. All three predicates reach the
+    parquet scan (range on l_shipdate pushes down; the discount band is
+    compared in integer cents on BOTH engines so no float-equality
+    trap); the aggregate is a single partial+final hash agg with no
+    groups — shuffle volume is one row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * disc_c
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & disc_c.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(rev).cast("double") / 10000).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "bench_q4_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+""",
+)
+def bench_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: EXISTS realized as a
+    LEFT SEMI join — the probe side streams, the build side is the
+    DISTINCT order keys of flagged lineitems (far smaller than the
+    lineitem table; AQE converts to broadcast when it fits). Count by
+    priority is then a 5-group hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    flagged = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(flagged, o.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "bench_q10_returned",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       cast(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+            as double) / 10000 AS revenue,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+""",
+)
+def bench_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: fact-fact join shuffles
+    once on orderkey; customer and nation broadcast; top-20 via
+    TakeOrderedAndProject. The returnflag filter prunes lineitem at the
+    scan before the join fans out."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "bench_q12_latemix",
+    oracle="""
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate
+GROUP BY l.l_returnflag
+""",
+)
+def bench_q12_latemix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped late-shipment priority mix: the join predicate
+    spans both sides (l_shipdate > o_orderdate) so it is applied as a
+    post-join filter; the conditional counts are branch-free CASE sums
+    inside one 3-group hash agg — no second pass, no pivot."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )

@@ -50,8 +50,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # rotate to the back. Prefix match, first hit wins; unmatched ids keep
 # relative order at the end.
 _PRIORITY_PREFIXES = [
-    # never in any driver sample (added round 2 at positions 51+)
+    # never in any driver sample (added round 2 at positions 51+, or
+    # new in round 3: bench_q4/q6/q10/q12, hygiene ops, split/stats)
     "sim_ivf", "sample_", "corpus_", "emb_", "text_repetition",
+    "bench_q4", "bench_q6", "bench_q10", "bench_q12",
+    "dedup_span", "text_oov",
     # modified in round 3 — need fresh rows
     "st01", "ap06", "dedup_minhash_cluster",
     # stale evidence: r1 rows predating the 8160c4a envelope changes
@@ -78,6 +81,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.cdc.pipeline  # noqa: F401
     import cdc_sync_poc_spark.llm.curation  # noqa: F401
     import cdc_sync_poc_spark.llm.dedup  # noqa: F401
+    import cdc_sync_poc_spark.llm.hygiene  # noqa: F401
     import cdc_sync_poc_spark.llm.multimodal  # noqa: F401
     import cdc_sync_poc_spark.llm.similarity  # noqa: F401
     import cdc_sync_poc_spark.llm.text  # noqa: F401
