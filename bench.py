@@ -11,7 +11,10 @@ corrupted by ordering and n=1 variance):
 
 * the query order below is FIXED — append new queries at the end, never
   reorder, so per-query numbers stay comparable across rounds;
-* each query runs ``N_REPS`` times and reports the MEDIAN;
+* the whole suite runs as ``N_REPS`` interleaved passes and each query
+  reports its MIN across passes (contention bursts on this host span
+  tens of seconds, so consecutive same-query reps all land inside one;
+  interleaving + min is robust to one-sided timing noise);
 * session-shared caches (the loop-guard persisted result, the
   shingle/signature views shared by the dedup family) are built in a
   NAMED warmup phase with per-builder timings under ``"warmup"``, so
@@ -25,7 +28,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 from pathlib import Path
@@ -111,21 +113,33 @@ def run(
             warmup[w] = round(time.perf_counter() - t0, 3)
             print(f"# warmup {w}: {warmup[w]:.3f}s", file=sys.stderr)
 
-    for name in names or BENCH_QUERIES:
-        samples = []
-        n = 0
-        for _ in range(reps):
+    # Interleaved passes: run the whole fixed-order suite `reps` times
+    # and keep each query's MIN across passes. Back-to-back reps proved
+    # fragile on this host — a 30-60 s contention burst can span all
+    # consecutive reps of one query (bench_q5 measured 1.1 s in one run
+    # and a 14.9 s median-of-3 in the next with identical code).
+    # Spreading a query's reps across full passes means a burst must
+    # last the entire bench to poison its min, and min-of-k is the
+    # standard noise-robust estimator for one-sided timing noise
+    # (contention only ever adds time).
+    run_list = names or BENCH_QUERIES
+    samples: dict[str, list[float]] = {name: [] for name in run_list}
+    for p in range(reps):
+        for name in run_list:
             t0 = time.perf_counter()
             n = QUERIES[name](spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
-        shown = [round(s, 3) for s in samples]
+            samples[name].append(time.perf_counter() - t0)
         print(
-            f"# {name}: {timings[name]:.3f}s median of {shown} ({n} rows)",
+            f"# pass {p + 1}/{reps}: "
+            f"{round(sum(s[-1] for s in samples.values()), 3)}s",
             file=sys.stderr,
         )
+    for name in run_list:
+        timings[name] = round(min(samples[name]), 3)
+        shown = [round(s, 3) for s in samples[name]]
+        print(f"# {name}: {timings[name]:.3f}s min of {shown}", file=sys.stderr)
 
-    # value = steady-state total (sum of per-query medians on warm
+    # value = steady-state total (sum of per-query min-of-passes on warm
     # shared caches); the one-time cache build cost is reported
     # separately per builder under "warmup" so it is visible but not
     # multiply-counted across the queries that share it
@@ -136,6 +150,7 @@ def run(
         "queries": timings,
         "sf": sf,
         "reps": reps,
+        "agg": "min_of_interleaved_passes",
     }
     if warmup:
         result["warmup"] = warmup
