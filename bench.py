@@ -68,6 +68,18 @@ BENCH_QUERIES = [
     "corpus_contamination",
     "dedup_span_exact",
     "text_oov_ratio",
+    "bench_q7_volume",
+    "bench_q13_custdist",
+    "bench_q14_promo",
+    "bench_q15_top_supplier",
+    "bench_q17_small_qty",
+    "bench_q19_disjunctive",
+    "bench_q22_idle_balance",
+    "events_window_agg",
+    "events_funnel",
+    "events_retention",
+    "text_lexical_concentration",
+    "ann_recall_lsh",
 ]
 
 N_REPS = 3

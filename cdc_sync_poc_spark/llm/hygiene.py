@@ -179,3 +179,44 @@ def text_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(oov.cast("double") / F.count("*"), 6).alias("oov_ratio"),
         )
     )
+
+
+@register(
+    "text_lexical_concentration",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, term
+)
+SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+       CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)) AS simpson
+FROM tf GROUP BY doc_id
+""",
+)
+def text_lexical_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical concentration via the Simpson index
+    (sum of squared term frequencies / total², the limit of repetition
+    — 1.0 means one token repeated, ~1/n means all-distinct): a
+    quality score that flags keyword-stuffed or looping generations
+    WITHOUT a logarithm, so unlike entropy it is bit-exact across
+    engines (pure BIGINT sums, one final double division of identical
+    operands). Two stacked hash aggs: (doc_id, term) frequencies, then
+    per-doc moments — both map-side combined, both on
+    high-cardinality keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        spread_small_input(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c"))
+        ).alias("simpson"),
+    )

@@ -480,3 +480,114 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(ANN_TOP_K)
         .select("vec_id", "cell_id", F.round(F.col("cosr"), 6).alias("cosine"))
     )
+
+
+RECALL_SAMPLE_MOD = 5  # evaluate recall on vec_id % MOD == 0 queries
+
+
+@register(
+    "ann_recall_lsh",
+    oracle=f"""
+WITH {_VEC_CTES},
+b AS (SELECT vec_id, v, nrm, {bucket_sql("v")} AS bucket FROM n),
+qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM b
+       WHERE vec_id % {RECALL_SAMPLE_MOD} = 0),
+probes AS (
+  SELECT q_id, qv, qn, unnest({_PROBE_LIST_SQL}) AS bucket FROM qs
+),
+ann AS (
+  SELECT q_id, vec_id FROM (
+    SELECT p.q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY p.q_id
+             ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn) DESC,
+                      c.vec_id) AS rnk
+    FROM probes p JOIN b c USING (bucket)
+    WHERE c.vec_id <> p.q_id)
+  WHERE rnk <= {ANN_TOP_K}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn) DESC,
+                      c.vec_id) AS rnk
+    FROM qs q CROSS JOIN n c
+    WHERE c.vec_id <> q.q_id)
+  WHERE rnk <= {ANN_TOP_K}
+),
+hits AS (
+  SELECT a.q_id, count(*)::BIGINT AS n_hits
+  FROM ann a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {ANN_TOP_K} AS recall
+FROM qs q LEFT JOIN hits h ON q.q_id = h.q_id
+""",
+)
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the multi-probe LSH ANN against exact brute-force
+    ground truth, per query vector — the evaluation job that justifies
+    an index's bit/probe configuration before a 100 TB rollout. Runs
+    on a deterministic 1/RECALL_SAMPLE_MOD query sample (the scale
+    knob: ground truth is O(sample x corpus), so the sample bounds the
+    quadratic side while the corpus is still read once, map-only, with
+    the sampled queries broadcast). The ANN side reuses the exact
+    probe/bucket pipeline of sim_ann_topk_all; both top-k rankings
+    break cosine ties by vec_id, so the compared sets are
+    deterministic on both engines."""
+    n = _normed(spark, sf_dir)
+    bucketed = n.select("vec_id", "v", "nrm", bucket_col("v").alias("bucket"))
+    qs = bucketed.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    probes = qs.select(
+        "q_id",
+        "qv",
+        "qn",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[_flip_col(F.col("bucket"), k) for k in range(1, N_PROBE_FLIPS + 1)],
+            )
+        ).alias("bucket"),
+    )
+    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosr"), F.asc("vec_id"))
+    ann = (
+        probes.join(bucketed, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosr", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    exact = (
+        n.crossJoin(F.broadcast(qs.select("q_id", "qv", "qn")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosr", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    hits = ann.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qs.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / ANN_TOP_K
+            ).alias("recall"),
+        )
+    )

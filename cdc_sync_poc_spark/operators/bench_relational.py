@@ -317,3 +317,337 @@ def bench_q12_latemix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
         )
     )
+
+
+@register(
+    "bench_q7_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       cast(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+            as double) / 10000 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+""",
+)
+def bench_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation volume: lineitem->orders is the one
+    fact-fact shuffle; customer, supplier, and BOTH nation aliases
+    broadcast. The two nation filters prune their dims before the join
+    fans out, and the asymmetric-pair predicate is applied post-join
+    (it spans both aliases). 4-group-by-year hash agg on integer
+    cents."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+    )
+
+
+@register(
+    "bench_q13_custdist",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def bench_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT OUTER
+    join with an extra join-side predicate (pending orders excluded IN
+    the join condition, so excluded customers still appear with count
+    0), then two stacked hash aggs — per-customer count, then the
+    distribution over counts. Both aggs shuffle on shrinking keys
+    (custkey, then the tiny c_count domain)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderstatus != "P"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "bench_q14_promo",
+    oracle="""
+SELECT 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                        ELSE 0 END)::BIGINT
+       / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+       AS promo_pct,
+       cast(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+            as double) / 10000 AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def bench_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: one month of lineitem (range
+    filter pushed to the scan) joined to part — part broadcasts (it is
+    the dimension side) — then a single global agg computing the promo
+    share. The ratio divides two exact BIGINT cents sums, so the
+    resulting double is bit-identical across engines and partition
+    orders."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        (F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_pct"),
+        (F.sum(rev).cast("double") / 10000).alias("total_revenue"),
+    )
+
+
+@register(
+    "bench_q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       cast(r.total_c as double) / 10000 AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_c = (SELECT max(total_c) FROM rev)
+""",
+)
+def bench_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarterly revenue per supplier
+    (one hash agg), the scalar max as a 1-row broadcast cross join, and
+    the winner equality compared in exact BIGINT cents — float-safe
+    argmax without a window or global sort. Supplier dim broadcasts
+    into the (tiny post-agg) winners."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_c).alias("total_c"))
+    mx = rev.agg(F.max("total_c").alias("max_c"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c") == F.col("max_c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_c").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "bench_q17_small_qty",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey, count(*)::BIGINT AS cnt,
+         sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT cast(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+            as double) / 700 AS avg_yearly,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+JOIN per_part pp ON pp.l_partkey = l.l_partkey
+WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pp.cnt < pp.sq
+""",
+)
+def bench_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: the correlated
+    avg-quantity subquery becomes a per-part hash agg joined back to
+    lineitem (self-join on partkey, both sides shuffle-partitioned the
+    same way -> co-located). The threshold `qty < 0.2 * avg` is
+    cross-multiplied into pure BIGINT arithmetic (q*5*cnt < sum) so
+    the boundary is exact on both engines — no float division in a
+    filter. Brand filter broadcasts part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q_c = F.round(F.col("l_quantity") * 100).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.count("*").alias("cnt"), F.sum(q_c).alias("sq")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(per_part, li.l_partkey == F.col("pp_key"))
+        .filter(q_c * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 700
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "bench_q19_disjunctive",
+    oracle="""
+SELECT cast(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+            as double) / 10000 AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def bench_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate join: three OR'd
+    brand/size/quantity bands. The part side is pre-filtered to the
+    UNION of the brand/size clauses (a derivable implied predicate —
+    Catalyst does not extract it from the OR itself) and broadcasts;
+    the disjunction is evaluated post-join in one codegen stage. The
+    implied lineitem band (quantity 1..30) likewise prunes the fact
+    scan."""
+    p = load_table(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            (F.sum(rev).cast("double") / 10000).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "bench_q22_idle_balance",
+    oracle="""
+WITH bal AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+stats AS (
+  SELECT sum(bal_c)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM bal WHERE bal_c > 0
+)
+SELECT b.c_mktsegment AS segment, count(*)::BIGINT AS n_cust,
+       cast(sum(b.bal_c)::BIGINT as double) / 100 AS total_bal
+FROM bal b, stats
+WHERE b.bal_c * stats.n > stats.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = b.c_custkey)
+GROUP BY b.c_mktsegment
+""",
+)
+def bench_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped idle high-balance customers: the global
+    avg-balance scalar subquery is a 1-row broadcast cross join, the
+    `bal > avg` comparison is cross-multiplied into BIGINTs
+    (bal*n > sum — exact, no float division), and `no orders` is a
+    LEFT ANTI join on custkey (shuffle on the key at scale; AQE
+    broadcasts if the distinct-custkey side fits). One small hash agg
+    on segment finishes."""
+    bal = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    stats = bal.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count("*").alias("n")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        bal.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(o, bal.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            (F.sum("bal_c").cast("double") / 100).alias("total_bal"),
+        )
+    )

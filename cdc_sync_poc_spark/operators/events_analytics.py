@@ -1,0 +1,176 @@
+"""Event-stream analytics over the ``events`` table: tumbling-window
+aggregation, ordered funnel conversion, and cohort retention — the
+batch twins of the Structured Streaming operators (the tumbling window
+is literally ``F.window``, the same operator a ``readStream`` plan
+would use with a watermark; reference parity: the reference's poller
+only counts events per poll cycle, poc/src CdcPoller loop — these are
+the richer forms a warehouse needs).
+
+Scale design: every query here is partitioned by a high-cardinality
+key before any window/agg — (window, type) buckets, user_id, or
+(cohort, offset) — so there is no global sort and no single-task
+stage. Funnel stage tables shrink monotonically (stage N+1 is a join
+against stage N's survivors), and retention's distinct-day activity
+set is at most users x days, far smaller than raw events. All value
+sums run in integer cents/micros (order-independent, bit-exact vs the
+oracle); only final ratios are doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table
+
+
+@register(
+    "events_window_agg",
+    oracle="""
+SELECT date_trunc('hour', ts) AS w_start, event_type,
+       count(*)::BIGINT AS n_events,
+       cast(sum(CAST(round(value * 100) AS BIGINT))::BIGINT as double) / 100
+         AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts and value totals per event type —
+    the canonical streaming aggregation, run in batch mode. Uses
+    ``F.window`` (the exact operator a readStream plan reuses with a
+    watermark); tumbling windows are epoch-aligned so the window start
+    equals date_trunc('hour') in the oracle. One hash agg on the
+    (window, type) key — high-cardinality, map-side combined; value
+    sums in integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1)::BIGINT AS n_signup,
+       (SELECT count(*) FROM s2)::BIGINT AS n_click,
+       (SELECT count(*) FROM s3)::BIGINT AS n_purchase,
+       (SELECT coalesce(sum(epoch_us(s2.t2) - epoch_us(s1.t1)), 0)::BIGINT
+        FROM s2 JOIN s1 ON s2.user_id = s1.user_id) AS signup_to_click_us,
+       (SELECT coalesce(sum(epoch_us(s3.t3) - epoch_us(s2.t2)), 0)::BIGINT
+        FROM s3 JOIN s2 ON s3.user_id = s2.user_id) AS click_to_purchase_us
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (signup -> first click AFTER signup
+    -> first purchase AFTER that click), with stage counts and total
+    stage-transition latency in exact integer microseconds. Each stage
+    is a filtered min-ts hash agg on user_id joined to the previous
+    stage's survivors — the stage tables shrink monotonically, every
+    join key is user_id (co-partitioned across stages, one shuffle
+    domain), and the final counts are 1-row aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(ev_type: str, prev: DataFrame, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == ev_type)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage("click", s1, "t2", "t1")
+    s3 = stage("purchase", s2, "t3", "t2")
+
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    lat12 = (
+        s2.join(s1, "user_id")
+        .agg(F.coalesce(F.sum(us("t2") - us("t1")), F.lit(0)).alias("v"))
+        .select(F.col("v").alias("signup_to_click_us"))
+    )
+    lat23 = (
+        s3.join(s2, "user_id")
+        .agg(F.coalesce(F.sum(us("t3") - us("t2")), F.lit(0)).alias("v"))
+        .select(F.col("v").alias("click_to_purchase_us"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase")))
+    )
+    return counts.crossJoin(lat12).crossJoin(lat23)
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT f.cohort_date,
+       date_diff('day', f.cohort_date, a.d)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM activity a JOIN first_day f ON a.user_id = f.user_id
+GROUP BY f.cohort_date, day_offset
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, and
+    for each (cohort, day-offset) the count of users active that day.
+    The distinct (user, day) activity set is the first shuffle (at most
+    users x days rows — far smaller than raw events); cohort
+    assignment joins it on user_id; the triangle is one hash agg on
+    the compact (cohort, offset) key."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_date")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -51,10 +51,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # relative order at the end.
 _PRIORITY_PREFIXES = [
     # never in any driver sample (added round 2 at positions 51+, or
-    # new in round 3: bench_q4/q6/q10/q12, hygiene ops, split/stats)
+    # new in round 3: TPC-H q4-q22, hygiene ops, events analytics,
+    # ANN recall, split/stats)
     "sim_ivf", "sample_", "corpus_", "emb_", "text_repetition",
     "bench_q4", "bench_q6", "bench_q10", "bench_q12",
-    "dedup_span", "text_oov",
+    "bench_q7", "bench_q13", "bench_q14", "bench_q15",
+    "bench_q17", "bench_q19", "bench_q22",
+    "dedup_span", "text_oov", "text_lexical",
+    "events_window", "events_funnel", "events_retention",
+    "ann_recall",
     # modified in round 3 — need fresh rows
     "st01", "ap06", "dedup_minhash_cluster",
     # stale evidence: r1 rows predating the 8160c4a envelope changes
@@ -90,6 +95,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.operators.apply  # noqa: F401
     import cdc_sync_poc_spark.operators.bench_relational  # noqa: F401
     import cdc_sync_poc_spark.operators.conflict  # noqa: F401
+    import cdc_sync_poc_spark.operators.events_analytics  # noqa: F401
     import cdc_sync_poc_spark.operators.joins  # noqa: F401
     import cdc_sync_poc_spark.operators.rowops  # noqa: F401
     import cdc_sync_poc_spark.operators.sorts  # noqa: F401
