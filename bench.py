@@ -80,6 +80,13 @@ BENCH_QUERIES = [
     "events_retention",
     "text_lexical_concentration",
     "ann_recall_lsh",
+    "bench_q2_mincost",
+    "bench_q8_mktshare",
+    "bench_q9_profit",
+    "bench_q11_important",
+    "bench_q16_suppcnt",
+    "bench_q20_dominant",
+    "bench_q21_waiting",
 ]
 
 N_REPS = 3

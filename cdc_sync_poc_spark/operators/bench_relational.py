@@ -651,3 +651,452 @@ def bench_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bal_c").cast("double") / 100).alias("total_bal"),
         )
     )
+
+
+@register(
+    "bench_q2_mincost",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+best AS (
+  SELECT sp.l_partkey, min(sp.cost_c) AS min_c
+  FROM supply sp JOIN eu ON sp.l_suppkey = eu.s_suppkey
+  GROUP BY sp.l_partkey
+)
+SELECT eu.s_name, eu.n_name AS nation, p.p_partkey, p.p_type,
+       cast(sp.cost_c as double) / 100 AS min_cost,
+       cast(round(eu.s_acctbal * 100) as bigint) AS acctbal_c
+FROM part p
+JOIN supply sp ON sp.l_partkey = p.p_partkey
+JOIN best b ON b.l_partkey = p.p_partkey AND sp.cost_c = b.min_c
+JOIN eu ON sp.l_suppkey = eu.s_suppkey
+WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+""",
+)
+def bench_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier (reshaped: the fixture has
+    no partsupp, so the supply relation is the distinct (part, supplier)
+    pairs observed in lineitem with min line price in exact cents as the
+    supply cost). The correlated min-cost subquery becomes a per-part
+    hash agg joined back on (partkey, cost_c) — the canonical decorrelation
+    Catalyst itself applies to Q2. Supplier/nation/region broadcast; the
+    only large shuffles are the supply agg and the per-part min, both on
+    partkey (co-partitioned, AQE-coalesced). Cost compared in BIGINT
+    cents — no float equality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_c")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_supply = supply.join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey)
+    best = eu_supply.groupBy(F.col("l_partkey").alias("b_key")).agg(
+        F.min("cost_c").alias("min_c")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        eu_supply.join(
+            best,
+            (eu_supply.l_partkey == best.b_key) & (F.col("cost_c") == best.min_c),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_type",
+            (F.col("cost_c").cast("double") / 100).alias("min_cost"),
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_c"),
+        )
+    )
+
+
+@register(
+    "bench_q8_mktshare",
+    oracle="""
+SELECT year(o.o_orderdate)::BIGINT AS o_year,
+       cast(sum(CASE WHEN sn.n_name = 'NATION_2'
+                THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                ELSE 0 END)::BIGINT as double)
+       / cast(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+              as double) AS mkt_share,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY year(o.o_orderdate)
+""",
+)
+def bench_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: 8-way join where every
+    dimension (part, customer, both nation aliases, region, supplier)
+    broadcasts and the only fact-fact shuffle is lineitem->orders on
+    orderkey. The share is a conditional-sum ratio of two exact BIGINT
+    cents totals — order-independent, bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nat.join(F.broadcast(r), nat.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_rev).cast("double") / F.sum(rev).cast("double")
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "bench_q9_profit",
+    oracle="""
+SELECT sn.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
+       cast(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                  * CAST(round(l.l_quantity) AS BIGINT) * 20)::BIGINT
+            as double) / 10000 AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY sn.n_name, year(o.o_orderdate)
+""",
+)
+def bench_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit (reshaped: no partsupp, so
+    unit cost is 20%% of p_retailprice — a fixed-margin proxy computed in
+    exact cents). Part/supplier/nation broadcast; lineitem->orders is
+    the single fact shuffle; profit = revenue minus cost entirely in
+    BIGINT 10^-4 dollars inside one hash agg keyed by (nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.round(F.col("p_retailprice") * 100).cast("long") * F.round(
+        F.col("l_quantity")
+    ).cast("long") * 20
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.sum(amount).cast("double") / 10000).alias("profit"))
+    )
+
+
+@register(
+    "bench_q11_important",
+    oracle="""
+WITH val AS (
+  SELECT l.l_partkey,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS val_c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'AMERICA'
+  GROUP BY l.l_partkey
+),
+total AS (SELECT sum(val_c)::BIGINT AS t FROM val)
+SELECT v.l_partkey AS p_partkey,
+       cast(v.val_c as double) / 100 AS part_value
+FROM val v, total
+WHERE v.val_c * 1250 > total.t
+""",
+)
+def bench_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock identification (reshaped: stock
+    value per part is the exact-cents lineitem revenue routed through
+    AMERICA-region suppliers). The global-total scalar subquery is a
+    1-row broadcast cross join and the `share > 0.08%%` threshold is
+    cross-multiplied (val*1250 > total) so the boundary is exact BIGINT
+    on both engines. One shuffle: the per-part agg; the total reuses it
+    as a 1-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    am = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(am), li.l_suppkey == am.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("val_c")
+        )
+    )
+    total = val.agg(F.sum("val_c").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("val_c") * 1250 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("val_c").cast("double") / 100).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "bench_q16_suppcnt",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def bench_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-count distribution (reshaped: the
+    part-supplier relation is the distinct pairs observed in lineitem;
+    the excluded-complaints supplier set is proxied by negative account
+    balance). The NOT IN becomes a LEFT ANTI broadcast join (the
+    exclusion set is tiny), the pair-distinct and the count(distinct)
+    shuffle on shrinking keys, and part broadcasts after its size/brand
+    filter prunes it at the scan."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == F.col("bad_key"), "left_anti")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "bench_q20_dominant",
+    oracle="""
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(round(l.l_quantity) AS BIGINT))::BIGINT AS qty
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+tot AS (
+  SELECT l_partkey, sum(qty)::BIGINT AS total_qty
+  FROM shipped GROUP BY l_partkey
+),
+dominant AS (
+  SELECT DISTINCT sh.l_suppkey
+  FROM shipped sh
+  JOIN tot ON sh.l_partkey = tot.l_partkey
+  JOIN part p ON p.p_partkey = sh.l_partkey
+  WHERE p.p_name LIKE 'small%' AND sh.qty * 2 > tot.total_qty
+)
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+JOIN region r ON nt.n_regionkey = r.r_regionkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN dominant d ON s.s_suppkey = d.l_suppkey
+WHERE r.r_name = 'ASIA'
+""",
+)
+def bench_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped dominant-supplier detection (reshaped: no
+    partsupp availqty, so 'surplus' means the supplier shipped more than
+    half of a small-part's 1996 volume). The nested IN-subqueries become
+    two stacked hash aggs on (partkey[,suppkey]) — co-partitioned, one
+    logical shuffle — and a LEFT SEMI join gates the supplier dim.
+    The half-share threshold is integer cross-multiplied (qty*2 >
+    total), never a float division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty")
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_key")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    dominant = (
+        shipped.join(tot, shipped.l_partkey == F.col("t_key"))
+        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "bench_q21_waiting",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey)::BIGINT AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END)::BIGINT AS n_late
+  FROM pairs GROUP BY l_orderkey
+),
+culprit AS (
+  SELECT p.l_suppkey
+  FROM pairs p JOIN per_order po ON p.l_orderkey = po.l_orderkey
+  WHERE p.late AND po.n_supp >= 2 AND po.n_late = 1
+)
+SELECT s.s_name, n.n_name AS nation, count(*)::BIGINT AS numwait
+FROM culprit c
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY s.s_name, n.n_name
+""",
+)
+def bench_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting (reshaped: no
+    receipt/commit dates, so 'late' = shipped more than 90 days after
+    the order date). The EXISTS/NOT-EXISTS pair over lineitem self-joins
+    decorrelates into ONE distinct-pair aggregate per order (multi-
+    supplier + exactly-one-late) — a single orderkey shuffle replaces
+    two self-joins, the classic Q21 rewrite. The culprit join back to
+    pairs is co-partitioned on orderkey; supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+        .distinct()
+    )
+    per_order = pairs.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    culprit = (
+        pairs.filter(F.col("late"))
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_key"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1),
+        )
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("numwait"))
+    )

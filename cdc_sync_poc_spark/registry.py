@@ -57,6 +57,8 @@ _PRIORITY_PREFIXES = [
     "bench_q4", "bench_q6", "bench_q10", "bench_q12",
     "bench_q7", "bench_q13", "bench_q14", "bench_q15",
     "bench_q17", "bench_q19", "bench_q22",
+    "bench_q2_", "bench_q8", "bench_q9", "bench_q11",
+    "bench_q16", "bench_q20", "bench_q21",
     "dedup_span", "text_oov", "text_lexical",
     "events_window", "events_funnel", "events_retention",
     "ann_recall",
