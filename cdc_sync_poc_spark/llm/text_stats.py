@@ -160,3 +160,50 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_s"
         ),
     )
+
+
+@register(
+    "doc_length_quantiles",
+    oracle="""
+WITH hist AS (
+  SELECT n_chars, count(*)::BIGINT AS c FROM documents GROUP BY n_chars
+),
+cum AS (
+  SELECT n_chars,
+         sum(c) OVER (ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum_c
+  FROM hist
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT q.q::BIGINT AS q, min(cum.n_chars)::BIGINT AS value
+FROM (VALUES (25), (50), (75), (90), (99)) q(q), cum, tot
+WHERE cum.cum_c * 100 >= q.q * tot.n
+GROUP BY q.q
+""",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus length quantiles via the value-domain histogram —
+    the 100 TB quantile pattern (contrast a09_percentiles, which sorts
+    inside each group). One hash agg collapses N documents to the
+    distinct-length histogram (bounded by the length DOMAIN, ~hundreds
+    of values, independent of corpus size); the cumulative sum then
+    runs over that domain-sized table, so the unpartitioned window is
+    O(domain) work on one task, never O(rows). Quantile selection is
+    cross-multiplied BIGINT (cum*100 >= q*n) — no float rank
+    arithmetic, bit-exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("n_chars", F.sum("c").over(w).alias("cum_c"))
+    tot = docs.agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame([(25,), (50,), (75,), (90,), (99,)], "q long")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum_c") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("n_chars").alias("value"))
+    )

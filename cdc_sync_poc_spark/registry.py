@@ -65,7 +65,12 @@ _PRIORITY_PREFIXES = [
     # modified in round 3 — need fresh rows
     "st01", "ap06", "dedup_minhash_cluster",
     # stale evidence: r1 rows predating the 8160c4a envelope changes
-    "src_", "sink_", "ap0", "pipeline_",
+    # (ap05 pinned ahead of ap0 so it cannot fall out of the window)
+    "src_", "sink_", "ap05", "ap0", "pipeline_",
+    # new in round 3 but behind the envelope family (the window holds
+    # 50; these are covered by the local exact gate and rotate into the
+    # driver sample next round)
+    "doc_length",
     # r1-only rows, unmodified — refresh while there is room
     "plan_", "mm_", "text_", "events_", "a0", "a1", "bench_",
     # green in round 2, unchanged — rotate behind the cutoff
