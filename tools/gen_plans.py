@@ -38,6 +38,10 @@ SECTIONS = [
      "Skew salting: dim exploded 8x, fact salted by xxhash64, join on (key, salt)"),
     ("sim_ivf_topk",
      "IVF-Flat ANN: broadcast coarse-quantizer cells, per-vector argmax window, probe-cell semi-join"),
+    ("bench_q2_mincost",
+     "Q2 decorrelation: per-part min-cost hash agg joined back on (partkey, cost) — no correlated subquery, dims broadcast"),
+    ("bench_q21_waiting",
+     "Q21 rewrite: EXISTS/NOT-EXISTS self-join pair collapsed into ONE per-order distinct aggregate on the orderkey shuffle"),
 ]
 
 
