@@ -16,7 +16,7 @@ surfaced as DOUBLE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
@@ -686,12 +686,16 @@ def bench_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped minimum-cost supplier (reshaped: the fixture has
     no partsupp, so the supply relation is the distinct (part, supplier)
     pairs observed in lineitem with min line price in exact cents as the
-    supply cost). The correlated min-cost subquery becomes a per-part
-    hash agg joined back on (partkey, cost_c) — the canonical decorrelation
-    Catalyst itself applies to Q2. Supplier/nation/region broadcast; the
-    only large shuffles are the supply agg and the per-part min, both on
-    partkey (co-partitioned, AQE-coalesced). Cost compared in BIGINT
-    cents — no float equality."""
+    supply cost). The correlated min-cost subquery decorrelates into a
+    per-part window min over the SAME pass that built the supply rows —
+    one lineitem scan, one (partkey,suppkey) agg shuffle, one partkey
+    window exchange, no self-join. (The agg-then-join-back form computed
+    the whole supply subtree twice: Spark's column pruning makes the two
+    branches non-identical, defeating ReuseExchange — observed in the
+    executed plan before this rewrite.) The window partitions on
+    partkey (high cardinality, no single-task stage); supplier/nation/
+    region broadcast. Cost compared in BIGINT cents — no float
+    equality."""
     li = load_table(spark, sf_dir, "lineitem")
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_c")
@@ -705,8 +709,9 @@ def bench_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eu_supply = supply.join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey)
-    best = eu_supply.groupBy(F.col("l_partkey").alias("b_key")).agg(
-        F.min("cost_c").alias("min_c")
+    w = Window.partitionBy("l_partkey")
+    eu_supply = eu_supply.withColumn("min_c", F.min("cost_c").over(w)).filter(
+        F.col("cost_c") == F.col("min_c")
     )
     p = (
         load_table(spark, sf_dir, "part")
@@ -714,11 +719,7 @@ def bench_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_type")
     )
     return (
-        eu_supply.join(
-            best,
-            (eu_supply.l_partkey == best.b_key) & (F.col("cost_c") == best.min_c),
-        )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        eu_supply.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
             "s_name",
             F.col("n_name").alias("nation"),
@@ -1054,39 +1055,34 @@ def bench_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped suppliers-who-kept-orders-waiting (reshaped: no
     receipt/commit dates, so 'late' = shipped more than 90 days after
     the order date). The EXISTS/NOT-EXISTS pair over lineitem self-joins
-    decorrelates into ONE distinct-pair aggregate per order (multi-
-    supplier + exactly-one-late) — a single orderkey shuffle replaces
-    two self-joins, the classic Q21 rewrite. The culprit join back to
-    pairs is co-partitioned on orderkey; supplier/nation broadcast."""
+    decorrelates into one (orderkey, suppkey) aggregate (was-this-
+    supplier-ever-late) plus per-order window counts over the SAME rows
+    — a single lineitem scan and one orderkey-rooted shuffle chain; no
+    self-join recomputes the pairs relation (the agg+join-back form
+    built it twice — observed in the executed plan before this
+    rewrite). The culprit filter (multi-supplier order, exactly one
+    late supplier, this one) is a branch-free window predicate;
+    supplier/nation broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-            ).alias("late"),
-        )
-        .distinct()
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
     )
-    per_order = pairs.groupBy(F.col("l_orderkey").alias("po_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
-    )
+    w = Window.partitionBy("l_orderkey")
     culprit = (
-        pairs.filter(F.col("late"))
-        .join(
-            per_order,
-            (F.col("l_orderkey") == F.col("po_key"))
-            & (F.col("n_supp") >= 2)
-            & (F.col("n_late") == 1),
+        pairs.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
         )
         .select("l_suppkey")
     )

@@ -39,9 +39,9 @@ SECTIONS = [
     ("sim_ivf_topk",
      "IVF-Flat ANN: broadcast coarse-quantizer cells, per-vector argmax window, probe-cell semi-join"),
     ("bench_q2_mincost",
-     "Q2 decorrelation: per-part min-cost hash agg joined back on (partkey, cost) — no correlated subquery, dims broadcast"),
+     "Q2 decorrelation: per-part window min over the single supply pass — ONE lineitem scan, no self-join, dims broadcast"),
     ("bench_q21_waiting",
-     "Q21 rewrite: EXISTS/NOT-EXISTS self-join pair collapsed into ONE per-order distinct aggregate on the orderkey shuffle"),
+     "Q21 rewrite: EXISTS/NOT-EXISTS self-joins collapsed into one (order,supplier) agg + per-order window counts — ONE lineitem scan"),
 ]
 
 
