@@ -87,6 +87,16 @@ BENCH_QUERIES = [
     "bench_q16_suppcnt",
     "bench_q20_dominant",
     "bench_q21_waiting",
+    # round-3 preprocess family (append-only)
+    "pii_redact",
+    "doc_chunking",
+    "seq_packing",
+    "text_rarity_score",
+    "emb_label_centroids",
+    "dup_ngram_fraction",
+    "events_rolling_stats",
+    "events_concurrency",
+    "text_cooccur_lift",
 ]
 
 N_REPS = 3

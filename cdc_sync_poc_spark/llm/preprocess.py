@@ -1,0 +1,412 @@
+"""Pre-training preprocessing operators (LLM-data-pipeline extension,
+SURVEY §7.1 M6 family): PII redaction, sliding-window chunking,
+context-window sequence packing, corpus-frequency rarity scoring,
+per-label embedding centroids, and the duplicated-n-gram quality
+signal — the transform stage that sits between corpus hygiene
+(llm/hygiene.py) and the training-data writer.
+
+Scale design:
+
+* pii_redact / doc_chunking: pure map-side column expressions (regex +
+  explode) — zero shuffles; chunking fans out rows but never moves
+  them, so the 100 TB plan is scan → project → write.
+* seq_packing: a global running token offset is a prefix sum, which
+  naively serializes into ONE task per lang. Implemented as the same
+  two-level chunked prefix sum as st05 (operators/stateful.py): local
+  cumsum inside (lang, doc-chunk) partitions + a tiny chunk-totals
+  frame carrying the carry-in offsets, broadcast back. Every wide
+  window is partitioned; the only single-partition window runs over
+  n_docs/CHUNK_DOCS rows.
+* text_rarity_score: the term-frequency join is the canonical skew
+  case (stopwords are power-law hot keys). Uses the split-join
+  pattern: the top-HOT_K head terms broadcast as a map-side join, the
+  long tail shuffles on term — no reducer ever sees a stopword's full
+  postings. The union is a disjoint partition of terms, so the result
+  is bit-identical to the plain join the oracle runs.
+* emb_label_centroids: elementwise float sums across rows are
+  partition-order-dependent, so the mean folds fixed-point integers
+  (floor(x * 2^20) as BIGINT — same construction as the IVF Lloyd
+  round, llm/similarity.py) and divides once at the end: bit-exact
+  across engines at any parallelism.
+* dup_ngram_fraction: one shuffle on the uniform 128-bit gram hash
+  (window count), one hash agg on doc_id. At 100 TB the window form
+  can be swapped for agg + broadcast of the (small) duplicated-gram
+  set without changing results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
+
+# pii_redact: Java (Spark) and RE2 (DuckDB) agree on this character-class
+# subset; no lookaround, no lazy quantifiers, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9_]+@[A-Za-z0-9_]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+CHUNK_WORDS = 32  # doc_chunking window size
+CHUNK_STRIDE = 24  # doc_chunking stride (8-word overlap)
+
+PACK_BUDGET = 512  # seq_packing context-window token budget
+PACK_CHUNK_DOCS = 64  # seq_packing docs per local prefix-sum partition
+
+HOT_K = 64  # text_rarity_score head-term broadcast size
+Q_FIX = 1 << 20  # emb_label_centroids fixed-point scale (2^20)
+DUP_N = 8  # dup_ngram_fraction n-gram width
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' today'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phone,
+       md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+FROM aug
+""",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email / phone patterns per
+    document (the scrub every pre-training pipeline runs before
+    tokenization). The synthetic corpus contains no organic PII, so a
+    deterministic doc_id-derived email (every 3rd doc) and phone
+    (every 5th doc) are appended first — making the regexes fire on a
+    varying, replayable subset that the oracle reproduces exactly.
+    Map-only: two regexp_extract_all counts + two regexp_replace
+    passes inside one projection, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = spread_small_input(docs.select("doc_id", aug.alias("t")))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phone"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+c AS (
+  SELECT doc_id, words,
+         unnest(range(1, len(words) + 1, {CHUNK_STRIDE})) AS chunk_start
+  FROM w
+)
+SELECT doc_id,
+       (chunk_start - 1) // {CHUNK_STRIDE} AS chunk_id,
+       chunk_start,
+       len(words[chunk_start : chunk_start + {CHUNK_WORDS - 1}])::BIGINT
+         AS n_words,
+       md5(array_to_string(
+           words[chunk_start : chunk_start + {CHUNK_WORDS - 1}], ' '))
+         AS chunk_hash
+FROM c
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: CHUNK_WORDS-word windows at
+    CHUNK_STRIDE spacing (8-word overlap so no span is split across a
+    chunk boundary unseen), ragged tail kept — the unit-of-training
+    fan-out step before tokenization. Map-side explode only: rows fan
+    out ~n_words/stride× but never shuffle, so at 100 TB this stays a
+    scan → project → write plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread_small_input(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    )
+    exploded = base.select(
+        "doc_id",
+        "w",
+        F.posexplode(F.expr(f"sequence(1, size(w), {CHUNK_STRIDE})")).alias(
+            "chunk_id", "chunk_start"
+        ),
+    )
+    chunk = F.expr(f"slice(w, chunk_start, {CHUNK_WORDS})")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "seq_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM d
+)
+SELECT doc_id, lang, n_tokens,
+       prev // {PACK_BUDGET} AS bin_id,
+       prev % {PACK_BUDGET} AS bin_offset
+FROM c
+""",
+)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: concatenate each language's token
+    stream in doc_id order and split it into PACK_BUDGET-token context
+    windows — each document reports the window (bin_id) and offset
+    where it starts, exactly the concat-then-split packing used to
+    build pre-training batches. The running offset is a prefix sum;
+    computed two-level so no window ever runs over a whole language in
+    one task (see module docstring): local cumsum inside
+    (lang, doc_id div PACK_CHUNK_DOCS) + broadcast carry-in offsets
+    from the tiny chunk-totals frame. The oracle states the same
+    quantity as one flat window."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = spread_small_input(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+            F.expr(f"doc_id div {PACK_CHUNK_DOCS}").alias("ck"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("lang", "ck")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn(
+        "local_prev", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    # Carry-in per (lang, ck): the chunk-totals frame is n_docs /
+    # PACK_CHUNK_DOCS rows — its single-partition-per-lang window is
+    # over a frame ~CHUNK_DOCS× smaller than the data (st05 pattern).
+    w_carry = (
+        Window.partitionBy("lang")
+        .orderBy("ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        d.groupBy("lang", "ck")
+        .agg(F.sum("n_tokens").alias("ck_tot"))
+        .select(
+            "lang",
+            "ck",
+            F.coalesce(F.sum("ck_tot").over(w_carry), F.lit(0)).alias("ck_off"),
+        )
+    )
+    prev = F.col("ck_off") + F.col("local_prev")
+    return (
+        local.join(F.broadcast(carry), ["lang", "ck"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            prev.alias("prev"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"prev div {PACK_BUDGET}").alias("bin_id"),
+            (F.col("prev") % PACK_BUDGET).alias("bin_offset"),
+        )
+    )
+
+
+@register(
+    "text_rarity_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (
+  SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(f.c)::BIGINT AS sum_freq,
+       round(CAST(sum(f.c) AS DOUBLE) / count(*), 6) AS mean_term_freq
+FROM toks t JOIN freq f USING (term)
+GROUP BY t.doc_id
+""",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity score per document: mean corpus
+    frequency of the document's tokens (low mean = rare/unusual
+    vocabulary, high mean = stopword soup) — the CCNet-style
+    frequency prior used as a curation signal. The term join is the
+    canonical skew join (head terms are power-law hot): implemented as
+    a split-join — top-HOT_K head terms broadcast, the long tail
+    shuffles — which partitions the term space, so the union equals
+    the oracle's plain join exactly (integer sums are order-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread_small_input(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    hot = freq.orderBy(F.desc("c"), F.asc("term")).limit(HOT_K)
+    cold = freq.join(F.broadcast(hot.select("term")), "term", "left_anti")
+    hot_hits = toks.join(F.broadcast(hot), "term")
+    cold_hits = toks.join(
+        F.broadcast(hot.select("term")), "term", "left_anti"
+    ).join(cold, "term")
+    return (
+        hot_hits.unionByName(cold_hits)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+            F.round(
+                F.sum("c").cast("double") / F.count("*"), 6
+            ).alias("mean_term_freq"),
+        )
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle=f"""
+WITH ex AS (
+  SELECT label,
+         unnest(range(1, 65)) AS dim,
+         unnest(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {Q_FIX}) AS BIGINT))) AS q
+  FROM embeddings
+)
+SELECT label, dim, count(*)::BIGINT AS n_vecs,
+       round(CAST(sum(q) AS DOUBLE) / {Q_FIX} / count(*), 6) AS centroid
+FROM ex GROUP BY label, dim
+""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension) —
+    the class-prototype computation behind centroid classifiers,
+    outlier scoring, and IVF-style partition seeding. Elementwise
+    double sums are partition-order-dependent, so each coordinate is
+    fixed-pointed (floor(x · 2^20) as BIGINT — the construction the
+    IVF Lloyd round uses, llm/similarity.py) and summed exactly; one
+    double division at the end. posexplode shuffles (label, dim) keyed
+    rows — 64× fan-out but uniform keys, map-side combined."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = spread_small_input(emb.select("label", "embedding")).select(
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> CAST(floor(CAST(x AS DOUBLE) * {Q_FIX}) AS BIGINT))"
+            )
+        ).alias("pos", "q"),
+    )
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum("q").cast("double") / Q_FIX / F.count("*"), 6
+            ).alias("centroid"),
+        )
+        .select("label", "dim", "n_vecs", "centroid")
+    )
+
+
+@register(
+    "dup_ngram_fraction",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - {DUP_N - 2}),
+             i -> md5(array_to_string(words[i : i + {DUP_N - 1}], ' '))))
+           AS gh
+  FROM w WHERE len(words) >= {DUP_N}
+),
+c AS (SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS cnt FROM g)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_frac
+FROM c GROUP BY doc_id
+""",
+)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram fraction per document: the share of a
+    document's overlapping DUP_N-grams that occur more than once in
+    the corpus (RefinedWeb/Gopher-style inter-document repetition
+    signal — high fraction = boilerplate or near-dup content that
+    document-level dedup missed). Unlike dedup_span_exact's disjoint
+    spans, grams here OVERLAP, so every duplicated phrase is charged
+    to every position it covers. One shuffle on the uniform gram hash
+    (window count) + one doc_id hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread_small_input(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    ).filter(F.size("w") >= DUP_N)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {DUP_N - 1}),"
+                f" i -> md5(concat_ws(' ', slice(w, i, {DUP_N}))))"
+            )
+        ).alias("gh"),
+    )
+    cnt = F.count("*").over(Window.partitionBy("gh"))
+    dup = F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+    return (
+        grams.withColumn("cnt", cnt)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.alias("n_dup"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )

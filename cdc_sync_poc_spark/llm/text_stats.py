@@ -207,3 +207,96 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("n_chars").alias("value"))
     )
+
+
+COOC_WINDOW = 3  # text_cooccur_lift max token distance
+COOC_TOP = 50  # text_cooccur_lift result size
+
+
+@register(
+    "text_cooccur_lift",
+    oracle=f"""
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+p AS (
+  SELECT unnest(flatten(list_transform(range(1, len(words)), i ->
+           list_transform(range(i + 1, least(i + {COOC_WINDOW}, len(words)) + 1),
+             j -> array_to_string(list_sort([words[i], words[j]]), ' ')))))
+         AS pair
+  FROM w WHERE len(words) >= 2
+),
+pc AS (SELECT pair, count(*)::BIGINT AS c_ab FROM p GROUP BY pair),
+u AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+uc AS (SELECT term, count(*)::BIGINT AS c FROM u GROUP BY term),
+tot AS (SELECT count(*)::BIGINT AS n FROM u),
+split AS (
+  SELECT string_split(pair, ' ')[1] AS ta, string_split(pair, ' ')[2] AS tb,
+         c_ab
+  FROM pc
+)
+SELECT s.ta, s.tb, s.c_ab,
+       round(CAST(s.c_ab AS DOUBLE) * CAST(t.n AS DOUBLE)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+FROM split s
+JOIN uc ca ON ca.term = s.ta
+JOIN uc cb ON cb.term = s.tb
+CROSS JOIN tot t
+ORDER BY lift DESC, s.ta, s.tb LIMIT {COOC_TOP}
+""",
+)
+def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring term pairs by lift (observed pair frequency over
+    the independence expectation — PMI without the logarithm, so
+    bit-exact across engines: pure integer counts, one double
+    multiply/divide chain in a fixed order). Pairs come from a
+    COOC_WINDOW-token sliding window (linear O(n·w) fan-out, never the
+    quadratic all-pairs-in-document form), normalized to sorted order
+    so (a,b) and (b,a) pool. Two hash aggs (pair, term) + two joins of
+    the pair table against the unigram counts + TakeOrderedAndProject
+    for the top-COOC_TOP — no global sort. The unigram side broadcasts
+    (vocabulary ≪ corpus; at web scale it is still only ~10^7 rows —
+    the pair table, which is corpus-sized, is never broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread_small_input(
+        docs.select(F.split(F.col("text"), " ").alias("w"))
+    ).filter(F.size("w") >= 2)
+    pair_expr = F.expr(
+        f"flatten(transform(sequence(1, size(w) - 1), i ->"
+        f" transform(sequence(i + 1, least(i + {COOC_WINDOW}, size(w))), j ->"
+        f" array_join(array_sort(array(element_at(w, i), element_at(w, j))),"
+        f" ' '))))"
+    )
+    pc = (
+        base.select(F.explode(pair_expr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("c_ab"))
+        .select(
+            F.split(F.col("pair"), " ").getItem(0).alias("ta"),
+            F.split(F.col("pair"), " ").getItem(1).alias("tb"),
+            "c_ab",
+        )
+    )
+    toks = spread_small_input(docs.select("text")).select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    uc = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n"))
+    lift = F.round(
+        F.col("c_ab").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+        6,
+    )
+    return (
+        pc.join(
+            F.broadcast(uc.select(F.col("term").alias("ta"), F.col("c").alias("ca"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(uc.select(F.col("term").alias("tb"), F.col("c").alias("cb"))),
+            "tb",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("ta", "tb", "c_ab", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "ta", "tb")
+        .limit(COOC_TOP)
+    )

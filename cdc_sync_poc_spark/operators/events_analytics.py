@@ -174,3 +174,136 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "events_rolling_stats",
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events
+)
+SELECT event_id, user_id,
+       count(*) OVER w::BIGINT AS roll_n,
+       CAST(sum(cents) OVER w AS DOUBLE) / 100 AS roll_sum,
+       round(CAST(sum(cents) OVER w AS DOUBLE) / 100
+             / (count(*) OVER w), 6) AS roll_avg
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling statistics over the last 5 events (count, value
+    sum, mean) — the moving-window feature a fraud/activity model
+    reads. One hash-partition exchange on user_id, sort within
+    partitions only (the plan never globally sorts); value math in
+    integer cents so the window sums are order-exact; (ts, event_id)
+    ordering makes ties deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_id", "user_id", cents.alias("cents"), "ts")
+    roll_sum = F.sum("cents").over(w).cast("double") / 100
+    roll_n = F.count("*").over(w)
+    return base.select(
+        "event_id",
+        "user_id",
+        roll_n.cast("bigint").alias("roll_n"),
+        roll_sum.alias("roll_sum"),
+        F.round(roll_sum / roll_n, 6).alias("roll_avg"),
+    )
+
+
+SESSION_MIN = 30  # events_concurrency session length (minutes)
+CONC_CHUNK_SEC = 3600  # events_concurrency local prefix-sum bucket
+
+
+@register(
+    "events_concurrency",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL {SESSION_MIN} MINUTE, -1, event_id
+  FROM events
+),
+run AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT event_type, (count(*) // 2)::BIGINT AS n_sessions,
+       max(conc)::BIGINT AS max_concurrent
+FROM run GROUP BY event_type
+""",
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event opens a
+    SESSION_MIN-minute session; the classic interval sweep (+1 at
+    open, -1 at close, running sum, max) counts the maximum number of
+    simultaneously open sessions. A naive per-type running sum is ONE
+    task per type; implemented as the two-level chunked prefix sum
+    (seq_packing / st05 pattern): local cumsum inside
+    (type, CONC_CHUNK_SEC time bucket) + broadcast carry-in offsets
+    from the tiny per-bucket delta totals. Close points sort before
+    open points at the same instant (delta ASC), so back-to-back
+    sessions never double-count — and the oracle's flat window states
+    the identical order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    opens = ev.select(
+        "event_type",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    closes = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {SESSION_MIN} MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    pts = opens.unionByName(closes).withColumn(
+        "ck", F.expr(f"unix_micros(t) div {CONC_CHUNK_SEC * 1_000_000}")
+    )
+    w_local = (
+        Window.partitionBy("event_type", "ck")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pts.withColumn("local_run", F.sum("delta").over(w_local))
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        pts.groupBy("event_type", "ck")
+        .agg(F.sum("delta").alias("ck_tot"))
+        .select(
+            "event_type",
+            "ck",
+            F.coalesce(F.sum("ck_tot").over(w_carry), F.lit(0)).alias("ck_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(carry), ["event_type", "ck"])
+        .groupBy("event_type")
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+            F.max(F.col("ck_off") + F.col("local_run")).cast("bigint").alias(
+                "max_concurrent"
+            ),
+        )
+    )

@@ -42,6 +42,10 @@ SECTIONS = [
      "Q2 decorrelation: per-part window min over the single supply pass — ONE lineitem scan, no self-join, dims broadcast"),
     ("bench_q21_waiting",
      "Q21 rewrite: EXISTS/NOT-EXISTS self-joins collapsed into one (order,supplier) agg + per-order window counts — ONE lineitem scan"),
+    ("seq_packing",
+     "Packing offsets with NO whole-language window: chunked local cumsum + broadcast carry-in (st05 pattern)"),
+    ("text_rarity_score",
+     "Skew-aware split-join: head terms broadcast map-side, long tail shuffles; union partitions the term space"),
 ]
 
 
