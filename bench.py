@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -97,6 +98,9 @@ BENCH_QUERIES = [
     "events_rolling_stats",
     "events_concurrency",
     "text_cooccur_lift",
+    # round-4 additions (append-only)
+    "ann_recall_ivf",
+    "j04_target_exists",
 ]
 
 N_REPS = 3
@@ -152,6 +156,7 @@ def run(
     # standard noise-robust estimator for one-sided timing noise
     # (contention only ever adds time).
     run_list = names or BENCH_QUERIES
+    medians: dict[str, float] = {}
     samples: dict[str, list[float]] = {name: [] for name in run_list}
     for p in range(reps):
         for name in run_list:
@@ -165,8 +170,13 @@ def run(
         )
     for name in run_list:
         timings[name] = round(min(samples[name]), 3)
+        medians[name] = round(statistics.median(samples[name]), 3)
         shown = [round(s, 3) for s in samples[name]]
-        print(f"# {name}: {timings[name]:.3f}s min of {shown}", file=sys.stderr)
+        print(
+            f"# {name}: min {timings[name]:.3f}s / median "
+            f"{medians[name]:.3f}s of {shown}",
+            file=sys.stderr,
+        )
 
     # value = steady-state total (sum of per-query min-of-passes on warm
     # shared caches); the one-time cache build cost is reported
@@ -177,9 +187,14 @@ def run(
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # medians reported alongside min (VERDICT r3 #5) so round-over-
+        # round trends aren't flattered by the most favorable statistic;
+        # "queries" stays min for comparability with r2/r3.
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
         "sf": sf,
         "reps": reps,
-        "agg": "min_of_interleaved_passes",
+        "agg": "min_of_interleaved_passes; median alongside",
     }
     if warmup:
         result["warmup"] = warmup

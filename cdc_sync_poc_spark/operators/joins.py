@@ -162,8 +162,11 @@ def j04_target_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .filter(F.col("operation").isin("UPDATE", "DELETE"))
     )
+    # NEVER broadcast `base`: it stands in for the target table, the side
+    # that grows to 100 TB. Un-hinted, this is a shuffle join on pk (and AQE
+    # may still choose to broadcast `last`, the bounded changes side).
     base = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
-    return last.join(F.broadcast(base), last.pk == base.c_custkey, "left").select(
+    return last.join(base, last.pk == base.c_custkey, "left").select(
         "pk",
         "operation",
         F.when(F.col("c_custkey").isNull(), "TARGET_NOT_FOUND")

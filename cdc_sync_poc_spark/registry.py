@@ -39,47 +39,56 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver samples the FIRST 50 registered queries (dict insertion
 # order) for its CORRECTNESS gate; the sample rotates per round so every
-# query eventually carries fresh driver evidence. Round 1 covered the
-# extension families, round 2 the §2 core (r/j/s/st/cf) + dedup/sim.
-# Round 3 therefore front-loads (a) the five round-2 additions that have
-# never been in any sample, (b) everything modified this round (st01
-# persist fix, ap06 join change, minhash_cluster convergence guard,
-# sim_ivf Lloyd round), and (c) the families whose last green row
-# predates commit 8160c4a's envelope changes (src/sink/ap/pipeline) or
-# is r1-only (plan/mm/text/events/a/bench). The fresh round-2 rows
-# rotate to the back. Prefix match, first hit wins; unmatched ids keep
-# relative order at the end.
+# query eventually carries fresh driver evidence. Round 4 front-loads,
+# per VERDICT r3 "Next round" #3:
+#   (a) seq_packing — the one red r3 row (oracle ::BIGINT cast applied);
+#   (b) doc_length_quantiles — the only query never in any sample;
+#   (c) every module changed THIS round: joins.py (j04 un-broadcast →
+#       all j*), cdc/envelope.py (classified_view un-broadcast → all
+#       src_*/sink_* plus its consumers a01-a04, s03/s04, ap05,
+#       pipeline_e2e), llm/similarity.py (sim_ivf Lloyd fusion +
+#       ann_recall_ivf → all sim_*/ann_recall_*), llm/preprocess.py
+#       (pii_redact/doc_chunking ride along);
+#   (d) queries whose module changed AFTER their last green row:
+#       mm_* (r1, multimodal touched), ap01-ap04 (r1, apply touched),
+#       text_tfidf/text_top_terms/events_sessionize (r1, text_stats
+#       touched), dedup_{exact,minhash_lsh,simhash,ngram,embedding,
+#       normalized} (r2, dedup/curation touched).
+# Everything with a green row at-or-after its module's last change
+# rotates behind the cutoff (still covered by the local exact gate).
+# Prefix match, first hit wins; unmatched ids keep relative order at
+# the end.
 _PRIORITY_PREFIXES = [
-    # never in any driver sample (added round 2 at positions 51+, or
-    # new in round 3: TPC-H q4-q22, hygiene ops, events analytics,
-    # ANN recall, split/stats, and the preprocess family — pii/chunk/
-    # pack/rarity/dup-ngram; emb_label_centroids rides the emb_ prefix)
-    "sim_ivf", "sample_", "corpus_", "emb_", "text_repetition",
-    "bench_q4", "bench_q6", "bench_q10", "bench_q12",
-    "bench_q7", "bench_q13", "bench_q14", "bench_q15",
-    "bench_q17", "bench_q19", "bench_q22",
-    "bench_q2_", "bench_q8", "bench_q9", "bench_q11",
-    "bench_q16", "bench_q20", "bench_q21",
-    "dedup_span", "text_oov", "text_lexical",
-    "events_window", "events_funnel", "events_retention",
-    "ann_recall",
-    "pii_", "doc_chunk", "seq_pack", "text_rarity", "dup_ngram",
-    "events_rolling", "events_concur", "text_cooccur",
-    # modified in round 3 — need fresh rows
-    "st01", "ap06", "dedup_minhash_cluster",
-    # stale evidence: r1 rows predating the 8160c4a envelope changes.
-    # ap05 (exactly-once mark) is judge-named, pinned inside the window;
-    # sink_* / src_point_lookup / ap01-04 / pipeline_e2e take the next
-    # rotation (the window holds 50 and first-ever evidence for new ops
-    # outranks refreshing rows that were green once — they stay covered
-    # by the local exact gate).
-    "ap05", "src_kafka", "src_debezium", "src_jdbc",
+    # (a) + (b)
+    "seq_pack", "doc_length",
+    # (c) similarity.py: 4 sim_* + 2 ann_recall_* = 6
+    "sim_", "ann_recall",
+    # (d) dedup family changed after its r2 rows: 6
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram", "dedup_embedding", "dedup_normalized",
+    # (d) multimodal (3), apply r1 rows (4) + ap05 (envelope consumer)
+    "mm_", "ap01", "ap02", "ap03", "ap04", "ap05",
+    # (d) text_stats r1 rows: 3
+    "text_tfidf", "text_top_terms", "events_sessionize",
+    # (c) joins.py: 8
+    "j0",
+    # (c) envelope.py: 5 src_* + 3 sink_*
+    "src_", "sink_",
+    # (c) classified_view consumers: 4 + 2 + 1
+    "a01", "a02", "a03", "a04", "s03", "s04", "pipeline_",
+    # (c) preprocess.py riders: 2 → exactly 50
+    "pii_", "doc_chunk",
     # ---- 50-query driver window ends here ----
-    "sink_", "src_", "ap0", "pipeline_", "doc_length",
-    # r1-only rows, unmodified — refresh while there is room
-    "plan_", "mm_", "text_", "events_", "a0", "a1", "bench_",
-    # green in round 2, unchanged — rotate behind the cutoff
-    "r0", "r1", "j0", "s0", "st0", "cf0", "dedup_", "sim_",
+    # preprocess remainder (r3-green, code untouched this round)
+    "text_rarity", "emb_label", "dup_ngram",
+    # r3-green, modules unchanged
+    "st01", "ap06", "dedup_minhash_cluster", "dedup_span",
+    "text_oov", "text_lexical", "text_repetition", "corpus_",
+    "sample_", "emb_", "events_", "text_", "ann_",
+    # r2-green, modules unchanged
+    "r0", "r1", "s0", "st0", "cf0",
+    # r1/r3-green relational + plan suite, unchanged
+    "a0", "a1", "bench_", "plan_",
 ]
 
 

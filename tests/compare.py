@@ -11,10 +11,56 @@ so any drift is visible before it can flip a driver hash.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal
 import math
 
 import numpy as np
 import pandas as pd
+
+
+# Dtype *kind* comparison (round-4, VERDICT r3 "What's wrong" #1): the
+# driver hashes pandas values, so an oracle that comes back float64 where
+# Spark returns int64 (DuckDB sum(BIGINT) -> HUGEINT -> float64) hashes
+# 5.0 vs 5 and fails even though _normalize_cell sees them as equal.
+# Width differences (int32 vs int64) are fine — both hash as ints — and
+# DATE columns are fine too (Spark toPandas gives object-dtype
+# datetime.date where DuckDB gives datetime64; the driver normalizes
+# temporals — events_retention/r05 carry green driver rows with exactly
+# that shape), so object columns resolve to an effective kind from their
+# first non-null value. None = column is all-null, kind unknowable.
+_KIND_NAMES = {
+    "i": "int",
+    "u": "int",
+    "f": "float",
+    "b": "bool",
+    "M": "datetime",
+    "m": "timedelta",
+}
+
+
+def _dtype_kind(series: pd.Series) -> str | None:
+    k = series.dtype.kind
+    if k != "O":
+        return _KIND_NAMES.get(k, k)
+    nonnull = series.dropna()
+    if nonnull.empty:
+        return None
+    v = nonnull.iloc[0]
+    if isinstance(v, bool | np.bool_):
+        return "bool"
+    if isinstance(v, int | np.integer):
+        return "int"
+    if isinstance(v, float | np.floating):
+        return "float"
+    if isinstance(v, _dt.date | _dt.datetime | pd.Timestamp):
+        return "datetime"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, list | tuple | np.ndarray):
+        return "array"
+    return "object"
 
 
 def _normalize_cell(v):
@@ -55,6 +101,16 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
     )
     assert len(spark_pdf) == len(duck_pdf), (
         f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    )
+    kind_diffs = {}
+    for c in spark_pdf.columns:
+        ks, kd = _dtype_kind(spark_pdf[c]), _dtype_kind(duck_pdf[c])
+        if ks is not None and kd is not None and ks != kd:
+            kind_diffs[c] = (ks, kd)
+    assert not kind_diffs, (
+        f"dtype-kind mismatch (spark, duck): {kind_diffs} — the driver's "
+        "value hash distinguishes e.g. 5 from 5.0; cast the oracle "
+        "(::BIGINT for DuckDB HUGEINT sums) or the Spark column"
     )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     if a == b:

@@ -37,7 +37,9 @@ SECTIONS = [
     ("j08_salted_skew_join",
      "Skew salting: dim exploded 8x, fact salted by xxhash64, join on (key, salt)"),
     ("sim_ivf_topk",
-     "IVF-Flat ANN: broadcast coarse-quantizer cells, per-vector argmax window, probe-cell semi-join"),
+     "IVF-Flat ANN probe: map-only cell assignment (constant-folded centroid literal), IN-filter on driver-ranked probe cells, TakeOrderedAndProject — zero joins, zero shuffles before the top-K"),
+    ("j04_target_exists",
+     "Existence check with NO forced broadcast of the base table: Catalyst/AQE picks the strategy from statistics (a size-based broadcast at sf0.1 where the key set is KBs; a shuffle join at scale where it is TBs) — the unconditional F.broadcast() hint that forced the base side at ANY size is gone"),
     ("bench_q2_mincost",
      "Q2 decorrelation: per-part window min over the single supply pass — ONE lineitem scan, no self-join, dims broadcast"),
     ("bench_q21_waiting",
