@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     # round-4 additions (append-only)
     "ann_recall_ivf",
     "j04_target_exists",
+    "dedup_segment_boilerplate",
+    "text_gini_concentration",
+    "emb_pq_error",
 ]
 
 N_REPS = 3

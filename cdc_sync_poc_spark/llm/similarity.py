@@ -768,3 +768,99 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+PQ_M = 8  # product-quantization subspaces
+PQ_DSUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codes per subspace codebook
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH {_VEC_CTES},
+seed AS (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {PQ_K}),
+cb AS (
+  SELECT t.s, seed.vec_id AS cid,
+         seed.v[t.s*{PQ_DSUB}+1 : t.s*{PQ_DSUB}+{PQ_DSUB}] AS cv
+  FROM seed CROSS JOIN range(0, {PQ_M}) t(s)
+),
+dists AS (
+  SELECT n.vec_id, cb.s, cb.cid,
+         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+            i -> (n.v[cb.s*{PQ_DSUB}+i] - cb.cv[i])
+               * (n.v[cb.s*{PQ_DSUB}+i] - cb.cv[i]))) AS dist
+  FROM n CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, s, cid, dist FROM (
+    SELECT vec_id, s, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM dists)
+  WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS pq_code,
+       round(list_sum(list(dist ORDER BY s)) / {float(EMB_DIM)!r}, 6)
+         AS recon_mse
+FROM best GROUP BY vec_id
+"""
+
+
+@register("emb_pq_error", oracle=_pq_oracle())
+def emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode + reconstruction error: split each
+    embedding into PQ_M subspaces of PQ_DSUB dims, quantize every
+    subvector to its nearest of PQ_K codebook entries (L2, tie-break
+    lowest code id), and report the code word and the mean squared
+    reconstruction error — the compression step that turns a 100 TB
+    float corpus into a RAM-resident PQ index (IVF-PQ = this on top of
+    sim_ivf_topk's cells). Codebooks are deterministic sample-init (the
+    PQ_K lowest vec_ids' subvectors) so the DuckDB oracle replays them
+    exactly.
+
+    Scale shape: the codebook is PQ_M x PQ_K driver-local rows riding
+    in ONE constant-folded from_json literal (see _assign_col), so the
+    entire encode is a single map pass over the corpus — zero shuffles,
+    zero joins; squared-distance folds are the same sequential IEEE
+    arithmetic as the oracle's list_sum."""
+    n = _normed(spark, sf_dir)
+    seeds = n.orderBy("vec_id").limit(PQ_K).select("vec_id", "v").collect()
+    payload = json.dumps(
+        [
+            {
+                "s": s,
+                "cid": int(r.vec_id),
+                "cv": [float(x) for x in r.v[s * PQ_DSUB : (s + 1) * PQ_DSUB]],
+            }
+            for r in seeds
+            for s in range(PQ_M)
+        ],
+        separators=(",", ":"),
+    )
+    pq = F.expr(
+        f"""transform(sequence(0, {PQ_M - 1}), s ->
+  array_min(transform(
+    filter(from_json('{payload}',
+                     'array<struct<s:int,cid:bigint,cv:array<double>>>'),
+           e -> e.s = s),
+    e -> struct(
+      aggregate(zip_with(slice(v, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
+                         (x, y) -> (x - y) * (x - y)),
+                CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
+      e.cid AS cid))))"""
+    )
+    return n.select("vec_id", pq.alias("pq")).select(
+        "vec_id",
+        F.expr("concat_ws(',', transform(pq, p -> CAST(p.cid AS STRING)))").alias(
+            "pq_code"
+        ),
+        F.round(
+            F.expr(
+                "aggregate(transform(pq, p -> p.dist), CAST(0.0 AS DOUBLE),"
+                " (acc, z) -> acc + z)"
+            )
+            / F.lit(float(EMB_DIM)),
+            6,
+        ).alias("recon_mse"),
+    )

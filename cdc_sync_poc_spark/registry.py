@@ -59,8 +59,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Prefix match, first hit wins; unmatched ids keep relative order at
 # the end.
 _PRIORITY_PREFIXES = [
-    # (a) + (b)
+    # (a) + (b), then the three round-4 additions (first-ever evidence
+    # outranks refreshing riders: pii_redact/doc_chunking keep their
+    # r3-green rows, j08 its r2 row — all still locally exact-gated)
     "seq_pack", "doc_length",
+    "dedup_segment", "text_gini", "emb_pq",
     # (c) similarity.py: 4 sim_* + 2 ann_recall_* = 6
     "sim_", "ann_recall",
     # (d) dedup family changed after its r2 rows: 6
@@ -70,15 +73,14 @@ _PRIORITY_PREFIXES = [
     "mm_", "ap01", "ap02", "ap03", "ap04", "ap05",
     # (d) text_stats r1 rows: 3
     "text_tfidf", "text_top_terms", "events_sessionize",
-    # (c) joins.py: 8
-    "j0",
+    # (c) joins.py (j08 displaced below the cutoff by the new ops): 7
+    "j01", "j02", "j03", "j04", "j05", "j06", "j07",
     # (c) envelope.py: 5 src_* + 3 sink_*
     "src_", "sink_",
     # (c) classified_view consumers: 4 + 2 + 1
     "a01", "a02", "a03", "a04", "s03", "s04", "pipeline_",
-    # (c) preprocess.py riders: 2 → exactly 50
-    "pii_", "doc_chunk",
     # ---- 50-query driver window ends here ----
+    "pii_", "doc_chunk", "j08",
     # preprocess remainder (r3-green, code untouched this round)
     "text_rarity", "emb_label", "dup_ngram",
     # r3-green, modules unchanged
@@ -110,6 +112,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.llm.hygiene  # noqa: F401
     import cdc_sync_poc_spark.llm.multimodal  # noqa: F401
     import cdc_sync_poc_spark.llm.preprocess  # noqa: F401
+    import cdc_sync_poc_spark.llm.segment_stats  # noqa: F401
     import cdc_sync_poc_spark.llm.similarity  # noqa: F401
     import cdc_sync_poc_spark.llm.text  # noqa: F401
     import cdc_sync_poc_spark.llm.text_stats  # noqa: F401
