@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "dedup_segment_boilerplate",
     "text_gini_concentration",
     "emb_pq_error",
+    "sim_ivfpq_topk",
 ]
 
 N_REPS = 3

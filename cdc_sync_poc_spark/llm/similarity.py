@@ -864,3 +864,121 @@ def emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recon_mse"),
     )
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH {_ivf_cte_chain()},
+qc AS (SELECT cell_id FROM rk1
+       WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE_CELLS}),
+seed AS (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {PQ_K}),
+cb AS (
+  SELECT t.s, seed.vec_id AS cid,
+         seed.v[t.s*{PQ_DSUB}+1 : t.s*{PQ_DSUB}+{PQ_DSUB}] AS cv
+  FROM seed CROSS JOIN range(0, {PQ_M}) t(s)
+),
+dists AS (
+  SELECT n.vec_id, cb.s, cb.cid,
+         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+            i -> (n.v[cb.s*{PQ_DSUB}+i] - cb.cv[i])
+               * (n.v[cb.s*{PQ_DSUB}+i] - cb.cv[i]))) AS dist
+  FROM n CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+adcterm AS (
+  SELECT b.vec_id, b.s,
+         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+            i -> q.qv[b.s*{PQ_DSUB}+i] * c2.cv[i])) AS term
+  FROM best b JOIN cb c2 ON c2.s = b.s AND c2.cid = b.cid, q
+),
+adc AS (
+  SELECT vec_id, list_sum(list(term ORDER BY s)) AS adot
+  FROM adcterm GROUP BY vec_id
+)
+SELECT a.vec_id, a.cell_id,
+       round(adc.adot / (a.nrm * q.qn), 6) AS adc_cosine
+FROM a1 a JOIN qc USING (cell_id) JOIN adc USING (vec_id), q
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY adc.adot / (a.nrm * q.qn) DESC, a.vec_id
+LIMIT {ANN_TOP_K}
+"""
+
+
+@register("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe with asymmetric distance computation (ADC) — the
+    canonical billion-scale ANN shape: IVF cells prune the corpus to
+    N_PROBE_CELLS/N_CELLS, then candidates are scored from their PQ
+    codes alone via a per-subspace query lookup table, never touching
+    the full vectors at query time. (PQ here quantizes raw vectors,
+    not cell residuals — documented simplification; the plan shape is
+    identical and the oracle replays it exactly.)
+
+    The whole query is ONE map stage over the corpus: cell assignment
+    (_assign_col), PQ code assignment, and the ADC sum all ride in two
+    constant-folded from_json literals — the ADC table term
+    dot(q_sub, code_sub) is precomputed on the DRIVER per (subspace,
+    code) and embedded alongside each codebook entry, so scoring a
+    candidate is 8 struct-field adds. Exact `nrm` from the scan
+    normalizes the ADC dot into a cosine. Zero joins, zero shuffles
+    before TakeOrderedAndProject."""
+    n, cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
+    # the PQ_K codebook seeds are the PQ_K lowest vec_ids — the same
+    # rows as the IVF seed centroids, already on the driver
+    assert N_CELLS >= PQ_K, "PQ seeds reuse the IVF seed rows"
+    seeds = sorted(cents0_rows, key=lambda r: int(r.cell_id))[:PQ_K]
+    seed_q = {int(r.cell_id): r for r in seeds}
+    if QUERY_VEC_ID in seed_q:
+        qv, qn = seed_q[QUERY_VEC_ID].cv, seed_q[QUERY_VEC_ID].cn
+    else:
+        qrow = (
+            n.filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("v", "nrm")
+            .collect()[0]
+        )
+        qv, qn = qrow.v, qrow.nrm
+    probe = _probe_cells_for(qv, qn, cents1_rows)
+    entries = []
+    for r in seeds:
+        for s in range(PQ_M):
+            cv = [float(x) for x in r.cv[s * PQ_DSUB : (s + 1) * PQ_DSUB]]
+            acc = 0.0
+            for x, y in zip(qv[s * PQ_DSUB : (s + 1) * PQ_DSUB], cv):
+                acc = acc + x * y  # same sequential fold as the oracle
+            entries.append(
+                {"s": s, "cid": int(r.cell_id), "cv": cv, "t": acc}
+            )
+    payload = json.dumps(entries, separators=(",", ":"))
+    adot = F.expr(
+        f"""aggregate(transform(
+  transform(sequence(0, {PQ_M - 1}), s ->
+    array_min(transform(
+      filter(from_json('{payload}',
+        'array<struct<s:int,cid:bigint,cv:array<double>,t:double>>'),
+             e -> e.s = s),
+      e -> struct(
+        aggregate(zip_with(slice(v, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
+                           (x, y) -> (x - y) * (x - y)),
+                  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
+        e.cid AS cid, e.t AS t)))),
+  p -> p.t), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"""
+    )
+    return (
+        n.select("vec_id", "v", "nrm", _assign_col(cents1_rows).alias("cell_id"))
+        .filter(F.col("cell_id").isin(probe))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("adot", adot)
+        .withColumn("adc_cos", F.col("adot") / (F.col("nrm") * F.lit(float(qn))))
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(ANN_TOP_K)
+        .select(
+            "vec_id", "cell_id", F.round(F.col("adc_cos"), 6).alias("adc_cosine")
+        )
+    )

@@ -64,7 +64,7 @@ _PRIORITY_PREFIXES = [
     # r3-green rows, j08 its r2 row — all still locally exact-gated)
     "seq_pack", "doc_length",
     "dedup_segment", "text_gini", "emb_pq",
-    # (c) similarity.py: 4 sim_* + 2 ann_recall_* = 6
+    # (c) similarity.py: 5 sim_* + 2 ann_recall_* = 7
     "sim_", "ann_recall",
     # (d) dedup family changed after its r2 rows: 6
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -73,14 +73,15 @@ _PRIORITY_PREFIXES = [
     "mm_", "ap01", "ap02", "ap03", "ap04", "ap05",
     # (d) text_stats r1 rows: 3
     "text_tfidf", "text_top_terms", "events_sessionize",
-    # (c) joins.py (j08 displaced below the cutoff by the new ops): 7
-    "j01", "j02", "j03", "j04", "j05", "j06", "j07",
+    # (c) joins.py (j07/j08 displaced below the cutoff by the round-4
+    # ops — their functions are untouched this round): 6
+    "j01", "j02", "j03", "j04", "j05", "j06",
     # (c) envelope.py: 5 src_* + 3 sink_*
     "src_", "sink_",
     # (c) classified_view consumers: 4 + 2 + 1
     "a01", "a02", "a03", "a04", "s03", "s04", "pipeline_",
     # ---- 50-query driver window ends here ----
-    "pii_", "doc_chunk", "j08",
+    "pii_", "doc_chunk", "j07", "j08",
     # preprocess remainder (r3-green, code untouched this round)
     "text_rarity", "emb_label", "dup_ngram",
     # r3-green, modules unchanged
