@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "text_gini_concentration",
     "emb_pq_error",
     "sim_ivfpq_topk",
+    "ann_recall_ivfpq",
 ]
 
 N_REPS = 3

@@ -982,3 +982,212 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cell_id", F.round(F.col("adc_cos"), 6).alias("adc_cosine")
         )
     )
+
+
+@register(
+    "ann_recall_ivfpq",
+    oracle=f"""
+WITH {_ivf_cte_chain()},
+seed AS (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {PQ_K}),
+cb AS (
+  SELECT t.s, seed.vec_id AS cid,
+         seed.v[t.s*{PQ_DSUB}+1 : t.s*{PQ_DSUB}+{PQ_DSUB}] AS cv
+  FROM seed CROSS JOIN range(0, {PQ_M}) t(s)
+),
+dists AS (
+  SELECT n.vec_id, cb.s, cb.cid,
+         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+            i -> (n.v[cb.s*{PQ_DSUB}+i] - cb.cv[i])
+               * (n.v[cb.s*{PQ_DSUB}+i] - cb.cv[i]))) AS dist
+  FROM n CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+       WHERE vec_id % {RECALL_SAMPLE_MOD} = 0),
+qc AS (SELECT vec_id AS q_id, cell_id FROM rk1
+       WHERE vec_id % {RECALL_SAMPLE_MOD} = 0 AND rn <= {N_PROBE_CELLS}),
+tbl AS (
+  SELECT q.q_id, cb.s, cb.cid,
+         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+            i -> q.qv[cb.s*{PQ_DSUB}+i] * cb.cv[i])) AS t
+  FROM qs q CROSS JOIN cb
+),
+adc AS (
+  SELECT p.q_id, b.vec_id, list_sum(list(tbl.t ORDER BY b.s)) AS adot
+  FROM qc p
+  JOIN a1 a ON a.cell_id = p.cell_id
+  JOIN best b ON b.vec_id = a.vec_id
+  JOIN tbl ON tbl.q_id = p.q_id AND tbl.s = b.s AND tbl.cid = b.cid
+  WHERE a.vec_id <> p.q_id
+  GROUP BY p.q_id, b.vec_id
+),
+ann AS (
+  SELECT q_id, vec_id FROM (
+    SELECT adc.q_id, adc.vec_id,
+           row_number() OVER (
+             PARTITION BY adc.q_id
+             ORDER BY adc.adot / (a.nrm * q.qn) DESC, adc.vec_id) AS rnk
+    FROM adc
+    JOIN a1 a ON a.vec_id = adc.vec_id
+    JOIN qs q ON q.q_id = adc.q_id)
+  WHERE rnk <= {ANN_TOP_K}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn) DESC,
+                      c.vec_id) AS rnk
+    FROM qs q CROSS JOIN n c
+    WHERE c.vec_id <> q.q_id)
+  WHERE rnk <= {ANN_TOP_K}
+),
+hits AS (
+  SELECT a.q_id, count(*)::BIGINT AS n_hits
+  FROM ann a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {ANN_TOP_K} AS recall
+FROM qs q LEFT JOIN hits h ON q.q_id = h.q_id
+""",
+)
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the full IVF-PQ/ADC ranking against exact cosine
+    ground truth — closes the measured-recall triple (LSH, IVF-Flat,
+    IVF-PQ), so the compression loss of scoring from PQ codes is a
+    number, not a hope. Per sampled query the ADC table
+    dot(q_sub, code_sub) is a (sample x PQ_M x PQ_K)-row frame — data-
+    independent width, broadcastable at any corpus size; candidates'
+    codes come from the same map-side PQ assignment as sim_ivfpq_topk,
+    exploded to (vec_id, s, cid) and joined to the table; the 8
+    subspace terms per (query, candidate) fold in s order through a
+    bounded sort_array so the double sum is order-deterministic."""
+    n, cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
+    assert N_CELLS >= PQ_K, "PQ seeds reuse the IVF seed rows"
+    seeds = sorted(cents0_rows, key=lambda r: int(r.cell_id))[:PQ_K]
+    cb_payload = json.dumps(
+        [
+            {
+                "s": s,
+                "cid": int(r.cell_id),
+                "cv": [float(x) for x in r.cv[s * PQ_DSUB : (s + 1) * PQ_DSUB]],
+            }
+            for r in seeds
+            for s in range(PQ_M)
+        ],
+        separators=(",", ":"),
+    )
+    codes = F.expr(
+        f"""transform(sequence(0, {PQ_M - 1}), s ->
+  array_min(transform(
+    filter(from_json('{cb_payload}',
+      'array<struct<s:int,cid:bigint,cv:array<double>>>'),
+           e -> e.s = s),
+    e -> struct(
+      aggregate(zip_with(slice(v, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
+                         (x, y) -> (x - y) * (x - y)),
+                CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
+      e.cid AS cid))))"""
+    )
+    assigned = n.select(
+        "vec_id", "nrm", _assign_col(cents1_rows).alias("cell_id"), codes.alias("pq")
+    )
+    cand_codes = assigned.select(
+        "vec_id",
+        "nrm",
+        "cell_id",
+        F.posexplode(F.expr("transform(pq, p -> p.cid)")).alias("s", "cid"),
+    )
+    qs = n.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cents1 = spark.createDataFrame(
+        cents1_rows, schema="cell_id long, cv array<double>, cn double"
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
+    qcells = (
+        _score_cells(n.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0), cents1)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE_CELLS)
+        .select(F.col("vec_id").alias("q_id"), "cell_id")
+    )
+    # ADC table: dot(q_sub, code_sub) per (query, subspace, code) — the
+    # codebook rides the same from_json literal, applied to the sampled
+    # queries' own vectors (sample x PQ_M x PQ_K rows, broadcastable)
+    tbl = (
+        qs.select(
+            "q_id",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(0, {PQ_M - 1}), s ->
+  transform(
+    filter(from_json('{cb_payload}',
+      'array<struct<s:int,cid:bigint,cv:array<double>>>'),
+           e -> e.s = s),
+    e -> struct(s AS s,
+      e.cid AS cid,
+      aggregate(zip_with(slice(qv, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
+                         (x, y) -> x * y),
+                CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS t))))"""
+                )
+            ).alias("e"),
+        )
+        .select("q_id", F.col("e.s").alias("s"), F.col("e.cid").alias("cid"),
+                F.col("e.t").alias("t"))
+    )
+    adc = (
+        qcells.join(qs, "q_id")
+        .join(cand_codes, "cell_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(tbl), ["q_id", "s", "cid"])
+        .groupBy("q_id", "vec_id", "nrm", "qn")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(s, t))),"
+                " p -> p.t), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+            ).alias("adot")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+    ann = (
+        adc.withColumn("adc_cos", F.col("adot") / (F.col("nrm") * F.col("qn")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
+    we = Window.partitionBy("q_id").orderBy(F.desc("cosr"), F.asc("vec_id"))
+    exact = (
+        n.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosr", cos)
+        .withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    hits = ann.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qs.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / ANN_TOP_K
+            ).alias("recall"),
+        )
+    )
