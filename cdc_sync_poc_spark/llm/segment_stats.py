@@ -66,9 +66,15 @@ def dedup_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime, and the final per-doc rollup re-aggregates on doc_id.
     Nothing is ever joined or grouped on a low-cardinality key."""
     docs = load_table(spark, sf_dir, "documents")
-    base = spread_small_input(
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    ).filter(F.size("ws") >= SEG_WORDS)
+    return segment_boilerplate_frame(spread_small_input(docs))
+
+
+def segment_boilerplate_frame(docs: DataFrame) -> DataFrame:
+    """Core of dedup_segment_boilerplate over any (doc_id, text) frame
+    (separated so property tests can drive it with arbitrary corpora)."""
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).filter(
+        F.size("ws") >= SEG_WORDS
+    )
     segs = F.expr(
         f"transform(sequence(1, size(ws) div {SEG_WORDS}),"
         f" i -> concat_ws(' ', slice(ws, (i-1)*{SEG_WORDS}+1, {SEG_WORDS})))"

@@ -107,3 +107,56 @@ def test_merge_final_state_matches_reference(spark, ops, base_keys):
     ref_base = {pk: float(pk) for pk in base_keys} or {999_999: 0.0}
     want = _merge_reference(ref_base, changes)
     assert got == want
+
+def _boilerplate_reference(texts, seg_words=8, min_docs=3):
+    """Straight-line reference for dedup_segment_boilerplate: fixed-width
+    non-overlapping segments, boilerplate = segment in >= min_docs
+    distinct docs, per-doc instance counts."""
+    segs = {
+        doc_id: [
+            " ".join(ws[i * seg_words : (i + 1) * seg_words])
+            for i in range(len(ws) // seg_words)
+        ]
+        for doc_id, ws in texts.items()
+        if len(ws) >= seg_words
+    }
+    docs_per_seg: dict[str, set] = {}
+    for doc_id, ss in segs.items():
+        for s in ss:
+            docs_per_seg.setdefault(s, set()).add(doc_id)
+    boiler = {s for s, d in docs_per_seg.items() if len(d) >= min_docs}
+    return {
+        doc_id: (
+            len(ss),
+            sum(1 for s in ss if s in boiler),
+        )
+        for doc_id, ss in segs.items()
+    }
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=10),
+    words=st.lists(st.sampled_from(["a", "b"]), min_size=30, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_segment_boilerplate_matches_reference(spark, lengths, words):
+    """Arbitrary tiny corpora over a 2-word alphabet (maximal segment
+    collisions): the distributed explode/agg/join pipeline must agree
+    with the straight-line reference, including docs shorter than one
+    segment (excluded) and repeated segments within one document
+    (instances counted, not deduped)."""
+    from cdc_sync_poc_spark.llm.segment_stats import segment_boilerplate_frame
+
+    texts = {}
+    pos = 0
+    for i, ln in enumerate(lengths):
+        texts[i] = [words[(pos + j) % len(words)] for j in range(ln)]
+        pos += ln
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_seg, r.n_boiler)
+        for r in segment_boilerplate_frame(docs).collect()
+    }
+    assert got == _boilerplate_reference(texts)

@@ -48,6 +48,10 @@ SECTIONS = [
      "Packing offsets with NO whole-language window: chunked local cumsum + broadcast carry-in (st05 pattern)"),
     ("text_rarity_score",
      "Skew-aware split-join: head terms broadcast map-side, long tail shuffles; union partitions the term space"),
+    ("sim_ivfpq_topk",
+     "IVF-PQ/ADC probe: cell assignment + PQ codes + ADC sum all in ONE map stage (two constant-folded from_json literals), IN-filter on driver-ranked probe cells, TakeOrderedAndProject — zero joins, zero shuffles"),
+    ("dedup_segment_boilerplate",
+     "Line-level boilerplate: map-only segment explode -> segment-keyed distinct-doc agg -> un-hinted back-join (AQE broadcasts the repetition head) -> per-doc rollup"),
 ]
 
 
