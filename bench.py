@@ -118,6 +118,9 @@ CACHE_WARMERS = [
     "st01_loop_dedup",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # first IVF call trains the coarse quantizer (driver-memoized,
+    # shared by sim_ivf/sim_ivfpq/ann_recall_{ivf,ivfpq})
+    "sim_ivf_topk",
 ]
 
 

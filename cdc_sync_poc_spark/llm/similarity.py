@@ -411,6 +411,9 @@ def _assign_col(cents) -> F.Column:
 
 _Cent = namedtuple("_Cent", ["cell_id", "cv", "cn"])
 
+# (applicationId, sf_dir) -> (cents0_rows, cents1_rows); see _ivf_refined
+_IVF_MEMO: dict[tuple[str, str], tuple[list, list]] = {}
+
 
 def _ivf_refined(spark: SparkSession, sf_dir: str):
     """Build the IVF coarse quantizer; returns ``(n, cents0_rows,
@@ -428,7 +431,18 @@ def _ivf_refined(spark: SparkSession, sf_dir: str):
     _FP_SCALE) so both engines derive bit-identical centroids. Both
     assignment passes are pure map work (_assign_col); the update is
     a two-level hash aggregate with map-side combine — no window sort
-    and no single-task stage anywhere."""
+    and no single-task stage anywhere.
+
+    The centroid lists are memoized per (Spark application, sf_dir):
+    four queries (sim_ivf_topk, sim_ivfpq_topk, ann_recall_{ivf,ivfpq})
+    consume the same index, and in production the quantizer is trained
+    once and stored WITH the data — rebuilding it per query would be
+    the anti-pattern. The memo is O(k × dim) driver bytes; it mirrors
+    the session-shared shingle/signature caches on the dedup side."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_MEMO.get(key)
+    if cached is not None:
+        return (_normed(spark, sf_dir), *cached)
     n = _normed(spark, sf_dir)
     cents0 = (
         n.orderBy("vec_id")
@@ -483,6 +497,7 @@ def _ivf_refined(spark: SparkSession, sf_dir: str):
         for x in cv:
             acc = acc + x * x
         cents1_rows.append(_Cent(cell_id, cv, math.sqrt(acc)))
+    _IVF_MEMO[key] = (cents0, cents1_rows)
     return n, cents0, cents1_rows
 
 
