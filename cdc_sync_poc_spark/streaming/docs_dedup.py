@@ -1,0 +1,85 @@
+"""Streaming document dedup — the LLM-ops twin of the CDC loop-guard
+stream (M6 x §2.6): documents arrive as an unbounded append log (file
+source standing in for Kafka, exactly as streaming/source.py does for
+events) and near/exact duplicates are dropped across micro-batches with
+Spark's stateful dedup operator.
+
+The fingerprint must be computable WITHOUT a shuffle for streaming (the
+batch dedup_simhash aggregates exploded tokens; an aggregation before
+dropDuplicates would force complete/update-mode gymnastics), so
+``simhash16_col`` folds the 16 bit-votes per document inside one map
+expression — same md5-nibble votes, same sign rule, bit-identical
+fingerprints (integer vote sums are order-independent), verified
+against the batch operator in tests/test_streaming_docs.py.
+
+State: ``dropDuplicates`` keeps one row per fingerprint forever — right
+for a bounded backfill. The production shape for an endless stream is
+``withWatermark("ingest_ts", ...) + dropDuplicatesWithinWatermark``
+(the document fixture carries no event-time column, so the tested form
+is the unbounded-state variant; the CDC side's watermark_dedup in
+streaming/dedup.py demonstrates the watermarked form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def doc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of documents: each new parquet file in
+    ``path`` is a micro-batch of crawled/ingested docs."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def simhash16_col(text_col: str = "text") -> F.Column:
+    """16-bit SimHash as ONE map-side expression (no explode, no
+    aggregation): hash every token once, then fold a +1/-1 vote per bit
+    position (vote +1 iff the i-th md5 hex nibble's high bit is set —
+    nibble in '89abcdef') and emit the sign bit. Semantically identical
+    to the batch dedup_simhash (llm/dedup.py) — integer vote sums are
+    order-independent — but usable under Structured Streaming where a
+    pre-dedup shuffle is not."""
+    hashes = f"transform(split({text_col}, ' '), w -> md5(w))"
+    bits = []
+    for i in range(1, 17):
+        vote = (
+            f"aggregate({hashes}, 0,"
+            f" (acc, h) -> acc + IF(contains('89abcdef', substr(h, {i}, 1)),"
+            " 1, -1))"
+        )
+        bits.append(f"IF({vote} >= 0, '1', '0')")
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def streaming_simhash_dedup(docs: DataFrame) -> DataFrame:
+    """Near-dup dedup across micro-batches: map-side fingerprint +
+    stateful dropDuplicates keyed by it. The first document seen per
+    fingerprint survives; later arrivals (in any later micro-batch) are
+    dropped by the state store."""
+    return docs.withColumn("simhash16", simhash16_col()).dropDuplicates(
+        ["simhash16"]
+    )
+
+
+def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact-content dedup across micro-batches: sha256 of the text as
+    the state key — the streaming twin of dedup_exact."""
+    return docs.withColumn("content_hash", F.sha2(F.col("text"), 256)).dropDuplicates(
+        ["content_hash"]
+    )

@@ -1,0 +1,110 @@
+"""Streaming document dedup (streaming/docs_dedup.py): documents arrive
+in micro-batches; the stateful dropDuplicates must keep exactly the
+first-seen doc per fingerprint ACROSS batches, and the map-side
+streaming SimHash must be bit-identical to the batch operator's
+aggregated form."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def doc_batches(tmp_path):
+    """Two micro-batch files with cross-batch duplicate texts: batch 2
+    repeats half of batch 1's texts under new doc_ids."""
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    docs = t.to_pylist()[:40]
+    batch1 = docs[:24]
+    dupes = [
+        {**d, "doc_id": 1000 + i} for i, d in enumerate(docs[:12])
+    ]  # re-crawls of batch-1 content
+    fresh = docs[24:40]
+    batch2 = dupes + fresh
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    for i, rows in enumerate((batch1, batch2)):
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema),
+            in_dir / f"part-{i}.parquet",
+        )
+    return str(in_dir), batch1, batch2
+
+
+def _run_stream(spark, dedup_fn, in_dir, tmp_path, name):
+    from cdc_sync_poc_spark.streaming.docs_dedup import doc_stream
+
+    q = (
+        dedup_fn(doc_stream(spark, in_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_streaming_exact_dedup_first_seen_across_batches(
+    spark, doc_batches, tmp_path
+):
+    from cdc_sync_poc_spark.streaming.docs_dedup import streaming_exact_dedup
+
+    in_dir, batch1, batch2 = doc_batches
+    rows = _run_stream(spark, streaming_exact_dedup, in_dir, tmp_path, "sde")
+    survivors = {r.doc_id for r in rows}
+    # every batch-1 doc (first occurrence of its text, modulo intra-batch
+    # duplicates) must beat its batch-2 re-crawl
+    texts_b1 = {d["text"] for d in batch1}
+    for r in rows:
+        if r.doc_id >= 1000:
+            assert r.text not in texts_b1, "batch-2 dupe survived over batch-1"
+    # one survivor per distinct text, and no text lost
+    all_texts = {d["text"] for d in batch1 + batch2}
+    assert {r.text for r in rows} == all_texts
+    assert len(rows) == len({r.content_hash for r in rows})
+    assert survivors  # non-empty sanity
+
+
+def test_streaming_simhash_matches_batch_fingerprint(spark):
+    """The map-side streaming SimHash equals the batch explode/agg
+    SimHash bit-for-bit on the fixture corpus."""
+    from cdc_sync_poc_spark.llm.dedup import dedup_simhash
+    from cdc_sync_poc_spark.streaming.docs_dedup import simhash16_col
+
+    batch = {
+        r.doc_id: r.simhash16 for r in dedup_simhash(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    streamed = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", simhash16_col().alias("fp")).collect()
+    }
+    assert streamed == batch
+
+
+def test_streaming_simhash_dedup_runs(spark, doc_batches, tmp_path):
+    from cdc_sync_poc_spark.streaming.docs_dedup import streaming_simhash_dedup
+
+    in_dir, batch1, batch2 = doc_batches
+    rows = _run_stream(spark, streaming_simhash_dedup, in_dir, tmp_path, "sds")
+    # one survivor per fingerprint, duplicates (same text => same
+    # fingerprint) collapse across batches
+    assert len(rows) == len({r.simhash16 for r in rows})
+    assert len(rows) <= len(batch1) + len(batch2) - 12
