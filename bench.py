@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "emb_pq_error",
     "sim_ivfpq_topk",
     "ann_recall_ivfpq",
+    "mm_resize",
 ]
 
 N_REPS = 3

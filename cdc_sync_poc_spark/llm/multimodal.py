@@ -216,3 +216,75 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_key"
         ),
     )
+
+
+MAX_EDGE = 224  # resize target: longest edge (the vision-model input)
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+meta AS (
+  SELECT doc_id, h,
+         CAST(16 + doc_id % 16 AS BIGINT) AS src_w,
+         CAST((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS BIGINT)
+           % 32 + 8 AS src_h
+  FROM m WHERE doc_id % 3 = 0  -- images only (media_type routing)
+),
+dims AS (
+  SELECT doc_id, h, src_w, src_h,
+         src_w * {MAX_EDGE} // greatest(src_w, src_h) AS dst_w,
+         src_h * {MAX_EDGE} // greatest(src_w, src_h) AS dst_h
+  FROM meta
+)
+SELECT doc_id, src_w, src_h, dst_w, dst_h,
+       md5(concat(h, ':', CAST(dst_w AS VARCHAR), 'x',
+                  CAST(dst_h AS VARCHAR))) AS resized_key
+FROM dims
+""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for image rows — the remaining leg of the
+    decode / feature-extract / resize / frame-sample quartet: modality
+    routing (only media_type='image' fans in), source dims from typed
+    metadata + payload bytes, aspect-preserving target dims to a
+    MAX_EDGE longest side in pure BIGINT arithmetic (exact in both
+    engines — no float scale factor), and a deterministic content key
+    for the resized artifact. The pixel resample itself is the stubbed
+    decode step (decode_image); swapping a real kernel in replaces the
+    key computation with actual bytes while this plan — filter,
+    map-only dim math, no shuffle — is unchanged at any corpus size."""
+    m = media_table(spark, sf_dir)
+    meta = (
+        m.filter(F.col("media_type") == "image")
+        .withColumn("h", F.lower(F.hex("media_bytes")))
+        .select(
+            "doc_id",
+            "h",
+            F.col("width").cast("long").alias("src_w"),
+            (
+                F.expr("conv(substring(h, 3, 2), 16, 10)").cast("long") % 32 + 8
+            ).alias("src_h"),
+        )
+    )
+    dst_w = F.expr(f"src_w * {MAX_EDGE} div greatest(src_w, src_h)")
+    dst_h = F.expr(f"src_h * {MAX_EDGE} div greatest(src_w, src_h)")
+    return meta.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        dst_w.alias("dst_w"),
+        dst_h.alias("dst_h"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.col("h"),
+                F.lit(":"),
+                dst_w.cast("string"),
+                F.lit("x"),
+                dst_h.cast("string"),
+            )
+        ).alias("resized_key"),
+    )

@@ -73,15 +73,15 @@ _PRIORITY_PREFIXES = [
     "mm_", "ap01", "ap02", "ap03", "ap04", "ap05",
     # (d) text_stats r1 rows: 3
     "text_tfidf", "text_top_terms", "events_sessionize",
-    # (c) joins.py (j06/j07/j08 displaced below the cutoff by the
-    # round-4 ops — their functions are untouched this round): 5
-    "j01", "j02", "j03", "j04", "j05",
+    # (c) joins.py (j05-j08 displaced below the cutoff by the round-4
+    # ops — their functions are untouched this round): 4
+    "j01", "j02", "j03", "j04",
     # (c) envelope.py: 5 src_* + 3 sink_*
     "src_", "sink_",
     # (c) classified_view consumers: 4 + 2 + 1
     "a01", "a02", "a03", "a04", "s03", "s04", "pipeline_",
     # ---- 50-query driver window ends here ----
-    "pii_", "doc_chunk", "j06", "j07", "j08",
+    "pii_", "doc_chunk", "j05", "j06", "j07", "j08",
     # preprocess remainder (r3-green, code untouched this round)
     "text_rarity", "emb_label", "dup_ngram",
     # r3-green, modules unchanged
