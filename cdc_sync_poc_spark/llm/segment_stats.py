@@ -136,7 +136,13 @@ def text_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, not corpus), one per-source rollup. The corpus itself
     is touched once, map-side."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = spread_small_input(docs).select(
+    return gini_concentration_frame(spread_small_input(docs))
+
+
+def gini_concentration_frame(docs: DataFrame) -> DataFrame:
+    """Core of text_gini_concentration over any (source, text) frame
+    (separated so property tests can drive it with arbitrary corpora)."""
+    tok = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
     tc = tok.groupBy("source", "term").agg(F.count("*").alias("c"))

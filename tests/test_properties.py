@@ -160,3 +160,56 @@ def test_segment_boilerplate_matches_reference(spark, lengths, words):
         for r in segment_boilerplate_frame(docs).collect()
     }
     assert got == _boilerplate_reference(texts)
+
+
+def _gini_reference(texts_by_source):
+    """Straight-line Gini over term frequencies per source: counts
+    sorted ascending, numerator sum((2*rank - n - 1) * c), denominator
+    n * total — one float division at the end."""
+    out = {}
+    for src, texts in texts_by_source.items():
+        counts: dict[str, int] = {}
+        for t in texts:
+            for w in t.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        ordered = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(ordered)
+        total = sum(c for _, c in ordered)
+        num = sum((2 * (i + 1) - n - 1) * c for i, (_, c) in enumerate(ordered))
+        out[src] = (n, total, num / (n * total))
+    return out
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["x", "y", "z", "w"]), min_size=4, max_size=40
+    ),
+    splits=st.lists(st.integers(min_value=1, max_value=6), min_size=2, max_size=5),
+)
+@settings(**_SETTINGS)
+def test_gini_concentration_matches_reference(spark, words, splits):
+    """Arbitrary tiny corpora over a 4-word alphabet: the distributed
+    term-count + rank-window + rollup pipeline must agree with the
+    straight-line Gini, including single-term sources (gini = 0) and
+    heavy ties in the rank ordering."""
+    from cdc_sync_poc_spark.llm.segment_stats import gini_concentration_frame
+
+    texts_by_source: dict[str, list[str]] = {}
+    pos = 0
+    for i, ln in enumerate(splits):
+        chunk = words[pos : pos + ln] or [words[pos % len(words)]]
+        texts_by_source.setdefault(f"s{i % 2}", []).append(" ".join(chunk))
+        pos = (pos + ln) % max(1, len(words) - 6)
+    docs = spark.createDataFrame(
+        [(src, t) for src, ts in texts_by_source.items() for t in ts],
+        "source string, text string",
+    )
+    got = {
+        r.source: (r.n_terms, r.total_tokens, r.gini)
+        for r in gini_concentration_frame(docs).collect()
+    }
+    ref = _gini_reference(texts_by_source)
+    assert set(got) == set(ref)
+    for src in ref:
+        assert got[src][:2] == ref[src][:2], src
+        assert got[src][2] == ref[src][2], (src, got[src][2], ref[src][2])
