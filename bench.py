@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "sim_ivfpq_topk",
     "ann_recall_ivfpq",
     "mm_resize",
+    "events_anomaly_zscore",
 ]
 
 N_REPS = 3

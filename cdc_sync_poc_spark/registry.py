@@ -81,6 +81,9 @@ _PRIORITY_PREFIXES = [
     # (c) classified_view consumers: 4 + 2 + 1
     "a01", "a02", "a03", "a04", "s03", "s04", "pipeline_",
     # ---- 50-query driver window ends here ----
+    # first in line for the r5 rotation: the one round-4 op the window
+    # could not fit (never driver-sampled; locally exact-gated)
+    "events_anomaly",
     "pii_", "doc_chunk", "j05", "j06", "j07", "j08",
     # preprocess remainder (r3-green, code untouched this round)
     "text_rarity", "emb_label", "dup_ngram",
@@ -118,6 +121,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.llm.text  # noqa: F401
     import cdc_sync_poc_spark.llm.text_stats  # noqa: F401
     import cdc_sync_poc_spark.operators.aggregates  # noqa: F401
+    import cdc_sync_poc_spark.operators.anomaly  # noqa: F401
     import cdc_sync_poc_spark.operators.apply  # noqa: F401
     import cdc_sync_poc_spark.operators.bench_relational  # noqa: F401
     import cdc_sync_poc_spark.operators.conflict  # noqa: F401
