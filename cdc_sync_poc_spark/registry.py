@@ -81,9 +81,9 @@ _PRIORITY_PREFIXES = [
     # (c) classified_view consumers: 4 + 2 + 1
     "a01", "a02", "a03", "a04", "s03", "s04", "pipeline_",
     # ---- 50-query driver window ends here ----
-    # first in line for the r5 rotation: the one round-4 op the window
+    # first in line for the r5 rotation: the round-4 ops the window
     # could not fit (never driver-sampled; locally exact-gated)
-    "events_anomaly",
+    "events_anomaly", "source_jsonl",
     "pii_", "doc_chunk", "j05", "j06", "j07", "j08",
     # preprocess remainder (r3-green, code untouched this round)
     "text_rarity", "emb_label", "dup_ngram",
@@ -130,6 +130,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.operators.rowops  # noqa: F401
     import cdc_sync_poc_spark.operators.sorts  # noqa: F401
     import cdc_sync_poc_spark.operators.stateful  # noqa: F401
+    import cdc_sync_poc_spark.sources.jsonl  # noqa: F401
 
     ordered = sorted(QUERIES, key=lambda n: (_priority(n), 0))
     for d in (QUERIES, ORACLES):
