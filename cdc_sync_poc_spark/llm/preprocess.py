@@ -211,7 +211,13 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the tiny chunk-totals frame. The oracle states the same
     quantity as one flat window."""
     docs = load_table(spark, sf_dir, "documents")
-    d = spread_small_input(
+    return seq_packing_frame(spread_small_input(docs))
+
+
+def seq_packing_frame(docs: DataFrame) -> DataFrame:
+    """Core of seq_packing over any (doc_id, lang, text) frame
+    (separated so property tests can sweep chunk-boundary cases)."""
+    d = (
         docs.select(
             "doc_id",
             "lang",

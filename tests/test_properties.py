@@ -213,3 +213,46 @@ def test_gini_concentration_matches_reference(spark, words, splits):
     for src in ref:
         assert got[src][:2] == ref[src][:2], src
         assert got[src][2] == ref[src][2], (src, got[src][2], ref[src][2])
+
+
+def _packing_reference(docs, budget=512):
+    """Straight-line packing: per lang, walk docs in doc_id order with a
+    running token offset; bin/offset from the prefix sum."""
+    out = {}
+    by_lang: dict[str, list] = {}
+    for doc_id, lang, n in docs:
+        by_lang.setdefault(lang, []).append((doc_id, n))
+    for lang, rows in by_lang.items():
+        prev = 0
+        for doc_id, n in sorted(rows):
+            out[doc_id] = (n, prev // budget, prev % budget)
+            prev += n
+    return out
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=14, unique=True
+    ),
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=14, max_size=14),
+    langs=st.lists(st.sampled_from(["en", "de"]), min_size=14, max_size=14),
+)
+@settings(**_SETTINGS)
+def test_seq_packing_matches_reference(spark, ids, sizes, langs):
+    """Sparse doc_ids spanning several PACK_CHUNK_DOCS chunks: the
+    two-level prefix sum (local cumsum + carry-in) must equal the flat
+    per-language running sum at every chunk boundary."""
+    from cdc_sync_poc_spark.llm.preprocess import seq_packing_frame
+
+    docs = [
+        (doc_id, langs[i], sizes[i]) for i, doc_id in enumerate(sorted(ids))
+    ]
+    df = spark.createDataFrame(
+        [(d, lang, " ".join(["w"] * n)) for d, lang, n in docs],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+        for r in seq_packing_frame(df).collect()
+    }
+    assert got == _packing_reference(docs)

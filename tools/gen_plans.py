@@ -52,6 +52,8 @@ SECTIONS = [
      "IVF-PQ/ADC probe: cell assignment + PQ codes + ADC sum all in ONE map stage (two constant-folded from_json literals), IN-filter on driver-ranked probe cells, TakeOrderedAndProject — zero joins, zero shuffles"),
     ("dedup_segment_boilerplate",
      "Line-level boilerplate: map-only segment explode -> segment-keyed distinct-doc agg -> un-hinted back-join (AQE broadcasts the repetition head) -> per-doc rollup"),
+    ("events_anomaly_zscore",
+     "Rolling z-score: ONE Window operator carrying all three fixed-point BIGINT frame sums after a single user_id exchange — no second shuffle, no per-sum window"),
 ]
 
 
