@@ -194,38 +194,44 @@ def _band_pairs(mh: DataFrame, band_size: int) -> DataFrame:
 
 
 def _verify_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification, PAIR-driven: expand each candidate
-    pair by doc_a's shingles, then equi-join on (doc_b, shingle) to
-    count the intersection — O(|pairs| x shingles/doc) work, bounded by
-    the LSH candidate count. (A shingle-keyed self-join of the candidate
-    docs would instead cost O(sum over shingles of docs^2), which
-    explodes on boilerplate shingles shared by many near-dup docs.) The
-    candidate-doc set is tiny, so a broadcast semi-join shrinks the
-    shingle table first — the full shingle table is never shuffled."""
+    """Exact-Jaccard verification, PAIR-driven: gather each CANDIDATE
+    doc's (already-distinct) shingles into one array row, join the pair
+    list to both sides' arrays on the doc keys, and count the
+    intersection per pair with ``array_intersect`` — O(|pairs| x
+    shingles/doc) work, bounded by the LSH candidate count. (A
+    shingle-keyed self-join of the candidate docs would instead cost
+    O(sum over shingles of docs^2), which explodes on boilerplate
+    shingles shared by many near-dup docs; the earlier exploded
+    pair-x-shingle join had the same asymptotic bound but shuffled the
+    expansion and re-aggregated it — two extra exchanges that dominated
+    the warm query.) The candidate-doc set is tiny, so a broadcast
+    semi-join shrinks the shingle table first — the full shingle table
+    is never shuffled; per-row array width is bounded by per-doc
+    shingle count (upstream chunking bounds document size)."""
     cand_docs = (
         pairs.select(F.col("doc_a").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("d")))
         .distinct()
     )
     shc = sh.join(F.broadcast(cand_docs), sh.doc_id == F.col("d"), "left_semi")
-    scount = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = shc.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = shc.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ni"))
+    sets = shc.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shset"), F.count("*").alias("n")
     )
-    ca = scount.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = scount.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shset").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shset").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -66,9 +66,11 @@ _PRIORITY_PREFIXES = [
     "dedup_segment", "text_gini", "emb_pq",
     # (c) similarity.py: 5 sim_* + 2 ann_recall_* = 7
     "sim_", "ann_recall",
-    # (d) dedup family changed after its r2 rows: 6
+    # (d) dedup family changed after its r2 rows, plus minhash_cluster
+    # whose shared _verify_jaccard was restructured this round: 7
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram", "dedup_embedding", "dedup_normalized",
+    "dedup_minhash_cluster",
     # (d) multimodal (3), apply r1 rows (4) + ap05 (envelope consumer)
     "mm_", "ap01", "ap02", "ap03", "ap04", "ap05",
     # (d) text_stats r1 rows: 3
@@ -78,12 +80,13 @@ _PRIORITY_PREFIXES = [
     "j01", "j02", "j03", "j04",
     # (c) envelope.py: 5 src_* + 3 sink_*
     "src_", "sink_",
-    # (c) classified_view consumers: 4 + 2 + 1
-    "a01", "a02", "a03", "a04", "s03", "s04", "pipeline_",
+    # (c) classified_view consumers (s04 displaced — the shared helper
+    # is already checked four ways by a01-a04 + s03): 4 + 1 + 1
+    "a01", "a02", "a03", "a04", "s03", "pipeline_",
     # ---- 50-query driver window ends here ----
     # first in line for the r5 rotation: the round-4 ops the window
     # could not fit (never driver-sampled; locally exact-gated)
-    "events_anomaly", "source_jsonl",
+    "events_anomaly", "source_jsonl", "s04",
     "pii_", "doc_chunk", "j05", "j06", "j07", "j08",
     # preprocess remainder (r3-green, code untouched this round)
     "text_rarity", "emb_label", "dup_ngram",
