@@ -20,6 +20,14 @@ def test_bench_run_contract(spark):
     assert set(parsed["queries"]) == {"bench_q1_pricing", "dedup_exact"}
     assert parsed["value"] >= 0 and parsed["sf"] == 0.001
     assert abs(parsed["value"] - sum(parsed["queries"].values())) < 1e-6
+    # round-4 additions: medians reported alongside mins, same keys,
+    # median >= min per query
+    assert set(parsed["queries_median"]) == set(parsed["queries"])
+    assert abs(
+        parsed["value_median"] - sum(parsed["queries_median"].values())
+    ) < 1e-6
+    for k in parsed["queries"]:
+        assert parsed["queries_median"][k] >= parsed["queries"][k] - 1e-9, k
 
 
 def test_bench_list_is_resolvable():
