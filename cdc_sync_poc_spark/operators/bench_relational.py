@@ -692,12 +692,23 @@ def bench_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exchange, no self-join. (The agg-then-join-back form computed
     the whole supply subtree twice: Spark's column pruning makes the two
     branches non-identical, defeating ReuseExchange — observed in the
-    executed plan before this rewrite.) The window partitions on
-    partkey (high cardinality, no single-task stage); supplier/nation/
-    region broadcast. Cost compared in BIGINT cents — no float
-    equality."""
+    executed plan before this rewrite.) The part predicate is pushed
+    BELOW the aggregation as a broadcast semi-join on the scan: the
+    per-part min is computed within a partkey group, so dropping other
+    parts cannot change any surviving row — a key-preserving pushdown
+    through agg+window that Catalyst cannot derive on its own, and at
+    scale it shrinks the agg/window input to the selected parts'
+    lineitems. The window partitions on partkey (high cardinality, no
+    single-task stage); supplier/nation/region broadcast. Cost compared
+    in BIGINT cents — no float equality."""
     li = load_table(spark, sf_dir, "lineitem")
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+    p_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    li_sel = li.join(F.broadcast(p_keys), li.l_partkey == F.col("pk"), "left_semi")
+    supply = li_sel.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_c")
     )
     s = load_table(spark, sf_dir, "supplier")
@@ -989,26 +1000,29 @@ def bench_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of a small-part's 1996 volume). The nested IN-subqueries become
     two stacked hash aggs on (partkey[,suppkey]) — co-partitioned, one
     logical shuffle — and a LEFT SEMI join gates the supplier dim.
-    The half-share threshold is integer cross-multiplied (qty*2 >
-    total), never a float division."""
+    The part predicate is pushed BELOW both aggregations as a broadcast
+    semi-join on the scan (per-part shares are computed within a
+    partkey group, so dropping other parts changes nothing — the same
+    key-preserving pushdown as bench_q2). The half-share threshold is
+    integer cross-multiplied (qty*2 > total), never a float division."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    li_sel = li.join(F.broadcast(p), li.l_partkey == F.col("pk"), "left_semi")
+    shipped = li_sel.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty")
     )
     tot = shipped.groupBy(F.col("l_partkey").alias("t_key")).agg(
         F.sum("qty").alias("total_qty")
     )
-    p = (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("small%"))
-        .select("p_partkey")
-    )
     dominant = (
         shipped.join(tot, shipped.l_partkey == F.col("t_key"))
-        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
         .filter(F.col("qty") * 2 > F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
