@@ -524,20 +524,25 @@ def bench_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way -> co-located). The threshold `qty < 0.2 * avg` is
     cross-multiplied into pure BIGINT arithmetic (q*5*cnt < sum) so
     the boundary is exact on both engines — no float division in a
-    filter. Brand filter broadcasts part."""
+    filter. The brand predicate is pushed below the per-part agg as a
+    broadcast semi-join on the scan (per-part averages are within a
+    partkey group — the bench_q2 key-preserving pushdown), so both
+    sides of the co-located self-join read only Brand#3 lineitems."""
     li = load_table(spark, sf_dir, "lineitem")
     q_c = F.round(F.col("l_quantity") * 100).cast("long")
-    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
-        F.count("*").alias("cnt"), F.sum(q_c).alias("sq")
-    )
     p = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#3")
         .select("p_partkey")
     )
+    li_sel = li.join(
+        F.broadcast(p), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    per_part = li_sel.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.count("*").alias("cnt"), F.sum(q_c).alias("sq")
+    )
     return (
-        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
-        .join(per_part, li.l_partkey == F.col("pp_key"))
+        li_sel.join(per_part, F.col("l_partkey") == F.col("pp_key"))
         .filter(q_c * 5 * F.col("cnt") < F.col("sq"))
         .agg(
             (
@@ -938,14 +943,11 @@ def bench_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-supplier relation is the distinct pairs observed in lineitem;
     the excluded-complaints supplier set is proxied by negative account
     balance). The NOT IN becomes a LEFT ANTI broadcast join (the
-    exclusion set is tiny), the pair-distinct and the count(distinct)
-    shuffle on shrinking keys, and part broadcasts after its size/brand
-    filter prunes it at the scan."""
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    exclusion set is tiny) and BOTH row filters — the part predicate as
+    a semi-join, the supplier exclusion as the anti-join — are pushed
+    below the pair-distinct, so the big distinct shuffle carries only
+    qualifying rows (per-key dedup is unaffected by dropping other
+    keys); part then broadcasts for its grouping columns."""
     bad = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
@@ -955,9 +957,18 @@ def bench_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#5")
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = (
+        li.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("pk"))),
+            li.l_partkey == F.col("pk"),
+            "left_semi",
+        )
+        .join(F.broadcast(bad), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .distinct()
+    )
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == F.col("bad_key"), "left_anti")
-        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
