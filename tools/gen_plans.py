@@ -41,7 +41,7 @@ SECTIONS = [
     ("j04_target_exists",
      "Existence check with NO forced broadcast of the base table: Catalyst/AQE picks the strategy from statistics (a size-based broadcast at sf0.1 where the key set is KBs; a shuffle join at scale where it is TBs) — the unconditional F.broadcast() hint that forced the base side at ANY size is gone"),
     ("bench_q2_mincost",
-     "Q2 decorrelation: per-part window min over the single supply pass — ONE lineitem scan, no self-join, dims broadcast"),
+     "Q2 decorrelation: per-part window min over the single supply pass — ONE lineitem scan with the part predicate pushed below the agg as a broadcast semi-join, no self-join, dims broadcast"),
     ("bench_q21_waiting",
      "Q21 rewrite: EXISTS/NOT-EXISTS self-joins collapsed into one (order,supplier) agg + per-order window counts — ONE lineitem scan"),
     ("seq_packing",
