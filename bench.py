@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "ann_recall_ivfpq",
     "mm_resize",
     "events_anomaly_zscore",
+    "dedup_corpus_keep",
 ]
 
 N_REPS = 3
@@ -123,6 +124,9 @@ CACHE_WARMERS = [
     # first IVF call trains the coarse quantizer (driver-memoized,
     # shared by sim_ivf/sim_ivfpq/ann_recall_{ivf,ivfpq})
     "sim_ivf_topk",
+    # first cluster call runs the label-propagation loop (memoized,
+    # shared by dedup_minhash_cluster / dedup_corpus_keep)
+    "dedup_corpus_keep",
 ]
 
 

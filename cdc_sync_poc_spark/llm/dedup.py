@@ -395,10 +395,7 @@ n AS (
 """
 
 
-@register(
-    "dedup_minhash_cluster",
-    oracle=f"""
-WITH RECURSIVE {_SHINGLE_CTES},
+_CLUSTER_CTES = f"""{_SHINGLE_CTES},
 {_mh_band_ctes(BAND_SIZE)},
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS ni
@@ -423,7 +420,13 @@ reach AS (
   SELECT src, src AS r FROM (SELECT DISTINCT src FROM edges)
   UNION
   SELECT reach.src, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
-)
+)"""
+
+
+@register(
+    "dedup_minhash_cluster",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES}
 SELECT src AS doc_id, min(r) AS cluster_id FROM reach GROUP BY src
 """,
 )
@@ -444,6 +447,26 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DuckDB oracle states the same fixpoint as a recursive-CTE
     transitive closure + min aggregation."""
+    return _minhash_clusters(spark, sf_dir)
+
+
+# (applicationId, sf_dir) -> localCheckpointed label frame; the cluster
+# labels are an index built once per corpus (like the IVF quantizer
+# memo in llm/similarity.py) — the report and the corpus-keep apply
+# step both consume them, and the iterative propagation is the
+# expensive part, not the joins that follow.
+_CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) labels — shared by the cluster report and
+    the corpus-keep apply step; memoized per session + scale factor
+    (the final frame is localCheckpointed, so the memo hands back
+    materialized rows, not a replayable lineage)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTER_MEMO.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
     pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
@@ -496,7 +519,48 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"converge within 50 rounds (changed={changed}); component "
             "diameter exceeds the cap"
         )
-    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    result = labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    _CLUSTER_MEMO[key] = result
+    return result
+
+
+@register(
+    "dedup_corpus_keep",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+clusters AS (SELECT src AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY src)
+SELECT d.doc_id, d.lang, d.source,
+       coalesce(c.cluster_id = d.doc_id, TRUE) AS kept
+FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+""",
+)
+def dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of near-dup dedup — detect (MinHash bands), verify
+    (exact Jaccard), resolve (connected components), and finally emit
+    the per-document keep/drop decision: every unclustered document is
+    kept, and each near-dup cluster keeps exactly its canonical
+    survivor (the minimum doc_id — the component label itself, so no
+    extra ranking pass). This row set is what a production pipeline
+    writes as the deduplicated corpus; downstream stages filter on
+    ``kept``.
+
+    Scale shape: the cluster labels are a (doc_id, cluster_id) frame
+    bounded by clustered docs (a small fraction of any real corpus), so
+    the final decoration is one left join against it — un-hinted, AQE
+    broadcasts the label side at runtime."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    clusters = _minhash_clusters(spark, sf_dir)
+    return docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce(
+            F.col("cluster_id") == F.col("doc_id"), F.lit(True)
+        ).alias("kept"),
+    )
 
 
 def _embedding_cosine_oracle() -> str:

@@ -57,7 +57,10 @@ def _run_stream(spark, dedup_fn, in_dir, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow terminates once the backlog drains; an awaitTermination
+    # TIMEOUT returns silently mid-stream under suite load (flaky), so
+    # wait unbounded — termination is guaranteed by the trigger
+    q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
