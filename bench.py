@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "mm_resize",
     "events_anomaly_zscore",
     "dedup_corpus_keep",
+    "ap07_scd2_history",
 ]
 
 N_REPS = 3

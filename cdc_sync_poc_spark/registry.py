@@ -86,7 +86,7 @@ _PRIORITY_PREFIXES = [
     # ---- 50-query driver window ends here ----
     # first in line for the r5 rotation: the round-4 ops the window
     # could not fit (never driver-sampled; locally exact-gated)
-    "events_anomaly", "source_jsonl", "s04", "dedup_corpus",
+    "events_anomaly", "source_jsonl", "s04", "dedup_corpus", "ap07",
     "bench_q2_", "bench_q20", "bench_q16", "bench_q17",
     "pii_", "doc_chunk", "j05", "j06", "j07", "j08",
     # preprocess remainder (r3-green, code untouched this round)
@@ -133,6 +133,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.operators.joins  # noqa: F401
     import cdc_sync_poc_spark.operators.rowops  # noqa: F401
     import cdc_sync_poc_spark.operators.sorts  # noqa: F401
+    import cdc_sync_poc_spark.operators.scd  # noqa: F401
     import cdc_sync_poc_spark.operators.stateful  # noqa: F401
     import cdc_sync_poc_spark.sources.jsonl  # noqa: F401
 
