@@ -155,9 +155,12 @@ GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
 """,
 )
 def bench_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18-shaped: group-having derives a key set that semi-joins
-    back into the fact join. The `big` set is small -> AQE converts its
-    join to broadcast at runtime."""
+    """TPC-H Q18-shaped: the group-having quantity sum IS the output
+    quantity sum (the outer aggregation re-derives the HAVING value),
+    so the classic rejoin-the-fact form is replaced by carrying ``sq``
+    out of the single per-order aggregate — ONE lineitem scan and one
+    orderkey shuffle total, and the tiny big-order set broadcasts into
+    orders (AQE decides from its runtime size)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     qty = F.col("l_quantity").cast(_DEC)
@@ -165,13 +168,12 @@ def bench_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("sq"))
         .filter(F.col("sq") > 150)
-        .select(F.col("l_orderkey").alias("big_key"))
     )
-    return (
-        o.join(big, o.o_orderkey == F.col("big_key"))
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
-        .agg(F.sum(qty).cast("double").alias("total_qty"))
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("sq").cast("double").alias("total_qty"),
     )
 
 

@@ -87,7 +87,7 @@ _PRIORITY_PREFIXES = [
     # first in line for the r5 rotation: the round-4 ops the window
     # could not fit (never driver-sampled; locally exact-gated)
     "events_anomaly", "source_jsonl", "s04", "dedup_corpus", "ap07",
-    "bench_q2_", "bench_q20", "bench_q16", "bench_q17",
+    "bench_q2_", "bench_q20", "bench_q16", "bench_q17", "bench_q18",
     "pii_", "doc_chunk", "j05", "j06", "j07", "j08",
     # preprocess remainder (r3-green, code untouched this round)
     "text_rarity", "emb_label", "dup_ngram",
