@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     "events_anomaly_zscore",
     "dedup_corpus_keep",
     "ap07_scd2_history",
+    "text_lm_score",
+    "text_bm25_rank",
+    "dsir_importance",
+    "events_markov_transitions",
 ]
 
 N_REPS = 3

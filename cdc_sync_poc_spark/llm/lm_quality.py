@@ -1,0 +1,416 @@
+"""Statistical quality scoring and data-selection operators — the
+model-free half of a CCNet/DSIR-style curation stack:
+
+* text_lm_score: bigram language model trained on the corpus itself
+  (add-one smoothing), per-document mean token probability, bucketed
+  into quality deciles — the classic "perplexity bucketing" quality
+  filter (CCNet, Wenzek et al. 2019) with the LM's log replaced by the
+  repo-wide fixed-point rational form so Spark and the oracle agree
+  bit-for-bit (see PAPERS.md; log() is not guaranteed identical across
+  libm implementations, while integer arithmetic and single
+  correctly-rounded IEEE divisions are).
+* text_bm25_rank: BM25 retrieval scoring of every document against a
+  fixed query-term set — tf saturation and length normalization are
+  BM25's rational core; the idf uses the same rational (N+1)/(df+1)
+  form as text_tfidf_top_term instead of the log variant, for the same
+  bit-exactness reason.
+* dsir_importance: Data Selection via Importance Resampling (Xie et
+  al. 2023) — per-document importance weight of the target
+  distribution (here: the ``lang='en'`` slice) against the raw corpus,
+  from smoothed unigram frequency ratios.
+* events_markov_transitions: first-order Markov transition matrix over
+  per-user event streams — the "what happens next" analysis pass.
+
+Scale notes (the 100 TB lens):
+
+* The LM/ratio/df tables are vocabulary- or bigram-vocabulary-sized —
+  orders of magnitude smaller than the corpus — so they sit on the
+  build side. The unigram tables broadcast (~1e7 rows at web scale);
+  the bigram LM table does NOT get a broadcast hint (distinct bigrams
+  can reach 1e9+) and shuffle-joins on the pair key, which is
+  hash-uniform enough that no salting is needed.
+* All fan-outs are map-side array transforms (explode of a linear
+  O(n_tokens) bigram list) — no joins to construct n-grams.
+* Per-document reductions fold fixed-point BIGINTs (floor(p * 2^30)),
+  so the unordered distributed sum is exact; a single double division
+  happens once per document at the end (same construction as
+  emb_label_centroids and the IVF Lloyd round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
+
+LM_FIX = 1 << 30  # text_lm_score fixed-point scale for p in [0, 1]
+DSIR_FIX = 1 << 20  # dsir_importance fixed-point scale (ratios can exceed 1)
+
+BM25_K1 = "1.2"  # literal strings so Spark and DuckDB parse identical doubles
+BM25_B = "0.75"
+BM25_TERMS = ("scan", "merge", "vector")  # fixed query-term set
+BM25_TOP = 20
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pair) with pair = 'prev cur' — map-side linear fan-out.
+
+    Tokens are whitespace-split, so the space-joined pair string is an
+    injective key (the text_cooccur_lift convention).
+    """
+    base = spread_small_input(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    ).filter(F.size("w") >= 2)
+    pair_expr = F.expr(
+        "transform(sequence(2, size(w)), i ->"
+        " concat_ws(' ', element_at(w, i - 1), element_at(w, i)))"
+    )
+    return base.select("doc_id", F.explode(pair_expr).alias("pair"))
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+WITH bgl AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(w) + 1),
+                               i -> w[i - 1] || ' ' || w[i])) AS pair
+  FROM bgl
+),
+cab AS (SELECT pair, count(*)::BIGINT AS c_ab FROM bg GROUP BY pair),
+ca AS (
+  SELECT string_split(pair, ' ')[1] AS a, sum(c_ab)::BIGINT AS c_a
+  FROM cab GROUP BY a
+),
+v AS (
+  SELECT count(DISTINCT term)::BIGINT AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+),
+lm AS (
+  SELECT pair,
+         floor(CAST(c_ab + 1 AS DOUBLE) / (c_a + v) * {LM_FIX})::BIGINT AS q
+  FROM cab
+  JOIN ca ON string_split(cab.pair, ' ')[1] = ca.a
+  CROSS JOIN v
+),
+k AS (SELECT doc_id, pair, count(*)::BIGINT AS k FROM bg GROUP BY doc_id, pair),
+s AS (
+  SELECT k.doc_id, sum(q * k)::BIGINT AS sq, sum(k)::BIGINT AS n
+  FROM k JOIN lm ON k.pair = lm.pair GROUP BY k.doc_id
+)
+SELECT doc_id, n AS n_bigrams,
+       round(CAST(sq AS DOUBLE) / n / {LM_FIX}, 9) AS mean_p,
+       ntile(10) OVER (
+         ORDER BY round(CAST(sq AS DOUBLE) / n / {LM_FIX}, 9) DESC, doc_id
+       )::BIGINT AS quality_decile
+FROM s
+""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing with a corpus-trained bigram LM:
+    p(b|a) = (c_ab + 1) / (c_a + V) (add-one smoothing), per-document
+    mean token probability, decile bucket over the whole corpus.
+
+    Three hash aggregates (bigram counts, prefix counts, per-doc-pair
+    counts), one vocabulary-scalar, one shuffle join of the per-doc
+    pair table against the bigram LM on the uniform pair key, one
+    per-doc hash agg. The smoothed probability is floored to LM_FIX
+    fixed point once per DISTINCT bigram (a single correctly-rounded
+    double division — identical on both engines), so the per-document
+    sum is pure BIGINT and order-independent. The final ntile runs over
+    the doc-count-sized score table; at 100 TB swap it for the
+    value-domain histogram cut (doc_length_quantiles pattern) — the
+    decile EDGES come from the histogram; the per-doc bucket is then a
+    map-side comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _bigrams(docs)
+    cab = bg.groupBy("pair").agg(F.count("*").alias("c_ab"))
+    ca = (
+        cab.groupBy(F.split(F.col("pair"), " ").getItem(0).alias("a"))
+        .agg(F.sum("c_ab").alias("c_a"))
+    )
+    vocab = (
+        spread_small_input(docs.select("text"))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .agg(F.count_distinct("term").alias("v"))
+    )
+    # ca is prefix-vocabulary-sized -> broadcast; cab (distinct bigrams,
+    # 1e9+ at web scale) is NOT hinted and shuffle-joins downstream.
+    lm = (
+        cab.join(
+            F.broadcast(ca),
+            F.split(cab.pair, " ").getItem(0) == ca.a,
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "pair",
+            F.floor(
+                F.expr(f"CAST(c_ab + 1 AS DOUBLE) / (c_a + v) * {LM_FIX}")
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    k = bg.groupBy("doc_id", "pair").agg(F.count("*").alias("k"))
+    s = (
+        k.join(lm, "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("q") * F.col("k")).alias("sq"),
+            F.sum("k").alias("n"),
+        )
+    )
+    mean_p = F.round(F.col("sq").cast("double") / F.col("n") / F.lit(LM_FIX), 9)
+    w = Window.orderBy(F.desc("mean_p"), F.asc("doc_id"))
+    return (
+        s.select("doc_id", F.col("n").alias("n_bigrams"), mean_p.alias("mean_p"))
+        .withColumn("quality_decile", F.ntile(10).over(w).cast("bigint"))
+    )
+
+
+def _bm25_term_case(term: str) -> str:
+    """Per-term BM25 contribution as a conditional aggregate (SQL text
+    shared verbatim between engines so the double expression trees are
+    identical)."""
+    return (
+        f"max(CASE WHEN term = '{term}' THEN"
+        f" (CAST(n_docs + 1 AS DOUBLE) / (df + 1))"
+        f" * (tf * ({BM25_K1} + 1))"
+        f" / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        f" END)"
+    )
+
+
+@register(
+    "text_bm25_rank",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+n AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN {BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         {_bm25_term_case(BM25_TERMS[0])} AS s0,
+         {_bm25_term_case(BM25_TERMS[1])} AS s1,
+         {_bm25_term_case(BM25_TERMS[2])} AS s2
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       round(coalesce(s0, 0) + coalesce(s1, 0) + coalesce(s2, 0), 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}
+""",
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BM25_TOP documents for a fixed query-term set, Okapi BM25
+    (k1=BM25_K1, b=BM25_B) with the rational idf (N+1)/(df+1).
+
+    The tf table is pre-filtered to the query terms — at 100 TB that
+    filter reaches the tokenize stage, so the scored frame is
+    O(matching docs), not O(corpus). df/doclen/avgdl are the same
+    broadcast-sized sides as text_tfidf_top_term. Each query term's
+    contribution is a separate conditional aggregate added in a fixed
+    order (never an unordered float sum), so scores hash-match the
+    oracle; the final top-K is TakeOrderedAndProject, no global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            "CAST(sum(size(split(text, ' '))) AS DOUBLE) / count(*)"
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(_bm25_term_case(t)).alias(f"s{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ]
+        )
+    )
+    bm25 = F.round(
+        F.coalesce(F.col("s0"), F.lit(0))
+        + F.coalesce(F.col("s1"), F.lit(0))
+        + F.coalesce(F.col("s2"), F.lit(0)),
+        6,
+    )
+    return (
+        scored.select("doc_id", bm25.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+raw AS (SELECT term, count(*)::BIGINT AS c_r FROM tok GROUP BY term),
+tgt AS (
+  SELECT term, count(*)::BIGINT AS c_t FROM tok WHERE lang = 'en'
+  GROUP BY term
+),
+tot AS (
+  SELECT (SELECT count(*) FROM tok)::BIGINT AS n_r,
+         (SELECT count(*) FROM tok WHERE lang = 'en')::BIGINT AS n_t,
+         (SELECT count(DISTINCT term) FROM tok)::BIGINT AS v
+),
+ratio AS (
+  SELECT raw.term,
+         floor((CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / (n_t + v))
+               / (CAST(c_r + 1 AS DOUBLE) / (n_r + v))
+               * {DSIR_FIX})::BIGINT AS q
+  FROM raw LEFT JOIN tgt ON raw.term = tgt.term CROSS JOIN tot
+),
+k AS (
+  SELECT doc_id, term, count(*)::BIGINT AS k FROM tok GROUP BY doc_id, term
+),
+s AS (
+  SELECT k.doc_id, sum(q * k)::BIGINT AS sq, sum(k)::BIGINT AS n
+  FROM k JOIN ratio ON k.term = ratio.term GROUP BY k.doc_id
+)
+SELECT doc_id, n AS n_terms,
+       round(CAST(sq AS DOUBLE) / n / {DSIR_FIX}, 6) AS dsir_weight
+FROM s
+""",
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): mean smoothed
+    unigram-frequency ratio p_target / p_raw per document, target =
+    the ``lang = 'en'`` slice, raw = the whole corpus. Documents
+    resembling the target distribution score > 1 and would be
+    up-sampled by importance resampling.
+
+    One tokenize pass feeds both count tables (Catalyst reuses the
+    exchange); the term-ratio table is vocabulary-sized and broadcasts,
+    so the per-document pass is map-side join + hash agg — no shuffle
+    keyed on the power-law term column, which sidesteps the stopword
+    skew that text_rarity_score handles with a split-join. Ratios are
+    floored to DSIR_FIX fixed point per DISTINCT term (the two smoothed
+    frequencies are each one correctly-rounded double division), so the
+    per-document reduction is exact BIGINT arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    raw = tok.groupBy("term").agg(F.count("*").alias("c_r"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.count("*").alias("c_t"))
+    )
+    tot = tok.agg(
+        F.count("*").alias("n_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+        F.count_distinct("term").alias("v"),
+    )
+    ratio = (
+        raw.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.floor(
+                F.expr(
+                    f"(CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / (n_t + v))"
+                    f" / (CAST(c_r + 1 AS DOUBLE) / (n_r + v)) * {DSIR_FIX}"
+                )
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    k = tok.groupBy("doc_id", "term").agg(F.count("*").alias("k"))
+    s = (
+        k.join(F.broadcast(ratio), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("q") * F.col("k")).alias("sq"), F.sum("k").alias("n"))
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").alias("n_terms"),
+        F.round(F.col("sq").cast("double") / F.col("n") / F.lit(DSIR_FIX), 6).alias(
+            "dsir_weight"
+        ),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, count(*)::BIGINT AS n FROM nxt
+  WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY src), 6) AS p
+FROM c
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current event type). The lead window
+    is partitioned by user (embarrassingly parallel); the count table
+    is |event_type|² rows, so the normalizing window is O(domain²) on
+    a tiny frame — never O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        nxt.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
+    )

@@ -86,6 +86,7 @@ _PRIORITY_PREFIXES = [
     # ---- 50-query driver window ends here ----
     # first in line for the r5 rotation: the round-4 ops the window
     # could not fit (never driver-sampled; locally exact-gated)
+    "text_lm_score", "text_bm25", "dsir_", "events_markov",
     "events_anomaly", "source_jsonl", "s04", "dedup_corpus", "ap07",
     "bench_q2_", "bench_q20", "bench_q16", "bench_q17", "bench_q18",
     "pii_", "doc_chunk", "j05", "j06", "j07", "j08",
@@ -118,6 +119,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.llm.curation  # noqa: F401
     import cdc_sync_poc_spark.llm.dedup  # noqa: F401
     import cdc_sync_poc_spark.llm.hygiene  # noqa: F401
+    import cdc_sync_poc_spark.llm.lm_quality  # noqa: F401
     import cdc_sync_poc_spark.llm.multimodal  # noqa: F401
     import cdc_sync_poc_spark.llm.preprocess  # noqa: F401
     import cdc_sync_poc_spark.llm.segment_stats  # noqa: F401

@@ -54,6 +54,10 @@ SECTIONS = [
      "Line-level boilerplate: map-only segment explode -> segment-keyed distinct-doc agg -> un-hinted back-join (AQE broadcasts the repetition head) -> per-doc rollup"),
     ("events_anomaly_zscore",
      "Rolling z-score: ONE Window operator carrying all three fixed-point BIGINT frame sums after a single user_id exchange — no second shuffle, no per-sum window"),
+    ("text_lm_score",
+     "Bigram-LM quality deciles: map-side bigram explode, vocabulary sides broadcast, and the doc-pairs/LM join UNHINTED — Catalyst picks from statistics (size-based broadcast at sf0.1 where both sides are MBs; a shuffle join on the uniform pair key at scale where both are TBs) — fixed-point BIGINT per-doc sums"),
+    ("dsir_importance",
+     "DSIR importance weights: vocabulary-sized term-ratio table broadcast (map-side join — no shuffle keyed on the power-law term column), per-doc fixed-point BIGINT reduction"),
 ]
 
 
