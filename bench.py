@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "text_bm25_rank",
     "dsir_importance",
     "events_markov_transitions",
+    "sem_dedup",
+    "corpus_filter_funnel",
 ]
 
 N_REPS = 3

@@ -389,3 +389,150 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(_FP_SCALE) * F.count("*"))
         ).alias("mean_norm"),
     )
+
+
+# corpus_filter_funnel stage cuts (first-match-wins attribution order).
+# langid is deliberately NOT a funnel stage: the marker heuristic
+# (text_langid) mislabels most of this synthetic corpus (its tokens are
+# English-ish for every lang value), which would degenerate the funnel
+# to a single stage. Production funnels insert it between length and
+# repetition.
+FUNNEL_MIN_WORDS = 20
+FUNNEL_MIN_STOPWORD = 0.02
+
+_FUNNEL_REASON_SQL = f"""
+CASE WHEN n_words < {FUNNEL_MIN_WORDS} THEN 'too_short'
+     WHEN top_bigram_frac >= {TOP_BIGRAM_MAX}
+          OR dup_trigram_frac >= {DUP_TRIGRAM_MAX} THEN 'repetition'
+     WHEN stopword_ratio < {FUNNEL_MIN_STOPWORD} THEN 'low_stopword'
+     ELSE 'kept' END
+"""
+
+_FUNNEL_CTES = """
+w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+m AS (
+  SELECT doc_id, lang, len(words)::BIGINT AS n_words,
+         CASE WHEN len(words) >= 3 THEN
+           CAST(list_max(list_transform(list_distinct(
+                  list_transform(range(1, len(words)),
+                                 i -> concat(words[i], ' ', words[i+1]))),
+                x -> len(list_filter(
+                       list_transform(range(1, len(words)),
+                                      i -> concat(words[i], ' ', words[i+1])),
+                       y -> y = x)))) AS DOUBLE)
+             / CAST(len(words) - 1 AS DOUBLE)
+         END AS top_bigram_frac,
+         CASE WHEN len(words) >= 3 THEN
+           1.0 - CAST(len(list_distinct(
+                   list_transform(range(1, len(words) - 1),
+                     i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))))
+                 AS DOUBLE)
+             / CAST(len(words) - 2 AS DOUBLE)
+         END AS dup_trigram_frac,
+         CAST(len(list_filter(words, x -> x IN ('the', 'a', 'of', 'and')))
+              AS DOUBLE) / len(words) AS stopword_ratio
+  FROM w
+)
+"""
+
+
+def _funnel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_verdict_frame(load_table(spark, sf_dir, "documents"))
+
+
+def funnel_verdict_frame(docs: DataFrame) -> DataFrame:
+    """Per-document first-drop-reason verdict over any (doc_id, lang,
+    text) frame — the shared core of corpus_filter_funnel /
+    corpus_funnel_counts (separated so property tests can sweep gate
+    boundaries). Entirely map-side (every metric is an array expression
+    over the words column, the text_repetition_filter shape), so the
+    funnel runs at scan speed."""
+    base = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("words"))
+    bg = (
+        "transform(sequence(1, size(words) - 1),"
+        " i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"
+    )
+    tg = (
+        "transform(sequence(1, size(words) - 2),"
+        " i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),"
+        " element_at(words, i + 2)))"
+    )
+    m = base.select(
+        "doc_id",
+        "lang",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.expr(
+            f"CASE WHEN size(words) >= 3 THEN"
+            f" CAST(array_max(transform(array_distinct({bg}),"
+            f" x -> size(filter({bg}, y -> y = x)))) AS DOUBLE)"
+            f" / CAST(size(words) - 1 AS DOUBLE) END"
+        ).alias("top_bigram_frac"),
+        F.expr(
+            f"CASE WHEN size(words) >= 3 THEN"
+            f" 1.0D - CAST(size(array_distinct({tg})) AS DOUBLE)"
+            f" / CAST(size(words) - 2 AS DOUBLE) END"
+        ).alias("dup_trigram_frac"),
+        F.expr(
+            "CAST(size(filter(words, x -> x IN ('the', 'a', 'of', 'and')))"
+            " AS DOUBLE) / size(words)"
+        ).alias("stopword_ratio"),
+    )
+    return m.withColumn("reason", F.expr(_FUNNEL_REASON_SQL))
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=f"""
+WITH {_FUNNEL_CTES}
+SELECT doc_id, lang, n_words,
+       {_FUNNEL_REASON_SQL} AS reason,
+       {_FUNNEL_REASON_SQL} = 'kept' AS kept
+FROM m
+""",
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/FineWeb-style quality funnel: each document passes the
+    length, repetition (Gopher cuts), and stopword-density gates in a
+    fixed order; the FIRST failing gate is the document's recorded drop
+    reason (so stage attrition is attributable, not overlapping).
+    Map-only — the verdict is one CASE over array expressions; at
+    100 TB the funnel is a single scan-speed pass whose output column
+    set downstream stages filter on."""
+    return _funnel_frame(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "reason",
+        (F.col("reason") == "kept").alias("kept"),
+    )
+
+
+@register(
+    "corpus_funnel_counts",
+    oracle=f"""
+WITH {_FUNNEL_CTES},
+r AS (SELECT {_FUNNEL_REASON_SQL} AS reason FROM m),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM r)
+SELECT reason, count(*)::BIGINT AS n,
+       round(CAST(count(*) AS DOUBLE) / n_total, 6) AS frac
+FROM r CROSS JOIN tot
+GROUP BY reason, n_total
+""",
+)
+def corpus_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attrition report: documents per first-drop reason and the
+    corpus fraction each stage removes — the table a curation run
+    publishes per snapshot. One map-side verdict pass + a reason-domain
+    hash agg (≤4 groups) + a 1-row broadcast for the denominator."""
+    r = _funnel_frame(spark, sf_dir).select("reason")
+    tot = r.agg(F.count("*").alias("n_total"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy("reason", "n_total")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "reason",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("frac"),
+        )
+    )

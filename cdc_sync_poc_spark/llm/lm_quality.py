@@ -128,7 +128,12 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-domain histogram cut (doc_length_quantiles pattern) — the
     decile EDGES come from the histogram; the per-doc bucket is then a
     map-side comparison."""
-    docs = load_table(spark, sf_dir, "documents")
+    return lm_score_frame(load_table(spark, sf_dir, "documents"))
+
+
+def lm_score_frame(docs: DataFrame) -> DataFrame:
+    """Core of text_lm_score over any (doc_id, text) frame (separated
+    so property tests can sweep smoothing/decile boundaries)."""
     bg = _bigrams(docs)
     cab = bg.groupBy("pair").agg(F.count("*").alias("c_ab"))
     ca = (

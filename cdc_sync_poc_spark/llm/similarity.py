@@ -1206,3 +1206,74 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+SEM_TAU = 0.35  # sem_dedup within-cell cosine threshold
+
+
+@register(
+    "sem_dedup",
+    oracle=f"""
+WITH {_ivf_cte_chain()},
+pairs AS (
+  SELECT a.vec_id AS vid,
+         max(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)) AS max_cos
+  FROM a1 a JOIN a1 b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id
+)
+SELECT a1.vec_id, a1.cell_id,
+       round(p.max_cos, 6) AS max_cos,
+       coalesce(p.max_cos <= {SEM_TAU}, TRUE) AS kept
+FROM a1 LEFT JOIN pairs p ON a1.vec_id = p.vid
+""",
+)
+def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
+    clustering embeddings with the IVF coarse quantizer (k-means:
+    sample-init + one exact Lloyd round, shared via _ivf_refined's
+    memo) and, WITHIN each cell only, dropping every vector whose
+    cosine to a lower-id cell member exceeds SEM_TAU — the lowest id in
+    each near-dup group survives as the canonical representative. The
+    greedy lower-id rule (not a transitive closure) is the paper's
+    keep-one-per-cluster policy made deterministic and oracle-checkable.
+
+    Scale shape: assignment is the same zero-shuffle map stage as
+    sim_ivf_topk; the pairwise pass is a self-join ON cell_id, so the
+    quadratic term is (corpus/N_CELLS)² per cell, never corpus² — the
+    cluster count is exactly the knob the paper uses to keep the
+    within-cluster pass tractable (scale N_CELLS with the corpus so
+    cell size stays bounded). One shuffle on cell_id, one per-vector
+    hash agg of the max cosine, one AQE-sized left join back."""
+    n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
+    a = n.select("vec_id", _assign_col(cents1_rows).alias("cell_id"), "v", "nrm")
+    b = a.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell_id").alias("b_cell"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(v, bv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, z) -> acc + z)"
+    ) / (F.col("nrm") * F.col("b_nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell_id") == F.col("b_cell"))
+            & (F.col("b_id") < F.col("vec_id")),
+        )
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return (
+        a.select("vec_id", "cell_id")
+        .join(pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.round("max_cos", 6).alias("max_cos"),
+            F.coalesce(F.col("max_cos") <= SEM_TAU, F.lit(True)).alias("kept"),
+        )
+    )

@@ -256,3 +256,105 @@ def test_seq_packing_matches_reference(spark, ids, sizes, langs):
         for r in seq_packing_frame(df).collect()
     }
     assert got == _packing_reference(docs)
+
+
+def _funnel_reference(rows):
+    """Straight-line funnel verdict: first failing gate wins
+    (length -> Gopher repetition -> stopword density)."""
+    out = {}
+    for doc_id, lang, text in rows:
+        words = text.split(" ")
+        n = len(words)
+        if n < 20:
+            out[doc_id] = "too_short"
+            continue
+        bgs = [f"{words[i]} {words[i + 1]}" for i in range(n - 1)]
+        tgs = [
+            f"{words[i]} {words[i + 1]} {words[i + 2]}" for i in range(n - 2)
+        ]
+        top_bg = max(bgs.count(x) for x in set(bgs)) / (n - 1)
+        dup_tg = 1.0 - len(set(tgs)) / (n - 2)
+        if top_bg >= 0.05 or dup_tg >= 0.02:
+            out[doc_id] = "repetition"
+            continue
+        stop = sum(1 for w in words if w in ("the", "a", "of", "and")) / n
+        out[doc_id] = "low_stopword" if stop < 0.02 else "kept"
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["the", "a", "of", "x", "y", "z", "q", "w"]),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_funnel_matches_reference(spark, docs):
+    from cdc_sync_poc_spark.llm.curation import funnel_verdict_frame
+
+    rows = [(i, "en", " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r.doc_id: r.reason for r in funnel_verdict_frame(df).collect()
+    }
+    assert got == _funnel_reference(rows)
+
+
+def _lm_reference(rows):
+    """Straight-line bigram LM with add-one smoothing and the LM_FIX
+    fixed-point floor — per-doc (n_bigrams, mean_p, decile)."""
+    from cdc_sync_poc_spark.llm.lm_quality import LM_FIX
+
+    vocab = set()
+    for _, text in rows:
+        vocab.update(text.split(" "))
+    v = len(vocab)
+    cab: dict[tuple, int] = {}
+    ca: dict[str, int] = {}
+    per_doc: dict[int, dict] = {}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        if len(ws) < 2:
+            continue
+        k: dict[tuple, int] = {}
+        for a, b in zip(ws, ws[1:]):
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+            ca[a] = ca.get(a, 0) + 1
+            k[(a, b)] = k.get((a, b), 0) + 1
+        per_doc[doc_id] = k
+    out = {}
+    for doc_id, k in per_doc.items():
+        sq = sum(
+            int((cab[p] + 1) / (ca[p[0]] + v) * LM_FIX) * cnt
+            for p, cnt in k.items()
+        )
+        n = sum(k.values())
+        out[doc_id] = (n, round(sq / n / LM_FIX, 9))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["r", "s", "t", "u"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_lm_score_matches_reference(spark, docs):
+    from cdc_sync_poc_spark.llm.lm_quality import lm_score_frame
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_p)
+        for r in lm_score_frame(df).collect()
+    }
+    assert got == _lm_reference(rows)

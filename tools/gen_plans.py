@@ -58,6 +58,10 @@ SECTIONS = [
      "Bigram-LM quality deciles: map-side bigram explode, vocabulary sides broadcast, and the doc-pairs/LM join UNHINTED — Catalyst picks from statistics (size-based broadcast at sf0.1 where both sides are MBs; a shuffle join on the uniform pair key at scale where both are TBs) — fixed-point BIGINT per-doc sums"),
     ("dsir_importance",
      "DSIR importance weights: vocabulary-sized term-ratio table broadcast (map-side join — no shuffle keyed on the power-law term column), per-doc fixed-point BIGINT reduction"),
+    ("sem_dedup",
+     "SemDeDup: map-only cell assignment (constant-folded centroid literal), within-cell-ONLY pairwise self-join on cell_id (quadratic term bounded per cell, never corpus-wide), per-vector max-cosine agg"),
+    ("corpus_filter_funnel",
+     "Quality funnel: single scan -> project, every gate metric an array expression, first-match CASE attribution, zero exchanges"),
 ]
 
 
