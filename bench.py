@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "events_markov_transitions",
     "sem_dedup",
     "corpus_filter_funnel",
+    "llm_curation_e2e",
 ]
 
 N_REPS = 3

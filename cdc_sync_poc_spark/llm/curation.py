@@ -440,14 +440,19 @@ def _funnel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_verdict_frame(load_table(spark, sf_dir, "documents"))
 
 
-def funnel_verdict_frame(docs: DataFrame) -> DataFrame:
+def funnel_verdict_frame(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     """Per-document first-drop-reason verdict over any (doc_id, lang,
     text) frame — the shared core of corpus_filter_funnel /
     corpus_funnel_counts (separated so property tests can sweep gate
     boundaries). Entirely map-side (every metric is an array expression
     over the words column, the text_repetition_filter shape), so the
-    funnel runs at scan speed."""
-    base = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("words"))
+    funnel runs at scan speed. ``keep_text=True`` carries the text
+    column through so downstream stages (llm_curation_e2e) can filter
+    on the verdict INLINE, without rejoining the corpus to itself."""
+    carry = ["text"] if keep_text else []
+    base = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("words"), *carry
+    )
     bg = (
         "transform(sequence(1, size(words) - 1),"
         " i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"
@@ -460,6 +465,7 @@ def funnel_verdict_frame(docs: DataFrame) -> DataFrame:
     m = base.select(
         "doc_id",
         "lang",
+        *carry,
         F.size("words").cast("bigint").alias("n_words"),
         F.expr(
             f"CASE WHEN size(words) >= 3 THEN"
@@ -536,3 +542,90 @@ def corpus_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("frac"),
         )
     )
+
+
+_E2E_ORACLE = f"""
+WITH {_FUNNEL_CTES},
+kept AS (SELECT doc_id FROM m WHERE {_FUNNEL_REASON_SQL} = 'kept'),
+dd AS (
+  SELECT d.doc_id, d.lang, d.text,
+         row_number() OVER (PARTITION BY md5(d.text)
+                            ORDER BY d.doc_id) AS rn
+  FROM documents d JOIN kept USING (doc_id)
+),
+uniq AS (SELECT doc_id, lang, text FROM dd WHERE rn = 1),
+samp AS (
+  SELECT doc_id, lang, text FROM uniq
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 10000 < {{rate_case}}
+),
+toks AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM samp
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       (prev // {{pack_budget}})::BIGINT AS bin_id,
+       (prev % {{pack_budget}})::BIGINT AS bin_offset
+FROM packed
+"""
+
+
+def _e2e_oracle() -> str:
+    from cdc_sync_poc_spark.llm.preprocess import PACK_BUDGET
+
+    return _E2E_ORACLE.format(
+        rate_case=f"({_rate_case_sql()})", pack_budget=PACK_BUDGET
+    )
+
+
+@register("llm_curation_e2e", oracle=_e2e_oracle())
+def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline in one lineage — quality funnel →
+    exact content dedup (lowest-id survivor) → deterministic stratified
+    downsampling → contiguous sequence packing — emitting the
+    training-ready (doc, bin, offset) layout. This is the LLM-side twin
+    of the CDC pipeline_e2e: the stages are the already-verified
+    operators composed by Catalyst into a single plan, proving they
+    chain (no materialization boundaries between stages).
+
+    Scale shape: funnel + sampling are map-side predicates that fuse
+    into the scan; dedup is one shuffle on the content hash; packing is
+    the two-level prefix sum (local cumsum + broadcast carry) — so the
+    whole pipeline is two shuffles (content hash, pack chunks) plus one
+    broadcast, end to end, at any corpus size."""
+    from cdc_sync_poc_spark.llm.preprocess import seq_packing_frame
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        funnel_verdict_frame(docs, keep_text=True)
+        .filter(F.col("reason") == "kept")
+        .select("doc_id", "lang", "text")
+    )
+    wdd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(wdd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(bp))
+            for lang, bp in sorted(SAMPLE_RATES_BP.items())
+        ],
+        F.lit(SAMPLE_DEFAULT_BP),
+    )
+    samp = uniq.filter(bucket < rate)
+    return seq_packing_frame(samp)

@@ -62,6 +62,8 @@ SECTIONS = [
      "SemDeDup: map-only cell assignment (constant-folded centroid literal), within-cell-ONLY pairwise self-join on cell_id (quadratic term bounded per cell, never corpus-wide), per-vector max-cosine agg"),
     ("corpus_filter_funnel",
      "Quality funnel: single scan -> project, every gate metric an array expression, first-match CASE attribution, zero exchanges"),
+    ("llm_curation_e2e",
+     "Full curation pipeline in ONE lineage: funnel verdict + stratified sample fused into the scan as predicates (no corpus self-join), content-hash dedup window, two-level packing prefix sum — two shuffles + one broadcast end to end"),
 ]
 
 
