@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "sem_dedup",
     "corpus_filter_funnel",
     "llm_curation_e2e",
+    "dedup_incremental",
+    "events_path_topk",
+    "corpus_divergence_chi2",
 ]
 
 N_REPS = 3

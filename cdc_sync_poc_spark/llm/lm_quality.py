@@ -419,3 +419,81 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
     )
+
+
+CHI2_FIX = 1 << 30  # corpus_divergence_chi2 fixed-point scale
+
+
+@register(
+    "corpus_divergence_chi2",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ct AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+cl AS (SELECT lang, term, count(*)::BIGINT AS c FROM tok GROUP BY lang, term),
+nl AS (SELECT lang, count(*)::BIGINT AS n FROM tok GROUP BY lang),
+tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+grid AS (
+  SELECT nl.lang, ct.term, ct.c AS c_t, nl.n AS n_l, tot.n AS n_tot,
+         coalesce(cl.c, 0) AS c_lt
+  FROM ct CROSS JOIN nl CROSS JOIN tot
+  LEFT JOIN cl ON cl.lang = nl.lang AND cl.term = ct.term
+),
+q AS (
+  SELECT lang,
+         floor(
+           (CAST(c_lt AS DOUBLE) / n_l - CAST(c_t AS DOUBLE) / n_tot)
+           * (CAST(c_lt AS DOUBLE) / n_l - CAST(c_t AS DOUBLE) / n_tot)
+           / (CAST(c_t AS DOUBLE) / n_tot) * {CHI2_FIX})::BIGINT AS qv
+  FROM grid
+)
+SELECT lang, round(CAST(sum(qv) AS DOUBLE) / {CHI2_FIX}, 6) AS chi2
+FROM q GROUP BY lang
+""",
+)
+def corpus_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition drift per language slice: χ² divergence of
+    each slice's unigram distribution from the whole-corpus
+    distribution, Σ_t (p_l(t) − p_c(t))² / p_c(t) over the global
+    vocabulary — the slice-vs-corpus monitor a curation pipeline tracks
+    across snapshots (a slice whose divergence jumps got skewed by an
+    ingest bug). Pure rational arithmetic: each grid cell is three
+    correctly-rounded double divisions in a fixed tree, floored to
+    CHI2_FIX fixed point so the per-slice reduction is an exact BIGINT
+    sum at any parallelism.
+
+    Scale shape: the grid is |vocab| × |langs| rows — vocabulary-sized,
+    not corpus-sized; it comes from one tokenize pass feeding three
+    hash aggs, a broadcast of the per-lang totals, and a left join of
+    the (lang, term) counts, shuffled on the uniform term key."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs.select("lang", "text")).select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    ct = tok.groupBy("term").agg(F.count("*").alias("c_t"))
+    cl = tok.groupBy("lang", "term").agg(F.count("*").alias("c_lt"))
+    nl = tok.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = tok.agg(F.count("*").alias("n_tot"))
+    grid = (
+        ct.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(tot))
+        .join(cl, ["lang", "term"], "left")
+        .select(
+            "lang",
+            F.floor(
+                F.expr(
+                    f"(CAST(coalesce(c_lt, 0) AS DOUBLE) / n_l"
+                    f" - CAST(c_t AS DOUBLE) / n_tot)"
+                    f" * (CAST(coalesce(c_lt, 0) AS DOUBLE) / n_l"
+                    f" - CAST(c_t AS DOUBLE) / n_tot)"
+                    f" / (CAST(c_t AS DOUBLE) / n_tot) * {CHI2_FIX}"
+                )
+            )
+            .cast("bigint")
+            .alias("qv"),
+        )
+    )
+    return grid.groupBy("lang").agg(
+        F.round(F.sum("qv").cast("double") / F.lit(CHI2_FIX), 6).alias("chi2")
+    )

@@ -307,3 +307,47 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PATH_LEN_TOP = 10  # events_path_topk result size
+
+
+@register(
+    "events_path_topk",
+    oracle=f"""
+WITH p AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, count(*)::BIGINT AS n
+FROM p WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3 LIMIT {PATH_LEN_TOP}
+""",
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths: the most frequent 3-step event-type sequences
+    across per-user streams — the navigation-path analysis behind
+    funnel design. One user-partitioned lead window (embarrassingly
+    parallel), a hash agg bounded by |event_type|³ groups, and a
+    PATH_LEN_TOP-row TakeOrdered — no global sort at any event
+    volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        p.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(PATH_LEN_TOP)
+    )

@@ -64,6 +64,8 @@ SECTIONS = [
      "Quality funnel: single scan -> project, every gate metric an array expression, first-match CASE attribution, zero exchanges"),
     ("llm_curation_e2e",
      "Full curation pipeline in ONE lineage: funnel verdict + stratified sample fused into the scan as predicates (no corpus self-join), content-hash dedup window, two-level packing prefix sum — two shuffles + one broadcast end to end"),
+    ("dedup_incremental",
+     "Incremental ingest screening: incoming batch probes the index's distinct-hash set and MinHash band table via left-semi equi-joins — O(batch) work against a stored index, no corpus re-dedup"),
 ]
 
 
