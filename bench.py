@@ -138,6 +138,9 @@ CACHE_WARMERS = [
     # first cluster call runs the label-propagation loop (memoized,
     # shared by dedup_minhash_cluster / dedup_corpus_keep)
     "dedup_corpus_keep",
+    # first e2e call materializes the persisted survivor frame (the
+    # funnel+dedup+sample checkpoint consumed twice by the packer)
+    "llm_curation_e2e",
 ]
 
 

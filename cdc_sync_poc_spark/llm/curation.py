@@ -448,10 +448,26 @@ def funnel_verdict_frame(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     over the words column, the text_repetition_filter shape), so the
     funnel runs at scan speed. ``keep_text=True`` carries the text
     column through so downstream stages (llm_curation_e2e) can filter
-    on the verdict INLINE, without rejoining the corpus to itself."""
+    on the verdict INLINE, without rejoining the corpus to itself.
+
+    The top-bigram count is a sort + one linear fold (longest run in
+    the SORTED bigram array — the same integer as the declarative
+    max-count-over-distinct form the oracle states, which is O(distinct
+    × n) per document). The distinction matters because higher-order
+    array functions run INTERPRETED (outside whole-stage codegen), and
+    when a consumer filters on ``reason`` the whole metric expression
+    is pushed into the scan predicate and re-evaluated per row — the
+    quadratic form there cost ~150 s on sf0.1's single-split scan; the
+    linear form is ~1 s. Same reason the input is spread: the predicate
+    lands on the scan task(s), so scan parallelism bounds verdict
+    parallelism (no-op on a real many-split lake)."""
+    from cdc_sync_poc_spark.sources.loader import spread_small_input
+
     carry = ["text"] if keep_text else []
-    base = docs.select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("words"), *carry
+    base = spread_small_input(
+        docs.select(
+            "doc_id", "lang", F.split(F.col("text"), " ").alias("words"), *carry
+        )
     )
     bg = (
         "transform(sequence(1, size(words) - 1),"
@@ -462,6 +478,16 @@ def funnel_verdict_frame(docs: DataFrame, keep_text: bool = False) -> DataFrame:
         " i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),"
         " element_at(words, i + 2)))"
     )
+    max_run = (
+        f"aggregate(array_sort({bg}),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,"
+        "   'best', GREATEST(acc.best,"
+        "     CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)),"
+        " acc -> acc.best)"
+    )
     m = base.select(
         "doc_id",
         "lang",
@@ -469,8 +495,7 @@ def funnel_verdict_frame(docs: DataFrame, keep_text: bool = False) -> DataFrame:
         F.size("words").cast("bigint").alias("n_words"),
         F.expr(
             f"CASE WHEN size(words) >= 3 THEN"
-            f" CAST(array_max(transform(array_distinct({bg}),"
-            f" x -> size(filter({bg}, y -> y = x)))) AS DOUBLE)"
+            f" CAST({max_run} AS DOUBLE)"
             f" / CAST(size(words) - 1 AS DOUBLE) END"
         ).alias("top_bigram_frac"),
         F.expr(
@@ -627,5 +652,11 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(SAMPLE_DEFAULT_BP),
     )
-    samp = uniq.filter(bucket < rate)
+    # seq_packing_frame consumes its input twice (local cumsum + the
+    # chunk-carry aggregation); without a persist the whole funnel +
+    # dedup + sample subtree would be recomputed for each branch. The
+    # survivor frame is the DEDUPLICATED SAMPLED corpus — in production
+    # it is exactly the frame a pipeline writes to storage between
+    # stages anyway, so caching it here mirrors the real checkpoint.
+    samp = uniq.filter(bucket < rate).persist()
     return seq_packing_frame(samp)
