@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "events_path_topk",
     "corpus_divergence_chi2",
+    "dedup_recall_minhash",
 ]
 
 N_REPS = 3

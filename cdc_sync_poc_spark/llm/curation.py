@@ -51,6 +51,26 @@ SAMPLE_RATES_BP = {"en": 2500, "zh": 5000, "de": 8000, "es": 8000, "fr": 8000}
 SAMPLE_DEFAULT_BP = 10000
 
 
+def _max_run_expr(arr_sql: str) -> str:
+    """Spark SQL: the count of the most frequent element of ``arr_sql``
+    as a sort + ONE linear fold (longest run in the sorted array).
+    Equals the declarative max-count-over-distinct form the oracles
+    state, but higher-order array functions run interpreted (outside
+    whole-stage codegen), so the O(distinct × n) distinct-then-filter
+    form is a per-row hot spot the moment a consumer inlines it into a
+    filter predicate — see funnel_verdict_frame."""
+    return (
+        f"aggregate(array_sort({arr_sql}),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,"
+        "   'best', GREATEST(acc.best,"
+        "     CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)),"
+        " acc -> acc.best)"
+    )
+
+
 @register(
     "text_repetition_filter",
     oracle=f"""
@@ -100,10 +120,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         " element_at(w, i + 2)))"
     )
     withg = base.select("doc_id", "lang", bg.alias("bg"), tg.alias("tg"))
-    top_bg = F.expr(
-        "array_max(transform(array_distinct(bg),"
-        " x -> size(filter(bg, y -> y = x))))"
-    )
+    top_bg = F.expr(_max_run_expr("bg"))
     top_frac = top_bg.cast("double") / F.size("bg").cast("double")
     dup_frac = F.lit(1.0) - (
         F.size(F.array_distinct(F.col("tg"))).cast("double")
@@ -478,16 +495,7 @@ def funnel_verdict_frame(docs: DataFrame, keep_text: bool = False) -> DataFrame:
         " i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),"
         " element_at(words, i + 2)))"
     )
-    max_run = (
-        f"aggregate(array_sort({bg}),"
-        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
-        " (acc, x) -> named_struct("
-        "   'prev', x,"
-        "   'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,"
-        "   'best', GREATEST(acc.best,"
-        "     CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)),"
-        " acc -> acc.best)"
-    )
+    max_run = _max_run_expr(bg)
     m = base.select(
         "doc_id",
         "lang",

@@ -716,3 +716,96 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+DEDUP_RECALL_MAX_ID = 200  # dedup_recall_minhash: ground-truth sample bound
+
+
+@register(
+    "dedup_recall_minhash",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_mh_band_ctes(BAND_SIZE)},
+ssh AS (SELECT * FROM sh WHERE doc_id < {DEDUP_RECALL_MAX_ID}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS ni
+  FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN scount ca ON ca.doc_id = i.doc_a
+  JOIN scount cb ON cb.doc_id = i.doc_b
+  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= {MINHASH_JACCARD_MIN}
+),
+found AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE doc_a < {DEDUP_RECALL_MAX_ID} AND doc_b < {DEDUP_RECALL_MAX_ID}
+),
+hit AS (SELECT t.doc_a FROM truth t JOIN found f
+        ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       CASE WHEN (SELECT count(*) FROM truth) > 0
+            THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                       / (SELECT count(*) FROM truth), 6)
+            ELSE 1.0 END AS recall
+""",
+)
+def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash/LSH banding against exact-Jaccard
+    ground truth — the dedup twin of ann_recall_lsh: the band
+    configuration's s-curve is a probabilistic claim, so the pipeline
+    MEASURES it instead of asserting it. Ground truth is the exact
+    Jaccard >= threshold pair set on a bounded doc_id sample
+    (DEDUP_RECALL_MAX_ID docs — a design constant, so the quadratic
+    ground-truth join is O(sample²·shingles) at any corpus size);
+    recall = fraction of true near-dup pairs the banding surfaced.
+
+    Scale shape: the sample restriction is pushed to the shingle scan;
+    the corpus-wide band table is reused from the shared signature
+    cache, filtered to the sample before the probe join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    ssh = sh.filter(F.col("doc_id") < DEDUP_RECALL_MAX_ID)
+    sa = ssh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = ssh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    scount = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ca = scount.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = scount.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    truth = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= MINHASH_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    found = _band_pairs(_minhash_sig(sh), BAND_SIZE).filter(
+        (F.col("doc_a") < DEDUP_RECALL_MAX_ID)
+        & (F.col("doc_b") < DEDUP_RECALL_MAX_ID)
+    )
+    hit = truth.join(found, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        n_truth.crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_hit",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_truth"), 6
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+    )

@@ -86,6 +86,12 @@ def spread_small_input(df: DataFrame, max_parts: int = 16) -> DataFrame:
     plan-to-RDD conversion per call. Kept OUT of the general loader so
     scan-light plans keep their shuffle-free shape.
     """
+    if df.isStreaming:
+        # micro-batch planning re-splits the source per trigger;
+        # inputFiles() is undefined on a streaming frame, and the
+        # repartition would add a per-batch exchange — no-op so batch
+        # operators built on this helper stay streamable as-is
+        return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     target = min(parallelism, max_parts)
     # metadata-only split estimate: the scan's file list (each fixture

@@ -111,3 +111,33 @@ def test_streaming_simhash_dedup_runs(spark, doc_batches, tmp_path):
     # fingerprint) collapse across batches
     assert len(rows) == len({r.simhash16 for r in rows})
     assert len(rows) <= len(batch1) + len(batch2) - 12
+
+
+def test_streaming_funnel_matches_batch(spark, doc_batches, tmp_path):
+    """The quality funnel is a stateless projection, so it must stream
+    as-is: per-doc verdicts over micro-batches equal the batch run on
+    the union of the batches."""
+    from cdc_sync_poc_spark.llm.curation import funnel_verdict_frame
+    from cdc_sync_poc_spark.streaming.docs_dedup import doc_stream
+
+    in_dir, batch1, batch2 = doc_batches
+    q = (
+        funnel_verdict_frame(doc_stream(spark, in_dir))
+        .select("doc_id", "reason")
+        .writeStream.format("memory")
+        .queryName("sfun")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sfun"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.doc_id: r.reason for r in spark.sql("SELECT * FROM sfun").collect()
+    }
+    batch_df = spark.read.parquet(in_dir)
+    expected = {
+        r.doc_id: r.reason
+        for r in funnel_verdict_frame(batch_df).select("doc_id", "reason").collect()
+    }
+    assert streamed == expected
