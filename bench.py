@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "events_path_topk",
     "corpus_divergence_chi2",
     "dedup_recall_minhash",
+    "events_attribution",
 ]
 
 N_REPS = 3

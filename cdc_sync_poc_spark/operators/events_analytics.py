@@ -351,3 +351,58 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(PATH_LEN_TOP)
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+  FROM events
+)
+SELECT touch_type, count(*)::BIGINT AS n_purchases,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS revenue
+FROM touched
+WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+GROUP BY touch_type
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value is credited
+    to the nearest PRECEDING non-purchase event in the same user's
+    stream (the classic marketing-attribution pass). One
+    user-partitioned last_value(IGNORE NULLS) window — embarrassingly
+    parallel — then a hash agg over the |event_type|-bounded touch
+    domain. Revenue folds integer CENTS (round(value*100) per row, an
+    identical double op on both engines), so the unordered distributed
+    sum is exact; one division back to currency at the end."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touched = ev.select("event_type", "value", touch.alias("touch_type"))
+    return (
+        touched.filter(
+            (F.col("event_type") == "purchase") & F.col("touch_type").isNotNull()
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / F.lit(100.0),
+                2,
+            ).alias("revenue"),
+        )
+    )

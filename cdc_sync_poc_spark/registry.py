@@ -89,7 +89,7 @@ _PRIORITY_PREFIXES = [
     "text_lm_score", "text_bm25", "dsir_", "events_markov",
     "sem_dedup", "corpus_filter", "corpus_funnel", "llm_curation",
     "dedup_incremental", "events_path", "corpus_divergence",
-    "dedup_recall",
+    "dedup_recall", "events_attribution",
     "events_anomaly", "source_jsonl", "s04", "dedup_corpus", "ap07",
     "bench_q2_", "bench_q20", "bench_q16", "bench_q17", "bench_q18",
     "pii_", "doc_chunk", "j05", "j06", "j07", "j08",

@@ -42,6 +42,17 @@ def doc_batches(tmp_path):
             pa.Table.from_pylist(rows, schema=schema),
             in_dir / f"part-{i}.parquet",
         )
+    # FileStreamSource orders files by MODIFICATION TIME, and both
+    # writes above can land in the same clock tick — ties make the
+    # batch order (and so the first-seen survivor) nondeterministic
+    # under load. Pin strictly increasing mtimes so batch1 always
+    # precedes batch2.
+    import os
+    import time
+
+    now = time.time()
+    for i in range(2):
+        os.utime(in_dir / f"part-{i}.parquet", (now + i * 10, now + i * 10))
     return str(in_dir), batch1, batch2
 
 
