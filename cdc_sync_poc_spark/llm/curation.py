@@ -51,6 +51,25 @@ SAMPLE_RATES_BP = {"en": 2500, "zh": 5000, "de": 8000, "es": 8000, "fr": 8000}
 SAMPLE_DEFAULT_BP = 10000
 
 
+def _bg_sql(col: str) -> str:
+    """Spark SQL: the word-bigram array of token-array column ``col``
+    (shared by text_repetition_filter and the funnel so the two can
+    never diverge on the same metric)."""
+    return (
+        f"transform(sequence(1, size({col}) - 1),"
+        f" i -> concat_ws(' ', element_at({col}, i), element_at({col}, i + 1)))"
+    )
+
+
+def _tg_sql(col: str) -> str:
+    """Spark SQL: the word-trigram array of token-array column ``col``."""
+    return (
+        f"transform(sequence(1, size({col}) - 2),"
+        f" i -> concat_ws(' ', element_at({col}, i), element_at({col}, i + 1),"
+        f" element_at({col}, i + 2)))"
+    )
+
+
 def _max_run_expr(arr_sql: str) -> str:
     """Spark SQL: the count of the most frequent element of ``arr_sql``
     as a sort + ONE linear fold (longest run in the sorted array).
@@ -110,16 +129,12 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("w")
     ).filter(F.size("w") >= 3)
-    bg = F.expr(
-        "transform(sequence(1, size(w) - 1),"
-        " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+    withg = base.select(
+        "doc_id",
+        "lang",
+        F.expr(_bg_sql("w")).alias("bg"),
+        F.expr(_tg_sql("w")).alias("tg"),
     )
-    tg = F.expr(
-        "transform(sequence(1, size(w) - 2),"
-        " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
-        " element_at(w, i + 2)))"
-    )
-    withg = base.select("doc_id", "lang", bg.alias("bg"), tg.alias("tg"))
     top_bg = F.expr(_max_run_expr("bg"))
     top_frac = top_bg.cast("double") / F.size("bg").cast("double")
     dup_frac = F.lit(1.0) - (
@@ -486,15 +501,8 @@ def funnel_verdict_frame(docs: DataFrame, keep_text: bool = False) -> DataFrame:
             "doc_id", "lang", F.split(F.col("text"), " ").alias("words"), *carry
         )
     )
-    bg = (
-        "transform(sequence(1, size(words) - 1),"
-        " i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"
-    )
-    tg = (
-        "transform(sequence(1, size(words) - 2),"
-        " i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),"
-        " element_at(words, i + 2)))"
-    )
+    bg = _bg_sql("words")
+    tg = _tg_sql("words")
     max_run = _max_run_expr(bg)
     m = base.select(
         "doc_id",

@@ -18,8 +18,6 @@ model-free half of a CCNet/DSIR-style curation stack:
   al. 2023) — per-document importance weight of the target
   distribution (here: the ``lang='en'`` slice) against the raw corpus,
   from smoothed unigram frequency ratios.
-* events_markov_transitions: first-order Markov transition matrix over
-  per-user event streams — the "what happens next" analysis pass.
 
 Scale notes (the 100 TB lens):
 
@@ -133,9 +131,18 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lm_score_frame(docs: DataFrame) -> DataFrame:
     """Core of text_lm_score over any (doc_id, text) frame (separated
-    so property tests can sweep smoothing/decile boundaries)."""
-    bg = _bigrams(docs)
-    cab = bg.groupBy("pair").agg(F.count("*").alias("c_ab"))
+    so property tests can sweep smoothing/decile boundaries).
+
+    The corpus is exploded into bigrams ONCE: the per-doc pair table
+    ``k`` comes straight off the explode, and the LM's bigram counts
+    are derived from it (sum of k over docs) rather than re-exploding
+    the corpus — at 100 TB that halves the tokenize work and the first
+    shuffle's input. ``k`` feeds two consumers (LM build + scoring
+    join) through the SAME exchange, which Spark's ReusedExchange
+    dedupes inside the one plan — measured faster here than an explicit
+    persist (cache write + read cost more than the reuse saves)."""
+    k = _bigrams(docs).groupBy("doc_id", "pair").agg(F.count("*").alias("k"))
+    cab = k.groupBy("pair").agg(F.sum("k").alias("c_ab"))
     ca = (
         cab.groupBy(F.split(F.col("pair"), " ").getItem(0).alias("a"))
         .agg(F.sum("c_ab").alias("c_a"))
@@ -162,7 +169,6 @@ def lm_score_frame(docs: DataFrame) -> DataFrame:
             .alias("q"),
         )
     )
-    k = bg.groupBy("doc_id", "pair").agg(F.count("*").alias("k"))
     s = (
         k.join(lm, "pair")
         .groupBy("doc_id")
@@ -209,7 +215,8 @@ tf AS (
   WHERE term IN {BM25_TERMS!r}
   GROUP BY doc_id, term
 ),
-df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+       WHERE term IN {BM25_TERMS!r} GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
          {_bm25_term_case(BM25_TERMS[0])} AS s0,
@@ -255,7 +262,14 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df only ever joins the query terms — filter BEFORE the distinct
+    # agg so both the shuffle and the broadcast are O(|BM25_TERMS|),
+    # not O(vocab)
+    df = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
     scored = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
@@ -373,51 +387,6 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sq").cast("double") / F.col("n") / F.lit(DSIR_FIX), 6).alias(
             "dsir_weight"
         ),
-    )
-
-
-@register(
-    "events_markov_transitions",
-    oracle="""
-WITH nxt AS (
-  SELECT event_type AS src,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS dst
-  FROM events
-),
-c AS (
-  SELECT src, dst, count(*)::BIGINT AS n FROM nxt
-  WHERE dst IS NOT NULL GROUP BY src, dst
-)
-SELECT src, dst, n,
-       round(CAST(n AS DOUBLE)
-             / sum(n) OVER (PARTITION BY src), 6) AS p
-FROM c
-""",
-)
-def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    streams: P(next event type | current event type). The lead window
-    is partitioned by user (embarrassingly parallel); the count table
-    is |event_type|² rows, so the normalizing window is O(domain²) on
-    a tiny frame — never O(events)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = ev.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type").over(w).alias("dst"),
-    )
-    c = (
-        nxt.filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n"))
-    )
-    wsrc = Window.partitionBy("src")
-    return c.select(
-        "src",
-        "dst",
-        "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
     )
 
 

@@ -406,3 +406,50 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, count(*)::BIGINT AS n FROM nxt
+  WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY src), 6) AS p
+FROM c
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current event type). The lead window
+    is partitioned by user (embarrassingly parallel); the count table
+    is |event_type|² rows, so the normalizing window is O(domain²) on
+    a tiny frame — never O(events)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        nxt.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
+    )

@@ -61,7 +61,7 @@ SECTIONS = [
     ("sem_dedup",
      "SemDeDup: map-only cell assignment (constant-folded centroid literal), within-cell-ONLY pairwise self-join on cell_id (quadratic term bounded per cell, never corpus-wide), per-vector max-cosine agg"),
     ("corpus_filter_funnel",
-     "Quality funnel: single scan -> project, every gate metric an array expression, first-match CASE attribution, zero exchanges"),
+     "Quality funnel: scan -> project, every gate metric an array expression, first-match CASE attribution; the only exchange is the round-robin spread of the one-split fixture scan (no KEYED shuffle — and a no-op on a many-split lake)"),
     ("llm_curation_e2e",
      "Full curation pipeline in ONE lineage: funnel verdict + stratified sample fused into the scan as predicates (no corpus self-join), content-hash dedup window, two-level packing prefix sum — two shuffles + one broadcast end to end"),
     ("dedup_incremental",
