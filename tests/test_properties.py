@@ -358,3 +358,88 @@ def test_lm_score_matches_reference(spark, docs):
         for r in lm_score_frame(df).collect()
     }
     assert got == _lm_reference(rows)
+
+
+def _attribution_reference(rows):
+    """Straight-line last-touch attribution: per purchase, credit the
+    closest preceding non-purchase event of the same user; revenue in
+    exact cents."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for event_id, user_id, ts, etype, value in rows:
+        by_user[user_id].append((ts, event_id, etype, value))
+    out = defaultdict(lambda: [0, 0])
+    for evs in by_user.values():
+        evs.sort()
+        touch = None
+        for _ts, _eid, etype, value in evs:
+            if etype == "purchase":
+                if touch is not None:
+                    out[touch][0] += 1
+                    out[touch][1] += round(value * 100)
+            else:
+                touch = etype
+    return {
+        t: (n, round(cents / 100.0, 2)) for t, (n, cents) in out.items()
+    }
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=10_000),  # cents
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+)
+@settings(**_SETTINGS)
+def test_attribution_matches_reference(spark, events):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, user, base + dt.timedelta(seconds=i), etype, cents / 100.0)
+        for i, (user, etype, cents) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    # drive the registered operator's window logic directly over the
+    # synthetic frame (same expressions, no parquet fixture)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    got = {
+        r.touch_type: (r.n_purchases, r.revenue)
+        for r in (
+            df.select("event_type", "value", touch.alias("touch_type"))
+            .filter(
+                (F.col("event_type") == "purchase")
+                & F.col("touch_type").isNotNull()
+            )
+            .groupBy("touch_type")
+            .agg(
+                F.count("*").alias("n_purchases"),
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                    / F.lit(100.0),
+                    2,
+                ).alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert got == _attribution_reference(rows)
