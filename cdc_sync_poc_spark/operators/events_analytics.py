@@ -453,3 +453,66 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
     )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sno
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_value
+FROM s GROUP BY user_id, sno
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``F.session_window`` —
+    the operator a ``readStream`` sessionization uses verbatim with a
+    watermark (events_sessionize is the lag/cumsum island twin; this
+    one exercises Spark's built-in merging-session state operator, so
+    the batch oracle doubles as ground truth for the streaming path).
+
+    Semantics pinned by the oracle: two events share a session iff
+    their gap is STRICTLY under 30 min (session_window merges
+    half-open [ts, ts+gap) intervals, so a gap of exactly 30 min
+    starts a new session — hence ``>=`` in the island oracle, not the
+    ``>`` of events_sessionize); session_end is last_ts + gap, the
+    watermark-eviction bound a streaming run would emit. Partitioned
+    by user_id before the merge — embarrassingly parallel, no global
+    sort; value sums fold integer cents (order-independent, bit-exact).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100"
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,179 @@
+"""Distinct-count sketches: K-Minimum-Values (KMV / bottom-k theta
+sketch, Bar-Yossef et al. 2002) over the event stream — the bounded-
+state cardinality estimator a 100 TB rollup uses where exact
+count-distinct would shuffle every key.
+
+Why KMV and not approx_count_distinct: Spark's HLL++ is opaque to the
+DuckDB oracle, while KMV is a pure order statistic — both engines
+derive the identical k smallest md5-based hashes and the identical
+estimate (k-1) * 2^48 / h_(k), so the sketch itself is exact-checkable
+(the repo-wide rule: every operator carries a value-hash oracle).
+
+Scale design:
+
+* The distinct pass shuffles on (group, hash) — high-cardinality key,
+  map-side combined, no skew.
+* The k smallest per group are found with the two-level (salted)
+  top-k pattern: rank inside (group, hash mod SALT_BUCKETS) first —
+  parallel, bounded k rows out per bucket — then rank the
+  k * SALT_BUCKETS survivors per group. No stage ever sorts a whole
+  group's distinct set in one task (contrast the naive window-per-
+  group form, which funnels 1e9 distinct users into |groups| tasks).
+* Union/merge (events_kmv_union) is the point of sketches in a
+  distributed engine: the k smallest of (A ∪ B) are computable from
+  the two k-sets alone, so per-partition / per-day sketches roll up
+  without touching raw data again.
+
+Reference parity: the reference has no sketches (its monitoring reads
+are exact COUNT(*) polls, SimulatorController.java:92-96); this is M6
+extension surface for the 100 TB rollup path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table
+
+KMV_K = 64
+SALT_BUCKETS = 32
+_H_SPACE = 1 << 48  # 48-bit hash domain: (k-1)*2^48 and h_k stay exact BIGINTs
+# (KMV_K - 1) * 2^48 has a 6-bit significand, so its DOUBLE cast is exact
+_EST_NUM = (KMV_K - 1) * _H_SPACE
+
+
+def _hashed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hv): distinct 48-bit md5 hashes of event_id per
+    type. One shuffle on the high-cardinality (type, hv) key."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    return ev.select("event_type", hv.alias("hv")).distinct()
+
+
+def _bottom_k(d: DataFrame, group_cols: list[str]) -> DataFrame:
+    """k smallest hv per group via salted two-level ranking — the
+    distributed top-k shape that never sorts a whole group in one
+    task. Ties cannot occur: hv is distinct within each group."""
+    w1 = Window.partitionBy(*group_cols, "salt").orderBy("hv")
+    local = (
+        d.withColumn("salt", F.col("hv") % SALT_BUCKETS)
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("hv")
+    return local.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= KMV_K
+    )
+
+
+_DUCK_HASHED = """
+h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+  FROM events
+)
+"""
+
+
+@register(
+    "events_kmv_distinct",
+    oracle=f"""
+WITH {_DUCK_HASHED},
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+)
+SELECT event_type, max(nd)::BIGINT AS n_exact,
+       CASE WHEN max(nd) <= {KMV_K} THEN CAST(max(nd) AS DOUBLE)
+            ELSE round(CAST({_EST_NUM} AS DOUBLE)
+                       / max(CASE WHEN rn = {KMV_K} THEN hv END), 3)
+       END AS kmv_estimate
+FROM r GROUP BY event_type
+""",
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-event cardinality, exact AND KMV-estimated:
+    estimate = (k-1) * 2^48 / h_(k) from the k smallest hashes (the
+    small-set regime, n_distinct <= k, returns the exact count — the
+    sketch IS the distinct set there). n_exact rides along so the
+    estimator's error is measured, not asserted."""
+    d = _hashed_distinct(spark, sf_dir)
+    nd = d.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    kth = (
+        _bottom_k(d, ["event_type"])
+        .filter(F.col("rn") == KMV_K)
+        .select("event_type", F.col("hv").alias("hk"))
+    )
+    est = F.when(
+        F.col("n_exact") <= KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.round(F.lit(float(_EST_NUM)) / F.col("hk"), 3))
+    return nd.join(kth, "event_type", "left").select(
+        "event_type", "n_exact", est.alias("kmv_estimate")
+    )
+
+
+@register(
+    "events_kmv_union",
+    oracle=f"""
+WITH {_DUCK_HASHED},
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+merged AS (
+  SELECT DISTINCT hv FROM r WHERE rn <= {KMV_K}
+    AND event_type IN ('purchase', 'signup')
+),
+mr AS (
+  SELECT hv, row_number() OVER (ORDER BY hv) AS rn, count(*) OVER () AS nm
+  FROM merged
+),
+ex AS (
+  SELECT count(DISTINCT hv)::BIGINT AS n_exact FROM h
+  WHERE event_type IN ('purchase', 'signup')
+)
+SELECT 'purchase+signup' AS pair, ex.n_exact,
+       CASE WHEN max(mr.nm) <= {KMV_K} THEN CAST(max(mr.nm) AS DOUBLE)
+            ELSE round(CAST({_EST_NUM} AS DOUBLE)
+                       / max(CASE WHEN mr.rn = {KMV_K} THEN mr.hv END), 3)
+       END AS kmv_estimate
+FROM mr CROSS JOIN ex GROUP BY ex.n_exact
+""",
+)
+def events_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE — estimate |purchase ∪ signup| from the two
+    per-type k-sets alone (k smallest of the union of the sketches is
+    a valid KMV sketch of the union; Beyer et al. 2007). This is why a
+    100 TB rollup keeps sketches per partition/day: unions compose
+    without rescanning raw events. Exact union count rides along for
+    measured error."""
+    d = _hashed_distinct(spark, sf_dir)
+    pair = d.filter(F.col("event_type").isin("purchase", "signup"))
+    sketches = _bottom_k(pair, ["event_type"]).select("hv").distinct()
+    w = Window.orderBy("hv")  # merged sketch: <= 2k rows, single task OK
+    mr = (
+        sketches.withColumn("rn", F.row_number().over(w))
+        .withColumn("nm", F.count("*").over(Window.partitionBy()))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    ex = pair.agg(F.count_distinct("hv").alias("n_exact"))
+    est = F.when(
+        F.col("nm") <= KMV_K, F.col("nm").cast("double")
+    ).otherwise(F.round(F.lit(float(_EST_NUM)) / F.col("hk"), 3))
+    top = mr.agg(
+        F.max("nm").alias("nm"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))).alias("hk"),
+    )
+    return top.crossJoin(F.broadcast(ex)).select(
+        F.lit("purchase+signup").alias("pair"),
+        "n_exact",
+        est.alias("kmv_estimate"),
+    )

@@ -119,6 +119,7 @@ def load_all_queries() -> None:
     everything changed this round (idempotent)."""
     import cdc_sync_poc_spark.cdc.envelope  # noqa: F401
     import cdc_sync_poc_spark.cdc.pipeline  # noqa: F401
+    import cdc_sync_poc_spark.llm.classifier  # noqa: F401
     import cdc_sync_poc_spark.llm.curation  # noqa: F401
     import cdc_sync_poc_spark.llm.dedup  # noqa: F401
     import cdc_sync_poc_spark.llm.hygiene  # noqa: F401
@@ -137,6 +138,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.operators.events_analytics  # noqa: F401
     import cdc_sync_poc_spark.operators.joins  # noqa: F401
     import cdc_sync_poc_spark.operators.rowops  # noqa: F401
+    import cdc_sync_poc_spark.operators.sketches  # noqa: F401
     import cdc_sync_poc_spark.operators.sorts  # noqa: F401
     import cdc_sync_poc_spark.operators.scd  # noqa: F401
     import cdc_sync_poc_spark.operators.stateful  # noqa: F401
