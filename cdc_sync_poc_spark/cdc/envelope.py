@@ -209,6 +209,32 @@ _ENVELOPE_INNER = T.StructType(
 _ENVELOPE_WRAPPED = T.StructType([T.StructField("payload", _ENVELOPE_INNER)])
 
 
+def _envelope_raw(cdc: DataFrame) -> DataFrame:
+    """(orig_seq, json): real Debezium-style envelope JSON — ``payload``
+    wrapper for even seqs, bare for odd (CdcKafkaConsumer.java:172-174);
+    ``before``/``after`` present per op, and ``to_json`` drops the null
+    one, so the wire key set genuinely varies per record."""
+    before = F.when(
+        F.col("op") == "d", F.struct((F.col("val") - 1.0).alias("v"))
+    )
+    after = F.when(F.col("op") != "d", F.struct(F.col("val").alias("v")))
+    inner = F.struct(
+        F.col("op"),
+        before.alias("before"),
+        after.alias("after"),
+        F.struct(F.lit("customer").alias("table"), F.col("cdc_seq").alias("seq")).alias(
+            "source"
+        ),
+        F.col("ts_ms"),
+    )
+    return cdc.select(
+        F.col("cdc_seq").alias("orig_seq"),
+        F.when(F.col("cdc_seq") % 2 == 0, F.to_json(F.struct(inner.alias("payload"))))
+        .otherwise(F.to_json(inner))
+        .alias("json"),
+    )
+
+
 @register(
     "src_debezium_parse",
     oracle=f"""
@@ -228,26 +254,7 @@ def src_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``from_json`` + ``coalesce``, all JVM-side. The oracle states the
     expected round-trip result directly.
     """
-    cdc = cdc_view(spark, sf_dir)
-    before = F.when(
-        F.col("op") == "d", F.struct((F.col("val") - 1.0).alias("v"))
-    )
-    after = F.when(F.col("op") != "d", F.struct(F.col("val").alias("v")))
-    inner = F.struct(
-        F.col("op"),
-        before.alias("before"),
-        after.alias("after"),
-        F.struct(F.lit("customer").alias("table"), F.col("cdc_seq").alias("seq")).alias(
-            "source"
-        ),
-        F.col("ts_ms"),
-    )
-    raw = cdc.select(
-        F.col("cdc_seq").alias("orig_seq"),
-        F.when(F.col("cdc_seq") % 2 == 0, F.to_json(F.struct(inner.alias("payload"))))
-        .otherwise(F.to_json(inner))
-        .alias("json"),
-    )
+    raw = _envelope_raw(cdc_view(spark, sf_dir))
     wrapped = F.from_json(F.col("json"), _ENVELOPE_WRAPPED)
     bare = F.from_json(F.col("json"), _ENVELOPE_INNER)
     env = F.coalesce(wrapped.getField("payload"), bare)
@@ -392,3 +399,63 @@ def src_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (or Delta/Iceberg data skipping) this reads only the files
     whose range contains the key."""
     return load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+@register(
+    "src_schema_drift",
+    oracle=f"""
+WITH {CDC_CTE},
+fp AS (
+  SELECT cdc_seq % 2 = 0 AS wrapped,
+         CASE WHEN op = 'd' THEN 'before,op,source,ts_ms'
+              ELSE 'after,op,source,ts_ms' END AS schema_fp
+  FROM cdc
+),
+c AS (
+  SELECT wrapped, schema_fp, count(*)::BIGINT AS n FROM fp GROUP BY 1, 2
+)
+SELECT wrapped, schema_fp, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS frac,
+       CASE WHEN row_number() OVER (ORDER BY n DESC, schema_fp) = 1
+            THEN 'CANONICAL' ELSE 'DRIFTED' END AS status
+FROM c
+""",
+)
+def src_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detection on the CDC wire format: fingerprint every
+    envelope by its actual top-level JSON key set (``json_object_keys``
+    on the unwrapped payload — computed from the bytes on the wire, NOT
+    from the op column) and count records per (wrapper-style, key-set)
+    shape. The most common shape is CANONICAL; everything else is
+    DRIFTED — the alarm a CDC pipeline fires when a producer deploy
+    adds/renames envelope fields mid-stream, BEFORE from_json starts
+    silently nulling columns. The oracle states the expected
+    fingerprints directly (the src_debezium_parse convention: Spark
+    computes the round-trip, the oracle pins the answer).
+
+    Scale: map-side key extraction + a |shapes|-sized hash agg — the
+    analytic windows run on the tiny shape table, never on events."""
+    raw = _envelope_raw(cdc_view(spark, sf_dir))
+    inner = F.coalesce(
+        F.get_json_object(F.col("json"), "$.payload"), F.col("json")
+    )
+    fp = raw.select(
+        (F.col("orig_seq") % 2 == 0).alias("wrapped"),
+        F.concat_ws(
+            ",", F.array_sort(F.json_object_keys(inner))
+        ).alias("schema_fp"),
+    )
+    c = fp.groupBy("wrapped", "schema_fp").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("n"), F.asc("schema_fp"))
+    return c.select(
+        "wrapped",
+        "schema_fp",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_all), 6).alias("frac"),
+        F.when(F.row_number().over(w_rank) == 1, "CANONICAL")
+        .otherwise("DRIFTED")
+        .alias("status"),
+    )

@@ -1277,3 +1277,123 @@ def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("max_cos") <= SEM_TAU, F.lit(True)).alias("kept"),
         )
     )
+
+
+TRUNC_DIM = 16  # matryoshka prefix length evaluated by ann_recall_truncated
+
+
+@register(
+    "ann_recall_truncated",
+    oracle=f"""
+WITH {_VEC_CTES},
+t AS (
+  SELECT vec_id, v,
+         list_transform(range(1, {TRUNC_DIM + 1}), i -> v[i]) AS tv,
+         nrm,
+         sqrt(list_sum(list_transform(range(1, {TRUNC_DIM + 1}),
+                                      i -> v[i] * v[i]))) AS tnrm
+  FROM n
+),
+qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, tv AS qtv, tnrm AS qtn
+       FROM t WHERE vec_id % {RECALL_SAMPLE_MOD} = 0),
+ann AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_sum(list_transform(range(1, {TRUNC_DIM + 1}),
+                      i -> c.tv[i] * q.qtv[i])) / (c.tnrm * q.qtn) DESC,
+                      c.vec_id) AS rnk
+    FROM qs q CROSS JOIN t c
+    WHERE c.vec_id <> q.q_id)
+  WHERE rnk <= {ANN_TOP_K}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn) DESC,
+                      c.vec_id) AS rnk
+    FROM qs q CROSS JOIN t c
+    WHERE c.vec_id <> q.q_id)
+  WHERE rnk <= {ANN_TOP_K}
+),
+hits AS (
+  SELECT a.q_id, count(*)::BIGINT AS n_hits
+  FROM ann a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {ANN_TOP_K} AS recall
+FROM qs q LEFT JOIN hits h ON q.q_id = h.q_id
+""",
+)
+def ann_recall_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall (Kusupati et al. 2022): recall@k
+    of brute-force search over only the first TRUNC_DIM of EMB_DIM
+    dimensions against full-dimension ground truth — the evaluation
+    that justifies storing/scanning a prefix of each embedding (4x
+    less IO and FLOPs here) before committing a 100 TB index to it.
+
+    Same harness shape as ann_recall_lsh: deterministic
+    1/RECALL_SAMPLE_MOD query sample broadcast against a single
+    map-only corpus scan (both rankings computed from the same pass —
+    the truncated prefix is sliced in-flight, so nothing is stored
+    twice), ties broken by vec_id on both engines."""
+    n = _normed(spark, sf_dir)
+    t = n.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr(f"slice(v, 1, {TRUNC_DIM})").alias("tv"),
+        F.sqrt(
+            F.expr(
+                f"aggregate(slice(v, 1, {TRUNC_DIM}), CAST(0.0 AS DOUBLE),"
+                " (acc, x) -> acc + x * x)"
+            )
+        ).alias("tnrm"),
+    )
+    qs = t.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("tv").alias("qtv"),
+        F.col("tnrm").alias("qtn"),
+    )
+    joined = t.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("q_id"))
+    tcos = F.expr(
+        "aggregate(zip_with(tv, qtv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, z) -> acc + z)"
+    ) / (F.col("tnrm") * F.col("qtn"))
+    fcos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
+    w_t = Window.partitionBy("q_id").orderBy(F.desc("tcos"), F.asc("vec_id"))
+    w_f = Window.partitionBy("q_id").orderBy(F.desc("fcos"), F.asc("vec_id"))
+    scored = joined.select(
+        "q_id", "vec_id", tcos.alias("tcos"), fcos.alias("fcos")
+    )
+    ann = (
+        scored.withColumn("rnk", F.row_number().over(w_t))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    hits = ann.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qs.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / ANN_TOP_K
+            ).alias("recall"),
+        )
+    )

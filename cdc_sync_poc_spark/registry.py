@@ -80,9 +80,11 @@ _PRIORITY_PREFIXES = [
     "j01", "j02", "j03", "j04",
     # (c) envelope.py: 5 src_* + 3 sink_*
     "src_", "sink_",
-    # (c) classified_view consumers (s04 displaced — the shared helper
-    # is already checked four ways by a01-a04 + s03): 4 + 1 + 1
-    "a01", "a02", "a03", "a04", "s03", "pipeline_",
+    # (c) classified_view consumers (s03/s04/a04 displaced — the shared
+    # helper is still checked four ways by a01-a03 + pipeline_e2e; the
+    # session's new ops ann_recall_truncated + src_schema_drift took two
+    # window slots, and first-ever evidence outranks refreshing riders)
+    "a01", "a02", "a03", "pipeline_", "a04", "s03",
     # ---- 50-query driver window ends here ----
     # first in line for the r5 rotation: the round-4 ops the window
     # could not fit (never driver-sampled; locally exact-gated)
