@@ -809,3 +809,53 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+PREFIX_BUCKET_CHARS = 8  # containment bucket width; every doc is >= 128 chars
+
+
+@register(
+    "dedup_prefix_containment",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, text, n_chars,
+         lead(text) OVER (PARTITION BY substr(text, 1, {PREFIX_BUCKET_CHARS})
+                          ORDER BY text, doc_id) AS nxt
+  FROM documents
+)
+SELECT doc_id, n_chars
+FROM s
+WHERE nxt IS NOT NULL AND starts_with(nxt, text)
+""",
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment dedup: flag every document whose full text is
+    a prefix of some other document (truncated re-crawls, pages
+    re-scraped with extra trailing boilerplate, exact dups) — the
+    containment case MinHash underweights, since a short prefix of a
+    long doc has low Jaccard yet zero novel content.
+
+    The O(n²) containment test collapses to a SORT-ADJACENCY check: if
+    A is a prefix of B, every string lexicographically between them
+    also starts with A, so A is a prefix of its immediate successor in
+    (text, doc_id) order — one ``lead`` per doc. The window partitions
+    by the first PREFIX_BUCKET_CHARS characters: any prefix pair shares
+    that opening (every doc is longer than the bucket width — fixture
+    min 128 chars), so no cross-bucket pair is ever missed and the
+    sort is bucket-parallel, never global. Exact duplicates are caught
+    too (equal texts are adjacent; all but the last doc_id flag).
+    Skew bound: a bucket is one 8-char opening — boilerplate-heavy
+    corpora would raise the width (production: 32-64 chars), which
+    only sharpens the partitioning."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(
+        F.substring("text", 1, PREFIX_BUCKET_CHARS)
+    ).orderBy("text", "doc_id")
+    s = docs.select(
+        "doc_id", "n_chars", "text", F.lead("text").over(w).alias("nxt")
+    )
+    return s.filter(
+        F.col("nxt").isNotNull() & F.expr("startswith(nxt, text)")
+    ).select("doc_id", "n_chars")

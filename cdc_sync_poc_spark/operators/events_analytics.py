@@ -516,3 +516,87 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "events_ab_ttest",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+agg AS (
+  SELECT count(*) FILTER (event_type = 'purchase')::BIGINT AS n_a,
+         count(*) FILTER (event_type = 'click')::BIGINT AS n_b,
+         sum(c) FILTER (event_type = 'purchase')::BIGINT AS s1_a,
+         sum(c) FILTER (event_type = 'click')::BIGINT AS s1_b,
+         sum(c * c) FILTER (event_type = 'purchase')::BIGINT AS s2_a,
+         sum(c * c) FILTER (event_type = 'click')::BIGINT AS s2_b
+  FROM c
+)
+SELECT n_a, n_b,
+       round(CAST(s1_a AS DOUBLE) / 100 / n_a, 6) AS mean_a,
+       round(CAST(s1_b AS DOUBLE) / 100 / n_b, 6) AS mean_b,
+       round((CAST(s2_a AS DOUBLE) / 10000
+              - (CAST(s1_a AS DOUBLE) / 100) * (CAST(s1_a AS DOUBLE) / 100) / n_a)
+             / (n_a - 1), 6) AS var_a,
+       round((CAST(s2_b AS DOUBLE) / 10000
+              - (CAST(s1_b AS DOUBLE) / 100) * (CAST(s1_b AS DOUBLE) / 100) / n_b)
+             / (n_b - 1), 6) AS var_b,
+       round((CAST(s1_a AS DOUBLE) / 100 / n_a - CAST(s1_b AS DOUBLE) / 100 / n_b)
+             / sqrt(((CAST(s2_a AS DOUBLE) / 10000
+                      - (CAST(s1_a AS DOUBLE) / 100) * (CAST(s1_a AS DOUBLE) / 100) / n_a)
+                     / (n_a - 1)) / n_a
+                    + ((CAST(s2_b AS DOUBLE) / 10000
+                        - (CAST(s1_b AS DOUBLE) / 100) * (CAST(s1_b AS DOUBLE) / 100) / n_b)
+                       / (n_b - 1)) / n_b), 6) AS t_stat
+FROM agg
+""",
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic between the purchase and click
+    value distributions — the A/B readout an experimentation pipeline
+    computes per metric. ONE scan, one map-side-combined reduce to six
+    BIGINT moments (counts, sums, sums-of-squares in exact integer
+    cents — order-independent, so the distributed fold is bit-exact);
+    means/variances/t are then a fixed dag of correctly-rounded double
+    ops on that single row, identical on both engines. No window, no
+    shuffle beyond the 6-column global agg — at 100 TB this is the
+    cheapest query in the module."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    is_a = F.col("event_type") == "purchase"
+    agg = c.agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+        F.sum(F.when(is_a, F.col("c"))).alias("s1_a"),
+        F.sum(F.when(~is_a, F.col("c"))).alias("s1_b"),
+        F.sum(F.when(is_a, F.col("c") * F.col("c"))).alias("s2_a"),
+        F.sum(F.when(~is_a, F.col("c") * F.col("c"))).alias("s2_b"),
+    )
+    m = lambda s1, n: F.col(s1).cast("double") / 100 / F.col(n)  # noqa: E731
+    v = (
+        lambda s2, s1, n: (
+            F.col(s2).cast("double") / 10000
+            - (F.col(s1).cast("double") / 100)
+            * (F.col(s1).cast("double") / 100)
+            / F.col(n)
+        )
+        / (F.col(n) - 1)
+    )  # noqa: E731
+    t = (m("s1_a", "n_a") - m("s1_b", "n_b")) / F.sqrt(
+        v("s2_a", "s1_a", "n_a") / F.col("n_a")
+        + v("s2_b", "s1_b", "n_b") / F.col("n_b")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(m("s1_a", "n_a"), 6).alias("mean_a"),
+        F.round(m("s1_b", "n_b"), 6).alias("mean_b"),
+        F.round(v("s2_a", "s1_a", "n_a"), 6).alias("var_a"),
+        F.round(v("s2_b", "s1_b", "n_b"), 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+    )

@@ -339,3 +339,53 @@ def test_stream_final_state_matches_duckdb_oracle(spark, duck, stream_dirs):
     oracle = duck.sql(ORACLES["ap01_merge_cdc"]).fetchall()  # pk,name,acctbal,src
     want = {(pk, name, round(acctbal, 6)) for pk, name, acctbal, _src in oracle}
     assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, stream_dirs):
+    """The native session_window operator produces the same sessions in
+    a readStream plan as the batch query (events_session_window's
+    docstring claims the batch oracle is ground truth for the
+    streaming path — this pins it)."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    events_path, _ = stream_dirs
+    schema = spark.read.parquet(events_path).schema
+    sdf = spark.readStream.schema(schema).parquet(events_path)
+    agg = (
+        sdf.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100"
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM sess_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in QUERIES["events_session_window"](spark, SF_DIR).collect()
+    }
+    assert got == want
