@@ -300,3 +300,48 @@ def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "ta", "tb")
         .limit(COOC_TOP)
     )
+
+
+@register(
+    "corpus_simpson_diversity",
+    oracle="""
+WITH tok AS (
+  SELECT lang, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+ct AS (
+  SELECT lang, source, term, count(*)::BIGINT AS c
+  FROM tok GROUP BY lang, source, term
+)
+SELECT lang, source,
+       sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS vocab,
+       round(CAST(sum(c * c) AS DOUBLE) / sum(c) / sum(c), 6) AS simpson
+FROM ct GROUP BY lang, source
+""",
+)
+def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice lexical diversity: the Simpson concentration index
+    sum(p_term^2) per (lang, source) — the collision probability of two
+    random tokens, the diversity dial a data-mixing recipe monitors per
+    slice (contrast text_lexical_concentration, which is per-document).
+
+    Exactness without entropy's log: Simpson = sum(c^2) / n^2 is pure
+    BIGINT arithmetic up to one final double division — no fixed-point
+    scheme needed at all. Two hash aggs (term counts, then slice
+    rollup), both map-side combined; no windows, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs.select("lang", "source", "text")).select(
+        "lang", "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    ct = tok.groupBy("lang", "source", "term").agg(F.count("*").alias("c"))
+    return ct.groupBy("lang", "source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.round(
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / F.sum("c")
+            / F.sum("c"),
+            6,
+        ).alias("simpson"),
+    )

@@ -600,3 +600,51 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v("s2_b", "s1_b", "n_b"), 6).alias("var_b"),
         F.round(t, 6).alias("t_stat"),
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE round(value * 100) >= 1
+),
+b AS (
+  SELECT event_type,
+         (length(printf('%b', cents)) - 1)::BIGINT AS log2_bucket
+  FROM c
+)
+SELECT event_type, log2_bucket, count(*)::BIGINT AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY event_type), 6) AS frac
+FROM b GROUP BY event_type, log2_bucket
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two value histogram per event type: bucket =
+    floor(log2(cents)), computed as binary-digit count (length of the
+    base-2 rendering minus one) so both engines bucket by exact integer
+    arithmetic — no libm log whose last bit could differ. The
+    domain-bucketed histogram is the 100 TB distribution profile: one
+    hash agg to |types| x ~32 buckets, the share window then runs on
+    that tiny table (the doc_length_quantiles pattern). Sub-cent values
+    (cents < 1) are excluded — log2 undefined; the fixture's floor is
+    one cent."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    b = ev.select(
+        "event_type", cents.alias("cents")
+    ).filter(F.col("cents") >= 1).select(
+        "event_type",
+        (F.length(F.bin("cents")) - 1).cast("bigint").alias("log2_bucket"),
+    )
+    counts = b.groupBy("event_type", "log2_bucket").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "log2_bucket",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("frac"),
+    )
