@@ -66,6 +66,14 @@ SECTIONS = [
      "Full curation pipeline in ONE lineage: funnel verdict + stratified sample fused into the scan as predicates (no corpus self-join), content-hash dedup window, two-level packing prefix sum — two shuffles + one broadcast end to end"),
     ("dedup_incremental",
      "Incremental ingest screening: incoming batch probes the index's distinct-hash set and MinHash band table via left-semi equi-joins — O(batch) work against a stored index, no corpus re-dedup"),
+    ("text_classifier_score",
+     "Hashed linear quality classifier: scan -> project ONLY — bucket + weight resolved per token by md5 expressions, linear fold per row, zero exchanges at any corpus size"),
+    ("events_kmv_distinct",
+     "KMV cardinality sketch: distinct on (type, hash) then salted two-level bottom-k — both rank windows partitioned (type, salt) / (type), no whole-group single-task sort"),
+    ("dedup_prefix_containment",
+     "Prefix containment via sort adjacency: ONE lead() window partitioned by the 8-char opening bucket — bucket-parallel sort, no global order, no self-join"),
+    ("events_session_window",
+     "Native session-window merge: one user_id exchange feeding Spark's UpdatingSessionsExec/MergingSessionsExec pair — the same operators a readStream plan reuses with a watermark"),
 ]
 
 
