@@ -153,3 +153,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
     )
+
+
+@register(
+    "text_langid_eval",
+    oracle="""
+WITH scored AS (
+  SELECT lang,
+         (length(text) - length(replace(text, 'the', ''))) // 3 AS en_score,
+         (length(text) - length(replace(text, 'er', ''))) // 2 AS de_score,
+         (length(text) - length(replace(text, 'os', ''))) // 2 AS es_score
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN en_score >= de_score AND en_score >= es_score THEN 'en'
+              WHEN de_score >= es_score THEN 'de' ELSE 'es' END AS predicted_lang
+  FROM scored
+)
+SELECT lang, count(*)::BIGINT AS n,
+       count(*) FILTER (predicted_lang = lang)::BIGINT AS n_correct,
+       round(CAST(count(*) FILTER (predicted_lang = lang) AS DOUBLE)
+             / count(*), 6) AS accuracy
+FROM pred GROUP BY lang
+""",
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID accuracy per TRUE language — the harness that keeps
+    the text_langid heuristic honest (it can only emit en/de/es, so
+    this table shows exactly which slices it fails: zh accuracy is 0
+    by construction, the measured cost of a 3-marker model). One
+    |langs|-group agg over the map-only scorer."""
+    pred = text_langid(spark, sf_dir)
+    correct = F.when(F.col("predicted_lang") == F.col("lang"), 1)
+    return pred.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.count(correct).alias("n_correct"),
+        F.round(F.count(correct).cast("double") / F.count("*"), 6).alias(
+            "accuracy"
+        ),
+    )

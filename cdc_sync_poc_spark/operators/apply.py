@@ -331,3 +331,64 @@ def ap06_sequential_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return changed.unionByName(untouched)
+
+
+@register(
+    "ap08_net_effect_compaction",
+    oracle=f"""
+WITH {CDC_CTE},
+g AS (
+  SELECT pk, count(*)::BIGINT AS n_ops,
+         min_by(operation, cdc_seq) AS first_op,
+         max_by(operation, cdc_seq) AS last_op,
+         max_by(val, cdc_seq) AS last_val
+  FROM cdc GROUP BY pk
+)
+SELECT pk, n_ops, first_op, last_op,
+       CASE WHEN last_op = 'DELETE' AND first_op = 'INSERT' THEN 'NONE'
+            WHEN last_op = 'DELETE' THEN 'DELETE'
+            WHEN first_op = 'INSERT' THEN 'INSERT'
+            ELSE 'UPDATE' END AS net_op,
+       CASE WHEN last_op <> 'DELETE' THEN last_val END AS net_val
+FROM g
+""",
+)
+def ap08_net_effect_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: collapse every key's op sequence in a
+    batch to its NET effect before touching the target — the
+    changelog-normalization step every CDC engine applies so the MERGE
+    writes each key at most once (INSERT…DELETE annihilates to NONE,
+    INSERT…UPDATE folds to one INSERT with the final values,
+    UPDATE…DELETE to one DELETE; reference contrast: the worker
+    replays every row one by one, 04_create_procedures.sql —
+    compaction is why a batch engine can be orders faster on hot keys).
+
+    ONE hash agg on pk: min_by/max_by fold (first_op, last_op,
+    last_val) map-side — no window, no sort, and the output is
+    keys-sized, not ops-sized. At 100 TB the hot-key batches (the skew
+    case for the MERGE shuffle) are exactly the ones compaction
+    shrinks hardest."""
+    cdc = cdc_view(spark, sf_dir)
+    g = cdc.groupBy("pk").agg(
+        F.count("*").alias("n_ops"),
+        F.expr("min_by(operation, cdc_seq)").alias("first_op"),
+        F.expr("max_by(operation, cdc_seq)").alias("last_op"),
+        F.expr("max_by(val, cdc_seq)").alias("last_val"),
+    )
+    net = (
+        F.when(
+            (F.col("last_op") == "DELETE") & (F.col("first_op") == "INSERT"),
+            "NONE",
+        )
+        .when(F.col("last_op") == "DELETE", "DELETE")
+        .when(F.col("first_op") == "INSERT", "INSERT")
+        .otherwise("UPDATE")
+    )
+    return g.select(
+        "pk",
+        "n_ops",
+        "first_op",
+        "last_op",
+        net.alias("net_op"),
+        F.when(F.col("last_op") != "DELETE", F.col("last_val")).alias("net_val"),
+    )

@@ -648,3 +648,123 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("frac"),
     )
+
+
+@register(
+    "events_lateness_profile",
+    oracle="""
+WITH lat AS (
+  SELECT user_id,
+         greatest(coalesce(max(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - epoch_us(ts), 0), 0) AS late_us
+  FROM events
+),
+b AS (
+  SELECT CASE WHEN late_us = 0 THEN -1
+              ELSE (length(printf('%b', late_us)) - 1) END::BIGINT
+           AS log2_late_us
+  FROM lat
+)
+SELECT log2_late_us, count(*)::BIGINT AS n,
+       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS frac
+FROM b GROUP BY log2_late_us
+""",
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile: how late does each event arrive
+    relative to the max event-time already seen on its key (arrival
+    order = event_id, the fixture's offset)? Bucketed as
+    floor(log2(lateness_us)) with -1 = in-order — exactly the
+    measurement that picks a streaming watermark delay: the chosen
+    delay's bucket boundary tells you what fraction of events a
+    `withWatermark` of that size would drop.
+
+    One running-max window per user_id (embarrassingly parallel), then
+    a ~41-bucket hash agg; the share window runs on the bucket table.
+    Buckets use binary-digit counts, not libm log2 (the
+    events_value_histogram convention)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    late = F.greatest(
+        F.coalesce(F.max(us).over(w) - us, F.lit(0)), F.lit(0)
+    )
+    b = ev.select(late.alias("late_us")).select(
+        F.when(F.col("late_us") == 0, -1)
+        .otherwise(F.length(F.bin("late_us")) - 1)
+        .cast("bigint")
+        .alias("log2_late_us")
+    )
+    counts = b.groupBy("log2_late_us").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    return counts.select(
+        "log2_late_us",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_all), 6).alias("frac"),
+    )
+
+
+@register(
+    "events_user_overlap",
+    oracle="""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, count(*)::BIGINT AS n_users FROM du GROUP BY event_type),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_common
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_common,
+       round(CAST(p.n_common AS DOUBLE)
+             / (na.n_users + nb.n_users - p.n_common), 6) AS jaccard
+FROM pair p
+JOIN n na ON na.event_type = p.type_a
+JOIN n nb ON nb.event_type = p.type_b
+""",
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: exact Jaccard of the user
+    sets for every type pair — the segment-overlap matrix an
+    activation/targeting pipeline reads. The quadratic term is keyed
+    on user_id (high-cardinality, uniform): distinct (type, user) is a
+    map-side agg, the self-join fans each user to its own type pairs
+    (<= |types|² rows per user), and the pair table is |types|² rows.
+    The per-type sizes broadcast onto it. No cross join at any scale —
+    this is the KMV-union question (events_kmv_union) answered exactly
+    when the key space still fits a shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    n = du.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    return (
+        pair.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
