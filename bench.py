@@ -122,6 +122,17 @@ BENCH_QUERIES = [
     "corpus_divergence_chi2",
     "dedup_recall_minhash",
     "events_attribution",
+    # round-4 session additions (append-only)
+    "text_classifier_score",
+    "events_kmv_distinct",
+    "events_session_window",
+    "dedup_prefix_containment",
+    "ann_recall_truncated",
+    "src_schema_drift",
+    "events_ab_ttest",
+    "ap08_net_effect_compaction",
+    "events_user_overlap",
+    "corpus_simpson_diversity",
 ]
 
 N_REPS = 3

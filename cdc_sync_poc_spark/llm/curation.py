@@ -676,3 +676,77 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages anyway, so caching it here mirrors the real checkpoint.
     samp = uniq.filter(bucket < rate).persist()
     return seq_packing_frame(samp)
+
+
+EMB_STAT_FIX = 1 << 20  # per-dimension moment fixed point
+_EMB_STAT_FIX2 = EMB_STAT_FIX * EMB_STAT_FIX
+
+
+@register(
+    "emb_dim_stats",
+    oracle=f"""
+WITH q AS (
+  SELECT t.dim::BIGINT AS dim,
+         floor(embedding[t.dim]::DOUBLE * {EMB_STAT_FIX})::BIGINT AS qx
+  FROM embeddings, range(1, 65) t(dim)
+),
+agg AS (
+  SELECT dim, count(*)::BIGINT AS n, sum(qx)::BIGINT AS s1,
+         sum(qx * qx)::BIGINT AS s2,
+         min(qx)::BIGINT AS qmin, max(qx)::BIGINT AS qmax
+  FROM q GROUP BY dim
+)
+SELECT dim, n,
+       round(CAST(s1 AS DOUBLE) / {EMB_STAT_FIX} / n, 6) AS mean,
+       round((CAST(s2 AS DOUBLE) / {_EMB_STAT_FIX2}
+              - (CAST(s1 AS DOUBLE) / {EMB_STAT_FIX})
+                * (CAST(s1 AS DOUBLE) / {EMB_STAT_FIX}) / n) / (n - 1), 6)
+         AS variance,
+       round(CAST(qmin AS DOUBLE) / {EMB_STAT_FIX}, 6) AS min_x,
+       round(CAST(qmax AS DOUBLE) / {EMB_STAT_FIX}, 6) AS max_x
+FROM agg
+""",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments (mean/variance/min/max over the
+    corpus for each of the 64 dims) — the calibration table behind
+    scalar quantization, PQ codebook init, and whitening: dimensions
+    with degenerate variance get fewer bits or get dropped.
+
+    posexplode fans each vector to (dim, x) map-side; values are
+    floored to EMB_STAT_FIX fixed point (multiply by a power of two is
+    EXACT on doubles, so both engines floor the same number) and the
+    64-group agg folds exact BIGINTs with map-side combine — partials
+    are 64 rows per task regardless of corpus size. The s2 sums grow as
+    n * x^2 * 2^40: BIGINT holds ~1e9 unit-scale vectors per dimension;
+    beyond that the same plan runs with DECIMAL(38) sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * EMB_STAT_FIX).cast("bigint").alias("qx"),
+    )
+    agg = q.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("qx").alias("s1"),
+        F.sum(F.col("qx") * F.col("qx")).alias("s2"),
+        F.min("qx").alias("qmin"),
+        F.max("qx").alias("qmax"),
+    )
+    s1d = F.col("s1").cast("double")
+    return agg.select(
+        "dim",
+        "n",
+        F.round(s1d / EMB_STAT_FIX / F.col("n"), 6).alias("mean"),
+        F.round(
+            (
+                F.col("s2").cast("double") / _EMB_STAT_FIX2
+                - (s1d / EMB_STAT_FIX) * (s1d / EMB_STAT_FIX) / F.col("n")
+            )
+            / (F.col("n") - 1),
+            6,
+        ).alias("variance"),
+        F.round(F.col("qmin").cast("double") / EMB_STAT_FIX, 6).alias("min_x"),
+        F.round(F.col("qmax").cast("double") / EMB_STAT_FIX, 6).alias("max_x"),
+    )
