@@ -333,55 +333,51 @@ def ap06_sequential_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changed.unionByName(untouched)
 
 
-@register(
-    "ap08_net_effect_compaction",
-    oracle=f"""
-WITH {CDC_CTE},
-g AS (
-  SELECT pk, count(*)::BIGINT AS n_ops,
-         min_by(operation, cdc_seq) AS first_op,
-         max_by(operation, cdc_seq) AS last_op,
-         max_by(val, cdc_seq) AS last_val
-  FROM cdc GROUP BY pk
-)
-SELECT pk, n_ops, first_op, last_op,
-       CASE WHEN last_op = 'DELETE' AND first_op = 'INSERT' THEN 'NONE'
-            WHEN last_op = 'DELETE' THEN 'DELETE'
-            WHEN first_op = 'INSERT' THEN 'INSERT'
-            ELSE 'UPDATE' END AS net_op,
-       CASE WHEN last_op <> 'DELETE' THEN last_val END AS net_val
-FROM g
-""",
-)
-def ap08_net_effect_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Changelog compaction: collapse every key's op sequence in a
-    batch to its NET effect before touching the target — the
-    changelog-normalization step every CDC engine applies so the MERGE
-    writes each key at most once (INSERT…DELETE annihilates to NONE,
-    INSERT…UPDATE folds to one INSERT with the final values,
-    UPDATE…DELETE to one DELETE; reference contrast: the worker
-    replays every row one by one, 04_create_procedures.sql —
-    compaction is why a batch engine can be orders faster on hot keys).
+def net_effect(cdc: DataFrame) -> DataFrame:
+    """Collapse each pk's op sequence (ordered by cdc_seq) to ONE net
+    op whose application is replay-equivalent to the full sequence
+    under the engine's tolerant apply semantics (ap02: INSERT on an
+    existing key updates it; ap03: UPDATE on a missing key is a no-op;
+    ap04: DELETE is idempotent) — for BOTH possible pre-batch states
+    of the key (present or absent), which is what makes the algebra
+    safe without consulting the target:
 
-    ONE hash agg on pk: min_by/max_by fold (first_op, last_op,
-    last_val) map-side — no window, no sort, and the output is
-    keys-sized, not ops-sized. At 100 TB the hot-key batches (the skew
-    case for the MERGE shuffle) are exactly the ones compaction
+    * last op is DELETE          -> DELETE (idempotent, both states)
+    * an INSERT after the last DELETE -> UPSERT(last_val): the INSERT
+      forces existence, later UPDATEs retarget the value
+    * a DELETE with only UPDATEs after -> DELETE (the UPDATEs were
+      no-ops on the tombstone in the full replay)
+    * UPDATEs only               -> UPDATE(last_val) (no-op if absent)
+
+    The naive first/last-op rule misclassifies two of these (INSERT…
+    DELETE is NOT "nothing" if the key pre-existed; DELETE…UPDATE is
+    NOT an UPDATE) — test_properties.py replays random sequences
+    against a straight-line state machine to pin all four branches.
+
+    Property verified there; shape: ONE hash agg on pk (min_by/max_by
+    + filtered max fold map-side, no window, no sort) and the output
+    is keys-sized, not ops-sized. At 100 TB the hot-key batches (the
+    skew case for the MERGE shuffle) are exactly the ones compaction
     shrinks hardest."""
-    cdc = cdc_view(spark, sf_dir)
     g = cdc.groupBy("pk").agg(
         F.count("*").alias("n_ops"),
         F.expr("min_by(operation, cdc_seq)").alias("first_op"),
         F.expr("max_by(operation, cdc_seq)").alias("last_op"),
         F.expr("max_by(val, cdc_seq)").alias("last_val"),
+        F.max(
+            F.when(F.col("operation") == "DELETE", F.col("cdc_seq"))
+        ).alias("last_del_seq"),
+        F.max(
+            F.when(F.col("operation") == "INSERT", F.col("cdc_seq"))
+        ).alias("last_ins_seq"),
+    )
+    ins_after_del = F.col("last_ins_seq") > F.coalesce(
+        F.col("last_del_seq"), F.lit(-1)
     )
     net = (
-        F.when(
-            (F.col("last_op") == "DELETE") & (F.col("first_op") == "INSERT"),
-            "NONE",
-        )
-        .when(F.col("last_op") == "DELETE", "DELETE")
-        .when(F.col("first_op") == "INSERT", "INSERT")
+        F.when(F.col("last_op") == "DELETE", "DELETE")
+        .when(F.coalesce(ins_after_del, F.lit(False)), "UPSERT")
+        .when(F.col("last_del_seq").isNotNull(), "DELETE")
         .otherwise("UPDATE")
     )
     return g.select(
@@ -390,5 +386,41 @@ def ap08_net_effect_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_op",
         "last_op",
         net.alias("net_op"),
-        F.when(F.col("last_op") != "DELETE", F.col("last_val")).alias("net_val"),
+        F.when(net != "DELETE", F.col("last_val")).alias("net_val"),
     )
+
+
+@register(
+    "ap08_net_effect_compaction",
+    oracle=f"""
+WITH {CDC_CTE},
+g AS (
+  SELECT pk, count(*)::BIGINT AS n_ops,
+         min_by(operation, cdc_seq) AS first_op,
+         max_by(operation, cdc_seq) AS last_op,
+         max_by(val, cdc_seq) AS last_val,
+         max(cdc_seq) FILTER (operation = 'DELETE') AS last_del_seq,
+         max(cdc_seq) FILTER (operation = 'INSERT') AS last_ins_seq
+  FROM cdc GROUP BY pk
+),
+n AS (
+  SELECT pk, n_ops, first_op, last_op, last_val,
+         CASE WHEN last_op = 'DELETE' THEN 'DELETE'
+              WHEN coalesce(last_ins_seq > coalesce(last_del_seq, -1), FALSE)
+                THEN 'UPSERT'
+              WHEN last_del_seq IS NOT NULL THEN 'DELETE'
+              ELSE 'UPDATE' END AS net_op
+  FROM g
+)
+SELECT pk, n_ops, first_op, last_op, net_op,
+       CASE WHEN net_op <> 'DELETE' THEN last_val END AS net_val
+FROM n
+""",
+)
+def ap08_net_effect_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction over the CDC batch: the MERGE then writes
+    each key at most once (reference contrast: the worker replays
+    every row one by one, 04_create_procedures.sql — compaction is why
+    a batch engine can be orders faster on hot keys). Semantics and
+    scale shape documented on :func:`net_effect`."""
+    return net_effect(cdc_view(spark, sf_dir))

@@ -443,3 +443,94 @@ def test_attribution_matches_reference(spark, events):
         )
     }
     assert got == _attribution_reference(rows)
+
+
+def _replay_ops(ops, exists, val):
+    """Straight-line tolerant apply: INSERT upserts (ap02), UPDATE on a
+    missing key is a no-op (ap03), DELETE is idempotent (ap04)."""
+    for _, op, v in sorted(ops):
+        if op == "INSERT":
+            exists, val = True, v
+        elif op == "UPDATE":
+            if exists:
+                val = v
+        else:
+            exists, val = False, None
+    return exists, (val if exists else None)
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from([1, 2, 3]),  # pk
+            st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+            st.integers(min_value=0, max_value=9),  # val as small exact double
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_net_effect_compaction_replay_equivalent(spark, ops):
+    """Applying the single net op must land every key in the same final
+    state as replaying its full op sequence — for BOTH pre-batch
+    states (key absent / key present), which is the guarantee that
+    lets compaction run without consulting the target."""
+    from cdc_sync_poc_spark.operators.apply import net_effect
+
+    rows = [
+        (pk, seq, op, float(v)) for seq, (pk, op, v) in enumerate(ops)
+    ]
+    cdc = spark.createDataFrame(rows, "pk long, cdc_seq long, operation string, val double")
+    net = {r.pk: (r.net_op, r.net_val) for r in net_effect(cdc).collect()}
+
+    per_key: dict[int, list] = {}
+    for pk, seq, op, v in rows:
+        per_key.setdefault(pk, []).append((seq, op, v))
+    assert set(net) == set(per_key)
+    for pk, key_ops in per_key.items():
+        net_op, net_val = net[pk]
+        for exists0, val0 in ((False, None), (True, 123.0)):
+            want = _replay_ops(key_ops, exists0, val0)
+            if net_op == "UPDATE":
+                got = (exists0, net_val if exists0 else val0)
+                got = (got[0], got[1] if got[0] else None)
+            elif net_op == "DELETE":
+                got = (False, None)
+            else:  # UPSERT
+                got = (True, net_val)
+            assert got == want, (pk, key_ops, net_op, net_val, exists0, want, got)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=2, max_size=6), min_size=1, max_size=12
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_prefix_containment_sort_adjacency_lemma(texts):
+    """The core of dedup_prefix_containment, engine-free: a string is a
+    prefix of SOME other (text, id)-greater string iff it is a prefix
+    of its immediate successor in (text, id) order within its opening
+    bucket (width 2 here; every string is at least bucket-width long,
+    mirroring the operator's fixture invariant)."""
+    docs = list(enumerate(texts))
+    brute = {
+        i
+        for i, t in docs
+        if any(
+            u.startswith(t) and (u, j) > (t, i)
+            for j, u in docs
+            if j != i
+        )
+    }
+    by_bucket: dict[str, list] = {}
+    for i, t in docs:
+        by_bucket.setdefault(t[:2], []).append((t, i))
+    adjacent = set()
+    for bucket in by_bucket.values():
+        bucket.sort()
+        for (t, i), (u, _j) in zip(bucket, bucket[1:]):
+            if u.startswith(t):
+                adjacent.add(i)
+    assert adjacent == brute
