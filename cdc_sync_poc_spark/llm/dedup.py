@@ -859,3 +859,44 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(
         F.col("nxt").isNotNull() & F.expr("startswith(nxt, text)")
     ).select("doc_id", "n_chars")
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+clusters AS (SELECT src AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY src)
+SELECT d.lang, d.source, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (NOT coalesce(c.cluster_id = d.doc_id, TRUE))::BIGINT
+         AS n_dropped,
+       round(CAST(count(*) FILTER (
+               NOT coalesce(c.cluster_id = d.doc_id, TRUE)) AS DOUBLE)
+             / count(*), 6) AS dup_rate
+FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+GROUP BY d.lang, d.source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate scoreboard per (lang, source): the fraction of
+    each slice lost to near-dup collapse (dedup_corpus_keep's verdicts
+    rolled up to the slice grid) — the table a crawl-ops team reads to
+    spot which feed re-serves content, and the input that re-balances
+    corpus_mix_weights AFTER dedup shrinks a slice. Rides the memoized
+    cluster labels; one |slices|-sized hash agg on top."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    clusters = _minhash_clusters(spark, sf_dir)
+    dropped = ~F.coalesce(F.col("cluster_id") == F.col("doc_id"), F.lit(True))
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(dropped, 1)).alias("n_dropped"),
+            F.round(
+                F.count(F.when(dropped, 1)).cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )

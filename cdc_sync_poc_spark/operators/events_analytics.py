@@ -768,3 +768,90 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+  FROM events GROUP BY user_id
+),
+csize AS (
+  SELECT cohort_date, count(*)::BIGINT AS cohort_size
+  FROM first_day GROUP BY cohort_date
+),
+rev AS (
+  SELECT f.cohort_date,
+         date_diff('day', f.cohort_date, CAST(e.ts AS DATE))::BIGINT AS day_offset,
+         sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS rev_cents
+  FROM events e JOIN first_day f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY f.cohort_date, day_offset
+),
+cum AS (
+  SELECT cohort_date, day_offset,
+         sum(rev_cents) OVER (PARTITION BY cohort_date ORDER BY day_offset
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+  FROM rev
+)
+SELECT c.cohort_date, c.day_offset, s.cohort_size,
+       round(CAST(c.cum_cents AS DOUBLE) / 100 / s.cohort_size, 6)
+         AS ltv_per_user
+FROM cum c JOIN csize s ON c.cohort_date = s.cohort_date
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    cohort member by day offset since first touch — the payback curve
+    read next to the retention triangle (events_retention shares the
+    cohort spine). Offsets appear only when the cohort purchased that
+    day; the curve is a step function over observed offsets (identical
+    convention both engines).
+
+    Revenue folds exact integer cents keyed on the compact (cohort,
+    offset) grid; the cumulative window is per-cohort over that
+    domain-bounded grid (days-sized, never events-sized); cohort sizes
+    broadcast onto the curve."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_date")
+    )
+    csize = first_day.groupBy("cohort_date").agg(
+        F.count("*").alias("cohort_size")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_day, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_date")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_date",
+        "day_offset",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(csize), "cohort_date").select(
+        "cohort_date",
+        "day_offset",
+        "cohort_size",
+        F.round(
+            F.col("cum_cents").cast("double") / 100 / F.col("cohort_size"), 6
+        ).alias("ltv_per_user"),
+    )

@@ -195,3 +195,51 @@ def test_driver_sample_window_invariants():
         assert q in window, q
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
+
+
+def test_compacted_apply_matches_sequential_replay(spark):
+    """Applying ONE net op per key (ap08's net_effect) to the base
+    state must reproduce ap06's row-at-a-time sequential replay
+    exactly — the cross-operator guarantee that lets the MERGE writer
+    swap the per-row loop for the compacted batch at any hot-key
+    skew."""
+    from cdc_sync_poc_spark.cdc.envelope import cdc_view
+    from cdc_sync_poc_spark.operators.apply import net_effect
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from tests.conftest import SF_DIR
+
+    load_all_queries()
+    net = net_effect(cdc_view(spark, SF_DIR)).select("pk", "net_op", "net_val")
+    base = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("pk"),
+        F.col("c_name").alias("base_name"),
+        F.col("c_acctbal").alias("base_val"),
+    )
+    j = base.join(net, "pk", "full_outer")
+    applied = j.filter(
+        (F.col("net_op") == "UPSERT")
+        | ((F.col("net_op") == "UPDATE") & F.col("base_name").isNotNull())
+    ).select(
+        "pk",
+        F.concat(F.lit("U"), F.col("pk").cast("string")).alias("name"),
+        F.col("net_val").alias("acctbal"),
+        F.lit("APPLIED").alias("src"),
+    )
+    untouched = j.filter(
+        F.col("net_op").isNull() & F.col("base_name").isNotNull()
+    ).select(
+        "pk",
+        F.col("base_name").alias("name"),
+        F.col("base_val").alias("acctbal"),
+        F.lit("BASE").alias("src"),
+    )
+    got = {
+        (r.pk, r.name, round(r.acctbal, 6), r.src)
+        for r in applied.unionByName(untouched).collect()
+    }
+    want = {
+        (r.pk, r.name, round(r.acctbal, 6), r.src)
+        for r in QUERIES["ap06_sequential_replay"](spark, SF_DIR).collect()
+    }
+    assert got == want
