@@ -86,8 +86,14 @@ _PRIORITY_PREFIXES = [
     # window slots, and first-ever evidence outranks refreshing riders)
     "a01", "a02", "a03", "pipeline_", "a04", "s03",
     # ---- 50-query driver window ends here ----
-    # first in line for the r5 rotation: the round-4 ops the window
-    # could not fit (never driver-sampled; locally exact-gated)
+    # first in line for the r5 rotation: this session's new ops the
+    # window could not fit (never driver-sampled; locally exact-gated)
+    "text_classifier", "events_kmv", "events_session_window",
+    "dedup_prefix", "events_ab_ttest", "ap08", "events_user_overlap",
+    "corpus_simpson", "events_value_histogram", "events_lateness",
+    "text_langid_eval", "emb_dim_stats", "events_cohort_ltv",
+    "dedup_rate_by_source",
+    # then the earlier round-4 ops in the same boat
     "text_lm_score", "text_bm25", "dsir_", "events_markov",
     "sem_dedup", "corpus_filter", "corpus_funnel", "llm_curation",
     "dedup_incremental", "events_path", "corpus_divergence",
@@ -144,6 +150,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.operators.sorts  # noqa: F401
     import cdc_sync_poc_spark.operators.scd  # noqa: F401
     import cdc_sync_poc_spark.operators.stateful  # noqa: F401
+    import cdc_sync_poc_spark.sources.csvsrc  # noqa: F401
     import cdc_sync_poc_spark.sources.jsonl  # noqa: F401
 
     ordered = sorted(QUERIES, key=lambda n: (_priority(n), 0))

@@ -389,3 +389,75 @@ def test_streaming_session_window_matches_batch(spark, stream_dirs):
         for r in QUERIES["events_session_window"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_streaming_kmv_sketch_merge_is_lossless(spark, tmp_path):
+    """Maintain the KMV distinct sketch incrementally over a 3-batch
+    stream (foreachBatch merges each batch's bottom-k into k-bounded
+    state) and require the final estimate to EQUAL the batch operator's
+    — bottom-k merge is lossless for the union's bottom-k, which is
+    the property that lets a 100 TB rollup keep per-day sketches and
+    never rescan raw events."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.operators.sketches import KMV_K
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    src = tmp_path / "ev_batches"
+    src.mkdir()
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(
+        idx, "ts", pc.floor_temporal(t["ts"], unit="microsecond").cast(pa.timestamp("us"))
+    )
+    # 3 near-equal micro-batch slices on event_id % 3
+    mod = pc.subtract(t["event_id"], pc.multiply(pc.divide(t["event_id"], 3), 3))
+    for i in range(3):
+        pq.write_table(t.filter(pc.equal(mod, i)), src / f"b{i}.parquet")
+
+    state: dict[str, list[int]] = {}
+
+    def merge_batch(batch_df, _bid):
+        hv = F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+        rows = (
+            batch_df.select("event_type", hv.alias("hv"))
+            .distinct()
+            .collect()  # test-scale shortcut; production keeps this distributed
+        )
+        per_type: dict[str, set] = {}
+        for r in rows:
+            per_type.setdefault(r.event_type, set()).add(r.hv)
+        for et, hs in per_type.items():
+            merged = sorted(set(state.get(et, [])) | hs)[:KMV_K]
+            state[et] = merged  # k-bounded state: THE sketch property
+
+    schema = spark.read.parquet(str(src)).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        r.event_type: (r.n_exact, r.kmv_estimate)
+        for r in QUERIES["events_kmv_distinct"](spark, SF_DIR).collect()
+    }
+    assert set(state) == set(batch)
+    for et, sk in state.items():
+        n_exact, want_est = batch[et]
+        if n_exact <= KMV_K:
+            got = float(len(sk))
+        else:
+            got = round((KMV_K - 1) * (1 << 48) / sk[KMV_K - 1], 3)
+        assert got == want_est, (et, got, want_est)
