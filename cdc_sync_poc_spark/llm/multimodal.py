@@ -288,3 +288,46 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("resized_key"),
     )
+
+
+@register(
+    "mm_integrity_check",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         md5(text) AS payload_hex,
+         CASE WHEN doc_id % 37 = 0 THEN sha256(reverse(md5(text)))
+              ELSE sha256(md5(text)) END AS stored_sha
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CASE WHEN sha256(payload_hex) = stored_sha THEN 'OK'
+            ELSE 'CORRUPT' END AS status
+FROM m
+""",
+)
+def mm_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob integrity audit: recompute each payload's checksum and
+    compare against the manifest's stored digest, flagging mismatches
+    for the dead-letter path — the fixity check every media lake runs
+    before spending GPU time decoding corrupt bytes. Corruption is
+    simulated deterministically (every 37th manifest digest was
+    computed from bit-rotted bytes). The checksum convention hashes
+    the lowercase hex rendering of the payload so the DuckDB oracle
+    (whose sha256 is VARCHAR-only) reproduces it bit-for-bit; JVM-side
+    this is two sha2/hex expressions per row — map-only, blob column
+    read once, no Python."""
+    m = media_table(spark, sf_dir)
+    payload_hex = F.lower(F.hex("media_bytes"))
+    stored = F.when(
+        F.col("doc_id") % 37 == 0, F.sha2(F.reverse(payload_hex), 256)
+    ).otherwise(F.sha2(payload_hex, 256))
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.when(F.sha2(payload_hex, 256) == stored, "OK")
+        .otherwise("CORRUPT")
+        .alias("status"),
+    )

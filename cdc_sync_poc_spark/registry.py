@@ -71,8 +71,10 @@ _PRIORITY_PREFIXES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram", "dedup_embedding", "dedup_normalized",
     "dedup_minhash_cluster",
-    # (d) multimodal (3), apply r1 rows (4) + ap05 (envelope consumer)
-    "mm_", "ap01", "ap02", "ap03", "ap04", "ap05",
+    # (d) multimodal (4 — explicit so the session's new mm_integrity
+    # stays below the cutoff), apply r1 rows (4) + ap05
+    "mm_attach", "mm_decode", "mm_frame", "mm_resize",
+    "ap01", "ap02", "ap03", "ap04", "ap05",
     # (d) text_stats r1 rows: 3
     "text_tfidf", "text_top_terms", "events_sessionize",
     # (c) joins.py (j05-j08 displaced below the cutoff by the round-4
@@ -92,7 +94,7 @@ _PRIORITY_PREFIXES = [
     "dedup_prefix", "events_ab_ttest", "ap08", "events_user_overlap",
     "corpus_simpson", "events_value_histogram", "events_lateness",
     "text_langid_eval", "emb_dim_stats", "events_cohort_ltv",
-    "dedup_rate_by_source",
+    "dedup_rate_by_source", "source_csv", "mm_integrity",
     # then the earlier round-4 ops in the same boat
     "text_lm_score", "text_bm25", "dsir_", "events_markov",
     "sem_dedup", "corpus_filter", "corpus_funnel", "llm_curation",
