@@ -220,3 +220,87 @@ def text_lexical_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c") * F.sum("c"))
         ).alias("simpson"),
     )
+
+
+WINNOW_K = 3  # word k-grams hashed for winnowing
+WINNOW_W = 4  # winnowing window over consecutive k-gram hashes
+
+
+@register(
+    "text_winnowing_overlap",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - {WINNOW_K} + 2),
+           i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i + 1],
+                                              ws[i + 2])), 1, 8))::BIGINT)
+           AS hs
+  FROM w WHERE len(ws) >= {WINNOW_K + WINNOW_W - 1}
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+           i -> list_min(list_transform(range(0, {WINNOW_W}),
+                                        j -> hs[i + j])))) AS fps
+  FROM h
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+cnt AS (SELECT fp, count(*)::BIGINT AS n_docs FROM fp GROUP BY fp)
+SELECT f.doc_id, count(*)::BIGINT AS n_fp,
+       count(*) FILTER (c.n_docs >= 2)::BIGINT AS n_shared,
+       round(CAST(count(*) FILTER (c.n_docs >= 2) AS DOUBLE)
+             / count(*), 6) AS shared_ratio
+FROM fp f JOIN cnt c ON f.fp = c.fp
+GROUP BY f.doc_id
+""",
+)
+def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every word {K}-gram, slide a {W}-window over the
+    hash sequence and keep each window's minimum — a position-robust
+    fingerprint set guaranteeing any shared run of K+W-1 words leaves
+    at least one common fingerprint. Each document then reports what
+    fraction of its fingerprints appear in ANY other document — the
+    cross-document overlap dial that catches partial copying
+    (quotes, templates, syndication) which whole-doc MinHash smooths
+    away and span dedup only sees for exact runs.
+
+    Scale: fingerprint selection is a pure map (O(n_words x W) array
+    fold per row, no explode until the selected mins — winnowing's
+    density guarantee caps output at ~2/(W+1) per position); the only
+    shuffles key on the uniform 32-bit fingerprint. The (fp, doc)
+    frame is the winnowed corpus index — the same artifact MOSS
+    persists for O(batch) incremental screening."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread_small_input(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    ).filter(F.size("ws") >= WINNOW_K + WINNOW_W - 1)
+    kg = (
+        f"transform(sequence(1, size(ws) - {WINNOW_K} + 1),"
+        f" i -> CAST(conv(substr(md5(concat_ws(' ', element_at(ws, i),"
+        f" element_at(ws, i + 1), element_at(ws, i + 2))), 1, 8), 16, 10)"
+        f" AS BIGINT))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
+        f" i -> array_min(slice(hs, i, {WINNOW_W}))))"
+    )
+    fps = base.select("doc_id", F.expr(kg).alias("hs")).select(
+        "doc_id", F.explode(F.expr(sel)).alias("fp")
+    )
+    cnt = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    shared = F.count(F.when(F.col("n_docs") >= 2, 1))
+    return (
+        fps.join(cnt, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            shared.alias("n_shared"),
+            F.round(shared.cast("double") / F.count("*"), 6).alias(
+                "shared_ratio"
+            ),
+        )
+    )
