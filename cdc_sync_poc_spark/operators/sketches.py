@@ -177,3 +177,115 @@ def events_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         est.alias("kmv_estimate"),
     )
+
+
+CMS_D = 4  # count-min rows (independent hash functions)
+CMS_W = 256  # counters per row
+CMS_TERMS = ("scan", "merge", "vector")  # probed terms (the BM25 set)
+
+
+def _cms_bucket_sql_duck(col: str, j: str) -> str:
+    return (
+        f"(('0x' || substr(md5({col}), 1, 8))::BIGINT"
+        f" + {j} * ('0x' || substr(md5({col}), 9, 8))::BIGINT)"
+        f" % 4294967296 % {CMS_W}"
+    )
+
+
+@register(
+    "text_cms_error",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (
+  SELECT j, {_cms_bucket_sql_duck('term', 'j')} AS bucket,
+         count(*)::BIGINT AS c
+  FROM tok CROSS JOIN range(0, {CMS_D}) t(j)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT q.term, j.j, {_cms_bucket_sql_duck('q.term', 'j.j')} AS bucket
+  FROM (VALUES {", ".join(f"('{t}')" for t in CMS_TERMS)}) q(term)
+  CROSS JOIN range(0, {CMS_D}) j(j)
+),
+est AS (
+  SELECT p.term, min(c.c)::BIGINT AS cms_estimate
+  FROM probe p JOIN cnt c ON p.j = c.j AND p.bucket = c.bucket
+  GROUP BY p.term
+),
+exact AS (
+  SELECT term, count(*)::BIGINT AS n_exact FROM tok
+  WHERE term IN {CMS_TERMS!r} GROUP BY term
+)
+SELECT e.term, x.n_exact, e.cms_estimate,
+       (e.cms_estimate - x.n_exact)::BIGINT AS overcount
+FROM est e JOIN exact x ON e.term = x.term
+""",
+)
+def text_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over corpus
+    term frequencies, with its error MEASURED against exact counts for
+    the probe terms: CMS_D independent hash rows of CMS_W counters
+    (Kirsch–Mitzenmacher g_j = h1 + j*h2 from one md5, the repo's
+    minhash construction), estimate = min over rows — never an
+    undercount, overcount bounded by n/W per row.
+
+    This is the frequency-sketch sibling of events_kmv_distinct: the
+    whole sketch is CMS_D x CMS_W BIGINTs (mergeable by addition), so
+    per-partition/per-day frequency state rolls up in O(1) memory
+    while exact per-term counts need vocabulary-sized state. One token
+    explode x CMS_D (map-side), one (row, bucket)-keyed agg with
+    map-side combine; the probe is a |terms x rows| join against the
+    1k-row sketch."""
+    from cdc_sync_poc_spark.sources.loader import spread_small_input
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs.select("text")).select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    h1 = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("bigint")
+    expanded = tok.select(
+        "term", F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+    )
+    cnt = (
+        expanded.select(
+            "j",
+            (
+                (
+                    F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+                    + F.col("j")
+                    * F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("bigint")
+                )
+                % 4294967296
+                % CMS_W
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probe_rows = [
+        (t, j) for t in CMS_TERMS for j in range(CMS_D)
+    ]
+    probe = docs.sparkSession.createDataFrame(probe_rows, "term string, j int").select(
+        "term",
+        F.col("j").cast("bigint").alias("j"),
+        ((h1 + F.col("j") * h2) % 4294967296 % CMS_W).alias("bucket"),
+    )
+    est = (
+        probe.join(cnt, ["j", "bucket"])
+        .groupBy("term")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    exact = (
+        tok.filter(F.col("term").isin(*CMS_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return est.join(exact, "term").select(
+        "term",
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).cast("bigint").alias("overcount"),
+    )

@@ -74,6 +74,10 @@ SECTIONS = [
      "Prefix containment via sort adjacency: ONE lead() window partitioned by the 8-char opening bucket — bucket-parallel sort, no global order, no self-join"),
     ("events_session_window",
      "Native session-window merge: one user_id exchange feeding Spark's UpdatingSessionsExec/MergingSessionsExec pair — the same operators a readStream plan reuses with a watermark"),
+    ("ap08_net_effect_compaction",
+     "Changelog compaction: ONE pk hash agg (min_by/max_by + filtered max, map-side combined) — keys-sized output, no window, no sort"),
+    ("text_winnowing_overlap",
+     "Winnowing fingerprints: per-row array fold selects window minima map-side; the only exchanges key on the uniform 32-bit fingerprint"),
 ]
 
 
