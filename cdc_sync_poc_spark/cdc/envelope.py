@@ -416,7 +416,7 @@ c AS (
 )
 SELECT wrapped, schema_fp, n,
        round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS frac,
-       CASE WHEN row_number() OVER (ORDER BY n DESC, schema_fp) = 1
+       CASE WHEN row_number() OVER (ORDER BY n DESC, schema_fp, wrapped) = 1
             THEN 'CANONICAL' ELSE 'DRIFTED' END AS status
 FROM c
 """,
@@ -449,7 +449,7 @@ def src_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w_all = Window.partitionBy()
-    w_rank = Window.orderBy(F.desc("n"), F.asc("schema_fp"))
+    w_rank = Window.orderBy(F.desc("n"), F.asc("schema_fp"), F.asc("wrapped"))
     return c.select(
         "wrapped",
         "schema_fp",

@@ -811,7 +811,8 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PREFIX_BUCKET_CHARS = 8  # containment bucket width; every doc is >= 128 chars
+PREFIX_BUCKET_CHARS = 8  # containment bucket width (fixture min text is 44 chars
+# at sf0.1 — tests/test_units.py asserts the >= bucket-width invariant)
 
 
 @register(
@@ -841,7 +842,8 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text, doc_id) order — one ``lead`` per doc. The window partitions
     by the first PREFIX_BUCKET_CHARS characters: any prefix pair shares
     that opening (every doc is longer than the bucket width — fixture
-    min 128 chars), so no cross-bucket pair is ever missed and the
+    min 44 chars, and the invariant is asserted in tests), so no
+    cross-bucket pair is ever missed and the
     sort is bucket-parallel, never global. Exact duplicates are caught
     too (equal texts are adjacent; all but the last doc_id flag).
     Skew bound: a bucket is one 8-char opening — boilerplate-heavy

@@ -246,21 +246,20 @@ def text_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h1 = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
     h2 = F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("bigint")
-    expanded = tok.select(
-        "term", F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
-    )
+    # ONE md5 pair per token, THEN the xCMS_D fan-out — hashing is the
+    # dominant map-side cost, so it must not ride the explode
+    hashed = tok.select(h1.alias("h1"), h2.alias("h2"))
     cnt = (
-        expanded.select(
+        hashed.select(
+            F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j"),
+            "h1",
+            "h2",
+        )
+        .select(
             "j",
-            (
-                (
-                    F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
-                    + F.col("j")
-                    * F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("bigint")
-                )
-                % 4294967296
-                % CMS_W
-            ).alias("bucket"),
+            ((F.col("h1") + F.col("j") * F.col("h2")) % 4294967296 % CMS_W).alias(
+                "bucket"
+            ),
         )
         .groupBy("j", "bucket")
         .agg(F.count("*").alias("c"))

@@ -58,7 +58,8 @@ def ensure_csv(sf_dir: str) -> str:
         return path
     rows = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pylist()
     rows.sort(key=lambda r: r["doc_id"])
-    tmp = path + ".tmp"
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+    os.close(fd)
     with open(tmp, "w", newline="") as f:
         w = csv.writer(
             f, quoting=csv.QUOTE_ALL, escapechar="\\", doublequote=False

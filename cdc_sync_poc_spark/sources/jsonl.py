@@ -52,7 +52,8 @@ def ensure_jsonl(sf_dir: str) -> str:
         return path
     rows = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pylist()
     rows.sort(key=lambda r: r["doc_id"])
-    tmp = path + ".tmp"
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+    os.close(fd)
     with open(tmp, "w") as f:
         for r in rows:
             f.write(json.dumps(r, sort_keys=True, separators=(",", ":")) + "\n")

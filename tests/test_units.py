@@ -243,3 +243,18 @@ def test_compacted_apply_matches_sequential_replay(spark):
         for r in QUERIES["ap06_sequential_replay"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_prefix_bucket_invariant_holds_on_fixture(spark):
+    """dedup_prefix_containment's sort-adjacency trick is only sound
+    when every document is at least PREFIX_BUCKET_CHARS long (a prefix
+    pair must share its opening bucket). Assert the invariant instead
+    of trusting it — a future fixture with shorter docs must fail HERE,
+    not silently miss cross-bucket pairs on both engines."""
+    from cdc_sync_poc_spark.llm.dedup import PREFIX_BUCKET_CHARS
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    min_len = docs.agg(F.min(F.length("text"))).collect()[0][0]
+    assert min_len >= PREFIX_BUCKET_CHARS, min_len
