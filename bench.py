@@ -133,6 +133,16 @@ BENCH_QUERIES = [
     "ap08_net_effect_compaction",
     "events_user_overlap",
     "corpus_simpson_diversity",
+    "text_winnowing_overlap",
+    "text_cms_error",
+    "events_lateness_profile",
+    "events_cohort_ltv",
+    "events_value_histogram",
+    "emb_dim_stats",
+    "mm_integrity_check",
+    "a12_incremental_rollup",
+    "events_active_users",
+    "dedup_rate_by_source",
 ]
 
 N_REPS = 3

@@ -855,3 +855,47 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_cents").cast("double") / 100 / F.col("cohort_size"), 6
         ).alias("ltv_per_user"),
     )
+
+
+@register(
+    "events_active_users",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM activity)
+SELECT days.d,
+       count(DISTINCT CASE WHEN a.d = days.d THEN a.user_id END)::BIGINT AS dau,
+       count(DISTINCT CASE WHEN a.d > days.d - 7 THEN a.user_id END)::BIGINT AS wau,
+       count(DISTINCT a.user_id)::BIGINT AS mau
+FROM days JOIN activity a
+  ON a.d <= days.d AND a.d > days.d - 30
+GROUP BY days.d
+""",
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU: distinct active users per day with trailing 7- and
+    30-day windows — the engagement panel every event warehouse serves.
+    Sliding count-distinct does NOT merge (the IVM boundary a12
+    documents), so the exact form joins the deduped (user, day)
+    activity set against the day domain: |days| x |activity| bounded
+    by the 30-day band, activity itself at most users x days — both
+    orders smaller than raw events. At larger day-domains the same
+    panel runs on per-day KMV sketches (events_kmv_*), whose union
+    DOES merge across the window."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = activity.select(F.col("d").alias("day")).distinct()
+    j = days.join(
+        activity,
+        (F.col("d") <= F.col("day")) & (F.col("d") > F.date_sub(F.col("day"), 30)),
+    )
+    return j.groupBy("day").agg(
+        F.count_distinct(
+            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(F.col("d") > F.date_sub(F.col("day"), 7), F.col("user_id"))
+        ).alias("wau"),
+        F.count_distinct("user_id").alias("mau"),
+    ).withColumnRenamed("day", "d")

@@ -534,3 +534,50 @@ def test_prefix_containment_sort_adjacency_lemma(texts):
             if u.startswith(t):
                 adjacent.add(i)
     assert adjacent == brute
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    cut=st.integers(min_value=0, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_net_effect_composes_across_batches(spark, ops, cut):
+    """Micro-batch composition law: compacting batch 1 and batch 2
+    separately and applying the two net ops in order must equal the
+    full replay — the property that lets a foreachBatch writer compact
+    every batch without cross-batch state."""
+    from cdc_sync_poc_spark.operators.apply import net_effect
+
+    cut = min(cut, len(ops))
+    batches = [ops[:cut], ops[cut:]]
+    exists, val = False, None
+    seq = 0
+    for batch in batches:
+        if not batch:
+            continue
+        rows = []
+        for op, v in batch:
+            rows.append((1, seq, op, float(v)))
+            seq += 1
+        cdc = spark.createDataFrame(
+            rows, "pk long, cdc_seq long, operation string, val double"
+        )
+        r = net_effect(cdc).collect()[0]
+        if r.net_op == "DELETE":
+            exists, val = False, None
+        elif r.net_op == "UPSERT":
+            exists, val = True, r.net_val
+        elif exists:
+            val = r.net_val
+    want = _replay_ops(
+        [(i, op, float(v)) for i, (op, v) in enumerate(ops)], False, None
+    )
+    got = (exists, val if exists else None)
+    assert got == want, (ops, cut, got, want)
