@@ -3,8 +3,10 @@
 Per micro-batch (the 5 s trigger replaces the reference's Oracle
 Scheduler job, st04):
 
-1. last-wins per key within the batch (s01 — makes the apply
-   order-insensitive inside a batch),
+1. per-key batch reduction — ``strategy="last_wins"`` (default: the
+   newest row per key decides, s01/ap01 semantics) or
+   ``strategy="net"`` (ap08's net_effect compaction: replay-exact ap06
+   semantics at any batch granularity, each key still written once),
 2. MERGE into the base table (ap01): the state table is hash-bucketed
    by pk into ``n_buckets`` parquet directories (``bucket=K/``), and a
    batch rewrites ONLY the buckets that contain changed keys — the
@@ -60,11 +62,24 @@ class ParquetMergeWriter:
         state_dir: str,
         audit_dir: str,
         n_buckets: int = 16,
+        strategy: str = "last_wins",
     ):
+        if strategy not in ("last_wins", "net"):
+            raise ValueError(f"unknown merge strategy: {strategy}")
         self.spark = spark
         self.state_dir = state_dir
         self.audit_dir = audit_dir
         self.n_buckets = n_buckets
+        # "last_wins": ap01 semantics — the newest row per key decides
+        #   (in-batch chains collapse; the documented batch-MERGE form).
+        # "net": ap08's net_effect — each key's in-batch op SEQUENCE
+        #   compacts to its replay-exact net op (ap06 semantics at any
+        #   batch granularity; see test_writer_net_strategy_matches_
+        #   sequential_replay). Same merge join either way: the net op
+        #   vocabulary {UPSERT, UPDATE, DELETE} flows through the
+        #   last-wins CASE logic unchanged (UPSERT = unconditional
+        #   create-or-update, exactly how INSERT is treated).
+        self.strategy = strategy
 
     def _bucket(self, col: F.Column) -> F.Column:
         """Deterministic bucket for a pk (stable across batches/retries)."""
@@ -134,14 +149,29 @@ class ParquetMergeWriter:
         """The foreachBatch body: crash recovery -> last-wins ->
         bucket-pruned merge -> idempotent audit -> atomic bucket swap."""
         self._recover_buckets()
-        w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
-        last = (
-            changes.select("cdc_seq", "pk", "operation", "val")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .withColumn("bucket", self._bucket(F.col("pk")))
-            .persist()
-        )
+        if self.strategy == "net":
+            from cdc_sync_poc_spark.operators.apply import net_effect
+
+            last = (
+                net_effect(changes.select("cdc_seq", "pk", "operation", "val"))
+                .select(
+                    F.lit(batch_id).cast("long").alias("cdc_seq"),
+                    "pk",
+                    F.col("net_op").alias("operation"),
+                    F.col("net_val").alias("val"),
+                )
+                .withColumn("bucket", self._bucket(F.col("pk")))
+                .persist()
+            )
+        else:
+            w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
+            last = (
+                changes.select("cdc_seq", "pk", "operation", "val")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .withColumn("bucket", self._bucket(F.col("pk")))
+                .persist()
+            )
         touched = sorted(r.bucket for r in last.select("bucket").distinct().collect())
         if not touched:
             last.unpersist()

@@ -461,3 +461,41 @@ def test_streaming_kmv_sketch_merge_is_lossless(spark, tmp_path):
         else:
             got = round((KMV_K - 1) * (1 << 48) / sk[KMV_K - 1], 3)
         assert got == want_est, (et, got, want_est)
+
+
+def test_writer_net_strategy_matches_sequential_replay(spark, tmp_path):
+    """The MERGE writer's 'net' strategy (ap08 compaction per batch)
+    must land the exact sequential-replay state (ap06) — the
+    reference's row-at-a-time worker semantics, reproduced by writing
+    each key ONCE per batch through the bucket-swap machinery. The
+    default last_wins strategy intentionally differs on in-batch
+    chains (the documented ap01 deviation); this test pins that the
+    opt-in strategy closes that gap."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.cdc.envelope import cdc_view
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from cdc_sync_poc_spark.streaming.writer import ParquetMergeWriter
+
+    load_all_queries()
+    out = tmp_path / "net_writer"
+    writer = ParquetMergeWriter(
+        spark, str(out / "state"), str(out / "audit"), n_buckets=8,
+        strategy="net",
+    )
+    writer.init_state(load_table(spark, SF_DIR, "customer"))
+    changes = cdc_view(spark, SF_DIR).select("cdc_seq", "pk", "operation", "val")
+    writer.apply_batch(changes, batch_id=0)
+
+    got = {
+        (r.pk, r.name, round(r.acctbal, 6))
+        for r in writer.current_state().collect()
+    }
+    want = {
+        (r.pk, r.name, round(r.acctbal, 6))
+        for r in QUERIES["ap06_sequential_replay"](spark, SF_DIR)
+        .select("pk", "name", "acctbal")
+        .collect()
+    }
+    assert got == want
