@@ -499,3 +499,42 @@ def test_writer_net_strategy_matches_sequential_replay(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_writer_net_strategy_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same batch through strategy='net' must leave the
+    state byte-identical (the at-least-once foreachBatch contract the
+    last_wins path already honors): every net op — UPSERT, UPDATE,
+    DELETE — is idempotent against the post-batch state."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.streaming.writer import ParquetMergeWriter
+
+    out = tmp_path / "net_replay"
+    writer = ParquetMergeWriter(
+        spark, str(out / "state"), str(out / "audit"), n_buckets=4,
+        strategy="net",
+    )
+    base = spark.range(0, 50).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("name"), F.col("id")).alias("c_name"),
+        F.col("id").cast("double").alias("c_acctbal"),
+    )
+    writer.init_state(base)
+    changes = spark.createDataFrame(
+        [
+            (0, 7, "UPDATE", 1.0), (1, 7, "DELETE", None),   # net DELETE
+            (2, 8, "INSERT", 2.0), (3, 8, "UPDATE", 3.0),    # net UPSERT(3.0)
+            (4, 99, "INSERT", 4.0), (5, 99, "DELETE", None), # net DELETE (absent)
+            (6, 9, "UPDATE", 5.0),                            # net UPDATE
+        ],
+        "cdc_seq long, pk long, operation string, val double",
+    )
+    writer.apply_batch(changes, batch_id=0)
+    first = {(r.pk, r.name, r.acctbal) for r in writer.current_state().collect()}
+    writer.apply_batch(changes, batch_id=0)  # replay
+    second = {(r.pk, r.name, r.acctbal) for r in writer.current_state().collect()}
+    assert first == second
+    assert (7, "name7", 7.0) not in second and not any(pk == 7 for pk, *_ in second)
+    assert (8, "U8", 3.0) in second
+    assert (9, "U9", 5.0) in second
