@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "a12_incremental_rollup",
     "events_active_users",
     "dedup_rate_by_source",
+    "retrieval_rrf_fusion",
 ]
 
 N_REPS = 3

@@ -1,0 +1,129 @@
+"""Hybrid retrieval fusion: combine a lexical ranking and a semantic
+(embedding) ranking of the same corpus with Reciprocal Rank Fusion
+(RRF, Cormack et al. 2009) — the standard hybrid-search merge: each
+candidate scores sum(1 / (K + rank_i)) over the lists it appears in,
+which needs no score calibration between BM25-like and cosine scales.
+
+Fixture role-map: ``vec_id ≡ doc_id`` (every document has exactly one
+embedding row), the query is the BM25 probe-term set on the lexical
+side and vector 0 on the semantic side.
+
+Scale: each side is an independent top-CAND_N retrieval (lexical:
+map-only term counting + TakeOrdered; semantic: the brute-force /
+ANN plans of llm/similarity.py — at 100 TB the semantic candidates
+come from the IVF/LSH index, same fusion afterwards). The fusion
+itself joins two CAND_N-row frames — driver-scale, irrelevant at any
+corpus size. 1/(K + rank) is one exact double division per list, so
+both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.llm.lm_quality import BM25_TERMS
+from cdc_sync_poc_spark.llm.similarity import _VEC_CTES, _normed, QUERY_VEC_ID
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
+
+RRF_K = 60  # the canonical RRF damping constant
+CAND_N = 20  # candidates taken from each ranking
+FUSED_TOP = 10
+
+_LEX_TF_DUCK = " + ".join(
+    f"len(list_filter(string_split(text, ' '), w -> w = '{t}'))"
+    for t in BM25_TERMS
+)
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+WITH {_VEC_CTES},
+lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (
+           ORDER BY ({_LEX_TF_DUCK}) DESC, doc_id) AS lex_rank
+  FROM documents
+  WHERE ({_LEX_TF_DUCK}) >= 1
+  QUALIFY lex_rank <= {CAND_N}
+),
+sem AS (
+  SELECT vec_id AS id,
+         row_number() OVER (
+           ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) DESC,
+                    vec_id) AS sem_rank
+  FROM n, q
+  WHERE vec_id <> {QUERY_VEC_ID}
+  QUALIFY sem_rank <= {CAND_N}
+),
+fused AS (
+  SELECT coalesce(l.id, s.id) AS id, l.lex_rank, s.sem_rank,
+         coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
+         + coalesce(1.0 / ({RRF_K} + s.sem_rank), 0) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+)
+SELECT id, lex_rank::BIGINT AS lex_rank, sem_rank::BIGINT AS sem_rank,
+       round(rrf, 6) AS rrf_score
+FROM fused
+ORDER BY rrf DESC, id
+LIMIT {FUSED_TOP}
+""",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid search: top-{CAND_N} lexical candidates (exact-token
+    probe-term frequency) fused with top-{CAND_N} semantic candidates
+    (cosine to the query vector), final top-{FUSED_TOP} by summed
+    reciprocal ranks. Both candidate rankings break ties by id, so the
+    fused order is fully deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = None
+    for t in BM25_TERMS:
+        c = F.size(F.expr(f"filter(split(text, ' '), w -> w = '{t}')"))
+        tf = c if tf is None else tf + c
+    w_lex = Window.orderBy(F.desc("tf"), F.asc("id"))
+    lex = (
+        spread_small_input(docs.select(F.col("doc_id").alias("id"), tf.alias("tf")))
+        .filter(F.col("tf") >= 1)
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= CAND_N)
+        .select("id", "lex_rank")
+    )
+    n = _normed(spark, sf_dir)
+    q = n.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, z) -> acc + z)"
+    ) / (F.col("nrm") * F.col("qn"))
+    w_sem = Window.orderBy(F.desc("cosr"), F.asc("id"))
+    sem = (
+        n.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("id"), cos.alias("cosr"))
+        .withColumn("sem_rank", F.row_number().over(w_sem))
+        .filter(F.col("sem_rank") <= CAND_N)
+        .select("id", "sem_rank")
+    )
+    fused = lex.join(sem, "id", "full_outer").select(
+        "id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(FUSED_TOP)
+        .select(
+            "id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("sem_rank").cast("bigint").alias("sem_rank"),
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )

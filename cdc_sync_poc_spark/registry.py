@@ -95,6 +95,7 @@ _PRIORITY_PREFIXES = [
     "corpus_simpson", "events_value_histogram", "events_lateness",
     "text_langid_eval", "emb_dim_stats", "events_cohort_ltv",
     "dedup_rate_by_source", "source_csv", "mm_integrity",
+    "retrieval_",
     # then the earlier round-4 ops in the same boat
     "text_lm_score", "text_bm25", "dsir_", "events_markov",
     "sem_dedup", "corpus_filter", "corpus_funnel", "llm_curation",
@@ -136,6 +137,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.llm.lm_quality  # noqa: F401
     import cdc_sync_poc_spark.llm.multimodal  # noqa: F401
     import cdc_sync_poc_spark.llm.preprocess  # noqa: F401
+    import cdc_sync_poc_spark.llm.retrieval  # noqa: F401
     import cdc_sync_poc_spark.llm.segment_stats  # noqa: F401
     import cdc_sync_poc_spark.llm.similarity  # noqa: F401
     import cdc_sync_poc_spark.llm.text  # noqa: F401
