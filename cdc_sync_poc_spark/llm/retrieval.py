@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.llm.lm_quality import BM25_TERMS
-from cdc_sync_poc_spark.llm.similarity import _VEC_CTES, _normed, QUERY_VEC_ID
+from cdc_sync_poc_spark.llm.similarity import _DOT, _VEC_CTES, _normed, QUERY_VEC_ID
 from cdc_sync_poc_spark.registry import register
 from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
 
@@ -95,10 +95,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = n.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    cos = F.expr(
-        "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
-        " (acc, z) -> acc + z)"
-    ) / (F.col("nrm") * F.col("qn"))
+    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
     w_sem = Window.orderBy(F.desc("cosr"), F.asc("id"))
     sem = (
         n.filter(F.col("vec_id") != QUERY_VEC_ID)

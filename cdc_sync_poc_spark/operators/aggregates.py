@@ -347,7 +347,15 @@ def a12_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "topic",
         (z("n_a") + z("n_b")).alias("n_events"),
-        (z("s_a") + z("s_b")).alias("sum_cents"),
+        # NULL-preserving sum merge: all-NULL partials must merge to
+        # NULL (the recompute's sum semantics), not 0 — coalescing each
+        # side alone would violate the IVM-law oracle on a topic whose
+        # cents are entirely NULL
+        F.when(
+            F.col("s_a").isNull() & F.col("s_b").isNull(), F.lit(None)
+        )
+        .otherwise(z("s_a") + z("s_b"))
+        .alias("sum_cents"),
         F.least(
             F.coalesce("mn_a", "mn_b"), F.coalesce("mn_b", "mn_a")
         ).alias("min_cents"),

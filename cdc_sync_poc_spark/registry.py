@@ -95,7 +95,8 @@ _PRIORITY_PREFIXES = [
     "corpus_simpson", "events_value_histogram", "events_lateness",
     "text_langid_eval", "emb_dim_stats", "events_cohort_ltv",
     "dedup_rate_by_source", "source_csv", "mm_integrity",
-    "retrieval_",
+    "retrieval_", "a12", "events_active_users", "text_winnowing",
+    "text_cms",
     # then the earlier round-4 ops in the same boat
     "text_lm_score", "text_bm25", "dsir_", "events_markov",
     "sem_dedup", "corpus_filter", "corpus_funnel", "llm_curation",

@@ -152,10 +152,16 @@ class ParquetMergeWriter:
         if self.strategy == "net":
             from cdc_sync_poc_spark.operators.apply import net_effect
 
+            rows = changes.select("cdc_seq", "pk", "operation", "val")
+            # the key's LAST real cdc_seq rides along so audit rows keep
+            # a joinable sequence number (same key, same shuffle — the
+            # extra agg shares the pk exchange)
+            last_seq = rows.groupBy("pk").agg(F.max("cdc_seq").alias("cdc_seq"))
             last = (
-                net_effect(changes.select("cdc_seq", "pk", "operation", "val"))
+                net_effect(rows)
+                .join(last_seq, "pk")
                 .select(
-                    F.lit(batch_id).cast("long").alias("cdc_seq"),
+                    "cdc_seq",
                     "pk",
                     F.col("net_op").alias("operation"),
                     F.col("net_val").alias("val"),
@@ -206,7 +212,10 @@ class ParquetMergeWriter:
         )
 
         # audit BEFORE swapping state (the plan scans the pre-batch state
-        # lazily); every change row gets a status (sink_audit_log parity):
+        # lazily); each key's DECIDING row gets a status — the last-wins
+        # survivor, or the net op carrying the key's last cdc_seq
+        # (sink_audit_log's per-row form is the batch sink; here the
+        # audit is per applied decision):
         # UPDATE/DELETE on a missing key -> TARGET_NOT_FOUND (ap03),
         # everything else -> SUCCESS (INSERT on an existing key is the
         # ap02 dup->update path, still SUCCESS). A batch key's state row
@@ -243,26 +252,37 @@ def run_stream_pipeline(
     out_dir: str,
     trigger: dict | None = None,
     dedup: str = "watermark",
+    strategy: str = "last_wins",
 ):
     """Wire source -> cdc view -> loop dedup -> foreachBatch merge.
     Returns the started StreamingQuery. Default trigger availableNow for
     tests; production uses processingTime='5 seconds' (st04).
 
-    dedup: 'watermark' (built-in first-seen-wins, production default) or
+    dedup: 'watermark' (built-in first-seen-wins, production default),
     'stateful' (applyInPandasWithState, exact sequential semantics with
-    blocked rows dropped before the merge)."""
+    blocked rows dropped before the merge), or 'none' (no loop dedup —
+    required for strategy='net' sequential parity, since dropping
+    equal-hash rows can flip a net classification).
+
+    strategy: forwarded to ParquetMergeWriter — 'last_wins' (ap01) or
+    'net' (ap06-exact compaction)."""
     from cdc_sync_poc_spark.streaming.dedup import stateful_dedup, watermark_dedup
     from cdc_sync_poc_spark.streaming.source import file_event_stream, stream_cdc_view
 
+    if dedup not in ("watermark", "stateful", "none"):
+        raise ValueError(f"unknown dedup mode: {dedup}")
     writer = ParquetMergeWriter(
         spark,
         state_dir=os.path.join(out_dir, "state"),
         audit_dir=os.path.join(out_dir, "audit"),
+        strategy=strategy,
     )
     writer.init_state(base)
     cdc = stream_cdc_view(file_event_stream(spark, events_path))
     if dedup == "stateful":
         deduped = stateful_dedup(cdc).filter("NOT loop_blocked").drop("loop_blocked")
+    elif dedup == "none":
+        deduped = cdc
     else:
         deduped = watermark_dedup(cdc)
     q = (

@@ -471,8 +471,6 @@ def test_writer_net_strategy_matches_sequential_replay(spark, tmp_path):
     default last_wins strategy intentionally differs on in-batch
     chains (the documented ap01 deviation); this test pins that the
     opt-in strategy closes that gap."""
-    from pyspark.sql import functions as F
-
     from cdc_sync_poc_spark.cdc.envelope import cdc_view
     from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
     from cdc_sync_poc_spark.sources.loader import load_table

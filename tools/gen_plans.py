@@ -78,6 +78,10 @@ SECTIONS = [
      "Changelog compaction: ONE pk hash agg (min_by/max_by + filtered max, map-side combined) — keys-sized output, no window, no sort"),
     ("text_winnowing_overlap",
      "Winnowing fingerprints: per-row array fold selects window minima map-side; the only exchanges key on the uniform 32-bit fingerprint"),
+    ("a12_incremental_rollup",
+     "Incremental rollup maintenance: state and delta partial aggs merged by ONE full-outer join on the topic key — counts/sums add, min/max fold (the fixture derives both partials by scanning; in production the state side is the STORED rollup, so only the delta scans)"),
+    ("retrieval_rrf_fusion",
+     "Hybrid RRF: two independent top-N candidate rankings (map-only scoring each) fused by a candidate-sized full-outer join + TakeOrderedAndProject"),
 ]
 
 
