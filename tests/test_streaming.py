@@ -536,3 +536,33 @@ def test_writer_net_strategy_replay_is_idempotent(spark, tmp_path):
     assert (7, "name7", 7.0) not in second and not any(pk == 7 for pk, *_ in second)
     assert (8, "U8", 3.0) in second
     assert (9, "U9", 5.0) in second
+
+
+def test_stream_net_pipeline_matches_sequential_replay(spark, stream_dirs):
+    """The end-to-end wiring for sequential parity: strategy='net' with
+    dedup='none' through run_stream_pipeline must land ap06's exact
+    sequential-replay state (single batch here; the composition
+    property in test_properties.py covers multi-batch)."""
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from cdc_sync_poc_spark.streaming.writer import run_stream_pipeline
+
+    load_all_queries()
+    events_path, out_dir = stream_dirs
+    base = load_table(spark, SF_DIR, "customer")
+    q, writer = run_stream_pipeline(
+        spark, events_path, base, out_dir + "_net", dedup="none",
+        strategy="net",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pk, r.name, round(r.acctbal, 6))
+        for r in writer.current_state().collect()
+    }
+    want = {
+        (r.pk, r.name, round(r.acctbal, 6))
+        for r in QUERIES["ap06_sequential_replay"](spark, SF_DIR)
+        .select("pk", "name", "acctbal")
+        .collect()
+    }
+    assert got == want
