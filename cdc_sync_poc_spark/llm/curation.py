@@ -750,3 +750,74 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qmin").cast("double") / EMB_STAT_FIX, 6).alias("min_x"),
         F.round(F.col("qmax").cast("double") / EMB_STAT_FIX, 6).alias("max_x"),
     )
+
+
+TOKEN_BUDGET = 100_000  # planning budget for corpus_token_budget
+
+
+@register(
+    "corpus_token_budget",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT list_sum(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE))))) AS denom
+  FROM per_src
+),
+plan AS (
+  SELECT p.source, p.n_tokens,
+         floor({TOKEN_BUDGET} * sqrt(CAST(p.n_tokens AS DOUBLE)) / t.denom)
+           ::BIGINT AS quota
+  FROM per_src p, tot t
+)
+SELECT source, n_tokens, quota,
+       least(quota, n_tokens) AS alloc,
+       round(CAST(quota AS DOUBLE) / n_tokens, 6) AS repeat_factor
+FROM plan
+""",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation plan: distribute TOKEN_BUDGET across
+    sources by the sqrt-smoothed mix (corpus_mix_weights' temperature
+    weighting turned into concrete per-source quotas) — the planning
+    table a data-mixing run executes. ``alloc`` caps each quota at the
+    tokens actually available; ``repeat_factor`` > 1 exposes sources
+    the mix would need to up-sample (epoch > 1), the early warning for
+    small-source exhaustion. Same sorted-fold denominator trick as
+    corpus_mix_weights (cross-partition double-sum order is otherwise
+    nondeterministic); everything else is one hash agg + a broadcast
+    1-row total."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(F.split(F.col("text"), " ")).alias("nw"))
+        .groupBy("source")
+        .agg(F.sum("nw").cast("bigint").alias("n_tokens"))
+    )
+    tot = per_src.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(sqrt(CAST(n_tokens AS DOUBLE)))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("denom")
+    )
+    plan = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.lit(TOKEN_BUDGET)
+            * F.sqrt(F.col("n_tokens").cast("double"))
+            / F.col("denom")
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    return plan.select(
+        "source",
+        "n_tokens",
+        "quota",
+        F.least("quota", "n_tokens").alias("alloc"),
+        F.round(F.col("quota").cast("double") / F.col("n_tokens"), 6).alias(
+            "repeat_factor"
+        ),
+    )

@@ -295,10 +295,8 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dsir_importance",
-    oracle=f"""
-WITH tok AS (
+_DSIR_CTES = f"""
+tok AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 raw AS (SELECT term, count(*)::BIGINT AS c_r FROM tok GROUP BY term),
@@ -325,26 +323,14 @@ s AS (
   SELECT k.doc_id, sum(q * k)::BIGINT AS sq, sum(k)::BIGINT AS n
   FROM k JOIN ratio ON k.term = ratio.term GROUP BY k.doc_id
 )
-SELECT doc_id, n AS n_terms,
-       round(CAST(sq AS DOUBLE) / n / {DSIR_FIX}, 6) AS dsir_weight
-FROM s
-""",
-)
-def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023): mean smoothed
-    unigram-frequency ratio p_target / p_raw per document, target =
-    the ``lang = 'en'`` slice, raw = the whole corpus. Documents
-    resembling the target distribution score > 1 and would be
-    up-sampled by importance resampling.
+"""
 
-    One tokenize pass feeds both count tables (Catalyst reuses the
-    exchange); the term-ratio table is vocabulary-sized and broadcasts,
-    so the per-document pass is map-side join + hash agg — no shuffle
-    keyed on the power-law term column, which sidesteps the stopword
-    skew that text_rarity_score handles with a split-join. Ratios are
-    floored to DSIR_FIX fixed point per DISTINCT term (the two smoothed
-    frequencies are each one correctly-rounded double division), so the
-    per-document reduction is exact BIGINT arithmetic."""
+
+def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sq, n): exact BIGINT per-document DSIR accumulators
+    (sum of fixed-point term ratios x counts, and term count) — shared
+    by the weight report (dsir_importance) and the resampling apply
+    step (dsir_resample)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = spread_small_input(docs.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -376,11 +362,39 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     k = tok.groupBy("doc_id", "term").agg(F.count("*").alias("k"))
-    s = (
+    return (
         k.join(F.broadcast(ratio), "term")
         .groupBy("doc_id")
         .agg(F.sum(F.col("q") * F.col("k")).alias("sq"), F.sum("k").alias("n"))
     )
+
+
+@register(
+    "dsir_importance",
+    oracle="WITH "
+    + _DSIR_CTES
+    + f"""
+SELECT doc_id, n AS n_terms,
+       round(CAST(sq AS DOUBLE) / n / {DSIR_FIX}, 6) AS dsir_weight
+FROM s
+""",
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): mean smoothed
+    unigram-frequency ratio p_target / p_raw per document, target =
+    the ``lang = 'en'`` slice, raw = the whole corpus. Documents
+    resembling the target distribution score > 1 and would be
+    up-sampled by importance resampling.
+
+    One tokenize pass feeds both count tables (Catalyst reuses the
+    exchange); the term-ratio table is vocabulary-sized and broadcasts,
+    so the per-document pass is map-side join + hash agg — no shuffle
+    keyed on the power-law term column, which sidesteps the stopword
+    skew that text_rarity_score handles with a split-join. Ratios are
+    floored to DSIR_FIX fixed point per DISTINCT term (the two smoothed
+    frequencies are each one correctly-rounded double division), so the
+    per-document reduction is exact BIGINT arithmetic."""
+    s = _dsir_doc_scores(spark, sf_dir)
     return s.select(
         "doc_id",
         F.col("n").alias("n_terms"),
@@ -465,4 +479,46 @@ def corpus_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return grid.groupBy("lang").agg(
         F.round(F.sum("qv").cast("double") / F.lit(CHI2_FIX), 6).alias("chi2")
+    )
+
+
+DSIR_OVERSAMPLE = 2  # resample keep-prob = weight / DSIR_OVERSAMPLE, capped at 1
+
+
+@register(
+    "dsir_resample",
+    oracle="WITH "
+    + _DSIR_CTES
+    + f"""
+, w AS (
+  SELECT doc_id, sq // n AS wfix FROM s
+)
+SELECT doc_id,
+       round(CAST(wfix AS DOUBLE) / {DSIR_FIX}, 6) AS dsir_weight
+FROM w
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % {DSIR_OVERSAMPLE * DSIR_FIX} < wfix
+""",
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of DSIR: importance-resample the corpus toward
+    the target distribution — keep each document with probability
+    weight / {DSIR_OVERSAMPLE} (capped at 1), decided by comparing the
+    document's md5-derived uniform draw against its fixed-point weight.
+    Pure integer comparison, so the selection is deterministic,
+    replayable, and identical on both engines (the sample_stratified
+    convention applied to learned weights instead of configured
+    rates). Map-side decision on top of the shared exact accumulators
+    (_dsir_doc_scores); no extra shuffle."""
+    w = _dsir_doc_scores(spark, sf_dir).select(
+        "doc_id", F.expr("sq div n").alias("wfix")
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % (DSIR_OVERSAMPLE * DSIR_FIX)
+    )
+    return w.filter(draw < F.col("wfix")).select(
+        "doc_id",
+        F.round(F.col("wfix").cast("double") / DSIR_FIX, 6).alias("dsir_weight"),
     )
