@@ -424,3 +424,65 @@ def ap08_net_effect_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     a batch engine can be orders faster on hot keys). Semantics and
     scale shape documented on :func:`net_effect`."""
     return net_effect(cdc_view(spark, sf_dir))
+
+
+@register(
+    "ap09_reconciliation",
+    oracle=f"""
+WITH {CDC_CTE}, {_LAST_CTE},
+tgt AS (
+  SELECT coalesce(b.c_custkey, l.pk) AS pk,
+         CASE WHEN l.pk IS NULL THEN b.c_acctbal ELSE l.val END AS acctbal
+  FROM customer b FULL OUTER JOIN last l ON b.c_custkey = l.pk
+  WHERE NOT coalesce(l.operation = 'DELETE' AND l.pk IS NOT NULL, FALSE)
+    AND NOT coalesce(b.c_custkey IS NULL AND l.operation = 'UPDATE', FALSE)
+),
+diff AS (
+  SELECT CASE
+           WHEN t.pk IS NULL THEN 'MISSING_IN_TARGET'
+           WHEN s.c_custkey IS NULL THEN 'EXTRA_IN_TARGET'
+           WHEN CAST(round(s.c_acctbal * 100) AS BIGINT)
+                <> CAST(round(t.acctbal * 100) AS BIGINT)
+             THEN 'VALUE_MISMATCH'
+           ELSE 'MATCH'
+         END AS status
+  FROM customer s FULL OUTER JOIN tgt t ON s.c_custkey = t.pk
+)
+SELECT status, count(*)::BIGINT AS n
+FROM diff GROUP BY status
+""",
+)
+def ap09_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/target reconciliation — the automated form of the
+    reference's golden acceptance check ("both sides converge to equal
+    data", docs/04-운영/02_테스트_시나리오.md + the seed fixtures of
+    05_insert_sample_data.sql): full-outer compare of the pre-sync
+    source snapshot against the post-MERGE target state, each key
+    classified MATCH / MISSING_IN_TARGET / EXTRA_IN_TARGET /
+    VALUE_MISMATCH (values compared in exact integer cents). On a live
+    pipeline the non-MATCH rows ARE the drift report; applied changes
+    legitimately diverge from the frozen source snapshot, so the
+    mismatch counts here quantify exactly what the batch changed.
+
+    Scale: ONE full-outer shuffle join on pk (co-located when both
+    sides are pk-bucketed, streaming/writer.py layout) + a 4-group
+    agg. A 100 TB reconciliation sorts/joins once — this plan — and
+    never collects; per-status drill-down is a filter on the same
+    joined frame."""
+    src = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("s_pk"), F.col("c_acctbal").alias("s_bal")
+    )
+    tgt = apply_final_state(spark, sf_dir).select(
+        F.col("pk").alias("t_pk"), F.col("acctbal").alias("t_bal")
+    )
+    j = src.join(tgt, src.s_pk == tgt.t_pk, "full_outer")
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    status = (
+        F.when(F.col("t_pk").isNull(), "MISSING_IN_TARGET")
+        .when(F.col("s_pk").isNull(), "EXTRA_IN_TARGET")
+        .when(cents("s_bal") != cents("t_bal"), "VALUE_MISMATCH")
+        .otherwise("MATCH")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
