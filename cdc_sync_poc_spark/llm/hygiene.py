@@ -304,3 +304,94 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+WINNOW_POST_MAX = 10  # drop fingerprints shared by more docs (boilerplate)
+WINNOW_PAIR_TOP = 50
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - {WINNOW_K} + 2),
+           i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i + 1],
+                                              ws[i + 2])), 1, 8))::BIGINT)
+           AS hs
+  FROM w WHERE len(ws) >= {WINNOW_K + WINNOW_W - 1}
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+           i -> list_min(list_transform(range(0, {WINNOW_W}),
+                                        j -> hs[i + j])))) AS fps
+  FROM h
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+cnt AS (SELECT fp, count(*)::BIGINT AS n_docs FROM fp GROUP BY fp),
+keepfp AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN cnt c ON f.fp = c.fp
+  WHERE c.n_docs BETWEEN 2 AND {WINNOW_POST_MAX}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM keepfp a JOIN keepfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared
+FROM pairs
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT {WINNOW_PAIR_TOP}
+""",
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate PAIRS from winnowing fingerprints: the
+    top document pairs by shared-fingerprint count — MOSS's actual
+    output (which passages to review), complementing
+    text_winnowing_overlap's per-doc ratio. The boilerplate guard is
+    the scale bound: fingerprints shared by more than WINNOW_POST_MAX
+    docs are template noise AND the O(posting²) hazard, so they are
+    dropped before the posting-list self-join — every surviving
+    posting list yields at most C({WINNOW_POST_MAX},2) pairs, making
+    the pair count linear in fingerprints at any corpus size (the same
+    cap MOSS applies; contrast an uncapped join where one viral
+    boilerplate line makes n² pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread_small_input(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    ).filter(F.size("ws") >= WINNOW_K + WINNOW_W - 1)
+    kg = (
+        f"transform(sequence(1, size(ws) - {WINNOW_K} + 1),"
+        f" i -> CAST(conv(substr(md5(concat_ws(' ', element_at(ws, i),"
+        f" element_at(ws, i + 1), element_at(ws, i + 2))), 1, 8), 16, 10)"
+        f" AS BIGINT))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
+        f" i -> array_min(slice(hs, i, {WINNOW_W}))))"
+    )
+    fps = base.select("doc_id", F.expr(kg).alias("hs")).select(
+        "doc_id", F.explode(F.expr(sel)).alias("fp")
+    )
+    cnt = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    keepfp = fps.join(
+        cnt.filter(
+            (F.col("n_docs") >= 2) & (F.col("n_docs") <= WINNOW_POST_MAX)
+        ),
+        "fp",
+    ).select("doc_id", "fp")
+    a = keepfp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = keepfp.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return pairs.orderBy(
+        F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(WINNOW_PAIR_TOP)
