@@ -144,6 +144,11 @@ BENCH_QUERIES = [
     "events_active_users",
     "dedup_rate_by_source",
     "retrieval_rrf_fusion",
+    "dsir_resample",
+    "corpus_token_budget",
+    "ap09_reconciliation",
+    "dedup_winnowing_pairs",
+    "source_csv_docs",
 ]
 
 N_REPS = 3
