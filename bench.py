@@ -214,18 +214,30 @@ def run(
     # (contention only ever adds time).
     run_list = names or BENCH_QUERIES
     medians: dict[str, float] = {}
+    errors: dict[str, str] = {}
     samples: dict[str, list[float]] = {name: [] for name in run_list}
     for p in range(reps):
         for name in run_list:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            n = QUERIES[name](spark, sf_dir).count()
+            try:
+                QUERIES[name](spark, sf_dir).count()
+            except Exception as ex:  # noqa: BLE001 — one broken query
+                # must not void the other ~100 queries' numbers; the
+                # error surfaces in the JSON so it cannot pass silently
+                errors[name] = str(ex)[:200]
+                print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+                continue
             samples[name].append(time.perf_counter() - t0)
         print(
             f"# pass {p + 1}/{reps}: "
-            f"{round(sum(s[-1] for s in samples.values()), 3)}s",
+            f"{round(sum(s[-1] for s in samples.values() if s), 3)}s",
             file=sys.stderr,
         )
     for name in run_list:
+        if not samples[name]:
+            continue
         timings[name] = round(min(samples[name]), 3)
         medians[name] = round(statistics.median(samples[name]), 3)
         shown = [round(s, 3) for s in samples[name]]
@@ -253,6 +265,8 @@ def run(
         "reps": reps,
         "agg": "min_of_interleaved_passes; median alongside",
     }
+    if errors:
+        result["errors"] = errors
     if warmup:
         result["warmup"] = warmup
         result["warmup_total"] = round(sum(warmup.values()), 3)

@@ -95,7 +95,13 @@ def source_csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     via md5) — the dialect-parity gate for the delimited ingest path,
     sibling of source_jsonl_docs."""
     df = read_csv_docs(spark, ensure_csv(sf_dir))
-    return df.filter(F.col("_corrupt_record").isNull()).select(
+    # the filter references doc_id as well: a plan whose only surviving
+    # column is _corrupt_record (e.g. a bare count() after column
+    # pruning) is rejected by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # anchoring a data column keeps every consumer shape legal
+    return df.filter(
+        F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull()
+    ).select(
         "doc_id",
         "lang",
         "source",

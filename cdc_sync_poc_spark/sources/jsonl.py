@@ -89,7 +89,13 @@ def source_jsonl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_jdbc_snapshot for the JDBC path."""
     path = ensure_jsonl(sf_dir)
     df = read_jsonl_docs(spark, path)
-    return df.filter(F.col("_corrupt_record").isNull()).select(
+    # the filter references doc_id as well: a plan whose only surviving
+    # column is _corrupt_record (e.g. a bare count() after column
+    # pruning) is rejected by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # anchoring a data column keeps every consumer shape legal
+    return df.filter(
+        F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull()
+    ).select(
         "doc_id",
         "lang",
         "source",
