@@ -421,3 +421,32 @@ def r14_to_json_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
             "preview"
         ),
     )
+
+
+@register(
+    "r15_variant_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+       'OBJECT<k: BIGINT>' AS payload_shape
+FROM events
+""",
+)
+def r15_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload handling via Spark 4's VARIANT type:
+    parse the JSON payload ONCE into the binary variant encoding, then
+    extract typed fields with ``variant_get`` and report the inferred
+    shape with ``schema_of_variant`` — the schema-on-read path that
+    replaces per-access ``get_json_object`` re-parsing (at 100 TB the
+    difference between parsing each payload once and once PER FIELD;
+    on a lake the variant column is stored shredded, so field access
+    becomes columnar). The oracle pins the extraction result and the
+    discovered shape against DuckDB's JSON reading of the same
+    payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("prop_k"),
+        F.expr("schema_of_variant(parse_json(props))").alias("payload_shape"),
+    )
