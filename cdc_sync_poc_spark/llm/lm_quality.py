@@ -366,6 +366,10 @@ def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.join(F.broadcast(ratio), "term")
         .groupBy("doc_id")
         .agg(F.sum(F.col("q") * F.col("k")).alias("sq"), F.sum("k").alias("n"))
+        # doc-count-sized frame shared by dsir_importance and
+        # dsir_resample: the identical analyzed plan lets Spark's cache
+        # manager serve whichever runs second (the _minhash_sig trick)
+        .cache()
     )
 
 
