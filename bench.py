@@ -170,6 +170,9 @@ CACHE_WARMERS = [
     # first e2e call materializes the persisted survivor frame (the
     # funnel+dedup+sample checkpoint consumed twice by the packer)
     "llm_curation_e2e",
+    # first DSIR call caches the doc-score accumulator frame shared by
+    # dsir_importance / dsir_resample
+    "dsir_importance",
 ]
 
 
