@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "ap09_reconciliation",
     "dedup_winnowing_pairs",
     "source_csv_docs",
+    "dedup_precision_minhash",
 ]
 
 N_REPS = 3

@@ -902,3 +902,59 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "dedup_precision_minhash",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_mh_band_ctes(BAND_SIZE)},
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS ni
+  FROM pairs c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT i.doc_a FROM inter i
+  JOIN scount ca ON ca.doc_id = i.doc_a
+  JOIN scount cb ON cb.doc_id = i.doc_b
+  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= {MINHASH_JACCARD_MIN}
+)
+SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM ver)::BIGINT AS n_verified,
+       CASE WHEN (SELECT count(*) FROM pairs) > 0
+            THEN round(CAST((SELECT count(*) FROM ver) AS DOUBLE)
+                       / (SELECT count(*) FROM pairs), 6)
+            ELSE 1.0 END AS precision
+""",
+)
+def dedup_precision_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PRECISION of the MinHash/LSH banding — the other half
+    of dedup_recall_minhash's s-curve check: what fraction of band
+    candidates survive exact-Jaccard verification. Low precision means
+    wasted verification work (band size too small / threshold too
+    loose); the (precision, recall) pair is what actually tunes the
+    banding knobs. Unlike the recall side, no sample bound is needed:
+    candidates are already LSH-bounded, and verification reuses the
+    same pair-driven exact-Jaccard pass the dedup itself runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
+    n_cand = pairs.agg(F.count("*").alias("n_candidates"))
+    n_ver = _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN).agg(
+        F.count("*").alias("n_verified")
+    )
+    return n_cand.crossJoin(n_ver).select(
+        "n_candidates",
+        "n_verified",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_verified").cast("double") / F.col("n_candidates"), 6
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("precision"),
+    )
