@@ -198,12 +198,19 @@ def run(
 
     timings: dict[str, float] = {}
     warmup: dict[str, float] = {}
+    warm_errors: dict[str, str] = {}
     if names is None:
         # cold cost of each cache-building query, individually timed:
         # this is where e.g. the loop-guard materialization shows up
         for w in CACHE_WARMERS:
             t0 = time.perf_counter()
-            QUERIES[w](spark, sf_dir).count()
+            try:
+                QUERIES[w](spark, sf_dir).count()
+            except Exception as ex:  # noqa: BLE001 — same contract as the
+                # timed loop: a broken warmer must not void the bench
+                warm_errors[w] = str(ex)[:200]
+                print(f"# ERROR warmup {w}: {warm_errors[w]}", file=sys.stderr)
+                continue
             warmup[w] = round(time.perf_counter() - t0, 3)
             print(f"# warmup {w}: {warmup[w]:.3f}s", file=sys.stderr)
 
@@ -231,6 +238,9 @@ def run(
                 # must not void the other ~100 queries' numbers; the
                 # error surfaces in the JSON so it cannot pass silently
                 errors[name] = str(ex)[:200]
+                # a late failure voids the query's earlier samples too:
+                # a half-measured query must not leak into the headline
+                samples[name] = []
                 print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
                 continue
             samples[name].append(time.perf_counter() - t0)
@@ -269,8 +279,8 @@ def run(
         "reps": reps,
         "agg": "min_of_interleaved_passes; median alongside",
     }
-    if errors:
-        result["errors"] = errors
+    if errors or warm_errors:
+        result["errors"] = {**warm_errors, **errors}
     if warmup:
         result["warmup"] = warmup
         result["warmup_total"] = round(sum(warmup.values()), 3)

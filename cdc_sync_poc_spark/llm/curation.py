@@ -223,17 +223,45 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_mix_weights",
-    oracle="""
-WITH per_src AS (
+# Shared by corpus_mix_weights / corpus_token_budget: per-source token
+# totals and the SORTED-fold sqrt denominator (a bare SUM over doubles
+# is partition-order-dependent; folding a sorted list fixes the
+# addition order on both engines).
+_PER_SRC_CTE = """
+per_src AS (
   SELECT source, count(*)::BIGINT AS n_docs,
          sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
   FROM documents GROUP BY source
-),
+)
+"""
+_SQRT_DENOM_SQL = "list_sum(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))))"
+_SQRT_DENOM_EXPR = (
+    "aggregate(array_sort(collect_list(sqrt(CAST(n_tokens AS DOUBLE)))),"
+    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _per_source_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens): the Spark twin of _PER_SRC_CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.size(F.split(F.col("text"), " ")).alias("nw"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    oracle="WITH "
+    + _PER_SRC_CTE
+    + f""",
 tot AS (
   SELECT sum(n_tokens)::BIGINT AS tot_tokens,
-         list_sum(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE))))) AS denom
+         {_SQRT_DENOM_SQL} AS denom
   FROM per_src
 )
 SELECT p.source, p.n_docs, p.n_tokens,
@@ -251,21 +279,10 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in the same order (a bare SUM over doubles is
     partition-order-dependent). Two hash aggs + a broadcast of the
     1-row total — scan-bound at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_src = (
-        docs.select("source", F.size(F.split(F.col("text"), " ")).alias("nw"))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("nw").cast("bigint").alias("n_tokens"),
-        )
-    )
+    per_src = _per_source_tokens(spark, sf_dir)
     tot = per_src.agg(
         F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
-        F.expr(
-            "aggregate(array_sort(collect_list(sqrt(CAST(n_tokens AS DOUBLE)))),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        ).alias("denom"),
+        F.expr(_SQRT_DENOM_EXPR).alias("denom"),
     )
     return per_src.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -757,13 +774,11 @@ TOKEN_BUDGET = 100_000  # planning budget for corpus_token_budget
 
 @register(
     "corpus_token_budget",
-    oracle=f"""
-WITH per_src AS (
-  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
-  FROM documents GROUP BY source
-),
+    oracle="WITH "
+    + _PER_SRC_CTE
+    + f""",
 tot AS (
-  SELECT list_sum(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE))))) AS denom
+  SELECT {_SQRT_DENOM_SQL} AS denom
   FROM per_src
 ),
 plan AS (
@@ -789,18 +804,8 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_mix_weights (cross-partition double-sum order is otherwise
     nondeterministic); everything else is one hash agg + a broadcast
     1-row total."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_src = (
-        docs.select("source", F.size(F.split(F.col("text"), " ")).alias("nw"))
-        .groupBy("source")
-        .agg(F.sum("nw").cast("bigint").alias("n_tokens"))
-    )
-    tot = per_src.agg(
-        F.expr(
-            "aggregate(array_sort(collect_list(sqrt(CAST(n_tokens AS DOUBLE)))),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        ).alias("denom")
-    )
+    per_src = _per_source_tokens(spark, sf_dir).drop("n_docs")
+    tot = per_src.agg(F.expr(_SQRT_DENOM_EXPR).alias("denom"))
     plan = per_src.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",

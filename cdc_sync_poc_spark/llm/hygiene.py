@@ -225,11 +225,13 @@ def text_lexical_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 3  # word k-grams hashed for winnowing
 WINNOW_W = 4  # winnowing window over consecutive k-gram hashes
 
-
-@register(
-    "text_winnowing_overlap",
-    oracle=f"""
-WITH w AS (
+# Shared winnowing machinery (text_winnowing_overlap + dedup_winnowing_
+# pairs): hash every word {K}-gram, keep each {W}-window's minimum.
+# ONE definition per engine — the k-gram width is hard-wired to K=3 in
+# the concat (ws[i..i+2] / element_at i..i+2); changing WINNOW_K means
+# changing these two fragments together.
+_WINNOW_FP_CTES = f"""
+w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
 h AS (
@@ -249,6 +251,39 @@ sel AS (
 ),
 fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
 cnt AS (SELECT fp, count(*)::BIGINT AS n_docs FROM fp GROUP BY fp)
+"""
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp): each document's distinct winnowing fingerprints —
+    the Spark twin of the fp CTE above; selection is a pure per-row
+    array fold (O(n_words x W)), exploded only after the window
+    minima."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread_small_input(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    ).filter(F.size("ws") >= WINNOW_K + WINNOW_W - 1)
+    kg = (
+        f"transform(sequence(1, size(ws) - {WINNOW_K} + 1),"
+        f" i -> CAST(conv(substr(md5(concat_ws(' ', element_at(ws, i),"
+        f" element_at(ws, i + 1), element_at(ws, i + 2))), 1, 8), 16, 10)"
+        f" AS BIGINT))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
+        f" i -> array_min(slice(hs, i, {WINNOW_W}))))"
+    )
+    return base.select("doc_id", F.expr(kg).alias("hs")).select(
+        "doc_id", F.explode(F.expr(sel)).alias("fp")
+    )
+
+
+
+@register(
+    "text_winnowing_overlap",
+    oracle="WITH "
+    + _WINNOW_FP_CTES
+    + """
 SELECT f.doc_id, count(*)::BIGINT AS n_fp,
        count(*) FILTER (c.n_docs >= 2)::BIGINT AS n_shared,
        round(CAST(count(*) FILTER (c.n_docs >= 2) AS DOUBLE)
@@ -274,23 +309,7 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles key on the uniform 32-bit fingerprint. The (fp, doc)
     frame is the winnowed corpus index — the same artifact MOSS
     persists for O(batch) incremental screening."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = spread_small_input(
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    ).filter(F.size("ws") >= WINNOW_K + WINNOW_W - 1)
-    kg = (
-        f"transform(sequence(1, size(ws) - {WINNOW_K} + 1),"
-        f" i -> CAST(conv(substr(md5(concat_ws(' ', element_at(ws, i),"
-        f" element_at(ws, i + 1), element_at(ws, i + 2))), 1, 8), 16, 10)"
-        f" AS BIGINT))"
-    )
-    sel = (
-        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
-        f" i -> array_min(slice(hs, i, {WINNOW_W}))))"
-    )
-    fps = base.select("doc_id", F.expr(kg).alias("hs")).select(
-        "doc_id", F.explode(F.expr(sel)).alias("fp")
-    )
+    fps = _winnow_fps(spark, sf_dir)
     cnt = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
     shared = F.count(F.when(F.col("n_docs") >= 2, 1))
     return (
@@ -312,28 +331,10 @@ WINNOW_PAIR_TOP = 50
 
 @register(
     "dedup_winnowing_pairs",
-    oracle=f"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-),
-h AS (
-  SELECT doc_id,
-         list_transform(range(1, len(ws) - {WINNOW_K} + 2),
-           i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i + 1],
-                                              ws[i + 2])), 1, 8))::BIGINT)
-           AS hs
-  FROM w WHERE len(ws) >= {WINNOW_K + WINNOW_W - 1}
-),
-sel AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
-           i -> list_min(list_transform(range(0, {WINNOW_W}),
-                                        j -> hs[i + j])))) AS fps
-  FROM h
-),
-fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
-cnt AS (SELECT fp, count(*)::BIGINT AS n_docs FROM fp GROUP BY fp),
-keepfp AS (
+    oracle="WITH "
+    + _WINNOW_FP_CTES
+    + f"""
+, keepfp AS (
   SELECT f.doc_id, f.fp FROM fp f JOIN cnt c ON f.fp = c.fp
   WHERE c.n_docs BETWEEN 2 AND {WINNOW_POST_MAX}
 ),
@@ -360,23 +361,7 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair count linear in fingerprints at any corpus size (the same
     cap MOSS applies; contrast an uncapped join where one viral
     boilerplate line makes n² pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = spread_small_input(
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    ).filter(F.size("ws") >= WINNOW_K + WINNOW_W - 1)
-    kg = (
-        f"transform(sequence(1, size(ws) - {WINNOW_K} + 1),"
-        f" i -> CAST(conv(substr(md5(concat_ws(' ', element_at(ws, i),"
-        f" element_at(ws, i + 1), element_at(ws, i + 2))), 1, 8), 16, 10)"
-        f" AS BIGINT))"
-    )
-    sel = (
-        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
-        f" i -> array_min(slice(hs, i, {WINNOW_W}))))"
-    )
-    fps = base.select("doc_id", F.expr(kg).alias("hs")).select(
-        "doc_id", F.explode(F.expr(sel)).alias("fp")
-    )
+    fps = _winnow_fps(spark, sf_dir)
     cnt = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
     keepfp = fps.join(
         cnt.filter(

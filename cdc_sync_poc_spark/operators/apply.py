@@ -82,10 +82,7 @@ def apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_final_state(base, last)
 
 
-@register(
-    "ap01_merge_cdc",
-    oracle=f"""
-WITH {CDC_CTE}, {_LAST_CTE}
+_MERGED_STATE_SQL = """
 SELECT coalesce(b.c_custkey, l.pk) AS pk,
        CASE WHEN l.pk IS NULL THEN b.c_name ELSE concat('U', CAST(l.pk AS VARCHAR)) END AS name,
        CASE WHEN l.pk IS NULL THEN b.c_acctbal ELSE l.val END AS acctbal,
@@ -93,6 +90,14 @@ SELECT coalesce(b.c_custkey, l.pk) AS pk,
 FROM customer b FULL OUTER JOIN last l ON b.c_custkey = l.pk
 WHERE NOT coalesce(l.operation = 'DELETE' AND l.pk IS NOT NULL, FALSE)
   AND NOT coalesce(b.c_custkey IS NULL AND l.operation = 'UPDATE', FALSE)
+"""
+
+
+@register(
+    "ap01_merge_cdc",
+    oracle=f"""
+WITH {CDC_CTE}, {_LAST_CTE}
+{_MERGED_STATE_SQL}
 """,
 )
 def ap01_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,19 +435,13 @@ def ap08_net_effect_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ap09_reconciliation",
     oracle=f"""
 WITH {CDC_CTE}, {_LAST_CTE},
-tgt AS (
-  SELECT coalesce(b.c_custkey, l.pk) AS pk,
-         CASE WHEN l.pk IS NULL THEN b.c_acctbal ELSE l.val END AS acctbal
-  FROM customer b FULL OUTER JOIN last l ON b.c_custkey = l.pk
-  WHERE NOT coalesce(l.operation = 'DELETE' AND l.pk IS NOT NULL, FALSE)
-    AND NOT coalesce(b.c_custkey IS NULL AND l.operation = 'UPDATE', FALSE)
-),
+tgt AS ({_MERGED_STATE_SQL}),
 diff AS (
   SELECT CASE
            WHEN t.pk IS NULL THEN 'MISSING_IN_TARGET'
            WHEN s.c_custkey IS NULL THEN 'EXTRA_IN_TARGET'
            WHEN CAST(round(s.c_acctbal * 100) AS BIGINT)
-                <> CAST(round(t.acctbal * 100) AS BIGINT)
+                IS DISTINCT FROM CAST(round(t.acctbal * 100) AS BIGINT)
              THEN 'VALUE_MISMATCH'
            ELSE 'MATCH'
          END AS status
@@ -480,7 +479,7 @@ def ap09_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = (
         F.when(F.col("t_pk").isNull(), "MISSING_IN_TARGET")
         .when(F.col("s_pk").isNull(), "EXTRA_IN_TARGET")
-        .when(cents("s_bal") != cents("t_bal"), "VALUE_MISMATCH")
+        .when(~cents("s_bal").eqNullSafe(cents("t_bal")), "VALUE_MISMATCH")
         .otherwise("MATCH")
     )
     return j.select(status.alias("status")).groupBy("status").agg(

@@ -444,9 +444,9 @@ def r15_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovered shape against DuckDB's JSON reading of the same
     payloads."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    return ev.select(
+    parsed = ev.select("event_id", F.parse_json("props").alias("v"))
+    return parsed.select(
         "event_id",
-        F.try_variant_get(v, "$.k", "bigint").alias("prop_k"),
-        F.expr("schema_of_variant(parse_json(props))").alias("payload_shape"),
+        F.try_variant_get("v", "$.k", "bigint").alias("prop_k"),
+        F.schema_of_variant("v").alias("payload_shape"),
     )

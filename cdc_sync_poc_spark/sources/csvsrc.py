@@ -95,7 +95,11 @@ def source_csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     via md5) — the dialect-parity gate for the delimited ingest path,
     sibling of source_jsonl_docs."""
     df = read_csv_docs(spark, ensure_csv(sf_dir))
-    # the filter references doc_id as well: a plan whose only surviving
+    # doc_id IS NOT NULL is part of the VALID-ROW CONTRACT, not just a
+    # plan fix: a key-less record cannot be applied downstream, so it
+    # belongs with the quarantined lines (the reference rejects key-less
+    # rows the same way). It also keeps every consumer shape legal — a
+    # plan whose only surviving
     # column is _corrupt_record (e.g. a bare count() after column
     # pruning) is rejected by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
     # anchoring a data column keeps every consumer shape legal

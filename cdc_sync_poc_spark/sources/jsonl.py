@@ -89,7 +89,11 @@ def source_jsonl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_jdbc_snapshot for the JDBC path."""
     path = ensure_jsonl(sf_dir)
     df = read_jsonl_docs(spark, path)
-    # the filter references doc_id as well: a plan whose only surviving
+    # doc_id IS NOT NULL is part of the VALID-ROW CONTRACT, not just a
+    # plan fix: a key-less record cannot be applied downstream, so it
+    # belongs with the quarantined lines (the reference rejects key-less
+    # rows the same way). It also keeps every consumer shape legal — a
+    # plan whose only surviving
     # column is _corrupt_record (e.g. a bare count() after column
     # pruning) is rejected by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
     # anchoring a data column keeps every consumer shape legal
