@@ -581,3 +581,37 @@ def test_net_effect_composes_across_batches(spark, ops, cut):
     )
     got = (exists, val if exists else None)
     assert got == want, (ops, cut, got, want)
+
+
+def _winnow_py(words, k=3, w=4):
+    """Straight-line winnowing: hash word k-grams (md5 first 8 hex, the
+    engine convention), keep each w-window's min."""
+    import hashlib
+
+    if len(words) < k + w - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(words) - k + 1)
+    ]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+@given(
+    a=st.lists(st.sampled_from("abcd"), min_size=6, max_size=20),
+    b=st.lists(st.sampled_from("abcd"), min_size=6, max_size=20),
+    run=st.lists(st.sampled_from("abcd"), min_size=6, max_size=8),
+    pos_a=st.integers(min_value=0, max_value=20),
+    pos_b=st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=40, deadline=None)
+def test_winnowing_shared_run_guarantee(a, b, run, pos_a, pos_b):
+    """The winnowing theorem behind text_winnowing_overlap /
+    dedup_winnowing_pairs, engine-free: any two documents sharing a
+    contiguous run of at least K+W-1 (=6) words ALWAYS share at least
+    one selected fingerprint — the no-false-negative guarantee that
+    makes the shared_ratio a lower-bound detector, not a heuristic."""
+    da = a[: pos_a % (len(a) + 1)] + run + a[pos_a % (len(a) + 1) :]
+    db = b[: pos_b % (len(b) + 1)] + run + b[pos_b % (len(b) + 1) :]
+    fa, fb = _winnow_py(da), _winnow_py(db)
+    assert fa & fb, (da, db)
