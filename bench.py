@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "dedup_winnowing_pairs",
     "source_csv_docs",
     "dedup_precision_minhash",
+    "events_rfm_segments",
+    "dedup_cluster_stats",
 ]
 
 N_REPS = 3

@@ -958,3 +958,41 @@ def dedup_precision_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1.0))
         .alias("precision"),
     )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+clusters AS (SELECT src AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY src),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs,
+       ((cluster_size - 1) * count(*))::BIGINT AS n_dropped
+FROM sizes GROUP BY cluster_size
+""",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram: how many clusters of each size
+    the connected-components pass produced, with the docs covered and
+    docs dropped per size bucket — the shape report that
+    distinguishes a corpus of pairwise dupes (all size 2) from viral
+    content (a few giant clusters, where a single canonical survivor
+    may be too aggressive). Rides the memoized cluster labels; two
+    tiny hash aggs on top (cluster-count-sized, then size-domain-
+    sized)."""
+    clusters = _minhash_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count("*"))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )

@@ -899,3 +899,89 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wau"),
         F.count_distinct("user_id").alias("mau"),
     ).withColumnRenamed("day", "d")
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+p AS (
+  SELECT user_id, max(ts) AS last_ts, count(*)::BIGINT AS freq,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+scored AS (
+  SELECT p.user_id,
+         date_diff('day', CAST(p.last_ts AS DATE), CAST(r.ref_ts AS DATE))
+           ::BIGINT AS recency_days,
+         p.freq, p.cents,
+         ntile(5) OVER (ORDER BY p.last_ts DESC, p.user_id)::BIGINT AS r_score,
+         ntile(5) OVER (ORDER BY p.freq DESC, p.user_id)::BIGINT AS f_score,
+         ntile(5) OVER (ORDER BY p.cents DESC, p.user_id)::BIGINT AS m_score
+  FROM p CROSS JOIN ref r
+)
+SELECT user_id, recency_days, freq, cents, r_score, f_score, m_score,
+       CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+            WHEN r_score <= 2 THEN 'recent'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    purchasing user, with the classic segment labels (champions =
+    recent AND frequent, at-risk = frequent but lapsed) — the
+    user-value rollup an activation pipeline serves. Quintile rank 1 =
+    best (most recent / most frequent / highest spend); every ntile
+    carries a user_id tie-break so both engines bucket identically.
+
+    Scale: one purchase agg collapses events to a users-sized frame;
+    the unpartitioned ntile windows run over THAT frame (users, not
+    events — the text_lm_score justification), and past ~1e9 users the
+    quintile EDGES come from the value-domain histogram
+    (doc_length_quantiles pattern) with bucketing as a map-side
+    comparison. Monetary folds exact integer cents."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    scored = p.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff(F.to_date("ref_ts"), F.to_date("last_ts"))
+        .cast("bigint")
+        .alias("recency_days"),
+        "freq",
+        "cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("cents"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")
+        .when(F.col("r_score") <= 2, "recent")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "user_id", "recency_days", "freq", "cents",
+        "r_score", "f_score", "m_score", seg.alias("segment"),
+    )

@@ -97,7 +97,8 @@ _PRIORITY_PREFIXES = [
     "dedup_rate_by_source", "source_csv", "mm_integrity",
     "retrieval_", "a12", "events_active_users", "text_winnowing",
     "text_cms", "dsir_resample", "corpus_token_budget", "ap09",
-    "dedup_winnowing", "r15", "dedup_precision",
+    "dedup_winnowing", "r15", "dedup_precision", "events_rfm",
+    "dedup_cluster_stats",
     # then the earlier round-4 ops in the same boat
     "text_lm_score", "text_bm25", "dsir_", "events_markov",
     "sem_dedup", "corpus_filter", "corpus_funnel", "llm_curation",
