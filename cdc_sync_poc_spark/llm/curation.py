@@ -826,3 +826,47 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_factor"
         ),
     )
+
+
+SAMPLE_FIXED_N = 100
+
+
+@register(
+    "sample_fixed_n",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS hk,
+         row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, source, sample_rank::BIGINT AS sample_rank
+FROM ranked WHERE sample_rank <= {SAMPLE_FIXED_N}
+""",
+)
+def sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N deterministic sample: rank every document by its md5
+    draw and keep the first SAMPLE_FIXED_N — the "give me exactly 10k
+    docs, reproducibly, from any machine" primitive that rate-based
+    sampling (sample_stratified's keep-if-hash-below-rate) cannot
+    provide, since rates only hit N in expectation.
+
+    Scale: orderBy(hash).limit(N) plans as TakeOrderedAndProject — K
+    rows per partition to the driver, no global sort at any corpus
+    size; the rank is then assigned on the N-row result. The hash
+    order also makes the sample STABLE under corpus growth: adding
+    documents only ever displaces the highest-ranked members (the
+    bottom-k property the KMV sketch relies on)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    top = (
+        docs.select("doc_id", "lang", "source", hk.alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(SAMPLE_FIXED_N)
+    )
+    w = Window.orderBy("hk", "doc_id")  # N-row frame: single task fine
+    return top.withColumn(
+        "sample_rank", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", "lang", "source", "sample_rank")
