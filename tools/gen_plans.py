@@ -82,6 +82,8 @@ SECTIONS = [
      "Incremental rollup maintenance: state and delta partial aggs merged by ONE full-outer join on the topic key — counts/sums add, min/max fold (the fixture derives both partials by scanning; in production the state side is the STORED rollup, so only the delta scans)"),
     ("retrieval_rrf_fusion",
      "Hybrid RRF: two independent top-N candidate rankings (map-only scoring each) fused by a candidate-sized full-outer join + TakeOrderedAndProject"),
+    ("sample_fixed_n",
+     "Exactly-N sample: orderBy(hash).limit(N) plans as TakeOrderedAndProject — K rows per partition to the driver, no global sort; the rank window runs on the N-row result"),
 ]
 
 
