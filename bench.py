@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "dedup_precision_minhash",
     "events_rfm_segments",
     "dedup_cluster_stats",
+    "sample_fixed_n",
+    "emb_centroid_shift",
 ]
 
 N_REPS = 3

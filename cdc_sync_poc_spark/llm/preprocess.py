@@ -416,3 +416,84 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
         )
     )
+
+
+SHIFT_TAU = 0.05  # per-dimension drift alarm threshold
+
+
+@register(
+    "emb_centroid_shift",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, vec_id % 2 AS half,
+         unnest(range(1, 65)) AS dim,
+         unnest(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {Q_FIX}) AS BIGINT))) AS q
+  FROM embeddings
+),
+cent AS (
+  SELECT label, half, dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS s
+  FROM ex GROUP BY label, half, dim
+),
+d AS (
+  SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+         abs(CAST(a.s AS DOUBLE) / a.n / {Q_FIX}
+             - CAST(b.s AS DOUBLE) / b.n / {Q_FIX}) AS shift
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+)
+SELECT label, max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+       round(max(shift), 6) AS max_abs_shift,
+       count(*) FILTER (shift > {SHIFT_TAU})::BIGINT AS n_dims_shifted
+FROM d GROUP BY label
+""",
+)
+def emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the corpus into two deterministic
+    halves (vec_id parity — standing in for reference snapshot vs new
+    batch), compute each half's per-label centroid, and report the
+    worst per-dimension shift plus how many dimensions moved beyond
+    SHIFT_TAU — the alarm that catches a silently swapped or
+    re-trained embedding model before a 100 TB re-index runs against
+    incompatible vectors.
+
+    Exactness: per-(label, half, dim) fixed-point BIGINT sums (the
+    emb_label_centroids construction), one correctly-rounded division
+    per cell, and only order-INDEPENDENT reductions (max, filtered
+    count) across dimensions — no cross-dimension double sum whose
+    order could differ between engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = spread_small_input(
+        emb.select("label", (F.col("vec_id") % 2).alias("half"), "embedding")
+    ).select(
+        "label",
+        "half",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> CAST(floor(CAST(x AS DOUBLE) * {Q_FIX}) AS BIGINT))"
+            )
+        ).alias("pos", "q"),
+    )
+    cent = ex.groupBy(
+        "label", "half", (F.col("pos") + 1).alias("dim")
+    ).agg(F.count("*").alias("n"), F.sum("q").alias("s"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    shift = F.abs(
+        F.col("s_a").cast("double") / F.col("n_a") / Q_FIX
+        - F.col("s_b").cast("double") / F.col("n_b") / Q_FIX
+    )
+    d = a.join(b, ["label", "dim"]).select(
+        "label", "n_a", "n_b", shift.alias("shift")
+    )
+    return d.groupBy("label").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(F.max("shift"), 6).alias("max_abs_shift"),
+        F.count(F.when(F.col("shift") > SHIFT_TAU, 1)).alias("n_dims_shifted"),
+    )

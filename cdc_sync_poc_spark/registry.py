@@ -98,7 +98,7 @@ _PRIORITY_PREFIXES = [
     "retrieval_", "a12", "events_active_users", "text_winnowing",
     "text_cms", "dsir_resample", "corpus_token_budget", "ap09",
     "dedup_winnowing", "r15", "dedup_precision", "events_rfm",
-    "dedup_cluster_stats", "sample_fixed_n",
+    "dedup_cluster_stats", "sample_fixed_n", "emb_centroid",
     # then the earlier round-4 ops in the same boat
     "text_lm_score", "text_bm25", "dsir_", "events_markov",
     "sem_dedup", "corpus_filter", "corpus_funnel", "llm_curation",
@@ -110,9 +110,9 @@ _PRIORITY_PREFIXES = [
     # preprocess remainder (r3-green, code untouched this round)
     "text_rarity", "emb_label", "dup_ngram",
     # r3-green, modules unchanged
-    "st01", "ap06", "dedup_minhash_cluster", "dedup_span",
+    "st01", "ap06", "dedup_span",
     "text_oov", "text_lexical", "text_repetition", "corpus_",
-    "sample_", "emb_", "events_", "text_", "ann_",
+    "sample_", "emb_", "events_", "text_",
     # r2-green, modules unchanged
     "r0", "r1", "s0", "st0", "cf0",
     # r1/r3-green relational + plan suite, unchanged

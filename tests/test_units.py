@@ -258,3 +258,35 @@ def test_prefix_bucket_invariant_holds_on_fixture(spark):
     docs = load_table(spark, SF_DIR, "documents")
     min_len = docs.agg(F.min(F.length("text"))).collect()[0][0]
     assert min_len >= PREFIX_BUCKET_CHARS, min_len
+
+
+def test_priority_prefixes_all_reachable():
+    """Every entry in the driver-sample priority list must (a) match at
+    least one registered query and (b) actually WIN for at least one
+    query (first-hit semantics) — a dead or shadowed prefix means the
+    window curation the comments describe silently isn't happening
+    (the failure mode that once duplicated a line and nearly displaced
+    pipeline_e2e from the 50-slot window)."""
+    from cdc_sync_poc_spark.registry import (
+        QUERIES,
+        _PRIORITY_PREFIXES,
+        _priority,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    assert len(_PRIORITY_PREFIXES) == len(set(_PRIORITY_PREFIXES)), "dup prefix"
+    winners = {_priority(q) for q in QUERIES}
+    dead = [
+        p
+        for i, p in enumerate(_PRIORITY_PREFIXES)
+        if i not in winners
+        and not any(q.startswith(p) for q in QUERIES)
+    ]
+    assert not dead, f"prefixes matching no query: {dead}"
+    shadowed = [
+        p
+        for i, p in enumerate(_PRIORITY_PREFIXES)
+        if i not in winners and any(q.startswith(p) for q in QUERIES)
+    ]
+    assert not shadowed, f"prefixes always beaten by an earlier entry: {shadowed}"
