@@ -475,20 +475,22 @@ def emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "q"),
     )
-    cent = ex.groupBy(
-        "label", "half", (F.col("pos") + 1).alias("dim")
-    ).agg(F.count("*").alias("n"), F.sum("q").alias("s"))
-    a = cent.filter(F.col("half") == 0).select(
-        "label", "dim", F.col("n").alias("n_a"), F.col("s").alias("s_a")
-    )
-    b = cent.filter(F.col("half") == 1).select(
-        "label", "dim", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    # ONE scan + explode: both halves fold in the same conditional
+    # aggregation (the events_ab_ttest pattern) — a filtered self-join
+    # of the cent table would push the parity filter into TWO separate
+    # embeddings scans and run the 64x explode twice
+    half_a, half_b = F.col("half") == 0, F.col("half") == 1
+    cent = ex.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
+        F.count(F.when(half_a, 1)).alias("n_a"),
+        F.sum(F.when(half_a, F.col("q"))).alias("s_a"),
+        F.count(F.when(half_b, 1)).alias("n_b"),
+        F.sum(F.when(half_b, F.col("q"))).alias("s_b"),
     )
     shift = F.abs(
         F.col("s_a").cast("double") / F.col("n_a") / Q_FIX
         - F.col("s_b").cast("double") / F.col("n_b") / Q_FIX
     )
-    d = a.join(b, ["label", "dim"]).select(
+    d = cent.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
         "label", "n_a", "n_b", shift.alias("shift")
     )
     return d.groupBy("label").agg(
