@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "dedup_cluster_stats",
     "sample_fixed_n",
     "emb_centroid_shift",
+    "text_hapax_ratio",
+    "events_interarrival_stats",
 ]
 
 N_REPS = 3

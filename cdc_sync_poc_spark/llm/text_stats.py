@@ -345,3 +345,44 @@ def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("simpson"),
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+WITH tok AS (
+  SELECT lang, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+ct AS (
+  SELECT lang, source, term, count(*)::BIGINT AS c
+  FROM tok GROUP BY lang, source, term
+)
+SELECT lang, source,
+       count(*)::BIGINT AS vocab,
+       count(*) FILTER (c = 1)::BIGINT AS n_hapax,
+       round(CAST(count(*) FILTER (c = 1) AS DOUBLE) / count(*), 6)
+         AS hapax_ratio
+FROM ct GROUP BY lang, source
+""",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per (lang, source): the fraction of each
+    slice's vocabulary occurring exactly once — the Heaps-law
+    vitality signal. Natural text keeps a large hapax share at any
+    corpus size; templated or machine-generated feeds collapse toward
+    zero, which makes this the cheap slice-level tripwire read next to
+    corpus_simpson_diversity (token concentration) — hapax looks at
+    the vocabulary's thin tail, Simpson at its heavy head. Two exact
+    hash aggs, no windows, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs.select("lang", "source", "text")).select(
+        "lang", "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    ct = tok.groupBy("lang", "source", "term").agg(F.count("*").alias("c"))
+    hapax = F.count(F.when(F.col("c") == 1, 1))
+    return ct.groupBy("lang", "source").agg(
+        F.count("*").alias("vocab"),
+        hapax.alias("n_hapax"),
+        F.round(hapax.cast("double") / F.count("*"), 6).alias("hapax_ratio"),
+    )

@@ -985,3 +985,68 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "recency_days", "freq", "cents",
         "r_score", "f_score", "m_score", seg.alias("segment"),
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id)) // 1000000
+           AS gap_s
+  FROM events
+),
+agg AS (
+  SELECT event_type, count(gap_s)::BIGINT AS n_gaps,
+         sum(gap_s)::BIGINT AS s1, sum(gap_s * gap_s)::BIGINT AS s2
+  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       round(CAST(s1 AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+       round(sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+                  / (n_gaps - 1))
+             / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS burstiness_cv
+FROM agg
+""",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile per event type: mean gap and the
+    coefficient of variation (stddev/mean) — CV ~ 1 is Poisson
+    arrivals, CV >> 1 is bursty traffic; the number that sizes
+    micro-batch triggers and backpressure limits (st04/st07) from
+    measured behavior instead of guesses.
+
+    One lag window per type (partitioned — embarrassingly parallel),
+    then exact BIGINT microsecond moments (the events_ab_ttest
+    construction: order-independent integer sums, a fixed dag of
+    correctly-rounded double ops at the end)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # whole-second gaps: squaring microsecond gaps overflows BIGINT on
+    # month-scale spans (1e11us -> 1e22); second-scale moments stay exact
+    g = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER ("
+            " PARTITION BY event_type ORDER BY ts, event_id)) div 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    agg = g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    )
+    mean_s = F.col("s1").cast("double") / F.col("n_gaps")
+    var_s = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n_gaps")
+    ) / (F.col("n_gaps") - 1)
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean_s, 6).alias("mean_gap_s"),
+        F.round(F.sqrt(var_s) / mean_s, 6).alias("burstiness_cv"),
+    )
