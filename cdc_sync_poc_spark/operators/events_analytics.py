@@ -1025,14 +1025,16 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
     # whole-second gaps: squaring microsecond gaps overflows BIGINT on
     # month-scale spans (1e11us -> 1e22); second-scale moments stay exact
     g = ev.select(
         "event_type",
-        F.expr(
-            "(unix_micros(ts) - lag(unix_micros(ts)) OVER ("
-            " PARTITION BY event_type ORDER BY ts, event_id)) div 1000000"
-        ).alias("gap_s"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).select(
+        "event_type",
+        F.expr("gap_us div 1000000").alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
     agg = g.groupBy("event_type").agg(
         F.count("*").alias("n_gaps"),
@@ -1044,9 +1046,16 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("double")
         - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n_gaps")
     ) / (F.col("n_gaps") - 1)
+    # NULL (not an ANSI DIVIDE_BY_ZERO crash) when the CV is undefined:
+    # a type with one gap (var needs n-1) or all-sub-second gaps
+    # (mean 0) — the oracle's division yields NULL in those cases
+    cv = F.when(
+        (F.col("n_gaps") > 1) & (F.col("s1") > 0),
+        F.round(F.sqrt(var_s) / mean_s, 6),
+    )
     return agg.select(
         "event_type",
         "n_gaps",
         F.round(mean_s, 6).alias("mean_gap_s"),
-        F.round(F.sqrt(var_s) / mean_s, 6).alias("burstiness_cv"),
+        cv.alias("burstiness_cv"),
     )

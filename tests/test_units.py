@@ -290,3 +290,35 @@ def test_priority_prefixes_all_reachable():
         if i not in winners and any(q.startswith(p) for q in QUERIES)
     ]
     assert not shadowed, f"prefixes always beaten by an earlier entry: {shadowed}"
+
+
+def test_interarrival_cv_null_on_degenerate_types(spark):
+    """Under Spark 4's default ANSI mode a bare division would CRASH on
+    (a) a type with exactly two events (variance needs n-1 gaps) and
+    (b) a type whose gaps all truncate to zero seconds (mean 0 — the
+    bursty machine traffic the query is meant to size). Both must
+    yield a NULL burstiness_cv like the DuckDB oracle's division."""
+    import datetime as dt
+
+    import cdc_sync_poc_spark.operators.events_analytics as ea
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), "rare", 1.0),
+        (2, dt.datetime(2024, 1, 1, 1, 0, 0), "rare", 1.0),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 0, 0), "burst", 1.0),
+        (4, dt.datetime(2024, 1, 1, 0, 0, 0, 100000), "burst", 1.0),
+        (5, dt.datetime(2024, 1, 1, 0, 0, 0, 200000), "burst", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    orig = ea.load_table
+    ea.load_table = lambda spark, sf_dir, name: df
+    try:
+        out = {
+            r.event_type: (r.n_gaps, r.mean_gap_s, r.burstiness_cv)
+            for r in ea.events_interarrival_stats(spark, "ignored").collect()
+        }
+    finally:
+        ea.load_table = orig
+    assert out == {"rare": (1, 3600.0, None), "burst": (2, 0.0, None)}
