@@ -757,11 +757,16 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(s1d / EMB_STAT_FIX / F.col("n"), 6).alias("mean"),
         F.round(
-            (
-                F.col("s2").cast("double") / _EMB_STAT_FIX2
-                - (s1d / EMB_STAT_FIX) * (s1d / EMB_STAT_FIX) / F.col("n")
-            )
-            / (F.col("n") - 1),
+            # NULL on a single-vector corpus (n-1 = 0), matching the
+            # oracle's division-by-zero NULL instead of an ANSI crash
+            F.when(
+                F.col("n") > 1,
+                (
+                    F.col("s2").cast("double") / _EMB_STAT_FIX2
+                    - (s1d / EMB_STAT_FIX) * (s1d / EMB_STAT_FIX) / F.col("n")
+                )
+                / (F.col("n") - 1),
+            ),
             6,
         ).alias("variance"),
         F.round(F.col("qmin").cast("double") / EMB_STAT_FIX, 6).alias("min_x"),

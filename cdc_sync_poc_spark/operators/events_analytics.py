@@ -587,17 +587,26 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.col(n) - 1)
     )  # noqa: E731
-    t = (m("s1_a", "n_a") - m("s1_b", "n_b")) / F.sqrt(
-        v("s2_a", "s1_a", "n_a") / F.col("n_a")
-        + v("s2_b", "s1_b", "n_b") / F.col("n_b")
+    se2 = v("s2_a", "s1_a", "n_a") / F.col("n_a") + v(
+        "s2_b", "s1_b", "n_b"
+    ) / F.col("n_b")
+    # NULL (the oracle's division result), never an ANSI
+    # DIVIDE_BY_ZERO crash: a side with <2 samples leaves its variance
+    # undefined, and identical-valued sides zero the standard error
+    t = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0),
+        (m("s1_a", "n_a") - m("s1_b", "n_b")) / F.sqrt(se2),
+    )
+    guarded_v = lambda s2, s1, n: F.when(  # noqa: E731
+        F.col(n) > 1, v(s2, s1, n)
     )
     return agg.select(
         "n_a",
         "n_b",
         F.round(m("s1_a", "n_a"), 6).alias("mean_a"),
         F.round(m("s1_b", "n_b"), 6).alias("mean_b"),
-        F.round(v("s2_a", "s1_a", "n_a"), 6).alias("var_a"),
-        F.round(v("s2_b", "s1_b", "n_b"), 6).alias("var_b"),
+        F.round(guarded_v("s2_a", "s1_a", "n_a"), 6).alias("var_a"),
+        F.round(guarded_v("s2_b", "s1_b", "n_b"), 6).alias("var_b"),
         F.round(t, 6).alias("t_stat"),
     )
 
