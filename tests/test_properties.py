@@ -615,3 +615,30 @@ def test_winnowing_shared_run_guarantee(a, b, run, pos_a, pos_b):
     db = b[: pos_b % (len(b) + 1)] + run + b[pos_b % (len(b) + 1) :]
     fa, fb = _winnow_py(da), _winnow_py(db)
     assert fa & fb, (da, db)
+
+
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    extra=st.sets(st.integers(min_value=10_001, max_value=20_000), max_size=20),
+    n=st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=50, deadline=None)
+def test_fixed_n_sample_is_bottom_k_stable(ids, extra, n):
+    """sample_fixed_n's stability claim, engine-free: growing the
+    corpus can only DISPLACE members of the hash-ranked sample (by
+    new docs that hash lower), never reshuffle the survivors' relative
+    order, and the sample after growth is exactly the bottom-n of the
+    union — the property that makes the sample reproducible across
+    incremental ingests."""
+    import hashlib
+
+    def bottom_n(universe):
+        return sorted(universe, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:n]
+
+    before = bottom_n(ids)
+    after = bottom_n(ids | extra)
+    # survivors keep their relative order...
+    survivors = [i for i in before if i in set(after)]
+    assert survivors == [i for i in after if i in set(before)]
+    # ...and the grown sample is exactly the union's bottom-n
+    assert after == bottom_n(set(after) | set(before) | ids | extra)
