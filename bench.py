@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "emb_centroid_shift",
     "text_hapax_ratio",
     "events_interarrival_stats",
+    "corpus_vocab_growth",
 ]
 
 N_REPS = 3

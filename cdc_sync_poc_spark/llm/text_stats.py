@@ -386,3 +386,57 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         hapax.alias("n_hapax"),
         F.round(hapax.cast("double") / F.count("*"), 6).alias("hapax_ratio"),
     )
+
+
+@register(
+    "corpus_vocab_growth",
+    oracle="""
+WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+firstseen AS (
+  SELECT term, min(doc_id) AS first_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY term
+),
+b AS (
+  SELECT least(first_id * 10 // n.n_docs, 9)::BIGINT AS bucket,
+         count(*)::BIGINT AS new_terms
+  FROM firstseen CROSS JOIN n GROUP BY 1
+)
+SELECT bucket, new_terms,
+       sum(new_terms) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_vocab
+FROM b
+""",
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): how many NEW terms each
+    tenth of the corpus (by doc_id order) contributes, with the
+    cumulative vocabulary — flattening growth signals the corpus is
+    re-serving content (read next to text_hapax_ratio, which is the
+    same signal per slice). Exact at any scale: one term -> min(doc_id)
+    hash agg (vocabulary-sized output), a 10-bucket rollup, and the
+    cumulative window over TEN rows — never over terms or documents."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver scalar: one count, reused as a literal
+    tok = spread_small_input(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    firstseen = tok.groupBy("term").agg(F.min("doc_id").alias("first_id"))
+    b = (
+        firstseen.select(
+            F.least(
+                F.expr(f"first_id * 10 div {n_docs}"), F.lit(9)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        "bucket",
+        "new_terms",
+        F.sum("new_terms").over(w).cast("bigint").alias("cum_vocab"),
+    )
