@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "text_hapax_ratio",
     "events_interarrival_stats",
     "corpus_vocab_growth",
+    "events_seasonality",
 ]
 
 N_REPS = 3

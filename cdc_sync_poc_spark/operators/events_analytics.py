@@ -1068,3 +1068,43 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_s, 6).alias("mean_gap_s"),
         cv.alias("burstiness_cv"),
     )
+
+
+@register(
+    "events_seasonality",
+    oracle="""
+SELECT event_type,
+       dayofweek(ts)::BIGINT AS dow,
+       hour(ts)::BIGINT AS hod,
+       count(*)::BIGINT AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY event_type), 6) AS frac
+FROM events
+GROUP BY event_type, dayofweek(ts), hour(ts)
+""",
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality: the (day-of-week, hour) activity
+    profile per event type — the load shape that schedules compaction
+    windows and capacity, and the baseline the z-score anomaly
+    detector should really be normalized against. One hash agg to the
+    |types| x 7 x 24 grid; the share window runs on that bounded
+    profile table, never on events. DuckDB's dayofweek (0=Sunday)
+    differs from Spark's dayofweek (1=Sunday) by one — aligned here
+    via Spark's dayofweek - 1."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("frac"),
+    )
