@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "events_interarrival_stats",
     "corpus_vocab_growth",
     "events_seasonality",
+    "slice_length_quantiles",
 ]
 
 N_REPS = 3

@@ -440,3 +440,59 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_terms",
         F.sum("new_terms").over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+@register(
+    "slice_length_quantiles",
+    oracle="""
+WITH hist AS (
+  SELECT lang, n_chars, count(*)::BIGINT AS c
+  FROM documents GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT lang, n_chars,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum_c
+  FROM hist
+),
+tot AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang)
+SELECT cum.lang, q.q::BIGINT AS q, min(cum.n_chars)::BIGINT AS value
+FROM (VALUES (25), (50), (75), (90), (99)) q(q)
+JOIN tot ON TRUE
+JOIN cum ON cum.lang = tot.lang
+WHERE cum.cum_c * 100 >= q.q * tot.n
+GROUP BY cum.lang, q.q
+""",
+)
+def slice_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles — doc_length_quantiles'
+    histogram trick partitioned by slice: the distinct-length
+    histogram is bounded by |langs| x length-domain regardless of
+    corpus size, the cumulative window runs per lang over that
+    domain-sized table, and the quantile probe is a tiny literal
+    cross-join. The per-slice view is what catches one language's
+    truncation bug hiding inside a healthy global distribution."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "lang", "n_chars", F.sum("c").over(w).cast("bigint").alias("cum_c")
+    )
+    tot = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    qs = docs.sparkSession.createDataFrame(
+        [(25,), (50,), (75,), (90,), (99,)], "q long"
+    )
+    return (
+        cum.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum_c") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("lang", "q")
+        .agg(F.min("n_chars").cast("bigint").alias("value"))
+    )

@@ -100,7 +100,7 @@ _PRIORITY_PREFIXES = [
     "dedup_winnowing", "r15", "dedup_precision", "events_rfm",
     "dedup_cluster_stats", "sample_fixed_n", "emb_centroid",
     "text_hapax", "events_interarrival", "corpus_vocab",
-    "events_seasonality",
+    "events_seasonality", "slice_length",
     # then the earlier round-4 ops in the same boat
     "text_lm_score", "text_bm25", "dsir_", "events_markov",
     "sem_dedup", "corpus_filter", "corpus_funnel", "llm_curation",
