@@ -273,8 +273,16 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
         f" i -> array_min(slice(hs, i, {WINNOW_W}))))"
     )
-    return base.select("doc_id", F.expr(kg).alias("hs")).select(
-        "doc_id", F.explode(F.expr(sel)).alias("fp")
+    # cached: this (doc_id, fp) frame is the winnowed corpus index —
+    # the artifact MOSS persists — and BOTH registered consumers
+    # (text_winnowing_overlap, dedup_winnowing_pairs) start from it;
+    # the cache turns the second query's rebuild into a memory read
+    # (same plan => CacheManager substitution), exactly like the
+    # shingle/signature views of the minhash family
+    return (
+        base.select("doc_id", F.expr(kg).alias("hs"))
+        .select("doc_id", F.explode(F.expr(sel)).alias("fp"))
+        .cache()
     )
 
 

@@ -39,85 +39,74 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver samples the FIRST 50 registered queries (dict insertion
 # order) for its CORRECTNESS gate; the sample rotates per round so every
-# query eventually carries fresh driver evidence. Round 4 front-loads,
-# per VERDICT r3 "Next round" #3:
-#   (a) seq_packing — the one red r3 row (oracle ::BIGINT cast applied);
-#   (b) doc_length_quantiles — the only query never in any sample;
-#   (c) every module changed THIS round: joins.py (j04 un-broadcast →
-#       all j*), cdc/envelope.py (classified_view un-broadcast → all
-#       src_*/sink_* plus its consumers a01-a04, s03/s04, ap05,
-#       pipeline_e2e), llm/similarity.py (sim_ivf Lloyd fusion +
-#       ann_recall_ivf → all sim_*/ann_recall_*), llm/preprocess.py
-#       (pii_redact/doc_chunking ride along);
-#   (d) queries whose module changed AFTER their last green row:
-#       mm_* (r1, multimodal touched), ap01-ap04 (r1, apply touched),
-#       text_tfidf/text_top_terms/events_sessionize (r1, text_stats
-#       touched), dedup_{exact,minhash_lsh,simhash,ngram,embedding,
-#       normalized} (r2, dedup/curation touched).
-# Everything with a green row at-or-after its module's last change
-# rotates behind the cutoff (still covered by the local exact gate).
-# Prefix match, first hit wins; unmatched ids keep relative order at
-# the end.
+# query eventually carries fresh driver evidence. Round 5 executes
+# VERDICT r4 "Next round" #3: retire the never-driver-sampled backlog.
+# 55 registered queries had no driver row after r4 (all r4-session
+# additions); the 50-slot window takes 50 of them — including every
+# query whose module changed THIS round (text_lm_score, events_rfm,
+# retrieval_rrf, source_csv_docs, corpus_vocab_growth) — and the 5
+# left out are pure metering/diagnostic queries (dedup_cluster_stats,
+# dedup_rate_by_source, text_langid_eval, text_cms_error,
+# ap07_scd2_history), staged first for r6 per the verdict's
+# "prioritize operators over metering" tie-break. Everything with a
+# driver row keeps rotating behind the cutoff (still covered by the
+# local exact gate every session). Prefix match, first hit wins;
+# unmatched ids keep relative order at the end.
 _PRIORITY_PREFIXES = [
-    # (a) + (b), then the three round-4 additions (first-ever evidence
-    # outranks refreshing riders: pii_redact/doc_chunking keep their
-    # r3-green rows, j08 its r2 row — all still locally exact-gated)
-    "seq_pack", "doc_length",
-    "dedup_segment", "text_gini", "emb_pq",
-    # (c) similarity.py: 5 sim_* + 2 ann_recall_* = 7
+    # ---- the r5 driver window: 50 never-sampled queries ----
+    # changed-this-round first (histcut rewrite + lazy-count fix get
+    # fresh evidence on exactly the code that moved)
+    "text_lm_score", "events_rfm", "retrieval_", "source_csv",
+    "corpus_vocab",
+    # classifier + events additions
+    "text_classifier",  # 2: score + confusion
+    "events_kmv",  # 2: distinct + union
+    "events_session_window", "events_ab_ttest", "events_user_overlap",
+    "events_value_histogram", "events_lateness", "events_cohort_ltv",
+    "events_active_users", "events_interarrival", "events_seasonality",
+    "events_markov", "events_path", "events_attribution",
+    "events_anomaly",
+    # apply/rowops/aggregate additions
+    "ap08", "ap09", "a12", "r15",
+    # dedup family additions (incl. the banding precision/recall
+    # meters — they validate the LSH knobs, worth driver evidence)
+    "dedup_prefix", "dedup_winnowing", "dedup_precision",
+    "dedup_recall", "dedup_incremental", "dedup_corpus",
+    "sem_dedup",
+    # text/corpus quality + selection family
+    "text_winnowing", "text_hapax", "text_bm25",
+    "dsir_resample", "dsir_importance",
+    "corpus_simpson", "corpus_token_budget", "corpus_filter",
+    "corpus_funnel", "corpus_divergence", "llm_curation",
+    "slice_length",
+    # sampling / embeddings / multimodal / sources
+    "sample_fixed_n", "emb_centroid", "emb_dim_stats",
+    "mm_integrity", "source_jsonl",
+    # ---- 50-query driver window ends here ----
+    # first in line for r6: the 5 metering/diagnostic queries squeezed
+    # out of the r5 window (locally exact-gated every session)
+    "dedup_cluster_stats", "dedup_rate_by_source", "text_langid_eval",
+    "text_cms", "ap07",
+    # then everything already carrying a driver row, newest-evidence
+    # last (r4-green first would be wasteful; keep stable order)
+    "seq_pack", "doc_length", "dedup_segment", "text_gini", "emb_pq",
     "sim_", "ann_recall",
-    # (d) dedup family changed after its r2 rows, plus minhash_cluster
-    # whose shared _verify_jaccard was restructured this round: 7
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram", "dedup_embedding", "dedup_normalized",
     "dedup_minhash_cluster",
-    # (d) multimodal (4 — explicit so the session's new mm_integrity
-    # stays below the cutoff), apply r1 rows (4) + ap05
     "mm_attach", "mm_decode", "mm_frame", "mm_resize",
     "ap01", "ap02", "ap03", "ap04", "ap05",
-    # (d) text_stats r1 rows: 3
     "text_tfidf", "text_top_terms", "events_sessionize",
-    # (c) joins.py (j05-j08 displaced below the cutoff by the round-4
-    # ops — their functions are untouched this round): 4
     "j01", "j02", "j03", "j04",
-    # (c) envelope.py: 5 src_* + 3 sink_*
     "src_", "sink_",
-    # (c) classified_view consumers (s03/s04/a04 displaced — the shared
-    # helper is still checked four ways by a01-a03 + pipeline_e2e; the
-    # session's new ops ann_recall_truncated + src_schema_drift took two
-    # window slots, and first-ever evidence outranks refreshing riders)
     "a01", "a02", "a03", "pipeline_", "a04", "s03",
-    # ---- 50-query driver window ends here ----
-    # first in line for the r5 rotation: this session's new ops the
-    # window could not fit (never driver-sampled; locally exact-gated)
-    "text_classifier", "events_kmv", "events_session_window",
-    "dedup_prefix", "events_ab_ttest", "ap08", "events_user_overlap",
-    "corpus_simpson", "events_value_histogram", "events_lateness",
-    "text_langid_eval", "emb_dim_stats", "events_cohort_ltv",
-    "dedup_rate_by_source", "source_csv", "mm_integrity",
-    "retrieval_", "a12", "events_active_users", "text_winnowing",
-    "text_cms", "dsir_resample", "corpus_token_budget", "ap09",
-    "dedup_winnowing", "r15", "dedup_precision", "events_rfm",
-    "dedup_cluster_stats", "sample_fixed_n", "emb_centroid",
-    "text_hapax", "events_interarrival", "corpus_vocab",
-    "events_seasonality", "slice_length",
-    # then the earlier round-4 ops in the same boat
-    "text_lm_score", "text_bm25", "dsir_", "events_markov",
-    "sem_dedup", "corpus_filter", "corpus_funnel", "llm_curation",
-    "dedup_incremental", "events_path", "corpus_divergence",
-    "dedup_recall", "events_attribution",
-    "events_anomaly", "source_jsonl", "s04", "dedup_corpus", "ap07",
     "bench_q2_", "bench_q20", "bench_q16", "bench_q17", "bench_q18",
     "pii_", "doc_chunk", "j05", "j06", "j07", "j08",
-    # preprocess remainder (r3-green, code untouched this round)
     "text_rarity", "emb_label", "dup_ngram",
-    # r3-green, modules unchanged
     "st01", "ap06", "dedup_span",
     "text_oov", "text_lexical", "text_repetition", "corpus_",
-    "sample_", "emb_", "events_", "text_",
-    # r2-green, modules unchanged
+    "sample_", "emb_", "events_", "text_", "s04",
     "r0", "r1", "s0", "st0", "cf0",
-    # r1/r3-green relational + plan suite, unchanged
     "a0", "a1", "bench_", "plan_",
 ]
 

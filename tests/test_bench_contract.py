@@ -30,6 +30,23 @@ def test_bench_run_contract(spark):
         assert parsed["queries_median"][k] >= parsed["queries"][k] - 1e-9, k
 
 
+def test_bench_summary_line_is_small_and_self_contained(spark):
+    """The LAST stdout line of bench.py is a short summary that must
+    survive a tail-truncated capture: bounded size, parseable on its
+    own, and carrying the headline scalars."""
+    import bench
+
+    result = bench.run(spark=spark, sf_dir=SF_DIR, names=["bench_q1_pricing"])
+    line = json.dumps(bench.summarize(result))
+    assert len(line) < 500  # a tail capture always keeps this intact
+    parsed = json.loads(line)
+    assert parsed["value"] == result["value"]
+    assert parsed["value_median"] == result["value_median"]
+    assert parsed["sf"] == result["sf"]
+    assert parsed["n_queries"] == 1 and parsed["n_errors"] == 0
+    assert "queries" not in parsed  # summary-only: no per-query maps
+
+
 def test_bench_list_is_resolvable():
     import bench
     from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
