@@ -416,19 +416,23 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-serving content (read next to text_hapax_ratio, which is the
     same signal per slice). Exact at any scale: one term -> min(doc_id)
     hash agg (vocabulary-sized output), a 10-bucket rollup, and the
-    cumulative window over TEN rows — never over terms or documents."""
+    cumulative window over TEN rows — never over terms or documents.
+    The doc count enters as a broadcast 1-row aggregate (the
+    corpus_mix_weights pattern), keeping the whole query lazy — no
+    driver-side action at plan-construction time (ADVICE r4)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # driver scalar: one count, reused as a literal
+    n = docs.agg(F.count("*").alias("n_docs"))
     tok = spread_small_input(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
     firstseen = tok.groupBy("term").agg(F.min("doc_id").alias("first_id"))
     b = (
-        firstseen.select(
+        firstseen.crossJoin(F.broadcast(n))
+        .select(
             F.least(
-                F.expr(f"first_id * 10 div {n_docs}"), F.lit(9)
+                F.expr("first_id * 10 div n_docs"), F.lit(9)
             ).alias("bucket")
         )
         .groupBy("bucket")

@@ -43,7 +43,15 @@ _READ_OPTS = {
     "header": "false",
     "quote": '"',
     "escape": "\\",
-    "multiLine": "false",
+    # QUOTE_ALL legally quotes embedded newlines, so the reader MUST
+    # parse records across physical lines — multiLine=false would split
+    # such a document into two malformed lines and silently drop it
+    # (ADVICE r4). Cost at scale: a multiLine CSV file is not
+    # line-splittable, so parallelism is per FILE, not per block —
+    # acceptable because delimited exports arrive as many files; the
+    # block-splittable path for newline-free corpora is the JSONL
+    # source (its encoder escapes newlines by construction).
+    "multiLine": "true",
 }
 
 

@@ -13,11 +13,19 @@ fingerprints (integer vote sums are order-independent), verified
 against the batch operator in tests/test_streaming_docs.py.
 
 State: ``dropDuplicates`` keeps one row per fingerprint forever — right
-for a bounded backfill. The production shape for an endless stream is
-``withWatermark("ingest_ts", ...) + dropDuplicatesWithinWatermark``
-(the document fixture carries no event-time column, so the tested form
-is the unbounded-state variant; the CDC side's watermark_dedup in
-streaming/dedup.py demonstrates the watermarked form).
+for a bounded backfill. For an endless crawl stream the bounded-state
+form is :func:`streaming_exact_dedup_watermarked` /
+:func:`streaming_simhash_dedup_watermarked`:
+``withWatermark("ingest_ts", delay) + dropDuplicatesWithinWatermark``
+evicts a fingerprint's state once the watermark passes its arrival
+time + delay, so state size is O(arrival rate x delay) instead of
+O(corpus). Semantics: a re-crawl inside the delay window is dropped; a
+re-crawl after eviction is emitted again (exactly the contract a
+rolling-window crawler wants — old content re-surfacing after months
+IS a new observation). The document fixture carries no event-time
+column, so the harness stamps ``ingest_ts`` at file-batch granularity;
+the CDC side's watermark_dedup (streaming/dedup.py) is the same
+construction keyed on the envelope hash.
 """
 
 from __future__ import annotations
@@ -82,4 +90,47 @@ def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
     the state key — the streaming twin of dedup_exact."""
     return docs.withColumn("content_hash", F.sha2(F.col("text"), 256)).dropDuplicates(
         ["content_hash"]
+    )
+
+
+DOC_INGEST_SCHEMA = T.StructType(
+    DOC_SCHEMA.fields + [T.StructField("ingest_ts", T.TimestampType())]
+)
+
+
+def doc_stream_with_ingest(spark: SparkSession, path: str) -> DataFrame:
+    """File-source document stream whose rows carry an ``ingest_ts``
+    event-time column (a crawler stamps fetch time; the fixture-derived
+    test batches stamp it per file)."""
+    return (
+        spark.readStream.schema(DOC_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def streaming_exact_dedup_watermarked(
+    docs: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state exact dedup for an ENDLESS stream: state per
+    content hash lives only ``delay`` past its arrival's event time —
+    the production twin of :func:`streaming_exact_dedup` (whose
+    unbounded ``dropDuplicates`` state is right only for a bounded
+    backfill). Requires ``ingest_ts`` on the input."""
+    return (
+        docs.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .withWatermark("ingest_ts", delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def streaming_simhash_dedup_watermarked(
+    docs: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state near-dup dedup: the map-side 16-bit SimHash as the
+    state key under the same watermark eviction contract."""
+    return (
+        docs.withColumn("simhash16", simhash16_col())
+        .withWatermark("ingest_ts", delay)
+        .dropDuplicatesWithinWatermark(["simhash16"])
     )

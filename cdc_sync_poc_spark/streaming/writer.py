@@ -165,6 +165,10 @@ class ParquetMergeWriter:
                     "pk",
                     F.col("net_op").alias("operation"),
                     F.col("net_val").alias("val"),
+                    # first_op rides along for the audit: a net DELETE
+                    # whose key was CREATED in this same batch must not
+                    # be audited TARGET_NOT_FOUND (see apply_batch)
+                    "first_op",
                 )
                 .withColumn("bucket", self._bucket(F.col("pk")))
                 .persist()
@@ -175,6 +179,9 @@ class ParquetMergeWriter:
                 changes.select("cdc_seq", "pk", "operation", "val")
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
+                # last-wins audits the literal surviving op; no net
+                # algebra, so no in-batch-creation exemption applies
+                .withColumn("first_op", F.lit(None).cast("string"))
                 .withColumn("bucket", self._bucket(F.col("pk")))
                 .persist()
             )
@@ -218,11 +225,19 @@ class ParquetMergeWriter:
         # audit is per applied decision):
         # UPDATE/DELETE on a missing key -> TARGET_NOT_FOUND (ap03),
         # everything else -> SUCCESS (INSERT on an existing key is the
-        # ap02 dup->update path, still SUCCESS). A batch key's state row
+        # ap02 dup->update path, still SUCCESS). Under strategy='net' a
+        # net DELETE whose first op was INSERT means the key was created
+        # AND deleted inside this batch: the sequential replay it claims
+        # parity with would log INSERT=SUCCESS then DELETE=SUCCESS, so
+        # the compacted decision is audited SUCCESS too, not
+        # TARGET_NOT_FOUND (ADVICE r4). A batch key's state row
         # necessarily lives in a touched bucket, so the pruned state is
         # sufficient for the existence check. mode=overwrite into the
         # per-batch partition dir makes replays idempotent.
         state_keys = state.select(F.col("pk").alias("state_pk"))
+        created_in_batch = F.coalesce(
+            F.col("first_op") == "INSERT", F.lit(False)
+        )
         audit = last.join(
             state_keys, last.pk == state_keys.state_pk, "left"
         ).select(
@@ -231,7 +246,8 @@ class ParquetMergeWriter:
             "operation",
             F.when(
                 F.col("operation").isin("UPDATE", "DELETE")
-                & F.col("state_pk").isNull(),
+                & F.col("state_pk").isNull()
+                & ~created_in_batch,
                 "TARGET_NOT_FOUND",
             )
             .otherwise("SUCCESS")

@@ -41,19 +41,53 @@ def test_jsonl_text_roundtrips_exactly(spark):
 
 
 def test_csv_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
+    """Malformed records (bad type, wrong arity) land in
+    _corrupt_record without poisoning their neighbors. NOTE: an
+    UNTERMINATED QUOTE is deliberately absent here — under
+    multiLine=true (required for legally-quoted embedded newlines) an
+    unbalanced quote consumes the rest of the file by CSV's own
+    grammar; that failure mode is unrecoverable in ANY dialect-honest
+    reader and is caught instead by the round-trip md5 oracle."""
     from cdc_sync_poc_spark.sources.csvsrc import read_csv_docs
 
     p = tmp_path / "docs.csv"
     p.write_text(
         '"1","a b","en","s","3"\n'
-        '"not,a,valid,row\n'
+        '"not-a-number","x","en","s","3"\n'
         '"2","c d","de","s","3"\n'
+        '"too","few"\n'
     )
     df = read_csv_docs(spark, str(p)).cache()
     good = df.filter(df._corrupt_record.isNull())
     bad = df.filter(df._corrupt_record.isNotNull())
     assert {r.doc_id for r in good.collect()} == {1, 2}
-    assert bad.count() == 1
+    assert bad.count() == 2  # bad-type + short row both quarantined
+    df.unpersist()
+
+
+def test_csv_embedded_newline_roundtrips(spark, tmp_path):
+    """A text with an embedded newline is legally quoted by the
+    QUOTE_ALL writer; the reader's multiLine=true must reassemble it
+    into ONE document instead of quarantining two malformed halves
+    (ADVICE r4: the latent write/read dialect mismatch)."""
+    import csv
+
+    from cdc_sync_poc_spark.sources.csvsrc import read_csv_docs
+
+    rows = [
+        (1, "first line\nsecond line", "en", "s", 22),
+        (2, 'quote " and, comma', "en", "s", 18),
+        (3, "plain", "de", "s", 5),
+    ]
+    p = tmp_path / "docs.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_ALL, escapechar="\\", doublequote=False)
+        for r in rows:
+            w.writerow(r)
+    df = read_csv_docs(spark, str(p)).cache()
+    assert df.filter(df._corrupt_record.isNotNull()).count() == 0
+    got = {r.doc_id: r.text for r in df.collect()}
+    assert got == {i: t for i, t, *_ in rows}
     df.unpersist()
 
 

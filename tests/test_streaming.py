@@ -538,6 +538,51 @@ def test_writer_net_strategy_replay_is_idempotent(spark, tmp_path):
     assert (9, "U9", 5.0) in second
 
 
+def test_writer_net_audit_in_batch_create_delete_is_success(spark, tmp_path):
+    """strategy='net' audit parity with sequential replay (ADVICE r4):
+    a key INSERTed and DELETEd within one batch compacts to net DELETE,
+    but the replay it claims parity with would log INSERT=SUCCESS then
+    DELETE=SUCCESS — so the compacted decision must audit SUCCESS, not
+    TARGET_NOT_FOUND, even though the key is absent from pre-batch
+    state. A plain UPDATE/DELETE on an absent key (no in-batch INSERT)
+    still audits TARGET_NOT_FOUND."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.streaming.writer import ParquetMergeWriter
+
+    out = tmp_path / "net_audit"
+    writer = ParquetMergeWriter(
+        spark, str(out / "state"), str(out / "audit"), n_buckets=4,
+        strategy="net",
+    )
+    base = spark.range(0, 10).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("name"), F.col("id")).alias("c_name"),
+        F.col("id").cast("double").alias("c_acctbal"),
+    )
+    writer.init_state(base)
+    changes = spark.createDataFrame(
+        [
+            (0, 99, "INSERT", 1.0), (1, 99, "DELETE", None),  # created+deleted in batch
+            (2, 98, "UPDATE", 2.0),                            # absent, no insert
+            (3, 97, "DELETE", None),                           # absent, no insert
+            (4, 5, "UPDATE", 3.0),                             # present
+        ],
+        "cdc_seq long, pk long, operation string, val double",
+    )
+    writer.apply_batch(changes, batch_id=0)
+    audit = {
+        r.pk: r.status
+        for r in spark.read.parquet(str(out / "audit")).collect()
+    }
+    assert audit[99] == "SUCCESS"
+    assert audit[98] == "TARGET_NOT_FOUND"
+    assert audit[97] == "TARGET_NOT_FOUND"
+    assert audit[5] == "SUCCESS"
+    # and the state itself is unaffected: 99 stays absent
+    assert not any(r.pk == 99 for r in writer.current_state().collect())
+
+
 def test_stream_net_pipeline_matches_sequential_replay(spark, stream_dirs):
     """The end-to-end wiring for sequential parity: strategy='net' with
     dedup='none' through run_stream_pipeline must land ap06's exact

@@ -124,6 +124,79 @@ def test_streaming_simhash_dedup_runs(spark, doc_batches, tmp_path):
     assert len(rows) <= len(batch1) + len(batch2) - 12
 
 
+def test_streaming_watermarked_dedup_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics (VERDICT r4 #5): a
+    re-crawl INSIDE the watermark delay is dropped; after the watermark
+    passes the original's ingest_ts + delay, its state is evicted and a
+    later re-crawl is emitted AGAIN — bounded state, by construction."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.streaming.docs_dedup import (
+        doc_stream_with_ingest,
+        streaming_exact_dedup_watermarked,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def doc(doc_id, text, ts):
+        return {
+            "doc_id": doc_id, "text": text, "lang": "en", "source": "s",
+            "n_chars": len(text), "ingest_ts": ts,
+        }
+
+    sec = dt.timedelta(seconds=1)
+    # batch 1: A, B at t=0. batch 2: dup-A at t=2s (inside the 5s
+    # delay -> dropped) + C at t=60s (advances the watermark to 55s at
+    # batch end). batch 3: filler D — state eviction runs at the END of
+    # a batch, so A's entry (expired at t=5s < watermark 55s) is
+    # removed here. batch 4: dup-A at t=70s (state evicted -> emitted
+    # again: bounded state re-admits old content, by design).
+    batches = [
+        [doc(1, "alpha text", t0), doc(2, "beta text", t0)],
+        [doc(10, "alpha text", t0 + 2 * sec), doc(3, "gamma text", t0 + 60 * sec)],
+        [doc(4, "delta text", t0 + 65 * sec)],
+        [doc(11, "alpha text", t0 + 70 * sec)],
+    ]
+    in_dir = tmp_path / "wm_docs_in"
+    in_dir.mkdir()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64()), ("ingest_ts", pa.timestamp("us")),
+        ]
+    )
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))  # pin batch order
+
+    q = (
+        streaming_exact_dedup_watermarked(
+            doc_stream_with_ingest(spark, str(in_dir)), delay="5 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("swm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_swm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM swm").collect()
+    survivors = sorted(r.doc_id for r in rows)
+    # doc 10 (in-window dup) dropped; doc 11 (post-eviction dup) kept
+    assert 10 not in survivors
+    assert 11 in survivors
+    assert survivors == [1, 2, 3, 4, 11]
+
+
 def test_streaming_funnel_matches_batch(spark, doc_batches, tmp_path):
     """The quality funnel is a stateless projection, so it must stream
     as-is: per-doc verdicts over micro-batches equal the batch run on
