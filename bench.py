@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "corpus_vocab_growth",
     "events_seasonality",
     "slice_length_quantiles",
+    # round-5 additions (append-only)
+    "emb_pq_residual_error",
 ]
 
 N_REPS = 3

@@ -881,6 +881,139 @@ def emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_residual_oracle() -> str:
+    return f"""
+WITH {_ivf_cte_chain()},
+resid AS (
+  SELECT a.vec_id, a.cell_id,
+         list_transform(range(1, {EMB_DIM + 1}), i -> a.v[i] - c.cv[i]) AS rv
+  FROM a1 a JOIN c1 c USING (cell_id)
+),
+seed AS (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {PQ_K}),
+cb AS (
+  SELECT t.s, seed.vec_id AS cid,
+         seed.rv[t.s*{PQ_DSUB}+1 : t.s*{PQ_DSUB}+{PQ_DSUB}] AS cv
+  FROM seed CROSS JOIN range(0, {PQ_M}) t(s)
+),
+dists AS (
+  SELECT r.vec_id, cb.s, cb.cid,
+         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+            i -> (r.rv[cb.s*{PQ_DSUB}+i] - cb.cv[i])
+               * (r.rv[cb.s*{PQ_DSUB}+i] - cb.cv[i]))) AS dist
+  FROM resid r CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, s, cid, dist FROM (
+    SELECT vec_id, s, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+agg AS (
+  SELECT vec_id,
+         string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS pq_code,
+         round(list_sum(list(dist ORDER BY s)) / {float(EMB_DIM)!r}, 6)
+           AS recon_mse
+  FROM best GROUP BY vec_id
+)
+SELECT r.vec_id, r.cell_id, a.pq_code, a.recon_mse
+FROM resid r JOIN agg a USING (vec_id)
+"""
+
+
+@register("emb_pq_residual_error", oracle=_pq_residual_oracle())
+def emb_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual product quantization — what production IVF-PQ actually
+    stores (VERDICT r4 stretch #8): each vector is first assigned to
+    its IVF cell, the CELL CENTROID is subtracted, and PQ codes
+    quantize the residual. Residuals are centered near zero with far
+    smaller spread than raw vectors, so the same PQ_M x PQ_K code
+    budget buys a lower reconstruction error — the gap between this
+    query's recon_mse and emb_pq_error's IS the measured benefit of
+    residual encoding, the number that justifies the extra
+    centroid-subtract at 100 TB.
+
+    Plan shape: cell assignment AND centroid subtraction ride in one
+    constant-folded from_json literal (the _assign_col pattern extended
+    to carry the centroid vector), so residual computation is pure map
+    work; the PQ encode is a second map pass over the residual column
+    with the codebook in another constant literal. Zero joins, zero
+    shuffles. Codebooks are deterministic sample-init (the PQ_K lowest
+    vec_ids' residual subvectors) so the DuckDB oracle replays them
+    exactly; the PQ_K-row codebook collect is a driver constant
+    (design-bounded, like every centroid exchange in the IVF family)."""
+    n, _cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
+    payload = json.dumps(
+        [
+            {
+                "cid": int(r.cell_id),
+                "cv": [float(x) for x in r.cv],
+                "cn": float(r.cn),
+            }
+            for r in cents1_rows
+        ],
+        separators=(",", ":"),
+    )
+    chosen = F.expr(
+        f"""array_max(transform(
+  from_json('{payload}', 'array<struct<cid:bigint,cv:array<double>,cn:double>>'),
+  c -> struct(
+    aggregate(zip_with(v, c.cv, (x, y) -> x * y),
+              CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (nrm * c.cn) AS cosc,
+    -c.cid AS nc, c.cv AS cv)))"""
+    )
+    resid = (
+        n.select("vec_id", "v", "nrm")
+        .withColumn("ch", chosen)
+        .select(
+            "vec_id",
+            (-F.col("ch.nc")).cast("bigint").alias("cell_id"),
+            F.expr("zip_with(v, ch.cv, (x, y) -> x - y)").alias("rv"),
+        )
+    )
+    seeds = resid.orderBy("vec_id").limit(PQ_K).select("vec_id", "rv").collect()
+    cb_payload = json.dumps(
+        [
+            {
+                "s": s,
+                "cid": int(r.vec_id),
+                "cv": [float(x) for x in r.rv[s * PQ_DSUB : (s + 1) * PQ_DSUB]],
+            }
+            for r in seeds
+            for s in range(PQ_M)
+        ],
+        separators=(",", ":"),
+    )
+    pq = F.expr(
+        f"""transform(sequence(0, {PQ_M - 1}), s ->
+  array_min(transform(
+    filter(from_json('{cb_payload}',
+                     'array<struct<s:int,cid:bigint,cv:array<double>>>'),
+           e -> e.s = s),
+    e -> struct(
+      aggregate(zip_with(slice(rv, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
+                         (x, y) -> (x - y) * (x - y)),
+                CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
+      e.cid AS cid))))"""
+    )
+    return resid.select("vec_id", "cell_id", pq.alias("pq")).select(
+        "vec_id",
+        "cell_id",
+        F.expr("concat_ws(',', transform(pq, p -> CAST(p.cid AS STRING)))").alias(
+            "pq_code"
+        ),
+        F.round(
+            F.expr(
+                "aggregate(transform(pq, p -> p.dist), CAST(0.0 AS DOUBLE),"
+                " (acc, z) -> acc + z)"
+            )
+            / F.lit(float(EMB_DIM)),
+            6,
+        ).alias("recon_mse"),
+    )
+
+
 def _ivfpq_oracle() -> str:
     return f"""
 WITH {_ivf_cte_chain()},

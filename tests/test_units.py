@@ -322,3 +322,27 @@ def test_interarrival_cv_null_on_degenerate_types(spark):
     finally:
         ea.load_table = orig
     assert out == {"rare": (1, 3600.0, None), "burst": (2, 0.0, None)}
+
+
+def test_residual_pq_beats_raw_pq_reconstruction(spark):
+    """The point of residual encoding: with the SAME PQ_M x PQ_K code
+    budget, quantizing IVF-cell residuals must reconstruct better
+    (lower mean squared error) than quantizing raw vectors — the
+    measured benefit emb_pq_residual_error's docstring claims."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+    from tests.conftest import SF_DIR
+
+    load_all_queries()
+    raw = (
+        QUERIES["emb_pq_error"](spark, SF_DIR)
+        .agg(F.avg("recon_mse"))
+        .collect()[0][0]
+    )
+    res = (
+        QUERIES["emb_pq_residual_error"](spark, SF_DIR)
+        .agg(F.avg("recon_mse"))
+        .collect()[0][0]
+    )
+    assert res < raw, (res, raw)
