@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     "slice_length_quantiles",
     # round-5 additions (append-only)
     "emb_pq_residual_error",
+    "emb_covariance_topk",
+    "corpus_shard_manifest",
+    "events_decayed_engagement",
+    "slice_length_mad",
 ]
 
 N_REPS = 3

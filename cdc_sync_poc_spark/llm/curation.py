@@ -875,3 +875,165 @@ def sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "sample_rank", F.row_number().over(w).cast("bigint")
     ).select("doc_id", "lang", "source", "sample_rank")
+
+
+COV_FIX = 1 << 14  # emb_covariance_topk per-coordinate fixed point
+_COV_FIX2 = COV_FIX * COV_FIX
+COV_TOP = 20  # reported strongest off-diagonal pairs
+
+
+@register(
+    "emb_covariance_topk",
+    oracle=f"""
+WITH fp AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(x::DOUBLE * {COV_FIX}) AS BIGINT)) AS f
+  FROM embeddings
+),
+pr AS (
+  SELECT i.i::BIGINT AS i, j.j::BIGINT AS j, count(*)::BIGINT AS n,
+         sum(f[i.i] * f[j.j])::BIGINT AS sp,
+         sum(f[i.i])::BIGINT AS si, sum(f[j.j])::BIGINT AS sj
+  FROM fp CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
+  WHERE j.j > i.i
+  GROUP BY 1, 2
+),
+cov AS (
+  SELECT i, j,
+         (CAST(sp AS DOUBLE) / {_COV_FIX2}
+          - (CAST(si AS DOUBLE) / {COV_FIX})
+            * (CAST(sj AS DOUBLE) / {COV_FIX}) / n) / (n - 1) AS c
+  FROM pr WHERE n > 1
+)
+SELECT i, j, round(c, 9) AS covariance
+FROM cov
+ORDER BY abs(c) DESC, i, j
+LIMIT {COV_TOP}
+""",
+)
+def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest cross-dimension covariances of the embedding corpus —
+    the correlation monitor behind whitening and PQ subspace layout
+    (PQ assumes subspaces are roughly independent; a pair of
+    dimensions with large |covariance| that PQ splits across subspaces
+    is exactly where ADC error concentrates; read next to
+    emb_dim_stats, the per-dimension marginal moments).
+
+    Exactness: coordinates are floored to COV_FIX fixed point, so each
+    pairwise product is a BIGINT and the distributed sums are
+    order-independent — one double expression at the end, identical on
+    both engines. Headroom: |product| <= 2^28, so BIGINT sums hold
+    ~3e10 vectors; beyond that the same plan runs with DECIMAL(38)
+    sums (the emb_dim_stats note). Scale shape: the d^2/2 pair fan-out
+    is map-side (inherent to any covariance computation) and the agg
+    output is a fixed 2016 cells with map-side combine — partials per
+    task are design-bounded, never corpus-bounded; the final top-K is
+    TakeOrderedAndProject over 2016 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {COV_FIX}) AS BIGINT))"
+        ).alias("f")
+    )
+    pairs = fp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 63), i ->"
+                " transform(sequence(i + 1, 64), j -> struct("
+                " CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,"
+                " element_at(f, i) * element_at(f, j) AS p,"
+                " element_at(f, i) AS fi, element_at(f, j) AS fj))))"
+            )
+        ).alias("s")
+    ).select("s.*")
+    agg = pairs.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("fi").alias("si"),
+        F.sum("fj").alias("sj"),
+    )
+    c = (
+        F.col("sp").cast("double") / F.lit(_COV_FIX2)
+        - (F.col("si").cast("double") / F.lit(COV_FIX))
+        * (F.col("sj").cast("double") / F.lit(COV_FIX))
+        / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        agg.filter(F.col("n") > 1)
+        .withColumn("c", c)
+        .orderBy(F.abs(F.col("c")).desc(), F.asc("i"), F.asc("j"))
+        .limit(COV_TOP)
+        .select("i", "j", F.round("c", 9).alias("covariance"))
+    )
+
+
+N_SHARDS = 16  # corpus_shard_manifest training-export shard count
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {N_SHARDS} AS shard,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         strlen(text)::BIGINT AS n_bytes
+  FROM documents
+),
+per AS (
+  SELECT shard, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS total_tokens,
+         sum(n_bytes)::BIGINT AS total_bytes
+  FROM s GROUP BY shard
+),
+tot AS (SELECT sum(n_docs)::BIGINT AS n FROM per)
+SELECT shard, n_docs, total_tokens, total_bytes,
+       round(CAST(n_docs AS DOUBLE) * {N_SHARDS} / n, 6) AS balance_ratio
+FROM per CROSS JOIN tot
+""",
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest: every document routes to one of
+    N_SHARDS shards by md5 bucket of doc_id (replay-safe, the
+    corpus_train_split construction — a re-run or a resumed export
+    routes every doc identically), and the manifest reports per-shard
+    doc/token/byte totals plus the balance ratio (n_docs x S / total;
+    1.0 = perfectly even). This is the global "shuffle" step of a
+    training-data export WITHOUT a global sort: the shard column
+    becomes the write partition key, readers stream shards
+    independently, and the manifest is what the training job's data
+    loader checks before an epoch.
+
+    Map-only routing + an N_SHARDS-group hash agg + one broadcast
+    1-row total — no sort, no window, no corpus-sized shuffle (the
+    write itself shuffles on the shard key, which is the point: that
+    IS the shuffle the export needs, done once)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % N_SHARDS
+    )
+    per = (
+        docs.select(
+            shard.alias("shard"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+    tot = per.agg(F.sum("n_docs").alias("n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        "total_bytes",
+        F.round(F.col("n_docs").cast("double") * N_SHARDS / F.col("n"), 6).alias(
+            "balance_ratio"
+        ),
+    )

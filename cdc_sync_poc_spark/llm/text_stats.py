@@ -500,3 +500,81 @@ def slice_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "q")
         .agg(F.min("n_chars").cast("bigint").alias("value"))
     )
+
+
+@register(
+    "slice_length_mad",
+    oracle="""
+WITH hist AS (
+  SELECT lang, n_chars, count(*)::BIGINT AS c
+  FROM documents GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT lang, n_chars,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_c
+  FROM hist
+),
+tot AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+med AS (
+  SELECT cum.lang, min(cum.n_chars)::BIGINT AS med
+  FROM cum JOIN tot USING (lang)
+  WHERE cum.cum_c * 2 >= tot.n GROUP BY cum.lang
+),
+dev AS (
+  SELECT d.lang, abs(d.n_chars - m.med)::BIGINT AS dv
+  FROM documents d JOIN med m ON d.lang = m.lang
+),
+dhist AS (SELECT lang, dv, count(*)::BIGINT AS c FROM dev GROUP BY lang, dv),
+dcum AS (
+  SELECT lang, dv,
+         sum(c) OVER (PARTITION BY lang ORDER BY dv
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_c
+  FROM dhist
+)
+SELECT dcum.lang, m.med AS median_len, min(dcum.dv)::BIGINT AS mad
+FROM dcum JOIN tot USING (lang) JOIN med m ON m.lang = dcum.lang
+WHERE dcum.cum_c * 2 >= tot.n
+GROUP BY dcum.lang, m.med
+""",
+)
+def slice_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median and median-absolute-deviation of document
+    length — the robust spread monitor (a truncation bug shifts MAD
+    long before it moves the mean, and outlier crawl blobs can't drag
+    it the way they drag stddev). Two chained value-domain histogram
+    cuts, proving the histcut machinery COMPOSES: pass 1 derives each
+    language's exact median from the length histogram; the langs-sized
+    median table broadcasts back onto the corpus to compute per-doc
+    absolute deviations map-side; pass 2 runs the identical cut on the
+    deviation domain. Both cumulative windows are O(length-domain) per
+    language — never O(docs) — and everything else is hash aggs and
+    broadcast joins. Pure integer arithmetic end to end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _median_of(frame: DataFrame, col: str, out: str) -> DataFrame:
+        hist = frame.groupBy("lang", col).agg(F.count("*").alias("c"))
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = hist.select("lang", col, F.sum("c").over(w).alias("cum_c"))
+        tot = frame.groupBy("lang").agg(F.count("*").alias("n"))
+        return (
+            cum.join(F.broadcast(tot), "lang")
+            .filter(F.col("cum_c") * 2 >= F.col("n"))
+            .groupBy("lang")
+            .agg(F.min(col).cast("bigint").alias(out))
+        )
+
+    med = _median_of(docs, "n_chars", "median_len")
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang",
+        "median_len",
+        F.abs(F.col("n_chars") - F.col("median_len")).cast("bigint").alias("dv"),
+    )
+    mad = _median_of(dev, "dv", "mad")
+    return med.join(mad, "lang").select("lang", "median_len", "mad")

@@ -1155,3 +1155,69 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("frac"),
     )
+
+
+DECAY_MAX_DAYS = 40  # events_decayed_engagement half-life horizon
+
+
+@register(
+    "events_decayed_engagement",
+    oracle=f"""
+WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+w AS (
+  SELECT e.event_type,
+         date_diff('day', CAST(e.ts AS DATE), CAST(r.ref_ts AS DATE))
+           ::BIGINT AS days_ago
+  FROM events e CROSS JOIN ref r
+),
+fp AS (
+  SELECT event_type,
+         CASE WHEN days_ago <= {DECAY_MAX_DAYS}
+              THEN (1::BIGINT << ({DECAY_MAX_DAYS} - days_ago))
+              ELSE 0 END AS wfp
+  FROM w
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(CAST(sum(wfp) AS DOUBLE) / {1 << DECAY_MAX_DAYS}, 9)
+         AS decayed_score
+FROM fp GROUP BY event_type
+""",
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed activity score per event type: each event
+    contributes 2^(-days_ago) (one-day half-life), so yesterday's
+    event counts half of today's — the standard recency-weighted
+    engagement metric, with the decay horizon truncated at
+    DECAY_MAX_DAYS (an event older than the horizon contributes
+    exactly 0; that truncation is also what BOUNDS the incremental
+    state a rolling version needs).
+
+    Exact on both engines because every weight is the INTEGER
+    2^(horizon - days_ago) — a bit shift, summed as BIGINT (sums of
+    doubles would be partition-order-dependent; sums of BIGINTs are
+    not) — with ONE double division at the end. Map-only weighting +
+    one low-cardinality hash agg; headroom: 2^40 x 1e9 same-day
+    events = 1e21 would overflow, so at that density the horizon
+    constant drops (2^30 holds 8e9 same-day events per type)."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    days = F.datediff(F.to_date("ref_ts"), F.to_date("ts")).cast("bigint")
+    wfp = F.when(
+        days <= DECAY_MAX_DAYS,
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({DECAY_MAX_DAYS} - datediff(to_date(ref_ts), to_date(ts))"
+            f" AS INT))"
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select("event_type", wfp.alias("wfp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum("wfp").cast("double") / F.lit(float(1 << DECAY_MAX_DAYS)), 9
+            ).alias("decayed_score"),
+        )
+    )

@@ -78,7 +78,8 @@ _PRIORITY_PREFIXES = [
     "dsir_resample", "dsir_importance",
     "corpus_simpson", "corpus_token_budget", "corpus_filter",
     "corpus_funnel", "corpus_divergence", "llm_curation",
-    "slice_length",
+    "slice_length_quantiles",  # exact: slice_length_mad is an r5-new
+    # op that must not displace a staged never-sampled query
     # sampling / embeddings / multimodal / sources
     "sample_fixed_n", "emb_centroid", "emb_dim_stats",
     "mm_integrity", "source_jsonl",

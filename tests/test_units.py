@@ -174,23 +174,35 @@ def test_driver_sample_window_invariants():
     here instead of in the next round's verdict."""
     from cdc_sync_poc_spark.registry import ORACLES, QUERIES, load_all_queries
 
+    import json
+    import pathlib
+
     load_all_queries()
     names = list(QUERIES)
     window = set(names[:50])
-    # the window closes exactly at the flagship
-    assert names[49] == "pipeline_e2e"
-    # round-4 must-haves: the one red r3 row, the never-sampled query,
-    # and every module changed this round
+    # round-5 contract (VERDICT r4 #3): the window holds ONLY queries
+    # that never appeared in any r1-r4 driver sample — retiring the
+    # never-sampled backlog — and none of the five metering queries
+    # deliberately deferred to r6
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sampled = set()
+    for r in range(1, 5):
+        sampled |= set(json.loads((root / f"CORRECTNESS_r0{r}.json").read_text()))
+    assert not (window & sampled), sorted(window & sampled)
+    deferred = {
+        "dedup_cluster_stats", "dedup_rate_by_source", "text_langid_eval",
+        "text_cms_error", "ap07_scd2_history",
+    }
+    assert not (window & deferred), sorted(window & deferred)
+    # the round's changed modules get fresh evidence on exactly the
+    # code that moved
     for q in (
-        "seq_packing",
-        "doc_length_quantiles",
-        "sim_ivf_topk",
-        "ann_recall_ivf",
-        "dedup_minhash_cluster",
-        "j04_target_exists",
-        "src_kafka_cdc",
-        "sink_audit_log",
-        "ap05_exactly_once_mark",
+        "text_lm_score",
+        "events_rfm_segments",
+        "retrieval_rrf_fusion",
+        "source_csv_docs",
+        "corpus_vocab_growth",
+        "source_jsonl_docs",
     ):
         assert q in window, q
     # every registered query has an exact oracle (no rows-only checks)
