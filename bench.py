@@ -2,9 +2,12 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints the
+result as JSON: first the full detail line {"metric": ..., "queries":
+{name: sec, ...}, ..., "value": total_sec}, then a short summary-only
+line with the same scalars LAST on stdout — the driver's tail capture
+always keeps the final ~200-byte line intact even when the multi-KB
+detail line is truncated (VERDICT r4 minor #4).
 
 Noise control (round 3, after r2's round-over-round comparison was
 corrupted by ordering and n=1 variance):

@@ -1009,27 +1009,59 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # the three histogram cuts FUSE into one melted pass (same math as
+    # functions/histcut.hist_bucket_edges, proven there): explode each
+    # user to (metric, cell), ONE hash agg builds all three
+    # domain-sized histograms, ONE window pass (partitioned by metric —
+    # never unpartitioned, never row-scale) derives cum + total, and
+    # the tiny persisted edge table feeds three broadcast lookups.
+    # Separate hist_bucket_edges calls would each re-aggregate the
+    # base; melting cuts the small-job count by 3x with identical
+    # per-metric semantics (recency ascends, freq/monetary descend via
+    # the negated order key).
+    from pyspark.sql import Window
+
+    melted = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("m"), F.col("recency_days").alias("cell")
+                ),
+                F.struct(F.lit("f").alias("m"), F.col("freq").alias("cell")),
+                F.struct(F.lit("m").alias("m"), F.col("mcell").alias("cell")),
+            )
+        ).alias("mc")
+    ).select("mc.m", "mc.cell")
+    hist = melted.groupBy("m", "cell").agg(F.count("*").alias("c"))
+    ordc = F.when(F.col("m") == "r", F.col("cell")).otherwise(-F.col("cell"))
+    wrun = Window.partitionBy("m").orderBy(ordc).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("m")
+    edges = (
+        hist.select(
+            "m",
+            "cell",
+            F.sum("c").over(wrun).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .select(
+            "m",
+            "cell",
+            F.expr("(5 * cum + n - 1) div n").cast("bigint").alias("score"),
+        )
+        .persist()
+    )
+
+    def edge(metric: str, cell_col: str, out: str) -> DataFrame:
+        return edges.filter(F.col("m") == metric).select(
+            F.col("cell").alias(cell_col), F.col("score").alias(out)
+        )
+
     scored = (
-        base.join(
-            F.broadcast(
-                hist_bucket_edges(
-                    base, "recency_days", 5, descending=False, out="r_score"
-                )
-            ),
-            "recency_days",
-        )
-        .join(
-            F.broadcast(
-                hist_bucket_edges(base, "freq", 5, descending=True, out="f_score")
-            ),
-            "freq",
-        )
-        .join(
-            F.broadcast(
-                hist_bucket_edges(base, "mcell", 5, descending=True, out="m_score")
-            ),
-            "mcell",
-        )
+        base.join(F.broadcast(edge("r", "recency_days", "r_score")), "recency_days")
+        .join(F.broadcast(edge("f", "freq", "f_score")), "freq")
+        .join(F.broadcast(edge("m", "mcell", "m_score")), "mcell")
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")

@@ -55,7 +55,7 @@ SECTIONS = [
     ("events_anomaly_zscore",
      "Rolling z-score: ONE Window operator carrying all three fixed-point BIGINT frame sums after a single user_id exchange — no second shuffle, no per-sum window"),
     ("text_lm_score",
-     "Bigram-LM quality deciles: map-side bigram explode, vocabulary sides broadcast, and the doc-pairs/LM join UNHINTED — Catalyst picks from statistics (size-based broadcast at sf0.1 where both sides are MBs; a shuffle join on the uniform pair key at scale where both are TBs) — fixed-point BIGINT per-doc sums"),
+     "Bigram-LM quality deciles: map-side bigram explode, vocabulary sides broadcast, the doc-pairs/LM join UNHINTED (Catalyst picks from statistics), fixed-point BIGINT per-doc sums — and the decile bucketing is the HISTOGRAM CUT (r4's global ntile removed): the only unpartitioned window runs over the <= LM_GRID-cell score histogram (domain-bounded, never row-bounded), each doc's bucket a map-side BroadcastHashJoin lookup against the persisted score frame"),
     ("dsir_importance",
      "DSIR importance weights: vocabulary-sized term-ratio table broadcast (map-side join — no shuffle keyed on the power-law term column), per-doc fixed-point BIGINT reduction"),
     ("sem_dedup",
@@ -81,7 +81,15 @@ SECTIONS = [
     ("a12_incremental_rollup",
      "Incremental rollup maintenance: state and delta partial aggs merged by ONE full-outer join on the topic key — counts/sums add, min/max fold (the fixture derives both partials by scanning; in production the state side is the STORED rollup, so only the delta scans)"),
     ("retrieval_rrf_fusion",
-     "Hybrid RRF: two independent top-N candidate rankings (map-only scoring each) fused by a candidate-sized full-outer join + TakeOrderedAndProject"),
+     "Hybrid RRF: BOTH candidate legs are orderBy().limit() -> TakeOrderedAndProject (parallel partial top-k; r4's corpus-sized global row_number sort removed), ranks assigned over the <= CAND_N survivors only, fused by a candidate-sized full-outer join + final TakeOrderedAndProject"),
+    ("events_rfm_segments",
+     "RFM quintiles via three value-domain histogram cuts (r4's three unpartitioned ntile windows removed): the users-sized purchase rollup persists once, each metric's cumulative window runs over its VALUE domain (days / purchase counts / whole-currency cells), and every user's three scores are map-side BroadcastHashJoin lookups"),
+    ("slice_length_mad",
+     "Median + MAD per language by two CHAINED histogram cuts: per-lang cumulative windows over the length then deviation domains (both O(domain)), the langs-sized median table broadcast back onto the corpus for map-side deviations — robust spread with zero row-scale sorts"),
+    ("emb_covariance_topk",
+     "Cross-dimension covariance: map-side d^2/2 pair fan-out with exact fixed-point BIGINT products, 2016-cell hash agg with map-side combine, TakeOrderedAndProject top-K — partials design-bounded per task at any corpus size"),
+    ("corpus_shard_manifest",
+     "Training-export sharding: map-only md5 routing + N_SHARDS-group agg + broadcast 1-row total — the global training shuffle expressed as a partition key, no sort anywhere"),
     ("sample_fixed_n",
      "Exactly-N sample: orderBy(hash).limit(N) plans as TakeOrderedAndProject — K rows per partition to the driver, no global sort; the rank window runs on the N-row result"),
 ]
