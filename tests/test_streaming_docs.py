@@ -225,3 +225,123 @@ def test_streaming_funnel_matches_batch(spark, doc_batches, tmp_path):
         for r in funnel_verdict_frame(batch_df).select("doc_id", "reason").collect()
     }
     assert streamed == expected
+
+
+def test_streaming_dedup_index_matches_batch_screening(spark, tmp_path):
+    """The foreachBatch index maintainer (streaming/docs_index.py) must
+    produce, for every micro-batch, exactly the verdicts the BATCH
+    screening machinery (dedup_incremental's joins) would produce for
+    that batch against the union of all prior batches — and a replayed
+    batch must leave verdicts and index byte-identical (at-least-once
+    contract)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.llm.dedup import (
+        BAND_SIZE,
+        _band_frame,
+        _minhash_sig,
+        _shingles,
+    )
+    from cdc_sync_poc_spark.streaming.docs_index import (
+        StreamingDedupIndex,
+        run_streaming_dedup_index,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    docs = t.to_pylist()[:36]
+    batch1 = docs[:20]
+    # batch 2: 6 exact re-crawls of batch 1 + 10 fresh
+    batch2 = [{**d, "doc_id": 2000 + i} for i, d in enumerate(docs[:6])] + docs[20:30]
+    # batch 3: 3 re-crawls of batch 2's fresh docs + 6 fresh
+    batch3 = [{**d, "doc_id": 3000 + i} for i, d in enumerate(docs[20:23])] + docs[30:36]
+    in_dir = tmp_path / "idx_in"
+    in_dir.mkdir()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    now = time.time()
+    batches = (batch1, batch2, batch3)
+    for i, rows in enumerate(batches):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    root = tmp_path / "idx_root"
+    q = run_streaming_dedup_index(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_idx")
+    )
+    q.awaitTermination()
+    idx = StreamingDedupIndex(spark, str(root))
+    got = {
+        r.doc_id: (r.exact_dup, r.near_dup, r.verdict)
+        for r in idx.verdicts().collect()
+    }
+    assert len(got) == sum(len(b) for b in batches)
+
+    # straight-line expectation: screen each batch against the union of
+    # prior batches with the SAME joins dedup_incremental uses
+    from pyspark.sql import functions as F
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in rows], "doc_id long, text string"
+        )
+
+    prior = None
+    for i, rows in enumerate(batches):
+        cur = frame(rows)
+        if prior is None:
+            for d in rows:
+                assert got[d["doc_id"]] == (False, False, "new"), d["doc_id"]
+            prior = cur
+            continue
+        both = prior.select("doc_id", "text").unionByName(cur)
+        ex_ids = {
+            r.doc_id
+            for r in cur.select("doc_id", F.md5("text").alias("h"))
+            .join(
+                prior.select(F.md5("text").alias("h")).distinct(), "h", "left_semi"
+            )
+            .collect()
+        }
+        band_all = _band_frame(_minhash_sig(_shingles(both)), BAND_SIZE)
+        cur_ids = {d["doc_id"] for d in rows}
+        nr_ids = {
+            r.doc_id
+            for r in band_all.filter(F.col("doc_id").isin(cur_ids))
+            .join(
+                band_all.filter(~F.col("doc_id").isin(cur_ids)).select(
+                    "band_id", "band_key"
+                ),
+                ["band_id", "band_key"],
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        for d in rows:
+            did = d["doc_id"]
+            want = (
+                did in ex_ids,
+                did in nr_ids,
+                "exact" if did in ex_ids else ("near" if did in nr_ids else "new"),
+            )
+            assert got[did] == want, (did, got[did], want)
+        prior = both
+
+    # replay the LAST batch: verdicts and index must be unchanged
+    before = sorted(map(tuple, idx.verdicts().collect()))
+    n_hash = spark.read.parquet(str(root / "hash_idx")).count()
+    last_df = spark.read.parquet(str(in_dir / "part-2.parquet"))
+    idx.screen_batch(last_df, batch_id=2)
+    assert sorted(map(tuple, idx.verdicts().collect())) == before
+    assert spark.read.parquet(str(root / "hash_idx")).count() == n_hash
