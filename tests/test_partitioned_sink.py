@@ -55,3 +55,47 @@ def test_dynamic_partition_overwrite_touches_only_incoming(spark, tmp_path):
     assert after.filter("lang = 'en'").count() == n_patch
     # non-targeted partitions untouched
     assert after.filter("lang <> 'en'").count() == before_all - before_en
+
+
+def test_compaction_reduces_files_preserving_data(spark, tmp_path):
+    """Small-file compaction (sources/maintenance.py): a debris-heavy
+    partition is rewritten to the target file count with identical
+    data; partitions already compact are not touched."""
+    import os
+
+    from cdc_sync_poc_spark.sources.maintenance import compact_partitions
+
+    out = str(tmp_path / "docs_debris")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    # simulate micro-batch debris: 20 tiny files per partition
+    docs.repartition(20).write.partitionBy("lang").parquet(out)
+
+    def files_in(part):
+        d = os.path.join(out, part)
+        return sorted(
+            f for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    parts = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert all(len(files_in(p)) > 1 for p in parts)
+    before = {
+        (r.doc_id, r.n_chars, r.lang) for r in spark.read.parquet(out).collect()
+    }
+
+    report = compact_partitions(spark, out, target_bytes=128 * 1024 * 1024)
+    touched = {r["partition"] for r in report}
+    assert touched == set(parts)  # all were debris-heavy
+    for r in report:
+        assert r["files_after"] == 1 and r["files_before"] > 1
+    after = {
+        (r.doc_id, r.n_chars, r.lang) for r in spark.read.parquet(out).collect()
+    }
+    assert after == before  # byte-level shuffle, value-level identity
+
+    # idempotence: a second pass finds nothing to do and touches nothing
+    snapshot = {p: files_in(p) for p in parts}
+    assert compact_partitions(spark, out, target_bytes=128 * 1024 * 1024) == []
+    assert {p: files_in(p) for p in parts} == snapshot
