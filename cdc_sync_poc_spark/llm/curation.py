@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
-from cdc_sync_poc_spark.sources.loader import load_table
+from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
 
 # Gopher-style repetition cuts, tuned to the synthetic corpus (observed
 # top-bigram fraction 0.01-0.17 median 0.03; duplicate-trigram fraction
@@ -928,30 +928,62 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side (inherent to any covariance computation) and the agg
     output is a fixed 2016 cells with map-side combine — partials per
     task are design-bounded, never corpus-bounded; the final top-K is
-    TakeOrderedAndProject over 2016 rows."""
+    TakeOrderedAndProject over 2016 rows.
+
+    Plan: the pair fan-out is a broadcast CROSS JOIN against the tiny
+    (i, j) pair table — each output row computes ONE element_at
+    product inside whole-stage codegen, feeding the hash agg's
+    map-side combine directly. The explode/flatten form is measurably
+    pathological here: Catalyst's project-collapse inlines the
+    array-building expression INTO the generator, re-evaluating the
+    O(d^2) array once per OUTPUT row (O(d^4) per vector — 22 s vs
+    ~1 s at sf0.1). The per-dimension sums come from the same
+    cross-join shape over a 64-row dim table, collected to the driver
+    (design-bounded, the IVF centroid precedent) and attached to the
+    2016-row decode map."""
     emb = load_table(spark, sf_dir, "embeddings")
-    fp = emb.select(
-        F.expr(
-            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
-            f" * {COV_FIX}) AS BIGINT))"
-        ).alias("f")
+    spark_ = emb.sparkSession
+    fp_expr = (
+        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {COV_FIX}) AS BIGINT))"
     )
-    pairs = fp.select(
-        F.explode(
+    # the single-row-group fixture scan would serialize the d^2/2
+    # product fan-out into one task — spread it (no-op on a real lake)
+    fp = spread_small_input(emb.select(F.expr(fp_expr).alias("f")))
+    dim_ids = F.broadcast(
+        spark_.range(1, 65).select(F.col("id").cast("int").alias("d"))
+    )
+    dims = (
+        fp.crossJoin(dim_ids)
+        .select("d", F.expr("element_at(f, d)").alias("x"))
+        .groupBy("d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    s_of = {int(r.d): int(r.s) for r in dims}
+    n_rows = int(dims[0].n) if dims else 0
+    pair_map = [
+        (i, j, s_of[i], s_of[j])
+        for i in range(1, 64)
+        for j in range(i + 1, 65)
+    ]
+    decode = F.broadcast(
+        spark_.createDataFrame(pair_map, "i long, j long, si long, sj long")
+    )
+    agg = (
+        fp.crossJoin(decode)
+        .select(
+            "i",
+            "j",
+            "si",
+            "sj",
             F.expr(
-                "flatten(transform(sequence(1, 63), i ->"
-                " transform(sequence(i + 1, 64), j -> struct("
-                " CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,"
-                " element_at(f, i) * element_at(f, j) AS p,"
-                " element_at(f, i) AS fi, element_at(f, j) AS fj))))"
-            )
-        ).alias("s")
-    ).select("s.*")
-    agg = pairs.groupBy("i", "j").agg(
-        F.count("*").alias("n"),
-        F.sum("p").alias("sp"),
-        F.sum("fi").alias("si"),
-        F.sum("fj").alias("sj"),
+                "element_at(f, CAST(i AS INT)) * element_at(f, CAST(j AS INT))"
+            ).alias("p"),
+        )
+        .groupBy("i", "j", "si", "sj")
+        .agg(F.sum("p").alias("sp"))
+        .withColumn("n", F.lit(n_rows))
     )
     c = (
         F.col("sp").cast("double") / F.lit(_COV_FIX2)

@@ -87,7 +87,7 @@ SECTIONS = [
     ("slice_length_mad",
      "Median + MAD per language by two CHAINED histogram cuts: per-lang cumulative windows over the length then deviation domains (both O(domain)), the langs-sized median table broadcast back onto the corpus for map-side deviations — robust spread with zero row-scale sorts"),
     ("emb_covariance_topk",
-     "Cross-dimension covariance: map-side d^2/2 pair fan-out with exact fixed-point BIGINT products, 2016-cell hash agg with map-side combine, TakeOrderedAndProject top-K — partials design-bounded per task at any corpus size"),
+     "Cross-dimension covariance: the d^2/2 pair fan-out is a broadcast CROSS JOIN against the 2016-row pair table (one codegen element_at product per output row — the explode/flatten form re-evaluates the O(d^2) array per output row, O(d^4)/vector), 2016-cell hash agg with map-side combine, TakeOrderedAndProject top-K"),
     ("corpus_shard_manifest",
      "Training-export sharding: map-only md5 routing + N_SHARDS-group agg + broadcast 1-row total — the global training shuffle expressed as a partition key, no sort anywhere"),
     ("sample_fixed_n",
