@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "corpus_shard_manifest",
     "events_decayed_engagement",
     "slice_length_mad",
+    "st08_quarantine_replay",
+    "ap10_pit_lookup",
 ]
 
 N_REPS = 3

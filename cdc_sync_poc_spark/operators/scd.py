@@ -64,3 +64,61 @@ def ap07_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_ms").alias("valid_to_ms"),
         F.col("next_seq").isNull().alias("is_current"),
     )
+
+
+@register(
+    "ap10_pit_lookup",
+    oracle=f"""
+WITH {CDC_CTE},
+b AS (
+  SELECT cdc_seq, pk, operation, ts_ms, val,
+         lead(ts_ms) OVER (PARTITION BY pk ORDER BY cdc_seq) AS next_ms
+  FROM cdc
+),
+hist AS (
+  SELECT cdc_seq AS version_seq, pk, val, ts_ms AS f, next_ms AS t
+  FROM b WHERE operation <> 'DELETE'
+),
+probe AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS a FROM cdc)
+SELECT h.pk, h.version_seq, h.val, probe.a AS asof_ms
+FROM hist h, probe
+WHERE h.f <= probe.a AND (h.t IS NULL OR h.t > probe.a)
+""",
+)
+def ap10_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history (ap07): the state
+    of every key AS OF a probe instant (here the midpoint of the
+    stream's ts range, derived as exact integer arithmetic so both
+    engines probe the identical millisecond). This is the time-travel
+    read an audit or training-data-freeze needs — "what did the table
+    look like at T" — answered from the version table alone, no replay.
+
+    Scale: history is pk-partitioned (one window shuffle, shared shape
+    with ap07); the AS-OF probe is a broadcast 1-row constant and the
+    validity test [valid_from <= t < valid_to) is a map-side filter —
+    at most one version survives per key by interval construction. On
+    a valid_from-partitioned lake layout the filter prunes partitions
+    newer than T before any read."""
+    cdc = cdc_view(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy("cdc_seq")
+    hist = (
+        cdc.select("cdc_seq", "pk", "operation", "ts_ms", "val")
+        .select("*", F.lead("ts_ms").over(w).alias("next_ms"))
+        .filter(F.col("operation") != "DELETE")
+    )
+    asof = cdc.agg(
+        F.expr("(min(ts_ms) + max(ts_ms)) div 2").alias("a")
+    )
+    return (
+        hist.crossJoin(F.broadcast(asof))
+        .filter(
+            (F.col("ts_ms") <= F.col("a"))
+            & (F.col("next_ms").isNull() | (F.col("next_ms") > F.col("a")))
+        )
+        .select(
+            "pk",
+            F.col("cdc_seq").alias("version_seq"),
+            "val",
+            F.col("a").alias("asof_ms"),
+        )
+    )

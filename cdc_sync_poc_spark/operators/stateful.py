@@ -249,3 +249,46 @@ def st07_backpressure_cfg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cdc_seq").alias("last_offset"),
         )
     )
+
+
+@register(
+    "st08_quarantine_replay",
+    oracle=f"""
+WITH {CDC_CTE},
+q AS (
+  SELECT cdc_seq, pk, val, prop_k FROM cdc
+  WHERE prop_k > 95 OR val < 0.05
+)
+SELECT cdc_seq, pk,
+       CASE WHEN prop_k > 95 THEN 'POISON' ELSE 'RECOVERED' END AS outcome,
+       CASE WHEN prop_k > 95 THEN NULL
+            ELSE round(greatest(val, 0.05), 2) END AS fixed_val
+FROM q
+""",
+)
+def st08_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter REPLAY — the recovery half of st06's quarantine (the
+    ops workflow the reference leaves manual: PROCESSED_YN='E' rows sit
+    in the table until someone fixes and re-runs them). The replay job
+    applies the remediation rule to each quarantined row: a clampable
+    value defect (val below the 0.05 floor) is RECOVERED with the
+    clamped value and re-enters the apply path; a poison defect
+    (prop_k > 95, the unparseable-payload stand-in) stays POISON and
+    is reported, never retried — the classification that keeps a
+    dead-letter queue from looping forever.
+
+    Scale: the quarantine table is defect-rate-sized (orders smaller
+    than the stream); remediation is a pure map over it — no joins, no
+    windows, replay-idempotent by construction (clamping is a fixed
+    function of the row)."""
+    cdc = cdc_view(spark, sf_dir)
+    q = cdc.filter((F.col("prop_k") > 95) | (F.col("val") < 0.05))
+    poison = F.col("prop_k") > 95
+    return q.select(
+        "cdc_seq",
+        "pk",
+        F.when(poison, "POISON").otherwise("RECOVERED").alias("outcome"),
+        F.when(~poison, F.round(F.greatest("val", F.lit(0.05)), 2)).alias(
+            "fixed_val"
+        ),
+    )
