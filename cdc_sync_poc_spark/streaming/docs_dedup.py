@@ -62,17 +62,22 @@ def simhash16_col(text_col: str = "text") -> F.Column:
     nibble in '89abcdef') and emit the sign bit. Semantically identical
     to the batch dedup_simhash (llm/dedup.py) — integer vote sums are
     order-independent — but usable under Structured Streaming where a
-    pre-dedup shuffle is not."""
-    hashes = f"transform(split({text_col}, ' '), w -> md5(w))"
-    bits = []
-    for i in range(1, 17):
-        vote = (
-            f"aggregate({hashes}, 0,"
-            f" (acc, h) -> acc + IF(contains('89abcdef', substr(h, {i}, 1)),"
-            " 1, -1))"
-        )
-        bits.append(f"IF({vote} >= 0, '1', '0')")
-    return F.expr("concat(" + ", ".join(bits) + ")")
+    pre-dedup shuffle is not.
+
+    All 16 votes accumulate in ONE fold whose state is the 16-element
+    vote array, so each token is md5-hashed exactly once. (The
+    16-separate-aggregates form re-evaluates the token-hash transform
+    per bit — project-collapse inlines a repeated alias into every
+    consumer, the emb_covariance_topk trap — for 16x the hash work.)"""
+    votes = (
+        f"aggregate(transform(split({text_col}, ' '), w -> md5(w)),"
+        f" array_repeat(0, 16),"
+        f" (acc, h) -> zip_with(acc, sequence(1, 16),"
+        f" (a, i) -> a + IF(contains('89abcdef', substr(h, i, 1)), 1, -1)))"
+    )
+    return F.expr(
+        f"concat_ws('', transform({votes}, v -> IF(v >= 0, '1', '0')))"
+    )
 
 
 def streaming_simhash_dedup(docs: DataFrame) -> DataFrame:
