@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "slice_length_mad",
     "st08_quarantine_replay",
     "ap10_pit_lookup",
+    "clf_calibration_by_length",
 ]
 
 N_REPS = 3

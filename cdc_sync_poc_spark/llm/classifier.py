@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_sync_poc_spark.functions.histcut import hist_bucket_oracle_cte
 from cdc_sync_poc_spark.registry import register
 from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
 
@@ -148,4 +149,61 @@ def text_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n").cast("double") / F.sum("n").over(per_pred), 6
         ).alias("frac_of_pred"),
+    )
+
+
+@register(
+    "clf_calibration_by_length",
+    oracle=f"""
+WITH {_DUCK_SCORED},
+cd AS (SELECT doc_id, n_tokens, margin_fix FROM scored),
+edges AS ({{EDGES}})
+SELECT e.len_decile, count(*)::BIGINT AS n_docs,
+       sum(cd.margin_fix)::BIGINT AS margin_fix_sum,
+       round(CAST(sum(cd.margin_fix) AS DOUBLE) / sum(cd.n_tokens)
+             / {CLF_WOFF}, 6) AS pooled_score,
+       round(CAST(count(*) FILTER (cd.margin_fix >= 0) AS DOUBLE)
+             / count(*), 6) AS keep_rate
+FROM cd JOIN edges e USING (n_tokens)
+GROUP BY e.len_decile
+""".replace(
+        "{EDGES}",
+        hist_bucket_oracle_cte(
+            "cd", "n_tokens", 10, descending=False, out="len_decile"
+        ),
+    ),
+)
+def clf_calibration_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-score calibration across length deciles: pooled
+    (token-weighted) score and keep-rate per document-length bucket —
+    the confound check every quality filter needs before deployment (a
+    classifier that mostly measures LENGTH will silently bias the kept
+    corpus short or long; a flat keep_rate across deciles clears it).
+
+    Composition evidence for the two primitives: buckets come from the
+    value-domain histogram cut (functions/histcut.py) on the n_tokens
+    domain, scores from the map-only hashed-classifier margin — exact
+    BIGINT sums pooled per bucket, one double division per output row.
+    No row-scale window, no UDF; the edge table broadcasts."""
+    from cdc_sync_poc_spark.functions.histcut import hist_bucket_edges
+
+    scored = _scored(spark, sf_dir).select("doc_id", "n_tokens", "margin_fix")
+    edges = hist_bucket_edges(
+        scored, "n_tokens", 10, descending=False, out="len_decile"
+    )
+    keep = F.count(F.when(F.col("margin_fix") >= 0, 1))
+    return (
+        scored.join(F.broadcast(edges), "n_tokens")
+        .groupBy("len_decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("margin_fix").alias("margin_fix_sum"),
+            F.round(
+                F.sum("margin_fix").cast("double")
+                / F.sum("n_tokens")
+                / F.lit(CLF_WOFF),
+                6,
+            ).alias("pooled_score"),
+            F.round(keep.cast("double") / F.count("*"), 6).alias("keep_rate"),
+        )
     )

@@ -83,3 +83,29 @@ def compact_partitions(
             }
         )
     return report
+
+
+def expire_old_batches(path: str, keep_latest: int) -> list[int]:
+    """Retention for per-batch partition sinks (the audit log, the
+    streaming dedup-index dirs): delete ``batch_id=N`` partitions older
+    than the newest ``keep_latest`` — the TTL sweep that keeps an
+    append-forever sink bounded (the reference's SP_CLEANUP_HASH job,
+    generalized to any batch-partitioned directory). Returns the
+    deleted batch ids (empty when nothing is old enough).
+
+    Pure directory-listing work — no Spark job; idempotent (a second
+    sweep finds nothing). Readers racing the delete see partition-level
+    atomicity, same contract as compaction above."""
+    if not os.path.isdir(path):
+        return []
+    batches = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("batch_id=")
+        and os.path.isdir(os.path.join(path, d))
+        and d.split("=", 1)[1].isdigit()
+    )
+    doomed = batches[:-keep_latest] if keep_latest > 0 else batches
+    for b in doomed:
+        shutil.rmtree(os.path.join(path, f"batch_id={b}"))
+    return doomed

@@ -99,3 +99,22 @@ def test_compaction_reduces_files_preserving_data(spark, tmp_path):
     snapshot = {p: files_in(p) for p in parts}
     assert compact_partitions(spark, out, target_bytes=128 * 1024 * 1024) == []
     assert {p: files_in(p) for p in parts} == snapshot
+
+
+def test_expire_old_batches_keeps_latest(spark, tmp_path):
+    """Batch-partition retention: only the newest keep_latest partitions
+    survive; the sweep is idempotent and data in survivors is intact."""
+    import os
+
+    from cdc_sync_poc_spark.sources.maintenance import expire_old_batches
+
+    out = str(tmp_path / "audit_sink")
+    for b in range(5):
+        spark.range(b * 10, b * 10 + 10).write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={b}")
+        )
+    assert expire_old_batches(out, keep_latest=2) == [0, 1, 2]
+    assert sorted(os.listdir(out)) == ["batch_id=3", "batch_id=4"]
+    assert expire_old_batches(out, keep_latest=2) == []  # idempotent
+    ids = {r.id for r in spark.read.parquet(out).collect()}
+    assert ids == set(range(30, 50))
