@@ -642,3 +642,47 @@ def test_fixed_n_sample_is_bottom_k_stable(ids, extra, n):
     assert survivors == [i for i in after if i in set(before)]
     # ...and the grown sample is exactly the union's bottom-n
     assert after == bottom_n(set(after) | set(before) | ids | extra)
+
+
+def _histcut_reference(values, n_buckets, descending):
+    """Straight-line histogram cut: bucket(v) = ceil(N * cum(v) / n)
+    where cum counts rows at-or-better than v in the chosen order."""
+    from collections import Counter
+    from math import ceil
+
+    c = Counter(values)
+    order = sorted(c, reverse=descending)
+    n = len(values)
+    out, cum = {}, 0
+    for v in order:
+        cum += c[v]
+        out[v] = ceil(n_buckets * cum / n)
+    return out
+
+
+@given(
+    values=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=40),
+    n_buckets=st.sampled_from([1, 3, 5, 10]),
+    descending=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_hist_bucket_edges_matches_reference(spark, values, n_buckets, descending):
+    """functions/histcut.py (the ntile replacement): bucket ids match
+    the straight-line ceil-rank definition for every value — ties share
+    a bucket, ids span [1, n_buckets], monotone in the cut order."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.functions.histcut import hist_bucket_edges
+
+    df = spark.createDataFrame([(v,) for v in values], "cell long")
+    edges = hist_bucket_edges(
+        df, "cell", n_buckets, descending=descending, out="b"
+    )
+    got = {r.cell: r.b for r in edges.collect()}
+    want = _histcut_reference(values, n_buckets, descending)
+    assert got == want
+    assert all(1 <= b <= n_buckets for b in got.values())
+    ordered = sorted(got, reverse=descending)
+    assert all(
+        got[a] <= got[b] for a, b in zip(ordered, ordered[1:])
+    )  # monotone along the cut order
