@@ -217,6 +217,24 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def seq_packing_frame(docs: DataFrame) -> DataFrame:
     """Core of seq_packing over any (doc_id, lang, text) frame
     (separated so property tests can sweep chunk-boundary cases)."""
+    return _bins_from_prev(packing_prev_frame(docs))
+
+
+def _bins_from_prev(prev_frame: DataFrame) -> DataFrame:
+    return prev_frame.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"prev div {PACK_BUDGET}").alias("bin_id"),
+        (F.col("prev") % PACK_BUDGET).alias("bin_offset"),
+    )
+
+
+def packing_prev_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, prev): each document's running token
+    offset within its language stream — the two-level prefix sum,
+    exposed separately so the STREAMING packer (streaming/packing.py)
+    can add its cross-batch carry before the bin split."""
     d = (
         docs.select(
             "doc_id",
@@ -251,21 +269,11 @@ def seq_packing_frame(docs: DataFrame) -> DataFrame:
         )
     )
     prev = F.col("ck_off") + F.col("local_prev")
-    return (
-        local.join(F.broadcast(carry), ["lang", "ck"])
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            prev.alias("prev"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            F.expr(f"prev div {PACK_BUDGET}").alias("bin_id"),
-            (F.col("prev") % PACK_BUDGET).alias("bin_offset"),
-        )
+    return local.join(F.broadcast(carry), ["lang", "ck"]).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        prev.alias("prev"),
     )
 
 

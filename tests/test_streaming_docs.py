@@ -345,3 +345,65 @@ def test_streaming_dedup_index_matches_batch_screening(spark, tmp_path):
     idx.screen_batch(last_df, batch_id=2)
     assert sorted(map(tuple, idx.verdicts().collect())) == before
     assert spark.read.parquet(str(root / "hash_idx")).count() == n_hash
+
+
+def test_streaming_packing_matches_batch_on_ordered_arrival(spark, tmp_path):
+    """The continuous packer (streaming/packing.py): when documents
+    arrive in doc_id order, per-batch packing with the per-language
+    carry must equal the batch seq_packing over the union — and a
+    replayed batch leaves output and carry byte-identical."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.llm.preprocess import seq_packing_frame
+    from cdc_sync_poc_spark.streaming.packing import (
+        StreamingPacker,
+        run_streaming_packing,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    docs = sorted(t.to_pylist()[:60], key=lambda d: d["doc_id"])
+    batches = (docs[:25], docs[25:40], docs[40:60])
+    in_dir = tmp_path / "pack_in"
+    in_dir.mkdir()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    root = tmp_path / "pack_root"
+    q = run_streaming_packing(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_pack")
+    )
+    q.awaitTermination()
+    packer = StreamingPacker(spark, str(root))
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in packer.packed().collect()
+    }
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["lang"], d["text"]) for d in docs],
+        "doc_id long, lang string, text string",
+    )
+    want = {
+        r.doc_id: (r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in seq_packing_frame(union).collect()
+    }
+    assert got == want
+
+    # replay the middle batch: nothing changes
+    before = sorted(map(tuple, packer.packed().collect()))
+    mid = spark.read.parquet(str(in_dir / "part-1.parquet"))
+    packer.pack_batch(mid, batch_id=1)
+    assert sorted(map(tuple, packer.packed().collect())) == before
