@@ -37,7 +37,7 @@ Scale notes (the 100 TB lens):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.functions.histcut import (

@@ -407,3 +407,119 @@ def test_streaming_packing_matches_batch_on_ordered_arrival(spark, tmp_path):
     mid = spark.read.parquet(str(in_dir / "part-1.parquet"))
     packer.pack_batch(mid, batch_id=1)
     assert sorted(map(tuple, packer.packed().collect())) == before
+
+
+def test_streaming_curation_pipeline_matches_straightline(spark, tmp_path):
+    """Continuous curation (streaming/curation_pipeline.py): per batch,
+    funnel -> dedup-screen -> pack must equal the straight-line batch
+    replay of the same gates (funnel verdicts per batch; first-seen-
+    wins exact/near dedup of funnel survivors across batches; packing
+    the fresh survivors with the running per-language carry)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.llm.curation import funnel_verdict_frame
+    from cdc_sync_poc_spark.llm.dedup import (
+        BAND_SIZE,
+        _band_frame,
+        _minhash_sig,
+        _shingles,
+    )
+    from cdc_sync_poc_spark.llm.preprocess import seq_packing_frame
+    from cdc_sync_poc_spark.streaming.curation_pipeline import (
+        StreamingCurator,
+        run_streaming_curation,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    docs = sorted(t.to_pylist()[:50], key=lambda d: d["doc_id"])
+    # batch 2 re-crawls five batch-1 docs under new ids
+    batches = (
+        docs[:25],
+        [{**d, "doc_id": 9000 + i} for i, d in enumerate(docs[:5])] + docs[25:50],
+    )
+    in_dir = tmp_path / "cur_in"
+    in_dir.mkdir()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    root = tmp_path / "cur_root"
+    q = run_streaming_curation(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_cur")
+    )
+    q.awaitTermination()
+    cur = StreamingCurator(spark, str(root))
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in cur.packed().collect()
+    }
+
+    # straight-line replay
+    from pyspark.sql import functions as F
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(d["doc_id"], d["lang"], d["text"]) for d in rows],
+            "doc_id long, lang string, text string",
+        )
+
+    fresh_rows, index_rows = [], []
+    for rows in batches:
+        f = frame(rows)
+        kept = {
+            r.doc_id
+            for r in funnel_verdict_frame(f).filter(F.col("reason") == "kept")
+            .select("doc_id").collect()
+        }
+        surv = [d for d in rows if d["doc_id"] in kept]
+        if index_rows:
+            prior = frame(index_rows)
+            curf = frame(surv)
+            ex = {
+                r.doc_id
+                for r in curf.select("doc_id", F.md5("text").alias("h"))
+                .join(prior.select(F.md5("text").alias("h")).distinct(),
+                      "h", "left_semi").collect()
+            }
+            both = prior.unionByName(curf)
+            band = _band_frame(_minhash_sig(_shingles(both)), BAND_SIZE)
+            cur_ids = {d["doc_id"] for d in surv}
+            nr = {
+                r.doc_id
+                for r in band.filter(F.col("doc_id").isin(cur_ids))
+                .join(band.filter(~F.col("doc_id").isin(cur_ids))
+                      .select("band_id", "band_key"),
+                      ["band_id", "band_key"], "left_semi")
+                .select("doc_id").distinct().collect()
+            }
+            fresh = [d for d in surv if d["doc_id"] not in ex | nr]
+        else:
+            fresh = surv
+        fresh_rows += fresh
+        index_rows += surv  # ALL survivors enter the index
+    want = {
+        r.doc_id: (r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in seq_packing_frame(frame(fresh_rows)).collect()
+    }
+    assert got == want
+    # the re-crawled survivors must be the ones the dedup stage flagged
+    flagged = {
+        r.doc_id
+        for r in spark.read.parquet(str(root / "dedup" / "verdicts"))
+        .filter(F.col("verdict") != "new")
+        .collect()
+    }
+    assert any(9000 <= d < 9005 for d in flagged)
