@@ -686,3 +686,45 @@ def test_hist_bucket_edges_matches_reference(spark, values, n_buckets, descendin
     assert all(
         got[a] <= got[b] for a, b in zip(ordered, ordered[1:])
     )  # monotone along the cut order
+
+
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=18),
+    langs=st.lists(st.sampled_from(["en", "de"]), min_size=1, max_size=18),
+    cut1=st.integers(min_value=0, max_value=18),
+    cut2=st.integers(min_value=0, max_value=18),
+)
+@settings(**_SETTINGS)
+def test_streaming_packer_carry_matches_batch(
+    spark, tmp_path_factory, lens, langs, cut1, cut2
+):
+    """streaming/packing.py: for ANY split of a doc stream into
+    (possibly empty) batches, sequential pack_batch calls with the
+    per-language carry equal batch seq_packing over the union —
+    including empty batches and languages absent from a batch."""
+    from cdc_sync_poc_spark.llm.preprocess import seq_packing_frame
+    from cdc_sync_poc_spark.streaming.packing import StreamingPacker
+
+    n = min(len(lens), len(langs))
+    rows = [
+        (i, langs[i], " ".join(f"w{j}" for j in range(lens[i])))
+        for i in range(n)
+    ]
+    a, b = sorted((min(cut1, n), min(cut2, n)))
+    batches = [rows[:a], rows[a:b], rows[b:]]
+    root = str(tmp_path_factory.mktemp("pack_prop"))
+    packer = StreamingPacker(spark, root)
+    schema = "doc_id long, lang string, text string"
+    for i, batch in enumerate(batches):
+        packer.pack_batch(spark.createDataFrame(batch, schema), batch_id=i)
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in packer.packed().collect()
+    }
+    want = {
+        r.doc_id: (r.lang, r.n_tokens, r.bin_id, r.bin_offset)
+        for r in seq_packing_frame(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert got == want

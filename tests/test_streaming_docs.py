@@ -523,3 +523,29 @@ def test_streaming_curation_pipeline_matches_straightline(spark, tmp_path):
         .collect()
     }
     assert any(9000 <= d < 9005 for d in flagged)
+
+
+def test_streaming_curator_survives_all_dropped_batch(spark, tmp_path):
+    """A micro-batch whose documents ALL fail the funnel (or an empty
+    batch) must flow through dedup-screen and packing without error and
+    leave the carry state untouched for the next batch."""
+    from cdc_sync_poc_spark.streaming.curation_pipeline import StreamingCurator
+
+    cur = StreamingCurator(spark, str(tmp_path / "cur_empty"))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # alternating stopword/unique words: no repeated bigram or trigram,
+    # stopword ratio 0.5, 100 words — passes every funnel gate
+    words = []
+    for i in range(50):
+        words += ["the", f"w{i}"]
+    good = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s", 100)], schema
+    )
+    bad = spark.createDataFrame([(2, "x y", "en", "s", 3)], schema)  # too_short
+    cur.process_batch(good, 0)
+    cur.process_batch(bad, 1)  # zero survivors
+    cur.process_batch(
+        spark.createDataFrame([], schema), 2
+    )  # fully empty batch
+    packed = {r.doc_id for r in cur.packed().collect()}
+    assert packed == {1}
