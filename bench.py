@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "st08_quarantine_replay",
     "ap10_pit_lookup",
     "clf_calibration_by_length",
+    "mm_dedup_phash",
 ]
 
 N_REPS = 3

@@ -331,3 +331,101 @@ def mm_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("CORRUPT")
         .alias("status"),
     )
+
+
+PHASH_HAMMING_MAX = 3  # mm_dedup_phash near-dup threshold (of 16 bits)
+
+
+@register(
+    "mm_dedup_phash",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lower(hex(unhex(md5(text)))) AS payload_hex FROM documents
+),
+ph AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 17),
+            i -> CASE WHEN contains('89abcdef', substr(payload_hex, i, 1))
+                      THEN 1 << (16 - i) ELSE 0 END))::BIGINT AS BIGINT)
+           AS phash
+  FROM m
+),
+bd AS (
+  SELECT doc_id, phash, b AS band_id,
+         CASE WHEN b = 0 THEN phash // 256 ELSE phash % 256 END AS band_key
+  FROM ph CROSS JOIN range(0, 2) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa,
+                  c.doc_id AS doc_b, c.phash AS pb
+  FROM bd a JOIN bd c
+    ON a.band_id = c.band_id AND a.band_key = c.band_key
+   AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(pa, pb))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= {PHASH_HAMMING_MAX}
+""",
+)
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over the BINARY media column — the
+    image/video twin of MinHash-LSH text dedup: a 16-bit fingerprint
+    per blob, banded into its two
+    8-BIT halves (a Hamming-ball pair within distance d collides on
+    >= one band whenever d < the per-band bit budget's pigeonhole),
+    candidates verified by EXACT Hamming distance. The real pHash
+    (DCT over decoded pixels) lives behind the stubbed decode like
+    every mm kernel (module docstring); the surrogate derives the
+    fingerprint from the payload bytes' nibble high-bits, so the
+    banding/verification PLUMBING — the part that must scale — is real
+    and oracle-checked.
+
+    Scale: fingerprint + band keys are map-side expressions reading
+    the blob column once; candidates come from a band equi-join (never
+    all-pairs); the verify is one xor + bit_count per candidate. The
+    blob column prunes out of the join entirely — only the 16-bit
+    fingerprints shuffle."""
+    m = media_table(spark, sf_dir)
+    payload_hex = F.lower(F.hex("media_bytes"))
+    bits = []
+    for i in range(1, 17):
+        bits.append(
+            f"IF(contains('89abcdef', substr(ph, {i}, 1)), {1 << (16 - i)}, 0)"
+        )
+    ph = (
+        m.select("doc_id", payload_hex.alias("ph"))
+        .select(
+            "doc_id",
+            F.expr(" + ".join(bits)).cast("bigint").alias("phash"),
+        )
+    )
+    bd = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.expr("array(phash div 256, phash % 256)")
+        ).alias("band_id", "band_key"),
+    )
+    a = bd.alias("a")
+    c = bd.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.phash").alias("pa"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("c.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(pa ^ pb)")
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
