@@ -172,6 +172,10 @@ BENCH_QUERIES = [
     "ap10_pit_lookup",
     "clf_calibration_by_length",
     "mm_dedup_phash",
+    "text_gopher_rules",
+    "dedup_line_global",
+    "maint_zorder_layout",
+    "j09_bloom_prefilter_join",
 ]
 
 N_REPS = 3

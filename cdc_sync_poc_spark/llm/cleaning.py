@@ -1,0 +1,215 @@
+"""Rule-based corpus cleaning (M6 extension): the Gopher quality-rule
+bundle and C4-style corpus-wide line dedup — the two standard cleaning
+passes (Rae et al. 2021 "Scaling Language Models" appendix A;
+Raffel et al. 2020 C4 section 2.2) that run before model-based quality
+scoring in a pre-training pipeline.
+
+Both are pure DataFrame plans. The Gopher rules are one map-only
+projection (no shuffle at any corpus size). Line dedup is the same
+two-shuffle shape as dedup_segment_boilerplate: explode to the segment
+unit, one hash agg to pick each segment's corpus-wide first occurrence,
+an equi-join back on the segment key (reusing the agg's partitioning),
+and one per-document agg to reassemble the surviving text.
+
+This corpus has no newlines, so — exactly as dedup_segment_boilerplate
+documents — the "line" unit is a fixed-width word segment; on a real
+web corpus swap the segmenter expression for split(text, '\\n') and the
+whole plan is unchanged. Unlike the boilerplate pass (which counts full
+segments only), line dedup keeps the remainder tail as a final partial
+segment so reassembly never truncates a document.
+
+Determinism: every rule threshold compares BIGINT counts or a
+correctly-rounded double ratio (single division, round(x, 6) on both
+engines); the first-occurrence winner is min(doc_id * POS_ENC + pos),
+pure BIGINT, order-independent under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.llm.text import _STOPWORDS
+from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
+
+# Gopher rule thresholds (Rae et al. 2021 appendix A, adapted to this
+# fixture's 10-120-word documents: the word-count band is scaled down
+# from Gopher's 50..100k so both outcomes occur in the test corpus; the
+# other thresholds are Gopher's own).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP = 2
+
+LINE_WORDS = 8  # the "line" segment width (= segment_stats.SEG_WORDS)
+POS_ENC = 1_000_000  # winner encoding: doc_id * POS_ENC + pos; holds
+# for documents up to POS_ENC segments (= 8M words) — far beyond any
+# real document; a longer one should be chunked upstream (doc_chunking)
+
+_STOPLIST_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       len(ws)::BIGINT AS n_words,
+       round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+             / len(ws), 6) AS mean_word_len,
+       round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / len(ws), 6) AS alpha_frac,
+       len(list_filter(ws, x -> x IN ({_STOPLIST_SQL})))::BIGINT AS n_stop,
+       len(ws) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AS rule_word_count,
+       round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+             / len(ws), 6) BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+         AS rule_mean_len,
+       round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / len(ws), 6) >= {GOPHER_ALPHA_FRAC}
+         AS rule_alpha,
+       len(list_filter(ws, x -> x IN ({_STOPLIST_SQL}))) >= {GOPHER_MIN_STOP}
+         AS rule_stopwords,
+       (len(ws) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (round(CAST(list_sum(list_transform(ws, x -> length(x)))
+                         AS DOUBLE) / len(ws), 6)
+              BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI})
+         AND (round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                         AS DOUBLE) / len(ws), 6) >= {GOPHER_ALPHA_FRAC})
+         AND (len(list_filter(ws, x -> x IN ({_STOPLIST_SQL})))
+              >= {GOPHER_MIN_STOP})
+         AS gopher_pass
+FROM w
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule bundle: per document, the standard repetition-
+    free heuristic gates — word-count band, mean word length band,
+    alphabetic-word fraction, minimum stopword count — each reported as
+    its own flag (so downstream selection can ablate rules
+    individually, the way the Gopher paper reports per-rule removal
+    rates) plus the conjunction.
+
+    One map-only projection over the documents scan: every rule is a
+    higher-order-function fold on the split words array, evaluated
+    JVM-side — zero shuffles, zero Python, scales embarrassingly. The
+    two double ratios are single correctly-rounded divisions; all other
+    comparisons are BIGINT."""
+    return gopher_rules_frame(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    """Core of text_gopher_rules over any (doc_id, text) frame."""
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws).cast("long")
+    sum_len = F.expr("aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))")
+    mean_len = F.round(sum_len.cast("double") / n_words, 6)
+    n_alpha = F.expr("size(filter(split(text, ' '), x -> x rlike '[a-z]'))").cast(
+        "long"
+    )
+    alpha_frac = F.round(n_alpha.cast("double") / n_words, 6)
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({_STOPLIST_SQL})))"
+    ).cast("long")
+    rule_wc = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    rule_ml = mean_len.between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+    rule_af = alpha_frac >= GOPHER_ALPHA_FRAC
+    rule_st = n_stop >= GOPHER_MIN_STOP
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        rule_wc.alias("rule_word_count"),
+        rule_ml.alias("rule_mean_len"),
+        rule_af.alias("rule_alpha"),
+        rule_st.alias("rule_stopwords"),
+        (rule_wc & rule_ml & rule_af & rule_st).alias("gopher_pass"),
+    )
+
+
+@register(
+    "dedup_line_global",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, (len(ws) + {LINE_WORDS} - 1) // {LINE_WORDS} + 1),
+                i -> struct_pack(pos := i,
+                                 seg := array_to_string(
+                                   ws[(i-1)*{LINE_WORDS}+1:i*{LINE_WORDS}], ' '))))
+           AS s
+  FROM w
+),
+seg AS (SELECT doc_id, s.pos AS pos, s.seg AS segment FROM seg0),
+win AS (
+  SELECT segment, min(doc_id * {POS_ENC} + pos) AS w
+  FROM seg GROUP BY segment
+)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_seg,
+       sum(CASE WHEN s.doc_id * {POS_ENC} + s.pos = w.w THEN 1 ELSE 0 END)::BIGINT
+         AS n_kept,
+       coalesce(string_agg(
+         CASE WHEN s.doc_id * {POS_ENC} + s.pos = w.w THEN s.segment END,
+         ' ' ORDER BY s.pos), '') AS text_kept
+FROM seg s JOIN win w USING (segment)
+GROUP BY s.doc_id
+""",
+)
+def dedup_line_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup: every occurrence of a repeated
+    line (here: LINE_WORDS-word segment, remainder tail included) is
+    removed EXCEPT its first occurrence corpus-wide — first = smallest
+    (doc_id, pos), encoded as one BIGINT min so the winner falls out of
+    a hash aggregate, never a window. Documents are reassembled from
+    their surviving segments in position order; a fully-deduped
+    document stays in the output with empty text (so the caller decides
+    the drop policy, matching C4's separate length filter).
+
+    Plan: map-side explode -> hash agg on segment (winner) -> equi-join
+    seg[segment] x win[segment] -> per-doc hash agg whose reassembly is
+    array_sort over the ALREADY per-doc-collected kept segments (O(doc
+    length log doc length) per row, no window, no global sort). The win
+    side carries NO broadcast hint: at test SF Catalyst auto-broadcasts
+    it from file-size stats (observed plan), while at corpus scale the
+    distinct-segment table's size estimate forces a shuffle join that
+    shares the winner agg's hash partitioning on segment — the decision
+    stays with the optimizer, where it belongs. Both shuffle keys
+    (segment, doc_id) hash uniformly at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup_frame(spread_small_input(docs))
+
+
+def line_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Core of dedup_line_global over any (doc_id, text) frame."""
+    seg = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform("
+                f"  sequence(1, cast(ceil(size(split(text, ' ')) / {LINE_WORDS}.0) as int)),"
+                f"  i -> array_join(slice(split(text, ' '), (i-1)*{LINE_WORDS}+1, {LINE_WORDS}), ' '))"
+            )
+        ).alias("pos0", "segment"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "segment"
+    )
+    enc = F.col("doc_id") * POS_ENC + F.col("pos")
+    win = seg.groupBy("segment").agg(F.min(F.col("doc_id") * POS_ENC + F.col("pos")).alias("w"))
+    joined = seg.join(win, "segment").withColumn("kept", enc == F.col("w"))
+    kept_struct = F.when(F.col("kept"), F.struct("pos", "segment"))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_seg"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s.segment
+            ),
+            " ",
+        ).alias("text_kept"),
+    )

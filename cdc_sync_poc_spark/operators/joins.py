@@ -388,3 +388,95 @@ def j08_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+# j09 Bloom-prefiltered semi-join parameters: 2^14 bits (256 BIGINT
+# words, ~2 KB broadcast) x 4 double-hashed probes. With |dim| keys the
+# false-positive rate is (1 - e^(-4|dim|/16384))^4 — resize M with the
+# dim, the plan shape is unchanged.
+BLOOM_BITS = 1 << 14
+BLOOM_K = 4
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """BLOOM_K bit positions for a key via double hashing
+    (pos_i = h1 + i*h2 mod M), pmod applied per term so the arithmetic
+    never overflows under ANSI mode."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(BLOOM_BITS))
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(BLOOM_BITS))
+    return [F.pmod(h1 + i * h2, F.lit(BLOOM_BITS)) for i in range(BLOOM_K)]
+
+
+@register(
+    "j09_bloom_prefilter_join",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+""",
+)
+def j09_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (extension — the scale pattern behind
+    Spark's own runtime row-group filtering, built from public column
+    functions): the selective dim side (overdrawn customers) folds into
+    a ~2 KB Bloom filter — per key BLOOM_K bit positions, bit_or into
+    64-bit words, map_from_entries into ONE row — which broadcasts onto
+    the fact scan as a cross join, so the membership test runs MAP-SIDE
+    before any shuffle of the fact table. Rows passing the Bloom check
+    (all true members + the filter's false positives) then go through
+    the exact semi-join, so the RESULT is exactly the plain semi-join —
+    which is the oracle, same equivalence contract as j08's salting.
+
+    At 100 TB the payoff is shuffle-volume: the fact side shrinks by
+    ~|selective dim|/|fact| at the scan, and only survivors pay the
+    semi-join shuffle. Fully lazy — the filter is a 1-row DataFrame
+    aggregate, never a driver collect (the corpus_mix_weights /
+    corpus_vocab_growth broadcast-scalar pattern, not a literal)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    prefiltered = bloom_prefilter(orders, "o_custkey", dim, "c_custkey")
+    return prefiltered.join(dim, prefiltered.o_custkey == dim.c_custkey, "left_semi")
+
+
+def bloom_prefilter(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
+) -> DataFrame:
+    """Filter ``fact`` to rows whose key MIGHT be in ``dim`` (all true
+    members survive; false positives bounded by the BLOOM_BITS/BLOOM_K
+    sizing). Map-side once the 1-row filter aggregate is broadcast —
+    the caller follows with an exact join for exact semantics."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(dim_key)))).alias("pos")
+    bf = (
+        dim.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("widx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("widx", "word")))
+            ).alias("bf")
+        )
+    )
+    hits = [
+        f"((shiftright(coalesce(element_at(bf, cast(p{i} / 64 as int)), 0L),"
+        f" cast(p{i} % 64 as int)) & 1) = 1)"
+        for i in range(BLOOM_K)
+    ]
+    out_cols = fact.columns
+    return (
+        fact.crossJoin(F.broadcast(bf))
+        .withColumns(
+            {f"p{i}": p for i, p in enumerate(_bloom_positions(F.col(fact_key)))}
+        )
+        .filter(F.expr(" AND ".join(hits)))
+        .select(*out_cols)
+    )

@@ -126,6 +126,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.cdc.envelope  # noqa: F401
     import cdc_sync_poc_spark.cdc.pipeline  # noqa: F401
     import cdc_sync_poc_spark.llm.classifier  # noqa: F401
+    import cdc_sync_poc_spark.llm.cleaning  # noqa: F401
     import cdc_sync_poc_spark.llm.curation  # noqa: F401
     import cdc_sync_poc_spark.llm.dedup  # noqa: F401
     import cdc_sync_poc_spark.llm.hygiene  # noqa: F401
@@ -151,6 +152,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.operators.stateful  # noqa: F401
     import cdc_sync_poc_spark.sources.csvsrc  # noqa: F401
     import cdc_sync_poc_spark.sources.jsonl  # noqa: F401
+    import cdc_sync_poc_spark.sources.layout  # noqa: F401
 
     ordered = sorted(QUERIES, key=lambda n: (_priority(n), 0))
     for d in (QUERIES, ORACLES):

@@ -1,0 +1,97 @@
+"""Multi-dimensional data layout (lake maintenance, M6 extension):
+Z-order clustering — the OPTIMIZE ZORDER BY step that makes a 100 TB
+parquet lake prunable on TWO keys at once.
+
+Min/max row-group pruning only helps on the column the files are sorted
+by; a scan filtered on the OTHER key reads everything. Interleaving the
+bits of both keys onto one Morton curve gives a single sort key whose
+contiguous ranges are small axis-aligned rectangles in (a, b) space —
+so files written in z-value order carry narrow min/max on BOTH columns
+and either predicate prunes.
+
+``maint_zorder_layout`` computes the 32-bit Morton code from the low 16
+bits of each key as a pure integer fold (JVM-side higher-order
+function, no UDF, map-only), assigns each row to one of 2^ZORDER_BITS
+layout buckets (= target files; at scale this feeds
+``repartitionByRange(zvalue)`` + write), and reports per bucket the
+min/max of both underlying keys — the pruning evidence itself: every
+bucket's (a, b) bounding box is ~2^-ZORDER_BITS of the key space on
+each axis, which is exactly the fraction of files a point/range
+predicate on either column has to open.
+
+Determinism: bit shifts and BIGINT adds only — bit-exact on any engine
+under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table
+
+ZORDER_SIDE_BITS = 16  # bits kept per key -> 32-bit Morton code
+ZORDER_BITS = 6  # 2^6 = 64 layout buckets (target files per write)
+
+_MASK = (1 << ZORDER_SIDE_BITS) - 1
+
+
+@register(
+    "maint_zorder_layout",
+    oracle=f"""
+WITH k AS (
+  SELECT user_id & {_MASK} AS a, event_id & {_MASK} AS b FROM events
+),
+z AS (
+  SELECT a, b,
+         CAST(list_sum(list_transform(range(0, {ZORDER_SIDE_BITS}), i ->
+               ((a >> i) & 1) * (1::BIGINT << (2*i))
+             + ((b >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS BIGINT) AS zvalue
+  FROM k
+)
+SELECT zvalue >> {2 * ZORDER_SIDE_BITS - ZORDER_BITS} AS bucket,
+       count(*)::BIGINT AS n_rows,
+       min(a)::BIGINT AS a_min, max(a)::BIGINT AS a_max,
+       min(b)::BIGINT AS b_min, max(b)::BIGINT AS b_max
+FROM z
+GROUP BY bucket
+""",
+)
+def maint_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout assignment over the events table,
+    clustering on (user_id, event_id): per layout bucket, the row count
+    and the bounding box of both keys. Narrow per-bucket min/max on
+    BOTH columns is what turns into file-level min/max pruning for
+    predicates on either key once rows are written in bucket order.
+
+    One map-only projection (the bit-interleave is a JVM-side
+    ``aggregate`` fold over ``sequence(0, 15)`` — no UDF) and one hash
+    agg on the 64-value bucket key. At 100 TB the same zvalue feeds
+    ``repartitionByRange`` + sortWithinPartitions + write; the
+    reporting agg here is the layout-quality audit a maintenance job
+    would emit."""
+    ev = load_table(spark, sf_dir, "events")
+    z = ev.select(
+        (F.col("user_id").bitwiseAND(_MASK)).alias("a"),
+        (F.col("event_id").bitwiseAND(_MASK)).alias("b"),
+    ).withColumn(
+        "zvalue",
+        F.expr(
+            f"aggregate(sequence(0, {ZORDER_SIDE_BITS - 1}), 0L, (acc, i) ->"
+            " acc + (shiftright(a, i) & 1) * shiftleft(1L, 2*i)"
+            "     + (shiftright(b, i) & 1) * shiftleft(1L, 2*i + 1))"
+        ),
+    )
+    shift = 2 * ZORDER_SIDE_BITS - ZORDER_BITS
+    return (
+        z.withColumn("bucket", F.shiftright(F.col("zvalue"), shift))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("a").alias("a_min"),
+            F.max("a").alias("a_max"),
+            F.min("b").alias("b_min"),
+            F.max("b").alias("b_max"),
+        )
+    )

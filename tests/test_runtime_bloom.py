@@ -66,3 +66,29 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, bloom_confs):
         ).collect()
     }
     assert got == want
+
+
+def test_explicit_bloom_prefilter_prunes_and_is_superset(spark):
+    """The explicit DataFrame-level bloom (j09): every true match
+    survives the prefilter (no false negatives — exactness of the
+    downstream join depends on it), and the prefilter actually prunes
+    (the pass-through rate is near |dim|/|fact|, not ~1)."""
+    from cdc_sync_poc_spark.operators.joins import bloom_prefilter
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    dim = (
+        load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    pre = bloom_prefilter(orders, "o_custkey", dim, "c_custkey")
+    true_matches = orders.join(
+        dim, orders.o_custkey == dim.c_custkey, "left_semi"
+    )
+    n_orders, n_pre, n_true = orders.count(), pre.count(), true_matches.count()
+    # superset of the true matches
+    assert true_matches.exceptAll(pre).count() == 0
+    assert n_true <= n_pre
+    # and a real prefilter: with ~1% selective dim and 2^14 bits the
+    # false-positive mass is tiny — require at least 2x pruning
+    assert n_pre < n_orders / 2
