@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "dedup_line_global",
     "maint_zorder_layout",
     "j09_bloom_prefilter_join",
+    "bpe_merge_steps",
 ]
 
 N_REPS = 3

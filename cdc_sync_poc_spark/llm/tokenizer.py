@@ -1,0 +1,164 @@
+"""Tokenizer induction (M6 extension): distributed BPE merge learning —
+the first merge steps of byte-pair encoding (Sennrich et al. 2016)
+computed as a declarative DataFrame plan.
+
+The scale design is the one real BPE trainers use: BPE never iterates
+over the corpus — it iterates over the WORD-FREQUENCY table. One
+corpus-sized hash aggregate collapses N tokens to the (word, n) vocab
+(~10^7 rows at web scale, independent of corpus size); every merge
+iteration after that is vocab-sized work: pair counts are a fan-out of
+the symbol arrays weighted by n, the winning pair is an
+orderBy().limit(1) TakeOrderedAndProject (parallel partial top-1, no
+global sort), and applying the merge is a JVM-side ``aggregate`` fold
+over each word's symbol array with the 1-row winner broadcast onto the
+vocab — fully lazy, no driver-side collect anywhere (contrast the IVF
+trainer, whose centroid collect is a justified driver constant; here
+even that is avoided because the "model" is one row per step).
+
+Greedy left-to-right merge semantics (the BPE standard: on [a,a,a] the
+pair (a,a) merges the first two, the third stays) fall out of the fold:
+the accumulator is the space-joined merged prefix, and a symbol joins
+the previous one only when the accumulator's LAST symbol equals the
+winner's first half. Verified identical between Spark's ``aggregate``
+and DuckDB's ``list_reduce`` (both seed with the first element), and
+exact by construction — string equality and BIGINT sums only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
+
+BPE_STEPS = 3  # learned merges; each step adds one vocab-sized pass
+
+# fold applying the broadcast winning pair (column `pair`, "p1 p2") to
+# one word's space-joined symbol string (column `spaced`)
+_MERGE_FOLD = """aggregate(
+  slice(split(spaced, ' '), 2, size(split(spaced, ' ')) - 1),
+  cast(split(spaced, ' ')[0] as string),
+  (acc, y) -> CASE
+    WHEN regexp_extract(acc, '[^ ]*$', 0) = split(pair, ' ')[0]
+         AND y = split(pair, ' ')[1]
+    THEN regexp_replace(acc, '[^ ]*$', '') || replace(pair, ' ', '')
+    ELSE acc || ' ' || y END)"""
+
+
+def _oracle() -> str:
+    """Chained-CTE oracle: vocab once, then BPE_STEPS unrolled
+    (pairs -> top-1 -> list_reduce merge) iterations."""
+    ctes = [
+        """v AS (
+  SELECT word, count(*)::BIGINT AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)""",
+        "s1 AS (SELECT word, n, string_split(word, '') AS syms FROM v)",
+    ]
+    for i in range(1, BPE_STEPS + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT unnest(list_transform(range(2, len(syms) + 1),
+                i -> syms[i-1] || ' ' || syms[i])) AS pair, n
+  FROM s{i}
+)"""
+        )
+        ctes.append(
+            f"""t{i} AS (
+  SELECT pair, sum(n)::BIGINT AS cnt FROM p{i}
+  GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1
+)"""
+        )
+        if i < BPE_STEPS:
+            ctes.append(
+                f"""s{i + 1} AS (
+  SELECT word, n,
+         string_split(list_reduce(syms, (acc, y) -> CASE
+           WHEN regexp_extract(acc, '[^ ]*$') = string_split(t.pair, ' ')[1]
+                AND y = string_split(t.pair, ' ')[2]
+           THEN regexp_replace(acc, '[^ ]*$', '') || replace(t.pair, ' ', '')
+           ELSE acc || ' ' || y END), ' ') AS syms
+  FROM s{i}, t{i} t
+)"""
+            )
+    selects = [
+        f"SELECT {i}::BIGINT AS step, pair, replace(pair, ' ', '') AS merged, cnt"
+        f" FROM t{i}"
+        for i in range(1, BPE_STEPS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register("bpe_merge_steps", oracle=_oracle())
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_STEPS byte-pair-encoding merges learned from the
+    corpus: per step, the winning symbol pair and its weighted count.
+    See the module docstring for the scale argument (corpus touched by
+    exactly ONE hash aggregate; each step is vocab-sized)."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
+    return bpe_merges_frame(docs)
+
+
+def bpe_merges_frame(docs: DataFrame) -> DataFrame:
+    """Core of bpe_merge_steps over any (text) frame."""
+    # persisted: the vocab feeds every step's top-1 branch AND every
+    # merge lineage (2·BPE_STEPS-1 consumers in the final union plan);
+    # without it the corpus explode+agg — the ONLY corpus-sized work —
+    # re-runs per consumer. Caching the vocab-sized frame makes each
+    # merge step O(vocab), the textbook BPE cost model.
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    cur = vocab.withColumn("spaced", F.array_join(F.split("word", ""), " "))
+    merges = []
+    for step in range(1, BPE_STEPS + 1):
+        # CASE guard: Spark's sequence(2, 1) counts DOWN (unlike
+        # DuckDB's empty range(2, 2)), so a single-symbol word would
+        # index past the array under ANSI mode
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(spaced, ' ')) < 2"
+                    " THEN cast(array() as array<string>)"
+                    " ELSE transform(sequence(2, size(split(spaced, ' '))),"
+                    " i -> split(spaced, ' ')[i-2] || ' ' || split(spaced, ' ')[i-1])"
+                    " END"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        # persisted: this 1-row frame is consumed by the NEXT step's
+        # merge lineage (as a broadcast) AND by the final union; without
+        # the cache each consumer re-runs the whole step chain up to
+        # here, turning BPE_STEPS sequential steps into O(steps^2) jobs
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .persist()
+        )
+        merges.append(
+            top1.select(
+                F.lit(step).cast("long").alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "cnt",
+            )
+        )
+        if step < BPE_STEPS:
+            cur = (
+                cur.crossJoin(F.broadcast(top1.select("pair")))
+                .withColumn("spaced", F.expr(_MERGE_FOLD))
+                .select("word", "n", "spaced")
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

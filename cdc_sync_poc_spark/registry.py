@@ -138,6 +138,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.llm.similarity  # noqa: F401
     import cdc_sync_poc_spark.llm.text  # noqa: F401
     import cdc_sync_poc_spark.llm.text_stats  # noqa: F401
+    import cdc_sync_poc_spark.llm.tokenizer  # noqa: F401
     import cdc_sync_poc_spark.operators.aggregates  # noqa: F401
     import cdc_sync_poc_spark.operators.anomaly  # noqa: F401
     import cdc_sync_poc_spark.operators.apply  # noqa: F401

@@ -80,3 +80,22 @@ def test_zorder_bucket_bounding_boxes_are_narrow(spark):
         assert r.a_max - r.a_min < a_span
         assert r.b_max - r.b_min < b_span
         assert r.n_rows > 0
+
+
+def test_bpe_greedy_merge_and_step_chaining(spark):
+    """BPE fold semantics: (1) greedy left-to-right within a run —
+    'aaa' under merge (a,a) becomes [aa, a], so step 2's counts see the
+    merged symbol; (2) later steps build on earlier merges."""
+    from cdc_sync_poc_spark.llm.tokenizer import bpe_merges_frame
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab"), (2, "ab ab")], "doc_id long, text string"
+    )
+    rows = {r.step: r for r in bpe_merges_frame(docs).collect()}
+    # step 1: pairs in 'aaab'x3 -> (a,a):6, (a,b):3+2=5 ... 'a a' wins
+    assert rows[1].pair == "a a" and rows[1].cnt == 6
+    # step 2: 'aaab' is now [aa, a, b] (greedy: first two a's merged,
+    # third left) -> pairs (aa,a):3, (a,b):3+2=5 -> 'a b' wins
+    assert rows[2].pair == "a b" and rows[2].cnt == 5
+    # step 3: 'aaab' -> [aa, ab], 'ab' -> [ab]; (aa,ab):3 wins
+    assert rows[3].pair == "aa ab" and rows[3].cnt == 3
