@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "maint_zorder_layout",
     "j09_bloom_prefilter_join",
     "bpe_merge_steps",
+    "bpe_tokenize_count",
 ]
 
 N_REPS = 3
@@ -208,6 +209,9 @@ CACHE_WARMERS = [
     # first CMS call materializes the cached counter table (the sketch
     # itself) reused by every later probe/pass
     "text_cms_error",
+    # first BPE call materializes the persisted vocab + per-step winner
+    # frames shared by bpe_merge_steps / bpe_tokenize_count
+    "bpe_merge_steps",
 ]
 
 

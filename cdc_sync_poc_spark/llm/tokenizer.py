@@ -162,3 +162,110 @@ def bpe_merges_frame(docs: DataFrame) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+@register(
+    "bpe_tokenize_count",
+    oracle=_oracle().replace(
+        # reuse the chained-merge CTEs up through the last vocab state,
+        # then swap the final merge-table SELECT for a per-doc rollup
+        "SELECT 1::BIGINT AS step, pair, replace(pair, ' ', '') AS merged, cnt"
+        " FROM t1",
+        "placeholder",
+    ).split("placeholder")[0]
+    + f""",
+sfinal AS (
+  SELECT word, n,
+         string_split(list_reduce(syms, (acc, y) -> CASE
+           WHEN regexp_extract(acc, '[^ ]*$') = string_split(t.pair, ' ')[1]
+                AND y = string_split(t.pair, ' ')[2]
+           THEN regexp_replace(acc, '[^ ]*$', '') || replace(t.pair, ' ', '')
+           ELSE acc || ' ' || y END), ' ') AS syms
+  FROM s{BPE_STEPS}, t{BPE_STEPS} t
+),
+wtok AS (SELECT word, len(syms)::BIGINT AS n_tok, length(word)::BIGINT AS n_char
+         FROM sfinal),
+dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT dw.doc_id,
+       sum(w.n_char)::BIGINT AS n_char_tokens,
+       sum(w.n_tok)::BIGINT AS n_bpe_tokens,
+       round(CAST(sum(w.n_char) AS DOUBLE) / sum(w.n_tok), 6) AS compression
+FROM dw JOIN wtok w USING (word)
+GROUP BY dw.doc_id
+""",
+)
+def bpe_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus: per document,
+    the token count under the character baseline vs the induced vocab,
+    and the resulting compression ratio — the metric a tokenizer-
+    induction pipeline actually tunes for.
+
+    The tokenization itself never touches the corpus: the per-WORD
+    token count is computed once on the vocab table (each word's symbol
+    array after BPE_STEPS folds), and documents join their exploded
+    words against that (word -> n_tok) table — at web scale a shuffle
+    join on the uniform word key (the vocab side is ~10^7 rows; no
+    broadcast hint, Catalyst decides), followed by one per-doc hash
+    agg. The double division is the only float, rounded once."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
+    merged = _merged_vocab(docs)
+    wtok = merged.select(
+        "word",
+        F.size(F.split("spaced", " ")).cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_char"),
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dw.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_char").alias("n_char_tokens"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_char").cast("double") / F.sum("n_tok"), 6
+            ).alias("compression"),
+        )
+    )
+
+
+def _merged_vocab(docs: DataFrame) -> DataFrame:
+    """(word, n, spaced) after applying all BPE_STEPS learned merges —
+    the final vocab state of bpe_merges_frame's step chain."""
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    cur = vocab.withColumn("spaced", F.array_join(F.split("word", ""), " "))
+    for _step in range(BPE_STEPS):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(spaced, ' ')) < 2"
+                    " THEN cast(array() as array<string>)"
+                    " ELSE transform(sequence(2, size(split(spaced, ' '))),"
+                    " i -> split(spaced, ' ')[i-2] || ' ' || split(spaced, ' ')[i-1])"
+                    " END"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .persist()
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top1.select("pair")))
+            .withColumn("spaced", F.expr(_MERGE_FOLD))
+            .select("word", "n", "spaced")
+        )
+    return cur
