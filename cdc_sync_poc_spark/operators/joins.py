@@ -441,16 +441,31 @@ def j09_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     prefiltered = bloom_prefilter(orders, "o_custkey", dim, "c_custkey")
-    return prefiltered.join(dim, prefiltered.o_custkey == dim.c_custkey, "left_semi")
+    # exactness via INNER join against the unique dim key (c_custkey is
+    # customer's PK, so inner == semi), NOT a left-semi:
+    # PushDownLeftSemiAntiJoin pushes a semi-join below the bloom test
+    # all the way to the scan (observed — the membership test became
+    # dead weight ABOVE the join, exactly the single-sided-conjunct
+    # split PushPredicateThroughJoin also performs), while inner joins
+    # keep the authored bloom-below-join order at any scale.
+    return prefiltered.join(
+        dim, prefiltered.o_custkey == dim.c_custkey, "inner"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 def bloom_prefilter(
-    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    keep_filter_col: bool = False,
 ) -> DataFrame:
     """Filter ``fact`` to rows whose key MIGHT be in ``dim`` (all true
     members survive; false positives bounded by the BLOOM_BITS/BLOOM_K
     sizing). Map-side once the 1-row filter aggregate is broadcast —
-    the caller follows with an exact join for exact semantics."""
+    the caller follows with an exact join for exact semantics.
+    ``keep_filter_col`` retains the ``bf`` map column so the caller can
+    anchor downstream-join conditions on it (see j09's ordering note)."""
     pos = F.explode(F.array(*_bloom_positions(F.col(dim_key)))).alias("pos")
     bf = (
         dim.select(pos)
@@ -471,7 +486,7 @@ def bloom_prefilter(
         f" cast(p{i} % 64 as int)) & 1) = 1)"
         for i in range(BLOOM_K)
     ]
-    out_cols = fact.columns
+    out_cols = fact.columns + (["bf"] if keep_filter_col else [])
     return (
         fact.crossJoin(F.broadcast(bf))
         .withColumns(

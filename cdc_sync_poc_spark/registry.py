@@ -85,9 +85,14 @@ _PRIORITY_PREFIXES = [
     "mm_integrity", "source_jsonl",
     # ---- 50-query driver window ends here ----
     # first in line for r6: the 5 metering/diagnostic queries squeezed
-    # out of the r5 window (locally exact-gated every session)
+    # out of the r5 window (locally exact-gated every session), then
+    # every r5-session addition (never driver-sampled yet)
     "dedup_cluster_stats", "dedup_rate_by_source", "text_langid_eval",
     "text_cms", "ap07",
+    "bpe_", "dedup_line_global", "text_gopher", "maint_zorder",
+    "j09", "mm_dedup_phash", "emb_pq_residual", "emb_covariance",
+    "corpus_shard_manifest", "events_decayed", "slice_length_mad",
+    "st08", "ap10", "clf_calibration",
     # then everything already carrying a driver row, newest-evidence
     # last (r4-green first would be wasteful; keep stable order)
     "seq_pack", "doc_length", "dedup_segment", "text_gini", "emb_pq",

@@ -92,6 +92,16 @@ SECTIONS = [
      "Training-export sharding: map-only md5 routing + N_SHARDS-group agg + broadcast 1-row total — the global training shuffle expressed as a partition key, no sort anywhere"),
     ("sample_fixed_n",
      "Exactly-N sample: orderBy(hash).limit(N) plans as TakeOrderedAndProject — K rows per partition to the driver, no global sort; the rank window runs on the N-row result"),
+    ("text_gopher_rules",
+     "Gopher rule bundle: scan -> project ONLY — every rule a JVM-side higher-order fold on the split words array, zero exchanges at any corpus size"),
+    ("dedup_line_global",
+     "C4 corpus-wide line dedup: map-side segment explode -> winner hash agg (min BIGINT encoding, no window) -> un-hinted back-join -> per-doc reassembly agg whose sort is array_sort over already-collected rows — two keyed shuffles total, no global sort"),
+    ("maint_zorder_layout",
+     "Z-order layout audit: Morton code as a map-only integer fold (no UDF) + one 64-bucket hash agg — the layout key that makes file-level min/max pruning work on BOTH keys"),
+    ("j09_bloom_prefilter_join",
+     "Bloom-prefiltered join: 1-row filter aggregate broadcast onto the fact scan (BroadcastNestedLoopJoin of one row), membership test MAP-SIDE before any fact shuffle, exact inner join only over survivors (inner, not semi — PushDownLeftSemiAntiJoin would hoist a semi above the bloom)"),
+    ("bpe_merge_steps",
+     "Distributed BPE: corpus touched by ONE explode+hash agg (persisted vocab), each merge step vocab-sized — pair fan-out, TakeOrderedAndProject top-1, broadcast 1-row winner into a JVM-side merge fold"),
 ]
 
 
