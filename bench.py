@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "j09_bloom_prefilter_join",
     "bpe_merge_steps",
     "bpe_tokenize_count",
+    "bpe_fertility_by_lang",
 ]
 
 N_REPS = 3

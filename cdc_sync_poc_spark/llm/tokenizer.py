@@ -91,6 +91,29 @@ def _oracle() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def _apply_oracle_prefix() -> str:
+    """The learn-side CTE chain plus the final merged-vocab state and
+    per-word token costs — shared by every tokenize-apply oracle."""
+    learn = _oracle().replace(
+        "SELECT 1::BIGINT AS step, pair, replace(pair, ' ', '') AS merged, cnt"
+        " FROM t1",
+        "placeholder",
+    ).split("placeholder")[0]
+    return learn + f""",
+sfinal AS (
+  SELECT word, n,
+         string_split(list_reduce(syms, (acc, y) -> CASE
+           WHEN regexp_extract(acc, '[^ ]*$') = string_split(t.pair, ' ')[1]
+                AND y = string_split(t.pair, ' ')[2]
+           THEN regexp_replace(acc, '[^ ]*$', '') || replace(t.pair, ' ', '')
+           ELSE acc || ' ' || y END), ' ') AS syms
+  FROM s{BPE_STEPS}, t{BPE_STEPS} t
+),
+wtok AS (SELECT word, len(syms)::BIGINT AS n_tok, length(word)::BIGINT AS n_char
+         FROM sfinal)
+"""
+
+
 @register("bpe_merge_steps", oracle=_oracle())
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE_STEPS byte-pair-encoding merges learned from the
@@ -166,25 +189,8 @@ def bpe_merges_frame(docs: DataFrame) -> DataFrame:
 
 @register(
     "bpe_tokenize_count",
-    oracle=_oracle().replace(
-        # reuse the chained-merge CTEs up through the last vocab state,
-        # then swap the final merge-table SELECT for a per-doc rollup
-        "SELECT 1::BIGINT AS step, pair, replace(pair, ' ', '') AS merged, cnt"
-        " FROM t1",
-        "placeholder",
-    ).split("placeholder")[0]
-    + f""",
-sfinal AS (
-  SELECT word, n,
-         string_split(list_reduce(syms, (acc, y) -> CASE
-           WHEN regexp_extract(acc, '[^ ]*$') = string_split(t.pair, ' ')[1]
-                AND y = string_split(t.pair, ' ')[2]
-           THEN regexp_replace(acc, '[^ ]*$', '') || replace(t.pair, ' ', '')
-           ELSE acc || ' ' || y END), ' ') AS syms
-  FROM s{BPE_STEPS}, t{BPE_STEPS} t
-),
-wtok AS (SELECT word, len(syms)::BIGINT AS n_tok, length(word)::BIGINT AS n_char
-         FROM sfinal),
+    oracle=_apply_oracle_prefix()
+    + """,
 dw AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 )
@@ -269,3 +275,56 @@ def _merged_vocab(docs: DataFrame) -> DataFrame:
             .select("word", "n", "spaced")
         )
     return cur
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=_apply_oracle_prefix()
+    + """,
+dw AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT dw.lang,
+       count(*)::BIGINT AS n_words,
+       sum(w.n_tok)::BIGINT AS n_bpe_tokens,
+       round(CAST(sum(w.n_tok) AS DOUBLE) / count(*), 6) AS fertility,
+       round(CAST(sum(w.n_char) AS DOUBLE) / sum(w.n_tok), 6) AS chars_per_token
+FROM dw JOIN wtok w USING (word)
+GROUP BY dw.lang
+""",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: average BPE tokens per word
+    and characters per token under the induced merges — the standard
+    fairness metric for a shared multilingual vocabulary (a language
+    whose fertility stays near the character baseline is being
+    under-served by the learned merges).
+
+    Same two-table shape as bpe_tokenize_count — the per-word token
+    cost comes off the vocab table, the corpus only pays one explode +
+    join + langs-sized agg; the language dimension rides through the
+    rollup for free."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
+    merged = _merged_vocab(docs)
+    wtok = merged.select(
+        "word",
+        F.size(F.split("spaced", " ")).cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_char"),
+    )
+    dw = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dw.join(wtok, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+            F.round(F.sum("n_tok").cast("double") / F.count("*"), 6).alias(
+                "fertility"
+            ),
+            F.round(
+                F.sum("n_char").cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+    )
