@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "bpe_merge_steps",
     "bpe_tokenize_count",
     "bpe_fertility_by_lang",
+    "emb_index_growth",
 ]
 
 N_REPS = 3

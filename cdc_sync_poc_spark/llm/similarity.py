@@ -1530,3 +1530,77 @@ def ann_recall_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# emb_index_growth: vec_id % NEW_MOD == 0 simulates the newly-arrived
+# batch; a cell is flagged for re-split past REBUILD_FACTOR x the mean
+# occupancy (the standard IVF maintenance trigger).
+NEW_MOD = 10
+REBUILD_FACTOR = 2
+
+
+@register(
+    "emb_index_growth",
+    oracle=f"""
+WITH {_ivf_cte_chain()},
+m AS (SELECT vec_id, cell_id, vec_id % {NEW_MOD} = 0 AS is_new FROM a1),
+tot AS (SELECT count(*)::BIGINT AS n FROM m)
+SELECT m.cell_id,
+       sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::BIGINT AS n_index,
+       sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       round(CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS new_frac,
+       count(*) * {N_CELLS} > {REBUILD_FACTOR} * t.n AS needs_split
+FROM m, tot t
+GROUP BY m.cell_id, t.n
+""",
+)
+def emb_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance audit: assign a newly-arrived
+    vector batch (vec_id % NEW_MOD — in production, the vectors landed
+    since the last index build) to the FROZEN coarse quantizer, and
+    report per cell the stored/new occupancy, the new-arrival fraction,
+    and the re-split flag (occupancy beyond REBUILD_FACTOR x the mean)
+    — the decision table a nightly IVF maintenance job acts on.
+
+    This is how IVF indexes grow at 100 TB: the quantizer does NOT
+    retrain per batch; new vectors get the same map-only
+    constant-folded-centroid assignment as the stored corpus (zero
+    shuffles), the audit is one N_CELLS-group agg plus a broadcast
+    1-row total, and only cells breaching the occupancy trigger pay a
+    rewrite (cell-local re-cluster), never the whole index —
+    the ANN twin of dedup_incremental's O(batch) screening."""
+    n, _cents0, cents1 = _ivf_refined(spark, sf_dir)
+    m = n.select(
+        "vec_id",
+        _assign_col(cents1).alias("cell_id"),
+        (F.col("vec_id") % NEW_MOD == 0).alias("is_new"),
+    )
+    tot = m.agg(F.count("*").alias("n"))
+    return (
+        m.groupBy("cell_id")
+        .agg(
+            F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_index"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.round(
+                F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("new_frac"),
+            F.count("*").alias("occ"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell_id",
+            "n_index",
+            "n_new",
+            "new_frac",
+            (F.col("occ") * N_CELLS > REBUILD_FACTOR * F.col("n")).alias(
+                "needs_split"
+            ),
+        )
+    )

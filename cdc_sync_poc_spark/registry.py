@@ -90,7 +90,8 @@ _PRIORITY_PREFIXES = [
     "dedup_cluster_stats", "dedup_rate_by_source", "text_langid_eval",
     "text_cms", "ap07",
     "bpe_", "dedup_line_global", "text_gopher", "maint_zorder",
-    "j09", "mm_dedup_phash", "emb_pq_residual", "emb_covariance",
+    "j09", "mm_dedup_phash", "emb_index_growth",
+    "emb_pq_residual", "emb_covariance",
     "corpus_shard_manifest", "events_decayed", "slice_length_mad",
     "st08", "ap10", "clf_calibration",
     # then everything already carrying a driver row, newest-evidence

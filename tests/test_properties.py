@@ -728,3 +728,58 @@ def test_streaming_packer_carry_matches_batch(
         ).collect()
     }
     assert got == want
+
+
+def _line_dedup_reference(texts, k):
+    """Python reference of dedup_line_global: first (doc, pos) keeps a
+    segment; docs reassemble from survivors in order."""
+    segs = {}
+    for doc_id, text in texts:
+        ws = text.split(" ")
+        n = (len(ws) + k - 1) // k
+        for pos in range(1, n + 1):
+            seg = " ".join(ws[(pos - 1) * k : pos * k])
+            segs.setdefault(seg, (doc_id, pos))
+    out = {}
+    for doc_id, text in texts:
+        ws = text.split(" ")
+        n = (len(ws) + k - 1) // k
+        kept = [
+            " ".join(ws[(p - 1) * k : p * k])
+            for p in range(1, n + 1)
+            if segs[" ".join(ws[(p - 1) * k : p * k])] == (doc_id, p)
+        ]
+        out[doc_id] = (n, len(kept), " ".join(kept))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=20
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_line_dedup_matches_reference_and_conserves_segments(spark, docs):
+    """dedup_line_global invariants against a Python reference: exact
+    keep-first winner per segment; and globally, the kept-segment
+    multiset is exactly the distinct-segment set (each distinct segment
+    survives exactly once, corpus-wide)."""
+    from cdc_sync_poc_spark.llm.cleaning import LINE_WORDS, line_dedup_frame
+
+    texts = list(enumerate(docs))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_seg, r.n_kept, r.text_kept)
+        for r in line_dedup_frame(df).collect()
+    }
+    assert got == _line_dedup_reference(texts, LINE_WORDS)
+    distinct_segments = {
+        " ".join(t.split(" ")[(p - 1) * LINE_WORDS : p * LINE_WORDS])
+        for _d, t in texts
+        for p in range(1, (len(t.split(" ")) + LINE_WORDS - 1) // LINE_WORDS + 1)
+    }
+    assert sum(k for _n, k, _t in got.values()) == len(distinct_segments)
