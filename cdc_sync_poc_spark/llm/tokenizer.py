@@ -125,7 +125,20 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_merges_frame(docs: DataFrame) -> DataFrame:
-    """Core of bpe_merge_steps over any (text) frame."""
+    """Merge table of bpe_merge_steps over any (text) frame."""
+    _cur, merges = _bpe_chain(docs)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_chain(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the BPE_STEPS learn loop once: returns the fully-merged
+    vocab state (word, n, spaced) and the per-step merge-record frames
+    — the single implementation behind bpe_merge_steps (consumes the
+    merge records) and the tokenize-apply ops (consume the final
+    state; the unused branch stays unexecuted, Spark is lazy)."""
     # persisted: the vocab feeds every step's top-1 branch AND every
     # merge lineage (2·BPE_STEPS-1 consumers in the final union plan);
     # without it the corpus explode+agg — the ONLY corpus-sized work —
@@ -175,16 +188,23 @@ def bpe_merges_frame(docs: DataFrame) -> DataFrame:
                 "cnt",
             )
         )
-        if step < BPE_STEPS:
-            cur = (
-                cur.crossJoin(F.broadcast(top1.select("pair")))
-                .withColumn("spaced", F.expr(_MERGE_FOLD))
-                .select("word", "n", "spaced")
-            )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+        cur = (
+            cur.crossJoin(F.broadcast(top1.select("pair")))
+            .withColumn("spaced", F.expr(_MERGE_FOLD))
+            .select("word", "n", "spaced")
+        )
+    return cur, merges
+
+
+def _wtok(docs: DataFrame) -> DataFrame:
+    """(word, n_tok, n_char) under the learned merges — the per-word
+    token costs every tokenize-apply op joins against."""
+    cur, _merges = _bpe_chain(docs)
+    return cur.select(
+        "word",
+        F.size(F.split("spaced", " ")).cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_char"),
+    )
 
 
 @register(
@@ -216,12 +236,7 @@ def bpe_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hint, Catalyst decides), followed by one per-doc hash
     agg. The double division is the only float, rounded once."""
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
-    merged = _merged_vocab(docs)
-    wtok = merged.select(
-        "word",
-        F.size(F.split("spaced", " ")).cast("long").alias("n_tok"),
-        F.length("word").cast("long").alias("n_char"),
-    )
+    wtok = _wtok(docs)
     dw = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -236,45 +251,6 @@ def bpe_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
-
-
-def _merged_vocab(docs: DataFrame) -> DataFrame:
-    """(word, n, spaced) after applying all BPE_STEPS learned merges —
-    the final vocab state of bpe_merges_frame's step chain."""
-    vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .persist()
-    )
-    cur = vocab.withColumn("spaced", F.array_join(F.split("word", ""), " "))
-    for _step in range(BPE_STEPS):
-        pairs = cur.select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(split(spaced, ' ')) < 2"
-                    " THEN cast(array() as array<string>)"
-                    " ELSE transform(sequence(2, size(split(spaced, ' '))),"
-                    " i -> split(spaced, ' ')[i-2] || ' ' || split(spaced, ' ')[i-1])"
-                    " END"
-                )
-            ).alias("pair"),
-            "n",
-        )
-        top1 = (
-            pairs.groupBy("pair")
-            .agg(F.sum("n").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("pair"))
-            .limit(1)
-            .persist()
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(top1.select("pair")))
-            .withColumn("spaced", F.expr(_MERGE_FOLD))
-            .select("word", "n", "spaced")
-        )
-    return cur
 
 
 @register(
@@ -305,12 +281,7 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + langs-sized agg; the language dimension rides through the
     rollup for free."""
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
-    merged = _merged_vocab(docs)
-    wtok = merged.select(
-        "word",
-        F.size(F.split("spaced", " ")).cast("long").alias("n_tok"),
-        F.length("word").cast("long").alias("n_char"),
-    )
+    wtok = _wtok(docs)
     dw = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")

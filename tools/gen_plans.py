@@ -102,6 +102,8 @@ SECTIONS = [
      "Bloom-prefiltered join: 1-row filter aggregate broadcast onto the fact scan (BroadcastNestedLoopJoin of one row), membership test MAP-SIDE before any fact shuffle, exact inner join only over survivors (inner, not semi — PushDownLeftSemiAntiJoin would hoist a semi above the bloom)"),
     ("bpe_merge_steps",
      "Distributed BPE: corpus touched by ONE explode+hash agg (persisted vocab), each merge step vocab-sized — pair fan-out, TakeOrderedAndProject top-1, broadcast 1-row winner into a JVM-side merge fold"),
+    ("emb_index_growth",
+     "Incremental IVF maintenance audit: frozen-quantizer assignment as map-only constant-folded expression, N_CELLS-group agg + broadcast 1-row total — new vectors indexed with zero shuffles, re-split decisions cell-local"),
 ]
 
 
