@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.llm.segment_stats import SEG_WORDS
 from cdc_sync_poc_spark.llm.text import _STOPWORDS
 from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
 
@@ -44,10 +45,14 @@ GOPHER_MEAN_LEN_HI = 10.0
 GOPHER_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOP = 2
 
-LINE_WORDS = 8  # the "line" segment width (= segment_stats.SEG_WORDS)
+# the "line" segment width — imported so the boilerplate pass and the
+# line dedup stay on the same unit if it is ever retuned
+LINE_WORDS = SEG_WORDS
 POS_ENC = 1_000_000  # winner encoding: doc_id * POS_ENC + pos; holds
 # for documents up to POS_ENC segments (= 8M words) — far beyond any
-# real document; a longer one should be chunked upstream (doc_chunking)
+# real document; a longer one should be chunked upstream (doc_chunking).
+# BIGINT headroom: doc_id may grow to ~9.2e12 before the product
+# overflows — at 100 TB assign doc ids densely (or widen to DECIMAL).
 
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
 

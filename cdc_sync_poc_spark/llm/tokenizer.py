@@ -35,20 +35,24 @@ from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
 BPE_STEPS = 3  # learned merges; each step adds one vocab-sized pass
 
 # fold applying the broadcast winning pair (column `pair`, "p1 p2") to
-# one word's space-joined symbol string (column `spaced`)
-_MERGE_FOLD = """aggregate(
+# one word's space-joined symbol string (column `spaced`); the NULL
+# guard passes spaced through when a step found no pairs (empty top-1
+# left-joined in) instead of annihilating the vocab state
+_MERGE_FOLD = """CASE WHEN pair IS NULL THEN spaced ELSE aggregate(
   slice(split(spaced, ' '), 2, size(split(spaced, ' ')) - 1),
   cast(split(spaced, ' ')[0] as string),
   (acc, y) -> CASE
     WHEN regexp_extract(acc, '[^ ]*$', 0) = split(pair, ' ')[0]
          AND y = split(pair, ' ')[1]
     THEN regexp_replace(acc, '[^ ]*$', '') || replace(pair, ' ', '')
-    ELSE acc || ' ' || y END)"""
+    ELSE acc || ' ' || y END) END"""
 
 
-def _oracle() -> str:
-    """Chained-CTE oracle: vocab once, then BPE_STEPS unrolled
-    (pairs -> top-1 -> list_reduce merge) iterations."""
+def _learn_ctes() -> list[str]:
+    """The learn-side CTE chain: vocab, then per step i the pair
+    fan-out p{i}, winner t{i}, and null-safe merge application
+    s{i+1} (LEFT JOIN — an empty winner passes syms through unchanged,
+    mirroring _bpe_chain, instead of annihilating the vocab state)."""
     ctes = [
         """v AS (
   SELECT word, count(*)::BIGINT AS n
@@ -71,47 +75,46 @@ def _oracle() -> str:
   GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1
 )"""
         )
-        if i < BPE_STEPS:
-            ctes.append(
-                f"""s{i + 1} AS (
+        ctes.append(
+            f"""s{i + 1} AS (
   SELECT word, n,
-         string_split(list_reduce(syms, (acc, y) -> CASE
+         CASE WHEN t.pair IS NULL THEN syms
+              ELSE string_split(list_reduce(syms, (acc, y) -> CASE
            WHEN regexp_extract(acc, '[^ ]*$') = string_split(t.pair, ' ')[1]
                 AND y = string_split(t.pair, ' ')[2]
            THEN regexp_replace(acc, '[^ ]*$', '') || replace(t.pair, ' ', '')
-           ELSE acc || ' ' || y END), ' ') AS syms
-  FROM s{i}, t{i} t
+           ELSE acc || ' ' || y END), ' ') END AS syms
+  FROM s{i} LEFT JOIN t{i} t ON TRUE
 )"""
-            )
+        )
+    return ctes
+
+
+def _oracle() -> str:
+    """Merge-table oracle: the learn chain, then one row per found
+    winner (an exhausted corpus reports fewer than BPE_STEPS rows —
+    same as the Spark union of empty top-1 frames)."""
     selects = [
         f"SELECT {i}::BIGINT AS step, pair, replace(pair, ' ', '') AS merged, cnt"
         f" FROM t{i}"
         for i in range(1, BPE_STEPS + 1)
     ]
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+    return (
+        "WITH " + ",\n".join(_learn_ctes()) + "\n" + "\nUNION ALL ".join(selects)
+    )
 
 
 def _apply_oracle_prefix() -> str:
-    """The learn-side CTE chain plus the final merged-vocab state and
-    per-word token costs — shared by every tokenize-apply oracle."""
-    learn = _oracle().replace(
-        "SELECT 1::BIGINT AS step, pair, replace(pair, ' ', '') AS merged, cnt"
-        " FROM t1",
-        "placeholder",
-    ).split("placeholder")[0]
-    return learn + f""",
-sfinal AS (
-  SELECT word, n,
-         string_split(list_reduce(syms, (acc, y) -> CASE
-           WHEN regexp_extract(acc, '[^ ]*$') = string_split(t.pair, ' ')[1]
-                AND y = string_split(t.pair, ' ')[2]
-           THEN regexp_replace(acc, '[^ ]*$', '') || replace(t.pair, ' ', '')
-           ELSE acc || ' ' || y END), ' ') AS syms
-  FROM s{BPE_STEPS}, t{BPE_STEPS} t
-),
+    """The learn-side CTE chain plus the per-word token costs under the
+    fully-merged vocab state — shared by every tokenize-apply oracle."""
+    return (
+        "WITH "
+        + ",\n".join(_learn_ctes())
+        + f""",
 wtok AS (SELECT word, len(syms)::BIGINT AS n_tok, length(word)::BIGINT AS n_char
-         FROM sfinal)
+         FROM s{BPE_STEPS + 1})
 """
+    )
 
 
 @register("bpe_merge_steps", oracle=_oracle())
@@ -188,8 +191,11 @@ def _bpe_chain(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
                 "cnt",
             )
         )
+        # LEFT join on TRUE (not crossJoin): an empty winner frame
+        # null-fills `pair` and the fold's NULL guard keeps the state,
+        # where a cross join would silently empty the whole vocab
         cur = (
-            cur.crossJoin(F.broadcast(top1.select("pair")))
+            cur.join(F.broadcast(top1.select("pair")), F.lit(True), "left")
             .withColumn("spaced", F.expr(_MERGE_FOLD))
             .select("word", "n", "spaced")
         )

@@ -454,18 +454,14 @@ def j09_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bloom_prefilter(
-    fact: DataFrame,
-    fact_key: str,
-    dim: DataFrame,
-    dim_key: str,
-    keep_filter_col: bool = False,
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
 ) -> DataFrame:
     """Filter ``fact`` to rows whose key MIGHT be in ``dim`` (all true
     members survive; false positives bounded by the BLOOM_BITS/BLOOM_K
     sizing). Map-side once the 1-row filter aggregate is broadcast —
-    the caller follows with an exact join for exact semantics.
-    ``keep_filter_col`` retains the ``bf`` map column so the caller can
-    anchor downstream-join conditions on it (see j09's ordering note)."""
+    the caller follows with an exact join for exact semantics. Internal
+    columns are __bloom_-prefixed so any fact schema passes through
+    untouched."""
     pos = F.explode(F.array(*_bloom_positions(F.col(dim_key)))).alias("pos")
     bf = (
         dim.select(pos)
@@ -478,19 +474,23 @@ def bloom_prefilter(
         .agg(
             F.map_from_entries(
                 F.sort_array(F.collect_list(F.struct("widx", "word")))
-            ).alias("bf")
+            ).alias("__bloom_bf")
         )
     )
     hits = [
-        f"((shiftright(coalesce(element_at(bf, cast(p{i} / 64 as int)), 0L),"
-        f" cast(p{i} % 64 as int)) & 1) = 1)"
+        f"((shiftright(coalesce(element_at(__bloom_bf,"
+        f" cast(__bloom_p{i} / 64 as int)), 0L),"
+        f" cast(__bloom_p{i} % 64 as int)) & 1) = 1)"
         for i in range(BLOOM_K)
     ]
-    out_cols = fact.columns + (["bf"] if keep_filter_col else [])
+    out_cols = fact.columns
     return (
         fact.crossJoin(F.broadcast(bf))
         .withColumns(
-            {f"p{i}": p for i, p in enumerate(_bloom_positions(F.col(fact_key)))}
+            {
+                f"__bloom_p{i}": p
+                for i, p in enumerate(_bloom_positions(F.col(fact_key)))
+            }
         )
         .filter(F.expr(" AND ".join(hits)))
         .select(*out_cols)

@@ -99,3 +99,17 @@ def test_bpe_greedy_merge_and_step_chaining(spark):
     assert rows[2].pair == "a b" and rows[2].cnt == 5
     # step 3: 'aaab' -> [aa, ab], 'ab' -> [ab]; (aa,ab):3 wins
     assert rows[3].pair == "aa ab" and rows[3].cnt == 3
+
+
+def test_bpe_survives_pair_exhaustion(spark):
+    """A corpus whose words fully merge before BPE_STEPS completes must
+    keep its vocab state (merge steps with no pairs are no-ops) and
+    report only the merges actually found — not annihilate everything
+    through a cross join with an empty winner frame."""
+    from cdc_sync_poc_spark.llm.tokenizer import _bpe_chain, bpe_merges_frame
+
+    docs = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    merges = bpe_merges_frame(docs).collect()
+    assert [(r.step, r.merged, r.cnt) for r in merges] == [(1, "ab", 3)]
+    cur, _m = _bpe_chain(docs)
+    assert cur.collect()[0].spaced == "ab"  # state survives steps 2..N
