@@ -190,9 +190,12 @@ def dedup_line_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_frame(spread_small_input(docs))
 
 
-def line_dedup_frame(docs: DataFrame) -> DataFrame:
-    """Core of dedup_line_global over any (doc_id, text) frame."""
-    seg = docs.select(
+def line_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, segment): LINE_WORDS-word segments with the
+    remainder tail included — shared by the batch dedup and the
+    streaming segment index (streaming/line_dedup.py), so a segment
+    key is bit-identical on both paths."""
+    return docs.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -201,14 +204,15 @@ def line_dedup_frame(docs: DataFrame) -> DataFrame:
                 f"  i -> array_join(slice(split(text, ' '), (i-1)*{LINE_WORDS}+1, {LINE_WORDS}), ' '))"
             )
         ).alias("pos0", "segment"),
-    ).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "segment"
-    )
-    enc = F.col("doc_id") * POS_ENC + F.col("pos")
-    win = seg.groupBy("segment").agg(F.min(F.col("doc_id") * POS_ENC + F.col("pos")).alias("w"))
-    joined = seg.join(win, "segment").withColumn("kept", enc == F.col("w"))
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "segment")
+
+
+def reassemble_kept(seg_with_kept: DataFrame) -> DataFrame:
+    """Per-doc rollup of a (doc_id, pos, segment, kept) frame: totals
+    plus the surviving text in position order (array_sort over the
+    already-collected per-doc rows — no window)."""
     kept_struct = F.when(F.col("kept"), F.struct("pos", "segment"))
-    return joined.groupBy("doc_id").agg(
+    return seg_with_kept.groupBy("doc_id").agg(
         F.count("*").alias("n_seg"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
         F.array_join(
@@ -218,3 +222,14 @@ def line_dedup_frame(docs: DataFrame) -> DataFrame:
             " ",
         ).alias("text_kept"),
     )
+
+
+def line_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Core of dedup_line_global over any (doc_id, text) frame."""
+    seg = line_segments(docs)
+    enc = F.col("doc_id") * POS_ENC + F.col("pos")
+    win = seg.groupBy("segment").agg(
+        F.min(F.col("doc_id") * POS_ENC + F.col("pos")).alias("w")
+    )
+    joined = seg.join(win, "segment").withColumn("kept", enc == F.col("w"))
+    return reassemble_kept(joined)

@@ -549,3 +549,89 @@ def test_streaming_curator_survives_all_dropped_batch(spark, tmp_path):
     )  # fully empty batch
     packed = {r.doc_id for r in cur.packed().collect()}
     assert packed == {1}
+
+
+def test_streaming_line_dedup_matches_batch_and_is_incremental(spark, tmp_path):
+    """The foreachBatch line-dedup maintainer (streaming/line_dedup.py):
+    (1) a corpus fed as ONE micro-batch reproduces dedup_line_global's
+    output exactly; (2) a segment seen in batch 1 is dropped from
+    batch 2's documents (index carries across batches); (3) replaying a
+    batch leaves the cleaned output unchanged (at-least-once
+    contract)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.llm.cleaning import LINE_WORDS, line_dedup_frame
+    from cdc_sync_poc_spark.streaming.line_dedup import (
+        StreamingLineDedup,
+        run_streaming_line_dedup,
+    )
+
+    def seg(c):
+        return " ".join(f"{c}{i}" for i in range(LINE_WORDS))
+
+    a, b, c_, d = seg("a"), seg("b"), seg("c"), seg("d")
+    batch1 = [
+        {"doc_id": 1, "text": f"{a} {b}"},
+        {"doc_id": 2, "text": f"{a} {c_}"},  # segA repeats within batch
+    ]
+    batch2 = [{"doc_id": 3, "text": f"{b} {d}"}]  # segB seen in batch 1
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    def full(rows):
+        return [
+            {**r, "lang": "en", "source": "s", "n_chars": len(r["text"])}
+            for r in rows
+        ]
+
+    in_dir = tmp_path / "ld_in"
+    in_dir.mkdir()
+    now = time.time()
+    for i, rows in enumerate((batch1, batch2)):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(full(rows), schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    root = tmp_path / "ld_root"
+    q = run_streaming_line_dedup(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_ld")
+    )
+    q.awaitTermination()
+    sld = StreamingLineDedup(spark, str(root))
+    got = {
+        r.doc_id: (r.n_seg, r.n_kept, r.text_kept)
+        for r in sld.cleaned().collect()
+    }
+
+    # (1) batch 1 alone == the batch operator on the same docs
+    batch_ref = {
+        r.doc_id: (r.n_seg, r.n_kept, r.text_kept)
+        for r in line_dedup_frame(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in batch1],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert {k: got[k] for k in (1, 2)} == batch_ref
+    # (2) cross-batch: segB (from batch 1) dropped, segD kept
+    assert got[3] == (2, 1, d)
+    # (3) replay batch 1 (its own index partition excluded on probe):
+    # cleaned output byte-identical
+    sld.clean_batch(
+        spark.createDataFrame(full(batch1), schema=None), batch_id=0
+    )
+    again = {
+        r.doc_id: (r.n_seg, r.n_kept, r.text_kept)
+        for r in sld.cleaned().collect()
+    }
+    assert again == got
