@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "bpe_tokenize_count",
     "bpe_fertility_by_lang",
     "emb_index_growth",
+    "sim_ivfpq_residual_topk",
 ]
 
 N_REPS = 3

@@ -922,6 +922,49 @@ FROM resid r JOIN agg a USING (vec_id)
 """
 
 
+def _residual_frame(n, cents1_rows):
+    """(vec_id, cell_id, nrm, rv): each vector's refined-cell residual
+    — assignment AND centroid subtraction in one constant-folded
+    from_json literal (map-only; shared by emb_pq_residual_error and
+    the residual-ADC probe)."""
+    payload = json.dumps(
+        [
+            {
+                "cid": int(r.cell_id),
+                "cv": [float(x) for x in r.cv],
+                "cn": float(r.cn),
+            }
+            for r in cents1_rows
+        ],
+        separators=(",", ":"),
+    )
+    chosen = F.expr(
+        f"""array_max(transform(
+  from_json('{payload}', 'array<struct<cid:bigint,cv:array<double>,cn:double>>'),
+  c -> struct(
+    aggregate(zip_with(v, c.cv, (x, y) -> x * y),
+              CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (nrm * c.cn) AS cosc,
+    -c.cid AS nc, c.cv AS cv)))"""
+    )
+    return (
+        n.select("vec_id", "v", "nrm")
+        .withColumn("ch", chosen)
+        .select(
+            "vec_id",
+            (-F.col("ch.nc")).cast("bigint").alias("cell_id"),
+            "nrm",
+            F.expr("zip_with(v, ch.cv, (x, y) -> x - y)").alias("rv"),
+        )
+    )
+
+
+def _residual_seeds(resid):
+    """The PQ_K lowest vec_ids' residuals, collected to the driver —
+    the deterministic sample-init codebook (PQ_K rows, design-bounded
+    like every centroid exchange in the IVF family)."""
+    return resid.orderBy("vec_id").limit(PQ_K).select("vec_id", "rv").collect()
+
+
 @register("emb_pq_residual_error", oracle=_pq_residual_oracle())
 def emb_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual product quantization — what production IVF-PQ actually
@@ -944,35 +987,8 @@ def emb_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; the PQ_K-row codebook collect is a driver constant
     (design-bounded, like every centroid exchange in the IVF family)."""
     n, _cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
-    payload = json.dumps(
-        [
-            {
-                "cid": int(r.cell_id),
-                "cv": [float(x) for x in r.cv],
-                "cn": float(r.cn),
-            }
-            for r in cents1_rows
-        ],
-        separators=(",", ":"),
-    )
-    chosen = F.expr(
-        f"""array_max(transform(
-  from_json('{payload}', 'array<struct<cid:bigint,cv:array<double>,cn:double>>'),
-  c -> struct(
-    aggregate(zip_with(v, c.cv, (x, y) -> x * y),
-              CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (nrm * c.cn) AS cosc,
-    -c.cid AS nc, c.cv AS cv)))"""
-    )
-    resid = (
-        n.select("vec_id", "v", "nrm")
-        .withColumn("ch", chosen)
-        .select(
-            "vec_id",
-            (-F.col("ch.nc")).cast("bigint").alias("cell_id"),
-            F.expr("zip_with(v, ch.cv, (x, y) -> x - y)").alias("rv"),
-        )
-    )
-    seeds = resid.orderBy("vec_id").limit(PQ_K).select("vec_id", "rv").collect()
+    resid = _residual_frame(n, cents1_rows)
+    seeds = _residual_seeds(resid)
     cb_payload = json.dumps(
         [
             {
@@ -1602,5 +1618,144 @@ def emb_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("occ") * N_CELLS > REBUILD_FACTOR * F.col("n")).alias(
                 "needs_split"
             ),
+        )
+    )
+
+
+def _ivfpq_residual_oracle() -> str:
+    return f"""
+WITH {_ivf_cte_chain()},
+qc AS (SELECT cell_id FROM rk1
+       WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE_CELLS}),
+resid AS (
+  SELECT a.vec_id, a.cell_id, a.nrm,
+         list_transform(range(1, {EMB_DIM + 1}), i -> a.v[i] - c.cv[i]) AS rv
+  FROM a1 a JOIN c1 c USING (cell_id)
+),
+seed AS (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {PQ_K}),
+cb AS (
+  SELECT t.s, seed.vec_id AS cid,
+         seed.rv[t.s*{PQ_DSUB}+1 : t.s*{PQ_DSUB}+{PQ_DSUB}] AS cv
+  FROM seed CROSS JOIN range(0, {PQ_M}) t(s)
+),
+dists AS (
+  SELECT r.vec_id, cb.s, cb.cid,
+         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+            i -> (r.rv[cb.s*{PQ_DSUB}+i] - cb.cv[i])
+               * (r.rv[cb.s*{PQ_DSUB}+i] - cb.cv[i]))) AS dist
+  FROM resid r CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+adcterm AS (
+  SELECT b.vec_id, b.s,
+         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+            i -> q.qv[b.s*{PQ_DSUB}+i] * c2.cv[i])) AS term
+  FROM best b JOIN cb c2 ON c2.s = b.s AND c2.cid = b.cid, q
+),
+adcr AS (
+  SELECT vec_id, list_sum(list(term ORDER BY s)) AS rdot
+  FROM adcterm GROUP BY vec_id
+),
+qcd AS (
+  SELECT c.cell_id,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                  i -> q.qv[i] * c.cv[i])) AS qdotc
+  FROM c1 c, q
+)
+SELECT r.vec_id, r.cell_id,
+       round((qcd.qdotc + adcr.rdot) / (r.nrm * q.qn), 6) AS adc_cosine
+FROM resid r JOIN qc USING (cell_id) JOIN adcr USING (vec_id)
+     JOIN qcd ON qcd.cell_id = r.cell_id, q
+WHERE r.vec_id <> {QUERY_VEC_ID}
+ORDER BY (qcd.qdotc + adcr.rdot) / (r.nrm * q.qn) DESC, r.vec_id
+LIMIT {ANN_TOP_K}
+"""
+
+
+@register("sim_ivfpq_residual_topk", oracle=_ivfpq_residual_oracle())
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe over RESIDUAL codes — the production IVF-PQ query
+    shape end to end (Jégou et al. 2011 §IV): candidates in the probe
+    cells are scored as dot(q, centroid + recon(residual_code)) =
+    dot(q, c_cell) + sum_s ADC(s, code), where dot(q, c_cell) is one
+    per-probe-cell driver constant and the per-(subspace, code) ADC
+    terms are precomputed against the RESIDUAL codebook. Completes the
+    residual story: emb_pq_residual_error measures why residual codes
+    reconstruct better; this is the probe that cashes that in.
+
+    Same one-map-stage plan as sim_ivfpq_topk: assignment + residual +
+    code lookup + ADC sum all in constant-folded literals, the probe
+    filter prunes to N_PROBE_CELLS/N_CELLS of the corpus (partition
+    pruning at rest), TakeOrderedAndProject tops it off. The residual
+    codebook seeds are a PQ_K-row driver collect (design-bounded, same
+    justification as every centroid exchange)."""
+    n, cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
+    seed_q = {int(r.cell_id): r for r in cents0_rows}
+    if QUERY_VEC_ID in seed_q:
+        qv, qn = seed_q[QUERY_VEC_ID].cv, seed_q[QUERY_VEC_ID].cn
+    else:
+        qrow = (
+            n.filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("v", "nrm")
+            .collect()[0]
+        )
+        qv, qn = qrow.v, qrow.nrm
+    probe = _probe_cells_for(qv, qn, cents1_rows)
+    # dot(q, c_cell) per refined cell — same sequential fold as the
+    # oracle's list_sum; k driver-local doubles
+    qdotc = {}
+    for r in cents1_rows:
+        acc = 0.0
+        for x, y in zip(qv, r.cv):
+            acc = acc + x * y
+        qdotc[int(r.cell_id)] = acc
+    resid = _residual_frame(n, cents1_rows)
+    seeds = _residual_seeds(resid)
+    entries = []
+    for r in seeds:
+        for s in range(PQ_M):
+            cv = [float(x) for x in r.rv[s * PQ_DSUB : (s + 1) * PQ_DSUB]]
+            acc = 0.0
+            for x, y in zip(qv[s * PQ_DSUB : (s + 1) * PQ_DSUB], cv):
+                acc = acc + x * y
+            entries.append({"s": s, "cid": int(r.vec_id), "cv": cv, "t": acc})
+    payload = json.dumps(entries, separators=(",", ":"))
+    rdot = F.expr(
+        f"""aggregate(transform(
+  transform(sequence(0, {PQ_M - 1}), s ->
+    array_min(transform(
+      filter(from_json('{payload}',
+        'array<struct<s:int,cid:bigint,cv:array<double>,t:double>>'),
+             e -> e.s = s),
+      e -> struct(
+        aggregate(zip_with(slice(rv, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
+                           (x, y) -> (x - y) * (x - y)),
+                  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
+        e.cid AS cid, e.t AS t)))),
+  p -> p.t), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"""
+    )
+    qdotc_case = "CASE cell_id " + " ".join(
+        f"WHEN {cid} THEN CAST({qdotc[cid]!r} AS DOUBLE)" for cid in probe
+    ) + " END"
+    return (
+        resid.filter(F.col("cell_id").isin(probe))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("rdot", rdot)
+        .withColumn(
+            "adc_cos",
+            (F.expr(qdotc_case) + F.col("rdot"))
+            / (F.col("nrm") * F.lit(float(qn))),
+        )
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(ANN_TOP_K)
+        .select(
+            "vec_id", "cell_id", F.round(F.col("adc_cos"), 6).alias("adc_cosine")
         )
     )

@@ -91,7 +91,7 @@ _PRIORITY_PREFIXES = [
     "text_cms", "ap07",
     "bpe_", "dedup_line_global", "text_gopher", "maint_zorder",
     "j09", "mm_dedup_phash", "emb_index_growth",
-    "emb_pq_residual", "emb_covariance",
+    "sim_ivfpq_residual", "emb_pq_residual", "emb_covariance",
     "corpus_shard_manifest", "events_decayed", "slice_length_mad",
     "st08", "ap10", "clf_calibration",
     # then everything already carrying a driver row, newest-evidence
