@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "bpe_fertility_by_lang",
     "emb_index_growth",
     "sim_ivfpq_residual_topk",
+    "a13_cube_report",
 ]
 
 N_REPS = 3

@@ -363,3 +363,33 @@ def a12_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("mx_a", "mx_b"), F.coalesce("mx_b", "mx_a")
         ).alias("max_cents"),
     )
+
+
+@register(
+    "a13_cube_report",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gid,
+       count(*)::BIGINT AS n,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def a13_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with an explicit grouping_id
+    (extension, completing the reporting trio with a10's pivot and
+    a11's rollup): all four grouping sets — per pair, per status, per
+    priority, grand total — in ONE aggregate pass. The grouping_id
+    column disambiguates a real NULL key from a subtotal row, which is
+    what makes the cube safely consumable downstream. Same scale
+    argument as rollup: Catalyst replicates rows per grouping set
+    inside one Expand + hash agg, one fact scan instead of four."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(price).cast("double").alias("sum_price"),
+    )
