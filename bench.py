@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "emb_index_growth",
     "sim_ivfpq_residual_topk",
     "a13_cube_report",
+    "gopher_rate_by_source",
 ]
 
 N_REPS = 3

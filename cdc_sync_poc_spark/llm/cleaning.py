@@ -57,37 +57,42 @@ POS_ENC = 1_000_000  # winner encoding: doc_id * POS_ENC + pos; holds
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
 
 
+# Shared gopher-rule CTE: the per-doc flags as one SELECT over the
+# split-words CTE — reused verbatim by the per-doc oracle and the
+# per-source rate rollup so the rule SQL exists exactly once.
+_GOPHER_CTE = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+               / len(ws), 6) AS mean_word_len,
+         round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                    AS DOUBLE) / len(ws), 6) AS alpha_frac,
+         len(list_filter(ws, x -> x IN ({_STOPLIST_SQL})))::BIGINT AS n_stop,
+         len(ws) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+           AS rule_word_count,
+         round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+               / len(ws), 6) BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+           AS rule_mean_len,
+         round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                    AS DOUBLE) / len(ws), 6) >= {GOPHER_ALPHA_FRAC}
+           AS rule_alpha,
+         len(list_filter(ws, x -> x IN ({_STOPLIST_SQL}))) >= {GOPHER_MIN_STOP}
+           AS rule_stopwords
+  FROM w
+)"""
+
+
 @register(
     "text_gopher_rules",
     oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-SELECT doc_id,
-       len(ws)::BIGINT AS n_words,
-       round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-             / len(ws), 6) AS mean_word_len,
-       round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
-                  AS DOUBLE) / len(ws), 6) AS alpha_frac,
-       len(list_filter(ws, x -> x IN ({_STOPLIST_SQL})))::BIGINT AS n_stop,
-       len(ws) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-         AS rule_word_count,
-       round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-             / len(ws), 6) BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
-         AS rule_mean_len,
-       round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
-                  AS DOUBLE) / len(ws), 6) >= {GOPHER_ALPHA_FRAC}
-         AS rule_alpha,
-       len(list_filter(ws, x -> x IN ({_STOPLIST_SQL}))) >= {GOPHER_MIN_STOP}
-         AS rule_stopwords,
-       (len(ws) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-         AND (round(CAST(list_sum(list_transform(ws, x -> length(x)))
-                         AS DOUBLE) / len(ws), 6)
-              BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI})
-         AND (round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
-                         AS DOUBLE) / len(ws), 6) >= {GOPHER_ALPHA_FRAC})
-         AND (len(list_filter(ws, x -> x IN ({_STOPLIST_SQL})))
-              >= {GOPHER_MIN_STOP})
+WITH {_GOPHER_CTE}
+SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+       rule_word_count, rule_mean_len, rule_alpha, rule_stopwords,
+       rule_word_count AND rule_mean_len AND rule_alpha AND rule_stopwords
          AS gopher_pass
-FROM w
+FROM g
 """,
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,3 +238,52 @@ def line_dedup_frame(docs: DataFrame) -> DataFrame:
     )
     joined = seg.join(win, "segment").withColumn("kept", enc == F.col("w"))
     return reassemble_kept(joined)
+
+
+@register(
+    "gopher_rate_by_source",
+    oracle=f"""
+WITH {_GOPHER_CTE}
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN g.rule_word_count THEN 1 ELSE 0 END)::BIGINT AS n_word_count,
+       sum(CASE WHEN g.rule_mean_len THEN 1 ELSE 0 END)::BIGINT AS n_mean_len,
+       sum(CASE WHEN g.rule_alpha THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+       sum(CASE WHEN g.rule_stopwords THEN 1 ELSE 0 END)::BIGINT AS n_stopwords,
+       round(CAST(sum(CASE WHEN g.rule_word_count AND g.rule_mean_len
+                            AND g.rule_alpha AND g.rule_stopwords
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS pass_rate
+FROM g JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def gopher_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher scoreboard: how many documents each ingest
+    source passes per rule, and its overall pass rate — the slice-level
+    quality report a curation pipeline publishes every run (a source
+    whose pass rate collapses is a crawler or parser regression, caught
+    BEFORE the tokens reach training).
+
+    One map-only rule projection (the same gopher_rules_frame columns)
+    followed by one sources-sized hash agg — shuffle volume is
+    #sources, never #documents. Per-rule counts stay BIGINT; the single
+    double division happens once per source row."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules_frame(docs).join(docs.select("doc_id", "source"), "doc_id")
+    passes = (
+        F.col("rule_word_count")
+        & F.col("rule_mean_len")
+        & F.col("rule_alpha")
+        & F.col("rule_stopwords")
+    )
+    return g.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("rule_word_count").cast("long")).alias("n_word_count"),
+        F.sum(F.col("rule_mean_len").cast("long")).alias("n_mean_len"),
+        F.sum(F.col("rule_alpha").cast("long")).alias("n_alpha"),
+        F.sum(F.col("rule_stopwords").cast("long")).alias("n_stopwords"),
+        F.round(
+            F.sum(passes.cast("long")).cast("double") / F.count("*"), 6
+        ).alias("pass_rate"),
+    )

@@ -89,7 +89,8 @@ _PRIORITY_PREFIXES = [
     # every r5-session addition (never driver-sampled yet)
     "dedup_cluster_stats", "dedup_rate_by_source", "text_langid_eval",
     "text_cms", "ap07",
-    "bpe_", "dedup_line_global", "text_gopher", "maint_zorder",
+    "bpe_", "dedup_line_global", "text_gopher", "gopher_rate",
+    "maint_zorder",
     "j09", "mm_dedup_phash", "emb_index_growth",
     "sim_ivfpq_residual", "emb_pq_residual", "emb_covariance",
     "corpus_shard_manifest", "events_decayed", "slice_length_mad",
