@@ -104,6 +104,12 @@ SECTIONS = [
      "Distributed BPE: corpus touched by ONE explode+hash agg (persisted vocab), each merge step vocab-sized — pair fan-out, TakeOrderedAndProject top-1, broadcast 1-row winner into a JVM-side merge fold"),
     ("emb_index_growth",
      "Incremental IVF maintenance audit: frozen-quantizer assignment as map-only constant-folded expression, N_CELLS-group agg + broadcast 1-row total — new vectors indexed with zero shuffles, re-split decisions cell-local"),
+    ("sim_ivfpq_residual_topk",
+     "Residual IVF-PQ/ADC probe: assignment + centroid-subtract + residual code lookup + ADC sum in constant-folded literals, per-probe-cell dot(q, centroid) as a 2-branch CASE, probe IN-filter prunes, TakeOrderedAndProject — zero joins, zero shuffles"),
+    ("a13_cube_report",
+     "CUBE reporting: one Expand + single two-phase hash aggregate covers all four grouping sets — one fact scan instead of four"),
+    ("gopher_rate_by_source",
+     "Per-source quality scoreboard: map-only rule projection + sources-sized hash agg — shuffle volume is #sources, never #documents"),
 ]
 
 
