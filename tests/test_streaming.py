@@ -611,3 +611,77 @@ def test_stream_net_pipeline_matches_sequential_replay(spark, stream_dirs):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join (view->click
+    attribution, streaming/stream_join.py) emits, across all
+    micro-batches, exactly the pairs the batch interval join produces
+    on the full event set — including a cross-micro-batch pair (the
+    view arrives in batch 1, its click in batch 2, within the window:
+    the buffered view must still be in the join state)."""
+    import pandas as pd
+
+    from cdc_sync_poc_spark.streaming.source import file_event_stream
+    from cdc_sync_poc_spark.streaming.stream_join import (
+        interval_join_batch,
+        interval_join_stream,
+    )
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]).astype(
+                    "datetime64[us]"
+                ),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    b1 = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:05:00", 1, "click"),   # in-window, same batch
+        (3, "2024-01-01 00:00:00", 2, "view"),
+        (4, "2024-01-01 00:20:00", 2, "click"),   # out of window
+    ]
+    b2 = [
+        (5, "2024-01-01 00:08:00", 1, "click"),   # in-window, CROSS batch
+        (6, "2024-01-01 00:30:00", 3, "view"),
+        (7, "2024-01-01 00:31:00", 3, "click"),   # in-window
+    ]
+    in_dir = tmp_path / "sj_in"
+    in_dir.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for i, rows in enumerate((b1, b2)):
+        f = in_dir / f"part-{i}.parquet"
+        batch(rows).to_parquet(f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    rows_out = []
+    q = (
+        interval_join_stream(file_event_stream(spark, str(in_dir)))
+        .writeStream.foreachBatch(lambda df, _b: rows_out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_sj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    all_events = spark.createDataFrame(
+        pd.concat([batch(b1), batch(b2)], ignore_index=True)
+    )
+    expected = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in interval_join_batch(all_events).collect()
+    }
+    got = {(r.user_id, r.view_id, r.click_id) for r in rows_out}
+    assert got == expected
+    assert (1, 1, 5) in got  # the cross-batch attribution pair
+    assert (2, 3, 4) not in got  # out-of-window pair stays out
