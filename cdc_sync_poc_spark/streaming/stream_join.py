@@ -85,3 +85,30 @@ def interval_join_batch(events: DataFrame) -> DataFrame:
         "view_ts",
         "click_ts",
     )
+
+
+def interval_join_stream_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER variant: every view eventually emits — matched pairs
+    as they arrive, unmatched views with a NULL click once the
+    click-side watermark passes view_ts + ATTRIB_WINDOW (proof the view
+    can no longer match). This is the streaming mechanic behind
+    "sessions that never converted": the null-completed row is emitted
+    LATE by construction, only when the state store can prove the
+    negative — which is why outer stream-stream joins REQUIRE both the
+    watermark and the interval bound."""
+    views, clicks = _sides(events)
+    return (
+        views.withWatermark("view_ts", ATTRIB_WINDOW)
+        .join(
+            clicks.withWatermark("click_ts", ATTRIB_WINDOW),
+            _join_cond(),
+            "left_outer",
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            "view_ts",
+            "click_ts",
+        )
+    )

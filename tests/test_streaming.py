@@ -685,3 +685,64 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == expected
     assert (1, 1, 5) in got  # the cross-batch attribution pair
     assert (2, 3, 4) not in got  # out-of-window pair stays out
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a view with no in-window click is
+    emitted with a NULL click_id — but only after the click-side
+    watermark PASSES view_ts + window (a later heartbeat batch advances
+    it), because only then can the state store prove the negative."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from cdc_sync_poc_spark.streaming.source import file_event_stream
+    from cdc_sync_poc_spark.streaming.stream_join import interval_join_stream_outer
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]).astype(
+                    "datetime64[us]"
+                ),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    b1 = [
+        (1, "2024-01-01 00:00:00", 1, "view"),   # will match
+        (2, "2024-01-01 00:05:00", 1, "click"),
+        (3, "2024-01-01 00:00:00", 2, "view"),   # never matches
+    ]
+    # heartbeat far past view_ts + window on BOTH sides -> watermark
+    # advances -> the unmatched view can be null-completed
+    b2 = [
+        (8, "2024-01-01 02:00:00", 9, "view"),
+        (9, "2024-01-01 02:00:00", 9, "click"),
+    ]
+    in_dir = tmp_path / "sjo_in"
+    in_dir.mkdir()
+    now = time.time()
+    for i, rows in enumerate((b1, b2)):
+        f = in_dir / f"part-{i}.parquet"
+        batch(rows).to_parquet(f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    rows_out = []
+    q = (
+        interval_join_stream_outer(file_event_stream(spark, str(in_dir)))
+        .writeStream.foreachBatch(lambda df, _b: rows_out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_sjo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r.view_id, r.click_id) for r in rows_out}
+    assert (1, 2) in got          # matched pair
+    assert (3, None) in got       # null-completed after watermark passed
