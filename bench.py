@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "sim_ivfpq_residual_topk",
     "a13_cube_report",
     "gopher_rate_by_source",
+    "events_view_click_pairs",
 ]
 
 N_REPS = 3

@@ -1253,3 +1253,31 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_score"),
         )
     )
+
+
+@register(
+    "events_view_click_pairs",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       v.ts AS view_ts, c.ts AS click_ts
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+)
+def events_view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->click attribution pairs within a 10-minute window — the
+    BATCH side of the stream-stream interval join, sharing one
+    implementation with the streaming twin
+    (streaming/stream_join.interval_join_batch — the exact condition
+    the watermarked unbounded join runs with bounded state; equivalence
+    incl. cross-micro-batch pairs pinned in tests/test_streaming.py).
+
+    Plan: both sides hash-shuffle on user_id (the streaming join's
+    exact shuffle), per-user candidate pairs bounded by the interval —
+    the j07 range-join family's shape with the event-time bound doing
+    the pruning."""
+    from cdc_sync_poc_spark.streaming.stream_join import interval_join_batch
+
+    return interval_join_batch(load_table(spark, sf_dir, "events"))
