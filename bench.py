@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "a13_cube_report",
     "gopher_rate_by_source",
     "events_view_click_pairs",
+    "dq_constraint_report",
 ]
 
 N_REPS = 3

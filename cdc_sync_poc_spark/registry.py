@@ -95,7 +95,7 @@ _PRIORITY_PREFIXES = [
     "sim_ivfpq_residual", "emb_pq_residual", "emb_covariance",
     "corpus_shard_manifest", "events_decayed", "slice_length_mad",
     "st08", "ap10", "clf_calibration", "a13",
-    "events_view_click",
+    "events_view_click", "dq_constraint",
     # then everything already carrying a driver row, newest-evidence
     # last (r4-green first would be wasteful; keep stable order)
     "seq_pack", "doc_length", "dedup_segment", "text_gini", "emb_pq",
@@ -154,6 +154,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.operators.conflict  # noqa: F401
     import cdc_sync_poc_spark.operators.events_analytics  # noqa: F401
     import cdc_sync_poc_spark.operators.joins  # noqa: F401
+    import cdc_sync_poc_spark.operators.quality  # noqa: F401
     import cdc_sync_poc_spark.operators.rowops  # noqa: F401
     import cdc_sync_poc_spark.operators.sketches  # noqa: F401
     import cdc_sync_poc_spark.operators.sorts  # noqa: F401
