@@ -17,8 +17,8 @@ GROUPS = [
       "source_jsonl_docs", "source_csv_docs",
       "sink_cdc_append", "sink_target_apply", "sink_audit_log"]),
     ("§2.2 Row transforms", [f"r{i:02d}" for i in range(1, 16)]),
-    ("§2.3 Joins", [f"j{i:02d}" for i in range(1, 9)]),
-    ("§2.4 Aggregations", [f"a{i:02d}" for i in range(1, 13)]),
+    ("§2.3 Joins", [f"j{i:02d}" for i in range(1, 10)]),
+    ("§2.4 Aggregations", [f"a{i:02d}" for i in range(1, 14)]),
     ("§2.5 Sorts / limits / top-K", [f"s{i:02d}" for i in range(1, 6)]),
     ("§2.6 Stateful / streaming", [f"st{i:02d}" for i in range(1, 9)]),
     ("§2.7 Apply / upsert", [f"ap{i:02d}" for i in range(1, 11)]),
@@ -43,10 +43,11 @@ GROUPS = [
       "dedup_incremental", "dedup_recall_minhash",
       "dedup_prefix_containment", "dedup_rate_by_source",
       "dedup_winnowing_pairs", "dedup_precision_minhash",
-      "dedup_cluster_stats"]),
+      "dedup_cluster_stats", "dedup_line_global"]),
     ("M6: similarity search",
      ["sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_topk_all",
-      "sim_ivf_topk", "sim_ivfpq_topk", "ann_recall_lsh",
+      "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
+      "emb_index_growth", "ann_recall_lsh",
       "ann_recall_ivf", "ann_recall_ivfpq", "ann_recall_truncated",
       "emb_pq_error", "emb_pq_residual_error", "retrieval_rrf_fusion"]),
     ("M6: text analysis",
@@ -55,7 +56,8 @@ GROUPS = [
       "text_tfidf_top_term", "text_top_terms", "text_repetition_filter",
       "text_oov_ratio", "text_lexical_concentration",
       "text_winnowing_overlap", "text_cms_error", "text_hapax_ratio",
-      "text_gini_concentration"]),
+      "text_gini_concentration", "text_gopher_rules",
+      "gopher_rate_by_source"]),
     ("M6: corpus curation & hygiene",
      ["sample_stratified", "sample_fixed_n", "corpus_mix_weights",
       "emb_quantize_error",
@@ -68,6 +70,8 @@ GROUPS = [
      ["pii_redact", "doc_chunking", "seq_packing", "text_rarity_score",
       "emb_label_centroids", "emb_centroid_shift", "dup_ngram_fraction",
       "text_cooccur_lift"]),
+    ("M6: tokenizer induction",
+     ["bpe_merge_steps", "bpe_tokenize_count", "bpe_fertility_by_lang"]),
     ("M6: multimodal",
      ["mm_attach_meta", "mm_decode_features", "mm_resize",
       "mm_frame_sample", "mm_integrity_check", "mm_dedup_phash"]),
@@ -81,7 +85,8 @@ GROUPS = [
       "events_lateness_profile", "events_user_overlap",
       "events_cohort_ltv", "events_active_users",
       "events_rfm_segments", "events_interarrival_stats",
-      "events_seasonality", "events_decayed_engagement"]),
+      "events_seasonality", "events_decayed_engagement",
+      "events_view_click_pairs"]),
     ("M6: quality scoring & data selection",
      ["text_lm_score", "text_bm25_rank", "dsir_importance",
       "text_classifier_score", "text_classifier_confusion",
@@ -89,6 +94,8 @@ GROUPS = [
       "dsir_resample", "corpus_token_budget",
       "corpus_filter_funnel", "corpus_funnel_counts",
       "corpus_divergence_chi2"]),
+    ("Lake maintenance, layout & data quality",
+     ["maint_zorder_layout", "dq_constraint_report"]),
 ]
 
 
