@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "gopher_rate_by_source",
     "events_view_click_pairs",
     "dq_constraint_report",
+    "dq_profile_table",
+    "maint_partition_stats",
 ]
 
 N_REPS = 3

@@ -100,3 +100,100 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@register(
+    "dq_profile_table",
+    oracle="""
+SELECT * FROM (
+  SELECT 'o_custkey' AS col,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+         CAST(min(o_custkey) AS VARCHAR) AS min_val,
+         CAST(max(o_custkey) AS VARCHAR) AS max_val
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT o_orderstatus)::BIGINT,
+         CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT o_orderpriority)::BIGINT,
+         CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+  FROM orders
+) p
+""",
+)
+def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (ANALYZE-style): null count, distinct count, and
+    min/max per profiled column, one row per column — the statistics a
+    catalog stores for CBO and a data steward reads for drift.
+
+    Each column's stats fold into one aggregate; the per-column frames
+    union into the report. Exact count_distinct here keeps the oracle
+    exact; at 100 TB the production swap is approx_count_distinct
+    (HLL++) per column in a SINGLE agg pass — same plan shape minus the
+    distinct expands. Min/max stringified so heterogeneous column types
+    share one report schema."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(F.col(col)).cast("string").alias("min_val"),
+            F.max(F.col(col)).cast("string").alias("max_val"),
+        )
+
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    out = prof(cols[0])
+    for c in cols[1:]:
+        out = out.unionAll(prof(c))
+    return out
+
+
+@register(
+    "maint_partition_stats",
+    oracle="""
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+tot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT CAST(ts AS DATE))::BIGINT AS d
+        FROM events)
+SELECT p.day, p.n_rows,
+       round(CAST(p.n_rows AS DOUBLE) * t.d / t.n, 6) AS skew_factor,
+       p.n_rows * t.d > 2 * t.n AS is_hot
+FROM per_day p, tot t
+""",
+)
+def maint_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout audit for a date-partitioned lake: rows per
+    day-partition, each partition's skew factor (share of rows vs the
+    uniform expectation), and a hot-partition flag (>2x uniform) — the
+    report that decides repartitioning, salting (j08), or AQE skew
+    hints BEFORE a join degrades.
+
+    One partitions-sized hash agg + a broadcast 1-row total; the skew
+    comparison is integer cross-multiplication (n_rows * n_partitions
+    vs factor * total), exact at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_rows")
+    )
+    tot = ev.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.col("ts").cast("date")).alias("d"),
+    )
+    return per_day.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double") * F.col("d") / F.col("n"), 6
+        ).alias("skew_factor"),
+        (F.col("n_rows") * F.col("d") > 2 * F.col("n")).alias("is_hot"),
+    )

@@ -95,7 +95,8 @@ _PRIORITY_PREFIXES = [
     "sim_ivfpq_residual", "emb_pq_residual", "emb_covariance",
     "corpus_shard_manifest", "events_decayed", "slice_length_mad",
     "st08", "ap10", "clf_calibration", "a13",
-    "events_view_click", "dq_constraint",
+    "events_view_click", "dq_constraint", "dq_profile",
+    "maint_partition",
     # then everything already carrying a driver row, newest-evidence
     # last (r4-green first would be wasteful; keep stable order)
     "seq_pack", "doc_length", "dedup_segment", "text_gini", "emb_pq",

@@ -95,7 +95,8 @@ GROUPS = [
       "corpus_filter_funnel", "corpus_funnel_counts",
       "corpus_divergence_chi2"]),
     ("Lake maintenance, layout & data quality",
-     ["maint_zorder_layout", "dq_constraint_report"]),
+     ["maint_zorder_layout", "maint_partition_stats",
+      "dq_constraint_report", "dq_profile_table"]),
 ]
 
 
