@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "dq_constraint_report",
     "dq_profile_table",
     "maint_partition_stats",
+    "retrieval_hard_negatives",
 ]
 
 N_REPS = 3

@@ -37,6 +37,46 @@ _LEX_TF_DUCK = " + ".join(
 )
 
 
+def _lex_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-CAND_N lexical candidates (probe-term frequency), ranked —
+    orderBy().limit() plans as TakeOrderedAndProject, then row_number
+    runs over only the <= CAND_N surviving rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = None
+    for t in BM25_TERMS:
+        c = F.size(F.expr(f"filter(split(text, ' '), w -> w = '{t}')"))
+        tf = c if tf is None else tf + c
+    w_lex = Window.orderBy(F.desc("tf"), F.asc("id"))
+    return (
+        spread_small_input(docs.select(F.col("doc_id").alias("id"), tf.alias("tf")))
+        .filter(F.col("tf") >= 1)
+        .orderBy(F.desc("tf"), F.asc("id"))
+        .limit(CAND_N)
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .select("id", "lex_rank")
+    )
+
+
+def _sem_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-CAND_N semantic candidates (cosine to the query vector),
+    ranked — same TakeOrderedAndProject shape."""
+    n = _normed(spark, sf_dir)
+    q = n.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
+    w_sem = Window.orderBy(F.desc("cosr"), F.asc("id"))
+    return (
+        n.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("id"), cos.alias("cosr"))
+        .orderBy(F.desc("cosr"), F.asc("id"))
+        .limit(CAND_N)
+        .withColumn("sem_rank", F.row_number().over(w_sem))
+        .select("id", "sem_rank")
+    )
+
+
 @register(
     "retrieval_rrf_fusion",
     oracle=f"""
@@ -86,35 +126,8 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``<= CAND_N`` filter — a corpus-sized single-task sort (VERDICT
     "What's wrong" #3, removed); row_number now runs only over the
     ≤CAND_N surviving rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    tf = None
-    for t in BM25_TERMS:
-        c = F.size(F.expr(f"filter(split(text, ' '), w -> w = '{t}')"))
-        tf = c if tf is None else tf + c
-    w_lex = Window.orderBy(F.desc("tf"), F.asc("id"))
-    lex = (
-        spread_small_input(docs.select(F.col("doc_id").alias("id"), tf.alias("tf")))
-        .filter(F.col("tf") >= 1)
-        .orderBy(F.desc("tf"), F.asc("id"))
-        .limit(CAND_N)
-        .withColumn("lex_rank", F.row_number().over(w_lex))
-        .select("id", "lex_rank")
-    )
-    n = _normed(spark, sf_dir)
-    q = n.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
-    w_sem = Window.orderBy(F.desc("cosr"), F.asc("id"))
-    sem = (
-        n.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .select(F.col("vec_id").alias("id"), cos.alias("cosr"))
-        .orderBy(F.desc("cosr"), F.asc("id"))
-        .limit(CAND_N)
-        .withColumn("sem_rank", F.row_number().over(w_sem))
-        .select("id", "sem_rank")
-    )
+    lex = _lex_candidates(spark, sf_dir)
+    sem = _sem_candidates(spark, sf_dir)
     fused = lex.join(sem, "id", "full_outer").select(
         "id",
         "lex_rank",
@@ -133,4 +146,52 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sem_rank").cast("bigint").alias("sem_rank"),
             F.round("rrf", 6).alias("rrf_score"),
         )
+    )
+
+
+@register(
+    "retrieval_hard_negatives",
+    oracle=f"""
+WITH {_VEC_CTES},
+lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (
+           ORDER BY ({_LEX_TF_DUCK}) DESC, doc_id) AS lex_rank
+  FROM documents
+  WHERE ({_LEX_TF_DUCK}) >= 1
+  QUALIFY lex_rank <= {CAND_N}
+),
+sem AS (
+  SELECT vec_id AS id,
+         row_number() OVER (
+           ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) DESC,
+                    vec_id) AS sem_rank
+  FROM n, q
+  WHERE vec_id <> {QUERY_VEC_ID}
+  QUALIFY sem_rank <= {CAND_N}
+)
+SELECT l.id, l.lex_rank::BIGINT AS lex_rank
+FROM lex l LEFT JOIN sem s ON l.id = s.id
+WHERE s.id IS NULL
+""",
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-hard-negative mining for retriever training (the DPR /
+    contrastive-training recipe): candidates that rank HIGH lexically
+    for the query's terms but are NOT among its semantic neighbors —
+    exactly the confusable documents a dense retriever must learn to
+    push away. The negatives are the lexical top-CAND_N anti-joined
+    against the semantic top-CAND_N (both legs shared verbatim with
+    retrieval_rrf_fusion).
+
+    Scale: two TakeOrderedAndProject candidate retrievals (at 100 TB
+    the semantic leg comes from the IVF/LSH index) and one anti-join of
+    two CAND_N-row frames — candidate-bounded, never corpus-bounded;
+    mining negatives for a full training-query set runs this shape per
+    query over the batch retrieval plans."""
+    lex = _lex_candidates(spark, sf_dir)
+    sem = _sem_candidates(spark, sf_dir)
+    return lex.join(sem, "id", "left_anti").select(
+        "id", F.col("lex_rank").cast("bigint").alias("lex_rank")
     )

@@ -56,7 +56,7 @@ _PRIORITY_PREFIXES = [
     # ---- the r5 driver window: 50 never-sampled queries ----
     # changed-this-round first (histcut rewrite + lazy-count fix get
     # fresh evidence on exactly the code that moved)
-    "text_lm_score", "events_rfm", "retrieval_", "source_csv",
+    "text_lm_score", "events_rfm", "retrieval_rrf_fusion", "source_csv",
     "corpus_vocab",
     # classifier + events additions
     "text_classifier",  # 2: score + confusion
@@ -96,6 +96,7 @@ _PRIORITY_PREFIXES = [
     "corpus_shard_manifest", "events_decayed", "slice_length_mad",
     "st08", "ap10", "clf_calibration", "a13",
     "events_view_click", "dq_constraint", "dq_profile",
+    "retrieval_hard_negatives",
     "maint_partition",
     # then everything already carrying a driver row, newest-evidence
     # last (r4-green first would be wasteful; keep stable order)

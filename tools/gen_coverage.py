@@ -49,7 +49,8 @@ GROUPS = [
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
       "emb_index_growth", "ann_recall_lsh",
       "ann_recall_ivf", "ann_recall_ivfpq", "ann_recall_truncated",
-      "emb_pq_error", "emb_pq_residual_error", "retrieval_rrf_fusion"]),
+      "emb_pq_error", "emb_pq_residual_error", "retrieval_rrf_fusion",
+      "retrieval_hard_negatives"]),
     ("M6: text analysis",
      ["text_langid", "text_langid_eval", "text_quality", "text_tokens",
       "text_fingerprint",
