@@ -110,6 +110,10 @@ SECTIONS = [
      "CUBE reporting: one Expand + single two-phase hash aggregate covers all four grouping sets — one fact scan instead of four"),
     ("gopher_rate_by_source",
      "Per-source quality scoreboard: map-only rule projection + sources-sized hash agg — shuffle volume is #sources, never #documents"),
+    ("events_view_click_pairs",
+     "Interval attribution join: hash join ON user_id with the event-time range as the join condition (the stream-stream twin's exact shuffle) — never a nested-loop over the cross product"),
+    ("dq_constraint_report",
+     "Data-quality gate: every column constraint in ONE aggregate pass over one scan + one anti-join for the FK — report size is #constraints"),
 ]
 
 
