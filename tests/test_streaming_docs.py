@@ -635,3 +635,80 @@ def test_streaming_line_dedup_matches_batch_and_is_incremental(spark, tmp_path):
         for r in sld.cleaned().collect()
     }
     assert again == got
+
+
+def test_streaming_sampler_equals_batch_bottom_n(spark, tmp_path):
+    """The foreachBatch bottom-N sampler (streaming/sampling.py): after
+    all micro-batches, the stored sample is EXACTLY sample_fixed_n's
+    bottom-N over the union — the bottom-k associativity argument —
+    and replaying a batch leaves it unchanged (idempotent fold)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.streaming.sampling import (
+        StreamingSampler,
+        run_streaming_sampler,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    docs = t.to_pylist()[:40]
+    batches = (docs[:15], docs[15:30], docs[30:40])
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    in_dir = tmp_path / "smp_in"
+    in_dir.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    N = 12
+    root = tmp_path / "smp_root"
+    q = run_streaming_sampler(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_smp"), n=N
+    )
+    q.awaitTermination()
+    smp = StreamingSampler(spark, str(root), n=N)
+    got = {(r.doc_id, r.hk) for r in smp.sample().collect()}
+    assert len(got) == N
+
+    # batch ground truth: bottom-N by the same md5 draw over the union
+    from pyspark.sql import functions as F
+
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["lang"], d["source"]) for d in docs],
+        "doc_id long, lang string, source string",
+    )
+    expected = {
+        (r.doc_id, r.hk)
+        for r in union.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
+        )
+        .orderBy("hk", "doc_id")
+        .limit(N)
+        .collect()
+    }
+    assert got == expected
+
+    # replay batch 2: idempotent — stored sample unchanged
+    smp.absorb_batch(
+        spark.createDataFrame(
+            [
+                (d["doc_id"], d["text"], d["lang"], d["source"], d["n_chars"])
+                for d in batches[1]
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        batch_id=1,
+    )
+    again = {(r.doc_id, r.hk) for r in smp.sample().collect()}
+    assert again == got
