@@ -532,19 +532,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake and skips the rest entirely — the IVF twin of the LSH bucket
     pruning in sim_ann_lsh / sim_ann_topk_all."""
     n, cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
-    # the seed centroids are the N_CELLS lowest vec_ids (cell_id ==
-    # vec_id), so the query vector is already on the driver when its id
-    # is among them — no extra lookup job
-    seed = {int(r.cell_id): r for r in cents0_rows}
-    if QUERY_VEC_ID in seed:
-        qv, qn = seed[QUERY_VEC_ID].cv, seed[QUERY_VEC_ID].cn
-    else:
-        qrow = (
-            n.filter(F.col("vec_id") == QUERY_VEC_ID)
-            .select("v", "nrm")
-            .collect()[0]
-        )
-        qv, qn = qrow.v, qrow.nrm
+    qv, qn = _query_vec(n, cents0_rows)
     probe = _probe_cells_for(qv, qn, cents1_rows)
     qarr = "array(" + ",".join(f"{float(x)!r}D" for x in qv) + ")"
     cos = F.expr(
@@ -1030,23 +1018,71 @@ def emb_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
-    return f"""
-WITH {_ivf_cte_chain()},
-qc AS (SELECT cell_id FROM rk1
-       WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE_CELLS}),
-seed AS (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {PQ_K}),
+def _query_vec(n, cents0_rows):
+    """(qv, qn) for QUERY_VEC_ID: read from the driver-resident seed
+    centroid rows when the query id is among them (the N_CELLS lowest
+    vec_ids), else one 1-row collect — shared by every IVF probe."""
+    seed = {int(r.cell_id): r for r in cents0_rows}
+    if QUERY_VEC_ID in seed:
+        return seed[QUERY_VEC_ID].cv, seed[QUERY_VEC_ID].cn
+    row = (
+        n.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").collect()[0]
+    )
+    return row.v, row.nrm
+
+
+def _adc_payload(seed_vecs, qv) -> str:
+    """Codebook + precomputed ADC terms as one JSON literal:
+    ``seed_vecs`` is [(cid, full_vector), ...]; per (subspace, code)
+    the entry carries the code subvector AND t = dot(q_sub, code_sub)
+    (same sequential fold as the oracle's list_sum)."""
+    entries = []
+    for cid, vec in seed_vecs:
+        for s in range(PQ_M):
+            cv = [float(x) for x in vec[s * PQ_DSUB : (s + 1) * PQ_DSUB]]
+            acc = 0.0
+            for x, y in zip(qv[s * PQ_DSUB : (s + 1) * PQ_DSUB], cv):
+                acc = acc + x * y
+            entries.append({"s": s, "cid": cid, "cv": cv, "t": acc})
+    return json.dumps(entries, separators=(",", ":"))
+
+
+def _adc_dot(payload: str, vec: str) -> F.Column:
+    """ADC dot product of the query against ``vec``'s nearest code per
+    subspace — the one-map-stage scoring expression shared by the raw
+    and residual IVF-PQ probes (only the scored column differs)."""
+    return F.expr(
+        f"""aggregate(transform(
+  transform(sequence(0, {PQ_M - 1}), s ->
+    array_min(transform(
+      filter(from_json('{payload}',
+        'array<struct<s:int,cid:bigint,cv:array<double>,t:double>>'),
+             e -> e.s = s),
+      e -> struct(
+        aggregate(zip_with(slice({vec}, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
+                           (x, y) -> (x - y) * (x - y)),
+                  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
+        e.cid AS cid, e.t AS t)))),
+  p -> p.t), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"""
+    )
+
+
+def _adc_oracle_ctes(src: str, vec: str, out: str) -> str:
+    """seed/cb/dists/best/adcterm/{out} CTE chain scoring ``src.vec``
+    against the sample-init codebook — shared by the raw and residual
+    IVF-PQ oracles (source table/column differ, the algebra does not)."""
+    return f"""seed AS (SELECT vec_id, {vec} FROM {src} ORDER BY vec_id LIMIT {PQ_K}),
 cb AS (
   SELECT t.s, seed.vec_id AS cid,
-         seed.v[t.s*{PQ_DSUB}+1 : t.s*{PQ_DSUB}+{PQ_DSUB}] AS cv
+         seed.{vec}[t.s*{PQ_DSUB}+1 : t.s*{PQ_DSUB}+{PQ_DSUB}] AS cv
   FROM seed CROSS JOIN range(0, {PQ_M}) t(s)
 ),
 dists AS (
-  SELECT n.vec_id, cb.s, cb.cid,
+  SELECT r.vec_id, cb.s, cb.cid,
          list_sum(list_transform(range(1, {PQ_DSUB + 1}),
-            i -> (n.v[cb.s*{PQ_DSUB}+i] - cb.cv[i])
-               * (n.v[cb.s*{PQ_DSUB}+i] - cb.cv[i]))) AS dist
-  FROM n CROSS JOIN cb
+            i -> (r.{vec}[cb.s*{PQ_DSUB}+i] - cb.cv[i])
+               * (r.{vec}[cb.s*{PQ_DSUB}+i] - cb.cv[i]))) AS dist
+  FROM {src} r CROSS JOIN cb
 ),
 best AS (
   SELECT vec_id, s, cid FROM (
@@ -1062,10 +1098,18 @@ adcterm AS (
             i -> q.qv[b.s*{PQ_DSUB}+i] * c2.cv[i])) AS term
   FROM best b JOIN cb c2 ON c2.s = b.s AND c2.cid = b.cid, q
 ),
-adc AS (
+{out} AS (
   SELECT vec_id, list_sum(list(term ORDER BY s)) AS adot
   FROM adcterm GROUP BY vec_id
-)
+)"""
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH {_ivf_cte_chain()},
+qc AS (SELECT cell_id FROM rk1
+       WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE_CELLS}),
+{_adc_oracle_ctes("n", "v", "adc")}
 SELECT a.vec_id, a.cell_id,
        round(adc.adot / (a.nrm * q.qn), 6) AS adc_cosine
 FROM a1 a JOIN qc USING (cell_id) JOIN adc USING (vec_id), q
@@ -1098,42 +1142,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows as the IVF seed centroids, already on the driver
     assert N_CELLS >= PQ_K, "PQ seeds reuse the IVF seed rows"
     seeds = sorted(cents0_rows, key=lambda r: int(r.cell_id))[:PQ_K]
-    seed_q = {int(r.cell_id): r for r in seeds}
-    if QUERY_VEC_ID in seed_q:
-        qv, qn = seed_q[QUERY_VEC_ID].cv, seed_q[QUERY_VEC_ID].cn
-    else:
-        qrow = (
-            n.filter(F.col("vec_id") == QUERY_VEC_ID)
-            .select("v", "nrm")
-            .collect()[0]
-        )
-        qv, qn = qrow.v, qrow.nrm
+    qv, qn = _query_vec(n, cents0_rows)
     probe = _probe_cells_for(qv, qn, cents1_rows)
-    entries = []
-    for r in seeds:
-        for s in range(PQ_M):
-            cv = [float(x) for x in r.cv[s * PQ_DSUB : (s + 1) * PQ_DSUB]]
-            acc = 0.0
-            for x, y in zip(qv[s * PQ_DSUB : (s + 1) * PQ_DSUB], cv):
-                acc = acc + x * y  # same sequential fold as the oracle
-            entries.append(
-                {"s": s, "cid": int(r.cell_id), "cv": cv, "t": acc}
-            )
-    payload = json.dumps(entries, separators=(",", ":"))
-    adot = F.expr(
-        f"""aggregate(transform(
-  transform(sequence(0, {PQ_M - 1}), s ->
-    array_min(transform(
-      filter(from_json('{payload}',
-        'array<struct<s:int,cid:bigint,cv:array<double>,t:double>>'),
-             e -> e.s = s),
-      e -> struct(
-        aggregate(zip_with(slice(v, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
-                           (x, y) -> (x - y) * (x - y)),
-                  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
-        e.cid AS cid, e.t AS t)))),
-  p -> p.t), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"""
-    )
+    adot = _adc_dot(_adc_payload([(int(r.cell_id), r.cv) for r in seeds], qv), "v")
     return (
         n.select("vec_id", "v", "nrm", _assign_col(cents1_rows).alias("cell_id"))
         .filter(F.col("cell_id").isin(probe))
@@ -1632,37 +1643,7 @@ resid AS (
          list_transform(range(1, {EMB_DIM + 1}), i -> a.v[i] - c.cv[i]) AS rv
   FROM a1 a JOIN c1 c USING (cell_id)
 ),
-seed AS (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {PQ_K}),
-cb AS (
-  SELECT t.s, seed.vec_id AS cid,
-         seed.rv[t.s*{PQ_DSUB}+1 : t.s*{PQ_DSUB}+{PQ_DSUB}] AS cv
-  FROM seed CROSS JOIN range(0, {PQ_M}) t(s)
-),
-dists AS (
-  SELECT r.vec_id, cb.s, cb.cid,
-         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
-            i -> (r.rv[cb.s*{PQ_DSUB}+i] - cb.cv[i])
-               * (r.rv[cb.s*{PQ_DSUB}+i] - cb.cv[i]))) AS dist
-  FROM resid r CROSS JOIN cb
-),
-best AS (
-  SELECT vec_id, s, cid FROM (
-    SELECT vec_id, s, cid,
-           row_number() OVER (PARTITION BY vec_id, s
-                              ORDER BY dist, cid) AS rn
-    FROM dists)
-  WHERE rn = 1
-),
-adcterm AS (
-  SELECT b.vec_id, b.s,
-         list_sum(list_transform(range(1, {PQ_DSUB + 1}),
-            i -> q.qv[b.s*{PQ_DSUB}+i] * c2.cv[i])) AS term
-  FROM best b JOIN cb c2 ON c2.s = b.s AND c2.cid = b.cid, q
-),
-adcr AS (
-  SELECT vec_id, list_sum(list(term ORDER BY s)) AS rdot
-  FROM adcterm GROUP BY vec_id
-),
+{_adc_oracle_ctes("resid", "rv", "adcr")},
 qcd AS (
   SELECT c.cell_id,
          list_sum(list_transform(range(1, {EMB_DIM + 1}),
@@ -1670,11 +1651,11 @@ qcd AS (
   FROM c1 c, q
 )
 SELECT r.vec_id, r.cell_id,
-       round((qcd.qdotc + adcr.rdot) / (r.nrm * q.qn), 6) AS adc_cosine
+       round((qcd.qdotc + adcr.adot) / (r.nrm * q.qn), 6) AS adc_cosine
 FROM resid r JOIN qc USING (cell_id) JOIN adcr USING (vec_id)
      JOIN qcd ON qcd.cell_id = r.cell_id, q
 WHERE r.vec_id <> {QUERY_VEC_ID}
-ORDER BY (qcd.qdotc + adcr.rdot) / (r.nrm * q.qn) DESC, r.vec_id
+ORDER BY (qcd.qdotc + adcr.adot) / (r.nrm * q.qn) DESC, r.vec_id
 LIMIT {ANN_TOP_K}
 """
 
@@ -1697,16 +1678,7 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook seeds are a PQ_K-row driver collect (design-bounded, same
     justification as every centroid exchange)."""
     n, cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
-    seed_q = {int(r.cell_id): r for r in cents0_rows}
-    if QUERY_VEC_ID in seed_q:
-        qv, qn = seed_q[QUERY_VEC_ID].cv, seed_q[QUERY_VEC_ID].cn
-    else:
-        qrow = (
-            n.filter(F.col("vec_id") == QUERY_VEC_ID)
-            .select("v", "nrm")
-            .collect()[0]
-        )
-        qv, qn = qrow.v, qrow.nrm
+    qv, qn = _query_vec(n, cents0_rows)
     probe = _probe_cells_for(qv, qn, cents1_rows)
     # dot(q, c_cell) per refined cell — same sequential fold as the
     # oracle's list_sum; k driver-local doubles
@@ -1718,28 +1690,8 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdotc[int(r.cell_id)] = acc
     resid = _residual_frame(n, cents1_rows)
     seeds = _residual_seeds(resid)
-    entries = []
-    for r in seeds:
-        for s in range(PQ_M):
-            cv = [float(x) for x in r.rv[s * PQ_DSUB : (s + 1) * PQ_DSUB]]
-            acc = 0.0
-            for x, y in zip(qv[s * PQ_DSUB : (s + 1) * PQ_DSUB], cv):
-                acc = acc + x * y
-            entries.append({"s": s, "cid": int(r.vec_id), "cv": cv, "t": acc})
-    payload = json.dumps(entries, separators=(",", ":"))
-    rdot = F.expr(
-        f"""aggregate(transform(
-  transform(sequence(0, {PQ_M - 1}), s ->
-    array_min(transform(
-      filter(from_json('{payload}',
-        'array<struct<s:int,cid:bigint,cv:array<double>,t:double>>'),
-             e -> e.s = s),
-      e -> struct(
-        aggregate(zip_with(slice(rv, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
-                           (x, y) -> (x - y) * (x - y)),
-                  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
-        e.cid AS cid, e.t AS t)))),
-  p -> p.t), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"""
+    rdot = _adc_dot(
+        _adc_payload([(int(r.vec_id), r.rv) for r in seeds], qv), "rv"
     )
     qdotc_case = "CASE cell_id " + " ".join(
         f"WHEN {cid} THEN CAST({qdotc[cid]!r} AS DOUBLE)" for cid in probe

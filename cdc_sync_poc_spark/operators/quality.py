@@ -74,32 +74,24 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, o.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count("*").alias("fk_orphans"))
     )
-    rows = [
-        colstats.select(
-            F.lit("pk_unique").alias("constraint"),
-            F.col("dup_pk").alias("violations"),
-        ),
-        colstats.select(
-            F.lit("custkey_not_null").alias("constraint"),
-            F.col("null_custkey").alias("violations"),
-        ),
-        colstats.select(
-            F.lit("price_positive").alias("constraint"),
-            F.col("bad_price").alias("violations"),
-        ),
-        colstats.select(
-            F.lit("status_in_domain").alias("constraint"),
-            F.col("bad_status").alias("violations"),
-        ),
+    # stack unpivots the 1-row aggregate into the report — ONE plan
+    # branch over the agg, so the single-pass cost is structural, not
+    # dependent on the optimizer deduplicating four identical subtrees
+    col_rows = colstats.select(
+        F.expr(
+            "stack(4,"
+            " 'pk_unique', dup_pk,"
+            " 'custkey_not_null', null_custkey,"
+            " 'price_positive', bad_price,"
+            " 'status_in_domain', bad_status) AS (constraint, violations)"
+        )
+    )
+    return col_rows.unionAll(
         orphans.select(
             F.lit("custkey_fk").alias("constraint"),
             F.col("fk_orphans").alias("violations"),
-        ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+        )
+    )
 
 
 @register(
@@ -163,8 +155,7 @@ WITH per_day AS (
   SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows
   FROM events GROUP BY CAST(ts AS DATE)
 ),
-tot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT CAST(ts AS DATE))::BIGINT AS d
-        FROM events)
+tot AS (SELECT sum(n_rows)::BIGINT AS n, count(*)::BIGINT AS d FROM per_day)
 SELECT p.day, p.n_rows,
        round(CAST(p.n_rows AS DOUBLE) * t.d / t.n, 6) AS skew_factor,
        p.n_rows * t.d > 2 * t.n AS is_hot
@@ -178,16 +169,18 @@ def maint_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     report that decides repartitioning, salting (j08), or AQE skew
     hints BEFORE a join degrades.
 
-    One partitions-sized hash agg + a broadcast 1-row total; the skew
-    comparison is integer cross-multiplication (n_rows * n_partitions
-    vs factor * total), exact at any scale."""
+    ONE fact scan: the 1-row total derives from the partitions-sized
+    per-day aggregate itself (sum of counts / row count), not a second
+    pass over events — the two consumers share the per_day subtree
+    through ReusedExchange. The skew comparison is integer
+    cross-multiplication (n_rows * n_partitions vs factor * total),
+    exact at any scale."""
     ev = load_table(spark, sf_dir, "events")
     per_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count("*").alias("n_rows")
     )
-    tot = ev.agg(
-        F.count("*").alias("n"),
-        F.count_distinct(F.col("ts").cast("date")).alias("d"),
+    tot = per_day.agg(
+        F.sum("n_rows").alias("n"), F.count("*").alias("d")
     )
     return per_day.crossJoin(F.broadcast(tot)).select(
         "day",

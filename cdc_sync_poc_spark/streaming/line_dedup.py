@@ -74,7 +74,12 @@ class StreamingLineDedup:
         win = fresh.groupBy("segment").agg(
             F.min(F.col("doc_id") * POS_ENC + F.col("pos")).alias("w")
         )
-        winners = fresh.join(win, "segment").filter(enc == F.col("w"))
+        # persisted: winners feeds BOTH write actions (cleaned docs +
+        # index append); without it each action re-reads and re-probes
+        # the stored index — which grows with the corpus — per batch
+        winners = (
+            fresh.join(win, "segment").filter(enc == F.col("w")).persist()
+        )
         kept = winners.select("doc_id", "pos").withColumn("kept", F.lit(True))
         cleaned = reassemble_kept(
             seg.join(kept, ["doc_id", "pos"], "left").withColumn(
@@ -88,6 +93,7 @@ class StreamingLineDedup:
             os.path.join(self.seg_dir, f"batch_id={batch_id}")
         )
         seg.unpersist()
+        winners.unpersist()
 
     def cleaned(self) -> DataFrame:
         return self.spark.read.parquet(self.out_dir)

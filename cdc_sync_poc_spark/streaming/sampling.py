@@ -45,7 +45,14 @@ class StreamingSampler:
 
     def _stored(self) -> DataFrame | None:
         if not os.path.isdir(self.cur_dir):
-            return None
+            # crash recovery: a crash between the swap's rmtree and
+            # rename leaves only the (complete, already-flushed) next
+            # state in tmp_dir — finish the rename it was about to do,
+            # so the sampler never restarts from an empty state
+            if os.path.isdir(self.tmp_dir):
+                os.rename(self.tmp_dir, self.cur_dir)
+            else:
+                return None
         return self.spark.read.parquet(self.cur_dir)
 
     def absorb_batch(self, docs: DataFrame, batch_id: int) -> None:
@@ -65,8 +72,11 @@ class StreamingSampler:
             .distinct()
         )
         out = merged.orderBy("hk", "doc_id").limit(self.n)
-        # write-then-swap (the compactor's two-phase recipe) so a crash
-        # mid-write never clobbers the only copy of the state
+        # write-then-swap (the compactor's two-phase recipe): a crash
+        # mid-WRITE leaves cur untouched; a crash mid-SWAP (after the
+        # rmtree, before the rename) is healed by _stored's tmp->cur
+        # recovery — at every instant a complete copy of the state
+        # exists on disk
         out.write.mode("overwrite").parquet(self.tmp_dir)
         if os.path.isdir(self.cur_dir):
             import shutil
@@ -75,7 +85,10 @@ class StreamingSampler:
         os.rename(self.tmp_dir, self.cur_dir)
 
     def sample(self) -> DataFrame:
-        return self.spark.read.parquet(self.cur_dir)
+        out = self._stored()  # routes through the tmp->cur recovery
+        if out is None:
+            raise FileNotFoundError(f"no stored sample under {self.cur_dir}")
+        return out
 
 
 def run_streaming_sampler(

@@ -613,6 +613,34 @@ def test_stream_net_pipeline_matches_sequential_replay(spark, stream_dirs):
     assert got == want
 
 
+def _event_batch_df(rows):
+    """(event_id, ts, user_id, event_type) rows -> the event-stream
+    frame shape (shared by the stream-join tests)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+
+
+def _write_event_batches(in_dir, batches):
+    import os
+    import time
+
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = in_dir / f"part-{i}.parquet"
+        _event_batch_df(rows).to_parquet(f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """The watermarked stream-stream interval join (view->click
     attribution, streaming/stream_join.py) emits, across all
@@ -628,20 +656,6 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         interval_join_stream,
     )
 
-    def batch(rows):
-        return pd.DataFrame(
-            {
-                "event_id": [r[0] for r in rows],
-                "ts": pd.to_datetime([r[1] for r in rows]).astype(
-                    "datetime64[us]"
-                ),
-                "user_id": [r[2] for r in rows],
-                "event_type": [r[3] for r in rows],
-                "value": [1.0] * len(rows),
-                "props": ["{}"] * len(rows),
-            }
-        )
-
     b1 = [
         (1, "2024-01-01 00:00:00", 1, "view"),
         (2, "2024-01-01 00:05:00", 1, "click"),   # in-window, same batch
@@ -655,14 +669,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     ]
     in_dir = tmp_path / "sj_in"
     in_dir.mkdir()
-    import os
-    import time
-
-    now = time.time()
-    for i, rows in enumerate((b1, b2)):
-        f = in_dir / f"part-{i}.parquet"
-        batch(rows).to_parquet(f)
-        os.utime(f, (now + i * 10, now + i * 10))
+    _write_event_batches(in_dir, (b1, b2))
 
     rows_out = []
     q = (
@@ -675,7 +682,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
 
     all_events = spark.createDataFrame(
-        pd.concat([batch(b1), batch(b2)], ignore_index=True)
+        pd.concat([_event_batch_df(b1), _event_batch_df(b2)], ignore_index=True)
     )
     expected = {
         (r.user_id, r.view_id, r.click_id)
@@ -692,27 +699,8 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_pat
     emitted with a NULL click_id — but only after the click-side
     watermark PASSES view_ts + window (a later heartbeat batch advances
     it), because only then can the state store prove the negative."""
-    import os
-    import time
-
-    import pandas as pd
-
     from cdc_sync_poc_spark.streaming.source import file_event_stream
     from cdc_sync_poc_spark.streaming.stream_join import interval_join_stream_outer
-
-    def batch(rows):
-        return pd.DataFrame(
-            {
-                "event_id": [r[0] for r in rows],
-                "ts": pd.to_datetime([r[1] for r in rows]).astype(
-                    "datetime64[us]"
-                ),
-                "user_id": [r[2] for r in rows],
-                "event_type": [r[3] for r in rows],
-                "value": [1.0] * len(rows),
-                "props": ["{}"] * len(rows),
-            }
-        )
 
     b1 = [
         (1, "2024-01-01 00:00:00", 1, "view"),   # will match
@@ -727,11 +715,7 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_pat
     ]
     in_dir = tmp_path / "sjo_in"
     in_dir.mkdir()
-    now = time.time()
-    for i, rows in enumerate((b1, b2)):
-        f = in_dir / f"part-{i}.parquet"
-        batch(rows).to_parquet(f)
-        os.utime(f, (now + i * 10, now + i * 10))
+    _write_event_batches(in_dir, (b1, b2))
 
     rows_out = []
     q = (

@@ -712,3 +712,29 @@ def test_streaming_sampler_equals_batch_bottom_n(spark, tmp_path):
     )
     again = {(r.doc_id, r.hk) for r in smp.sample().collect()}
     assert again == got
+
+
+def test_streaming_sampler_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Crash between the swap's rmtree and rename leaves only tmp on
+    disk; the sampler must heal (tmp -> cur) instead of restarting from
+    an empty state."""
+    import os
+    import shutil
+
+    from cdc_sync_poc_spark.streaming.sampling import StreamingSampler
+
+    smp = StreamingSampler(spark, str(tmp_path / "crash_root"), n=5)
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    smp.absorb_batch(docs, batch_id=0)
+    before = {(r.doc_id, r.hk) for r in smp.sample().collect()}
+
+    # simulate the crash window: next state fully written to tmp, cur
+    # already removed, rename never happened
+    shutil.copytree(smp.cur_dir, smp.tmp_dir)
+    shutil.rmtree(smp.cur_dir)
+
+    assert {(r.doc_id, r.hk) for r in smp.sample().collect()} == before
+    assert os.path.isdir(smp.cur_dir) and not os.path.isdir(smp.tmp_dir)
