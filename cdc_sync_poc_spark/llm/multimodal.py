@@ -333,7 +333,18 @@ def mm_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BITS = 16  # surrogate fingerprint width (production pHash: 64)
 PHASH_HAMMING_MAX = 3  # mm_dedup_phash near-dup threshold (of 16 bits)
+# Standard d+1 banding: split the fingerprint into HAMMING_MAX + 1
+# bands so any pair within distance d differs in at most d bands and
+# therefore MUST agree on >= one band (pigeonhole over d+1 bands).
+# With the 16-bit surrogate that is 4 bands x 4 bits (16 bucket values
+# per band — fine at test scale); production 64-bit pHash gives
+# 4 bands x 16 bits = 65 536 buckets per band, which is what shards
+# the candidate join at 100 TB.
+PHASH_BANDS = PHASH_HAMMING_MAX + 1
+_PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+_PHASH_BAND_MASK = (1 << _PHASH_BAND_BITS) - 1
 
 
 @register(
@@ -352,8 +363,8 @@ ph AS (
 ),
 bd AS (
   SELECT doc_id, phash, b AS band_id,
-         CASE WHEN b = 0 THEN phash // 256 ELSE phash % 256 END AS band_key
-  FROM ph CROSS JOIN range(0, 2) t(b)
+         (phash >> ((3 - b) * 4)) & 15 AS band_key
+  FROM ph CROSS JOIN range(0, 4) t(b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa,
@@ -370,10 +381,11 @@ WHERE bit_count(xor(pa, pb)) <= {PHASH_HAMMING_MAX}
 def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup over the BINARY media column — the
     image/video twin of MinHash-LSH text dedup: a 16-bit fingerprint
-    per blob, banded into its two
-    8-BIT halves (a Hamming-ball pair within distance d collides on
-    >= one band whenever d < the per-band bit budget's pigeonhole),
-    candidates verified by EXACT Hamming distance. The real pHash
+    per blob, split into PHASH_HAMMING_MAX + 1 = 4 bands (standard
+    d+1 banding: a pair within Hamming distance d differs in at most
+    d bands, so it MUST agree on at least one — zero candidate misses
+    up to the threshold, by pigeonhole), candidates verified by EXACT
+    Hamming distance. The real pHash
     (DCT over decoded pixels) lives behind the stubbed decode like
     every mm kernel (module docstring); the surrogate derives the
     fingerprint from the payload bytes' nibble high-bits, so the
@@ -399,12 +411,17 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(" + ".join(bits)).cast("bigint").alias("phash"),
         )
     )
+    band_exprs = ", ".join(
+        f"shiftright(phash, {(PHASH_BANDS - 1 - b) * _PHASH_BAND_BITS})"
+        f" & {_PHASH_BAND_MASK}"
+        for b in range(PHASH_BANDS)
+    )
     bd = ph.select(
         "doc_id",
         "phash",
-        F.posexplode(
-            F.expr("array(phash div 256, phash % 256)")
-        ).alias("band_id", "band_key"),
+        F.posexplode(F.expr(f"array({band_exprs})")).alias(
+            "band_id", "band_key"
+        ),
     )
     a = bd.alias("a")
     c = bd.alias("c")
