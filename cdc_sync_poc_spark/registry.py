@@ -39,86 +39,69 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver samples the FIRST 50 registered queries (dict insertion
 # order) for its CORRECTNESS gate; the sample rotates per round so every
-# query eventually carries fresh driver evidence. Round 5 executes
-# VERDICT r4 "Next round" #3: retire the never-driver-sampled backlog.
-# 55 registered queries had no driver row after r4 (all r4-session
-# additions); the 50-slot window takes 50 of them — including every
-# query whose module changed THIS round (text_lm_score, events_rfm,
-# retrieval_rrf, source_csv_docs, corpus_vocab_growth) — and the 5
-# left out are pure metering/diagnostic queries (dedup_cluster_stats,
-# dedup_rate_by_source, text_langid_eval, text_cms_error,
-# ap07_scd2_history), staged first for r6 per the verdict's
-# "prioritize operators over metering" tie-break. Everything with a
-# driver row keeps rotating behind the cutoff (still covered by the
-# local exact gate every session). Prefix match, first hit wins;
-# unmatched ids keep relative order at the end.
+# query eventually carries fresh driver evidence. Round 7 executes
+# VERDICT r6 "Next round" #1: retire the 30-query evidence backlog
+# (every id that has never carried a driver row — all r5-session
+# additions plus the 5 metering queries staged since r5).
+# Changed-code-first inside the window: mm_dedup_phash (banding recall
+# fix landed in r6 on local evidence only), emb_covariance_topk
+# (empty-input guard this round), maint_* (crash-safe compaction swap
+# this round). The remaining 20 slots refresh the STALEST driver
+# evidence — the r1-era aggregate/text/bench/plan ids (18) plus two
+# r2-era design-only ops (j05_conflict_fullouter, cf01_lww). Everything
+# else keeps rotating behind the cutoff (still covered by the local
+# exact gate every session), oldest evidence first in line for r8.
+# Prefix match, first hit wins; unmatched ids keep relative order at
+# the end.
 _PRIORITY_PREFIXES = [
-    # ---- the r5 driver window: 50 never-sampled queries ----
-    # changed-this-round first (histcut rewrite + lazy-count fix get
-    # fresh evidence on exactly the code that moved)
-    "text_lm_score", "events_rfm", "retrieval_rrf_fusion", "source_csv",
-    "corpus_vocab",
-    # classifier + events additions
-    "text_classifier",  # 2: score + confusion
-    "events_kmv",  # 2: distinct + union
-    "events_session_window", "events_ab_ttest", "events_user_overlap",
-    "events_value_histogram", "events_lateness", "events_cohort_ltv",
-    "events_active_users", "events_interarrival", "events_seasonality",
-    "events_markov", "events_path", "events_attribution",
-    "events_anomaly",
-    # apply/rowops/aggregate additions
-    "ap08", "ap09", "a12", "r15",
-    # dedup family additions (incl. the banding precision/recall
-    # meters — they validate the LSH knobs, worth driver evidence)
-    "dedup_prefix", "dedup_winnowing", "dedup_precision",
-    "dedup_recall", "dedup_incremental", "dedup_corpus",
-    "sem_dedup",
-    # text/corpus quality + selection family
-    "text_winnowing", "text_hapax", "text_bm25",
-    "dsir_resample", "dsir_importance",
-    "corpus_simpson", "corpus_token_budget", "corpus_filter",
-    "corpus_funnel", "corpus_divergence", "llm_curation",
-    "slice_length_quantiles",  # exact: slice_length_mad is an r5-new
-    # op that must not displace a staged never-sampled query
-    # sampling / embeddings / multimodal / sources
-    "sample_fixed_n", "emb_centroid", "emb_dim_stats",
-    "mm_integrity", "source_jsonl",
-    # ---- 50-query driver window ends here ----
-    # first in line for r6: the 5 metering/diagnostic queries squeezed
-    # out of the r5 window (locally exact-gated every session), then
-    # every r5-session addition (never driver-sampled yet)
+    # ---- the r7 driver window ----
+    # changed-code first
+    "mm_dedup_phash", "emb_covariance", "maint_partition",
+    "maint_zorder",
+    # rest of the 30-query never-driver-sampled backlog
     "dedup_cluster_stats", "dedup_rate_by_source", "text_langid_eval",
     "text_cms", "ap07",
-    "bpe_", "dedup_line_global", "text_gopher", "gopher_rate",
-    "maint_zorder",
-    "j09", "mm_dedup_phash", "emb_index_growth",
-    "sim_ivfpq_residual", "emb_pq_residual", "emb_covariance",
+    "bpe_",  # 3: merge_steps + tokenize_count + fertility_by_lang
+    "dedup_line_global", "text_gopher", "gopher_rate",
+    "j09", "emb_index_growth", "sim_ivfpq_residual", "emb_pq_residual",
     "corpus_shard_manifest", "events_decayed", "slice_length_mad",
     "st08", "ap10", "clf_calibration", "a13",
-    "events_view_click", "dq_constraint", "dq_profile",
+    "events_view_click",
+    "dq_",  # 2: constraint_report + profile_table
     "retrieval_hard_negatives",
-    "maint_partition",
-    # then everything already carrying a driver row, newest-evidence
-    # last (r4-green first would be wasteful; keep stable order)
+    # 20 stalest driver-evidence ids (r1: 18, r2: 2)
+    "a04", "a05", "a06", "a07", "a08", "a09", "a10", "a11",
+    "bench_q18", "bench_q1_pricing", "bench_q3", "bench_q5",
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    "plan_",  # 2: mapping_compile + mapping_roundtrip
+    "j05", "cf01",
+    # ---- 50-query driver window ends here ----
+    # next in line for r8: the remaining r2-evidence core
+    "r0", "r1", "s0", "st0", "cf0", "j06", "j07", "j08",
+    # then r3-evidence
+    "src_", "sink_", "a01", "a02", "a03", "pipeline_",
+    "j01", "j02", "j03", "j04",
+    "ap01", "ap02", "ap03", "ap04", "ap05", "ap06", "st01",
+    "mm_attach", "mm_decode", "mm_frame", "mm_resize",
+    "pii_", "doc_chunk", "bench_q2_", "bench_q20",
+    "bench_q16", "bench_q17",
+    # then r4-evidence
     "seq_pack", "doc_length", "dedup_segment", "text_gini", "emb_pq",
     "sim_", "ann_recall",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram", "dedup_embedding", "dedup_normalized",
-    "dedup_minhash_cluster",
-    "mm_attach", "mm_decode", "mm_frame", "mm_resize",
-    "ap01", "ap02", "ap03", "ap04", "ap05",
+    "dedup_minhash_cluster", "dedup_span",
     "text_tfidf", "text_top_terms", "events_sessionize",
-    "j01", "j02", "j03", "j04",
-    "src_", "sink_",
-    "a01", "a02", "a03", "pipeline_", "a04", "s03",
-    "bench_q2_", "bench_q20", "bench_q16", "bench_q17", "bench_q18",
-    "pii_", "doc_chunk", "j05", "j06", "j07", "j08",
     "text_rarity", "emb_label", "dup_ngram",
-    "st01", "ap06", "dedup_span",
-    "text_oov", "text_lexical", "text_repetition", "corpus_",
-    "sample_", "emb_", "events_", "text_", "s04",
-    "r0", "r1", "s0", "st0", "cf0",
-    "a0", "a1", "bench_", "plan_",
+    "text_oov", "text_lexical", "text_repetition",
+    # freshest evidence (the r5/r6 driver window) rotates last
+    "text_lm_score", "events_rfm", "retrieval_rrf_fusion",
+    "source_csv", "corpus_vocab", "text_classifier", "events_kmv",
+    "sem_dedup", "dsir_", "llm_curation", "sample_fixed_n",
+    "mm_integrity", "source_jsonl", "slice_length_quantiles",
+    "corpus_", "sample_", "emb_", "events_", "text_",
+    "a12", "r15", "ap08", "ap09",
+    "dedup_", "bench_", "maint_", "st0", "j0", "a1", "cf0",
 ]
 
 
