@@ -962,6 +962,14 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s_of = {int(r.d): int(r.s) for r in dims}
     n_rows = int(dims[0].n) if dims else 0
+    if not dims:
+        # empty embeddings table: no per-dim sums exist, so the pair
+        # map below would KeyError at plan-build time — short-circuit
+        # to an empty frame with the output schema (covariance is
+        # undefined for n < 2 anyway, matching the n > 1 filter)
+        return spark_.createDataFrame(
+            [], "i long, j long, covariance double"
+        )
     pair_map = [
         (i, j, s_of[i], s_of[j])
         for i in range(1, 64)

@@ -13,6 +13,16 @@ crash-recoverable two-phase swap as the CDC writer's state buckets).
 Partitions already at or under the target file count are NOT touched —
 compaction cost is proportional to the debris, not the lake.
 
+Crash safety: swap scratch dirs are dot-prefixed and ``=``-free
+(``.compact-tmp.lang%3Den``), so neither Spark's hidden-file
+convention nor a Hive partition parser that ignores it can ever see a
+phantom partition value mid-swap. ``recover_compaction`` (run
+automatically at the start of every ``compact_partitions``) finishes
+or rolls back any swap a crash interrupted: a complete temp (has
+``_SUCCESS``) with its partition renamed away rolls FORWARD; an
+incomplete temp rolls BACK to the preserved old copy; leftover
+scratch next to an intact partition is deleted as debris.
+
 This is the manual recipe for a plain parquet directory; on a table
 format (Delta/Iceberg) the same decision logic drives OPTIMIZE /
 rewrite_data_files, which add snapshot isolation on top. Readers racing
@@ -41,6 +51,86 @@ def _dir_stats(path: str) -> tuple[int, int]:
     return n, b
 
 
+_TMP_PREFIX = ".compact-tmp."
+_OLD_PREFIX = ".compact-old."
+
+
+def _swap_paths(path: str, part: str) -> tuple[str, str, str]:
+    """(pdir, tmp, old) for one partition swap. Scratch names are
+    dot-prefixed (hidden from Spark file listings) and '='-free
+    (``%3D``-encoded, so no partition parser can read them as a
+    partition value)."""
+    if part:
+        pdir = os.path.join(path, part)
+        safe = part.replace("=", "%3D")
+        tmp = os.path.join(path, _TMP_PREFIX + safe)
+        old = os.path.join(path, _OLD_PREFIX + safe)
+    else:  # unpartitioned: swap `path` itself via siblings in its parent
+        pdir = path.rstrip("/")
+        parent, base = os.path.split(pdir)
+        tmp = os.path.join(parent, _TMP_PREFIX + base)
+        old = os.path.join(parent, _OLD_PREFIX + base)
+    return pdir, tmp, old
+
+
+def recover_compaction(path: str) -> list[dict]:
+    """Finish or roll back compaction swaps a crash interrupted.
+
+    Swap protocol per partition P: (1) write tmp (Spark leaves a
+    ``_SUCCESS`` marker), (2) rename P -> old, (3) rename tmp -> P,
+    (4) delete old. Recovery decides from what survived:
+
+    - P missing, tmp complete (has ``_SUCCESS``): crashed between
+      (2) and (3) — roll FORWARD (rename tmp -> P, delete old).
+    - P missing, tmp incomplete/absent, old present: roll BACK
+      (rename old -> P, delete tmp).
+    - P intact: any tmp/old is pre-swap or post-swap debris — delete.
+
+    Idempotent; run before every compaction pass and at sink startup.
+    Returns [{partition, action}] for every swap touched."""
+    report: list[dict] = []
+    swaps: dict[str, dict[str, str]] = {}
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if d.startswith(_TMP_PREFIX) and os.path.isdir(full):
+                swaps.setdefault(d[len(_TMP_PREFIX):], {})["tmp"] = full
+            elif d.startswith(_OLD_PREFIX) and os.path.isdir(full):
+                swaps.setdefault(d[len(_OLD_PREFIX):], {})["old"] = full
+    root_pdir, root_tmp, root_old = _swap_paths(path, "")
+    root_key = os.path.basename(root_tmp)[len(_TMP_PREFIX):]
+    if os.path.isdir(root_tmp):
+        swaps.setdefault("\0" + root_key, {})["tmp"] = root_tmp
+    if os.path.isdir(root_old):
+        swaps.setdefault("\0" + root_key, {})["old"] = root_old
+    for key, s in sorted(swaps.items()):
+        if key.startswith("\0"):
+            part, pdir = "", root_pdir
+        else:
+            part = key.replace("%3D", "=")
+            pdir = os.path.join(path, part)
+        tmp, old = s.get("tmp"), s.get("old")
+        complete = tmp and os.path.exists(os.path.join(tmp, "_SUCCESS"))
+        if not os.path.isdir(pdir) and old:
+            if complete:
+                os.rename(tmp, pdir)
+                shutil.rmtree(old)
+                action = "rolled_forward"
+            else:
+                os.rename(old, pdir)
+                if tmp:
+                    shutil.rmtree(tmp)
+                action = "rolled_back"
+        else:
+            if tmp:
+                shutil.rmtree(tmp)
+            if old and os.path.isdir(old):
+                shutil.rmtree(old)
+            action = "cleaned"
+        report.append({"partition": part or ".", "action": action})
+    return report
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -50,26 +140,26 @@ def compact_partitions(
     itself when unpartitioned) to ``ceil(bytes / target_bytes)`` files.
     Returns a per-partition report: partition, files_before,
     files_after, bytes (only touched partitions appear)."""
+    recover_compaction(path)  # heal any crash-interrupted prior swap
     parts = [
         d
         for d in sorted(os.listdir(path))
-        if "=" in d and os.path.isdir(os.path.join(path, d))
+        if "=" in d
+        and not d.startswith((".", "_"))
+        and os.path.isdir(os.path.join(path, d))
     ]
     targets = parts if parts else [""]
     report: list[dict] = []
     for part in targets:
-        pdir = os.path.join(path, part) if part else path
+        pdir, tmp, old = _swap_paths(path, part)
         n_files, n_bytes = _dir_stats(pdir)
         want = max(1, math.ceil(n_bytes / target_bytes))
         if n_files <= want:
             continue
-        tmp = pdir.rstrip("/") + ".compact-tmp"
-        old = pdir.rstrip("/") + ".compact-old"
         # read THIS partition's data files only (no partition-column
         # recursion) and rewrite as `want` files — coalesce is a
         # map-only fan-in, no shuffle
         spark.read.parquet(pdir).coalesce(want).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)  # stale crash debris
         os.rename(pdir, old)
         os.rename(tmp, pdir)
         shutil.rmtree(old)

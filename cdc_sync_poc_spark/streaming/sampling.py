@@ -48,9 +48,20 @@ class StreamingSampler:
             # crash recovery: a crash between the swap's rmtree and
             # rename leaves only the (complete, already-flushed) next
             # state in tmp_dir — finish the rename it was about to do,
-            # so the sampler never restarts from an empty state
+            # so the sampler never restarts from an empty state.
+            # Promote ONLY a complete write (Spark's _SUCCESS marker):
+            # a crash mid-FIRST-write also leaves cur missing + tmp
+            # present, but tmp is partial — promoting it would poison
+            # the sampler permanently. Partial tmp is deleted and the
+            # batch replays from the checkpoint.
             if os.path.isdir(self.tmp_dir):
-                os.rename(self.tmp_dir, self.cur_dir)
+                if os.path.exists(os.path.join(self.tmp_dir, "_SUCCESS")):
+                    os.rename(self.tmp_dir, self.cur_dir)
+                else:
+                    import shutil
+
+                    shutil.rmtree(self.tmp_dir)
+                    return None
             else:
                 return None
         return self.spark.read.parquet(self.cur_dir)

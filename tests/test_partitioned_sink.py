@@ -118,3 +118,146 @@ def test_expire_old_batches_keeps_latest(spark, tmp_path):
     assert expire_old_batches(out, keep_latest=2) == []  # idempotent
     ids = {r.id for r in spark.read.parquet(out).collect()}
     assert ids == set(range(30, 50))
+
+
+def _compaction_fixture(spark, tmp_path, name):
+    """A debris-heavy lang-partitioned sink + its value snapshot."""
+    import os
+
+    out = str(tmp_path / name)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    docs.repartition(8).write.partitionBy("lang").parquet(out)
+    parts = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    values = {
+        (r.doc_id, r.n_chars, r.lang) for r in spark.read.parquet(out).collect()
+    }
+    return out, parts, values
+
+
+def test_compaction_crash_before_first_rename_recovers(spark, tmp_path):
+    """Kill after the temp write, before any rename: the partition is
+    intact; recovery must delete the orphan temp as debris and a rerun
+    must compact normally. While the temp exists, Spark partition
+    discovery must NOT see a phantom partition value (the temp name is
+    dot-prefixed and '='-free)."""
+    import os
+
+    from cdc_sync_poc_spark.sources.maintenance import (
+        _swap_paths,
+        compact_partitions,
+        recover_compaction,
+    )
+
+    out, parts, values = _compaction_fixture(spark, tmp_path, "crashA")
+    part = parts[0]
+    pdir, tmp, old = _swap_paths(out, part)
+    # simulate: temp fully written (with _SUCCESS), crash before renames
+    spark.read.parquet(pdir).coalesce(1).write.parquet(tmp)
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+
+    # phantom check: discovery sees only the real lang values
+    langs = {r.lang for r in spark.read.parquet(out).select("lang").distinct().collect()}
+    assert langs == {p.split("=", 1)[1] for p in parts}
+
+    healed = recover_compaction(out)
+    assert healed == [{"partition": part, "action": "cleaned"}]
+    assert not os.path.isdir(tmp) and os.path.isdir(pdir)
+
+    # rerun compacts everything; data identical
+    report = compact_partitions(spark, out, target_bytes=128 * 1024 * 1024)
+    assert {r["partition"] for r in report} == set(parts)
+    after = {
+        (r.doc_id, r.n_chars, r.lang) for r in spark.read.parquet(out).collect()
+    }
+    assert after == values
+
+
+def test_compaction_crash_between_renames_rolls_forward(spark, tmp_path):
+    """Kill between rename(P->old) and rename(tmp->P): the partition
+    directory is ABSENT. Recovery must finish the swap (temp is
+    complete), restoring the partition with the compacted copy — no
+    phantom '.compact-old' partition value ever visible to Spark."""
+    import os
+
+    from cdc_sync_poc_spark.sources.maintenance import (
+        _swap_paths,
+        recover_compaction,
+    )
+
+    out, parts, values = _compaction_fixture(spark, tmp_path, "crashB")
+    part = parts[0]
+    pdir, tmp, old = _swap_paths(out, part)
+    spark.read.parquet(pdir).coalesce(1).write.parquet(tmp)
+    os.rename(pdir, old)  # crash here: P gone, old + complete tmp on disk
+
+    # the half-swapped lake must still list ONLY real partition values
+    # (old is dot-prefixed => invisible); data of the missing partition
+    # is temporarily absent, never duplicated or phantom-valued
+    langs = {r.lang for r in spark.read.parquet(out).select("lang").distinct().collect()}
+    assert langs == {p.split("=", 1)[1] for p in parts} - {part.split("=", 1)[1]}
+
+    healed = recover_compaction(out)
+    assert healed == [{"partition": part, "action": "rolled_forward"}]
+    assert os.path.isdir(pdir) and not os.path.isdir(tmp) and not os.path.isdir(old)
+    after = {
+        (r.doc_id, r.n_chars, r.lang) for r in spark.read.parquet(out).collect()
+    }
+    assert after == values  # the compacted copy has the full data
+
+
+def test_compaction_crash_with_partial_temp_rolls_back(spark, tmp_path):
+    """Partition renamed away but the temp is INCOMPLETE (no _SUCCESS —
+    e.g. scratch from a concurrent crashed writer): recovery must roll
+    BACK to the preserved old copy, never promote a partial temp."""
+    import os
+    import shutil
+
+    from cdc_sync_poc_spark.sources.maintenance import (
+        _swap_paths,
+        recover_compaction,
+    )
+
+    out, parts, values = _compaction_fixture(spark, tmp_path, "crashC")
+    part = parts[0]
+    pdir, tmp, old = _swap_paths(out, part)
+    spark.read.parquet(pdir).coalesce(1).write.parquet(tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))  # make the temp partial
+    os.rename(pdir, old)
+
+    healed = recover_compaction(out)
+    assert healed == [{"partition": part, "action": "rolled_back"}]
+    assert os.path.isdir(pdir) and not os.path.isdir(tmp) and not os.path.isdir(old)
+    after = {
+        (r.doc_id, r.n_chars, r.lang) for r in spark.read.parquet(out).collect()
+    }
+    assert after == values  # the original (uncompacted) copy survives
+    shutil.rmtree(out)
+
+
+def test_compaction_unpartitioned_root_swap_recovers(spark, tmp_path):
+    """The unpartitioned case swaps `path` itself via siblings in its
+    parent; the same roll-forward applies."""
+    import os
+
+    from cdc_sync_poc_spark.sources.maintenance import (
+        _swap_paths,
+        compact_partitions,
+        recover_compaction,
+    )
+
+    out = str(tmp_path / "flat_sink")
+    spark.range(100).repartition(10).write.parquet(out)
+    values = {r.id for r in spark.read.parquet(out).collect()}
+    report = compact_partitions(spark, out, target_bytes=128 * 1024 * 1024)
+    assert report and report[0]["partition"] == "."
+    assert {r.id for r in spark.read.parquet(out).collect()} == values
+
+    pdir, tmp, old = _swap_paths(out, "")
+    spark.read.parquet(out).coalesce(1).write.parquet(tmp)
+    os.rename(pdir, old)  # crash between renames
+    healed = recover_compaction(out)
+    assert healed == [{"partition": ".", "action": "rolled_forward"}]
+    assert {r.id for r in spark.read.parquet(out).collect()} == values
+    assert not os.path.isdir(tmp) and not os.path.isdir(old)

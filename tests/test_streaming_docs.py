@@ -738,3 +738,43 @@ def test_streaming_sampler_recovers_from_mid_swap_crash(spark, tmp_path):
 
     assert {(r.doc_id, r.hk) for r in smp.sample().collect()} == before
     assert os.path.isdir(smp.cur_dir) and not os.path.isdir(smp.tmp_dir)
+
+
+def test_streaming_sampler_never_promotes_partial_first_write(spark, tmp_path):
+    """A crash mid-FIRST-write leaves cur missing and tmp PARTIAL (no
+    _SUCCESS). Recovery must delete the partial temp and report an
+    empty state — promoting it would poison the sampler permanently —
+    and the replayed batch must then rebuild the correct sample."""
+    import os
+    import shutil
+
+    from cdc_sync_poc_spark.streaming.sampling import StreamingSampler
+
+    smp = StreamingSampler(spark, str(tmp_path / "partial_root"), n=5)
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # simulate the partial first write: real parquet bytes, no _SUCCESS
+    docs.limit(3).select("doc_id", "lang", "source").withColumn(
+        "hk", F.md5(F.col("doc_id").cast("string"))
+    ).write.parquet(smp.tmp_dir)
+    os.remove(os.path.join(smp.tmp_dir, "_SUCCESS"))
+
+    assert smp._stored() is None  # partial temp NOT promoted
+    assert not os.path.isdir(smp.tmp_dir)  # ...and deleted
+
+    # the checkpoint replays the batch; state converges to the truth
+    smp.absorb_batch(docs, batch_id=0)
+    got = {(r.doc_id, r.hk) for r in smp.sample().collect()}
+    expected = {
+        (r.doc_id, r.hk)
+        for r in docs.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
+        )
+        .orderBy("hk", "doc_id")
+        .limit(5)
+        .collect()
+    }
+    assert got == expected
+    shutil.rmtree(str(tmp_path / "partial_root"))

@@ -358,3 +358,30 @@ def test_residual_pq_beats_raw_pq_reconstruction(spark):
         .collect()[0][0]
     )
     assert res < raw, (res, raw)
+
+
+def test_emb_covariance_topk_empty_embeddings(spark, tmp_path):
+    """Empty embeddings table: the per-dim sums are absent, which used
+    to KeyError while building the pair map at plan-build time; the
+    guard must return an empty frame with the output schema instead
+    (covariance is undefined for n < 2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist([], schema=schema),
+        tmp_path / "embeddings.parquet",
+    )
+    out = QUERIES["emb_covariance_topk"](spark, str(tmp_path))
+    assert [f.name for f in out.schema.fields] == ["i", "j", "covariance"]
+    assert out.count() == 0
