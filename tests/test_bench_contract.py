@@ -54,3 +54,42 @@ def test_bench_list_is_resolvable():
     load_all_queries()
     missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
     assert not missing
+
+
+def test_bench_ledger_covers_registry():
+    """Coverage ledger: headline + excluded-with-reason = the whole
+    registry, disjoint; every excluded id carries a non-empty reason."""
+    import bench
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    headline, excluded = set(bench.BENCH_QUERIES), set(bench.BENCH_EXCLUDED)
+    assert not headline & excluded
+    assert headline | excluded == set(QUERIES), (
+        sorted(set(QUERIES) - headline - excluded),  # unledgered
+        sorted((headline | excluded) - set(QUERIES)),  # stale ledger ids
+    )
+    assert all(bench.BENCH_EXCLUDED[q].strip() for q in excluded)
+
+
+def test_scale_probe_emits_exponents(spark):
+    """The scale-probe re-runs the top-K queries at the smaller sibling
+    sf dirs and fits a per-query exponent over the largest decade."""
+    import bench
+
+    timings = {"bench_q1_pricing": 1.0, "dedup_exact": 0.5}
+    old_k = bench.SCALE_PROBE_TOP_K
+    bench.SCALE_PROBE_TOP_K = 1  # probe only the most expensive
+    try:
+        scaling = bench.scale_probe(
+            spark, "/root/testdata/sf0.01", 0.01, timings
+        )
+    finally:
+        bench.SCALE_PROBE_TOP_K = old_k
+    assert set(scaling) == {"bench_q1_pricing"}
+    entry = scaling["bench_q1_pricing"]
+    # one probe point (sf0.001) + the main-pass time
+    assert set(entry["t"]) == {"0.001", "0.01"}
+    assert entry["t"]["0.01"] == 1.0
+    assert entry["t"]["0.001"] > 0
+    assert entry["exponent"] is not None
