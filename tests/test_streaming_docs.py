@@ -778,3 +778,137 @@ def test_streaming_sampler_never_promotes_partial_first_write(spark, tmp_path):
     }
     assert got == expected
     shutil.rmtree(str(tmp_path / "partial_root"))
+
+
+def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
+    """Chaos test for the COMPOSED streaming curation pipeline
+    (VERDICT r6 #5): one foreachBatch body drives curator (funnel ->
+    dedup-screen -> pack) + bottom-N sampler + line-dedup. The body is
+    killed mid-batch at two different points (inside the curator after
+    the funnel+dedup writes but before packing; after the sampler but
+    before line-dedup), the query restarted from the checkpoint each
+    time, and EVERY store — funnel verdicts, dedup hash/band index +
+    verdicts, packed bins, carry snapshots, stored sample, line-dedup
+    cleaned docs + segment index — must equal a never-crashed run."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.streaming.curation_pipeline import StreamingCurator
+    from cdc_sync_poc_spark.streaming.docs_dedup import doc_stream
+    from cdc_sync_poc_spark.streaming.line_dedup import StreamingLineDedup
+    from cdc_sync_poc_spark.streaming.sampling import StreamingSampler
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    docs = sorted(t.to_pylist()[:45], key=lambda d: d["doc_id"])
+    # batch 1 re-crawls five batch-0 docs under new ids (dedup work),
+    # batch 2 is fresh
+    batches = (
+        docs[:15],
+        [{**d, "doc_id": 9100 + i} for i, d in enumerate(docs[:5])]
+        + docs[15:30],
+        docs[30:45],
+    )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    in_dir = tmp_path / "chaos_in"
+    in_dir.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    class CompositeBody:
+        """curator + sampler + line-dedup in one foreachBatch body,
+        with optional injected crashes: crash_plan maps batch_id ->
+        ('pack'|'after_sampler'), each firing exactly once."""
+
+        def __init__(self, root: str, crash_plan=None):
+            self.cur = StreamingCurator(spark, os.path.join(root, "cur"))
+            self.smp = StreamingSampler(
+                spark, os.path.join(root, "smp"), n=10
+            )
+            self.sld = StreamingLineDedup(spark, os.path.join(root, "ld"))
+            self.crash_plan = dict(crash_plan or {})
+            self.crashes = []
+
+        def __call__(self, docs_df, batch_id):
+            point = self.crash_plan.get(batch_id)
+            if point == "pack":
+                # kill INSIDE the curator: funnel verdicts + dedup
+                # index already written for this batch, packing not
+                real_pack = self.cur.packer.pack_batch
+
+                def bomb(*a, **kw):
+                    self.cur.packer.pack_batch = real_pack
+                    del self.crash_plan[batch_id]
+                    self.crashes.append((batch_id, point))
+                    raise RuntimeError("chaos: killed before pack")
+
+                self.cur.packer.pack_batch = bomb
+            self.cur.process_batch(docs_df, batch_id)
+            self.smp.absorb_batch(docs_df, batch_id)
+            if point == "after_sampler":
+                del self.crash_plan[batch_id]
+                self.crashes.append((batch_id, point))
+                raise RuntimeError("chaos: killed before line-dedup")
+            self.sld.clean_batch(docs_df, batch_id)
+
+    def drive(root, crash_plan=None, max_restarts=4):
+        body = CompositeBody(str(root), crash_plan)
+        ckpt = str(root) + "_ckpt"
+        restarts = 0
+        while True:
+            q = (
+                doc_stream(spark, str(in_dir))
+                .writeStream.foreachBatch(body)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                return body, restarts
+            except Exception:
+                restarts += 1
+                assert restarts <= max_restarts, "chaos never converged"
+
+    ref_body, ref_restarts = drive(tmp_path / "ref")
+    assert ref_restarts == 0
+    chaos_body, chaos_restarts = drive(
+        tmp_path / "chaos", {0: "pack", 1: "after_sampler"}
+    )
+    assert chaos_restarts == 2
+    assert chaos_body.crashes == [(0, "pack"), (1, "after_sampler")]
+
+    def snap(path, cols):
+        if not os.path.isdir(path):
+            return None
+        df = spark.read.parquet(path)
+        return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+    stores = [
+        ("cur/funnel", ["doc_id", "reason", "batch_id"]),
+        ("cur/dedup/verdicts", ["doc_id", "verdict", "batch_id"]),
+        ("cur/dedup/hash_idx", ["h", "batch_id"]),
+        ("cur/pack/packed", ["doc_id", "lang", "n_tokens", "bin_id",
+                             "bin_offset", "batch_id"]),
+        ("cur/pack/carry", ["lang", "batch_id"]),
+        ("smp/sample", ["doc_id", "hk"]),
+        ("ld/cleaned", ["doc_id", "n_seg", "n_kept", "text_kept",
+                        "batch_id"]),
+        ("ld/seg_idx", ["segment", "batch_id"]),
+    ]
+    for rel, cols in stores:
+        ref = snap(str(tmp_path / "ref" / rel), cols)
+        got = snap(str(tmp_path / "chaos" / rel), cols)
+        assert ref is not None, f"reference store missing: {rel}"
+        assert got == ref, f"store diverged after chaos: {rel}"
