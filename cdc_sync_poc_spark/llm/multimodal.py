@@ -355,16 +355,17 @@ WITH m AS (
 ),
 ph AS (
   SELECT doc_id,
-         CAST(list_sum(list_transform(range(1, 17),
+         CAST(list_sum(list_transform(range(1, {PHASH_BITS + 1}),
             i -> CASE WHEN contains('89abcdef', substr(payload_hex, i, 1))
-                      THEN 1 << (16 - i) ELSE 0 END))::BIGINT AS BIGINT)
-           AS phash
+                      THEN 1 << ({PHASH_BITS} - i) ELSE 0 END))::BIGINT
+           AS BIGINT) AS phash
   FROM m
 ),
 bd AS (
   SELECT doc_id, phash, b AS band_id,
-         (phash >> ((3 - b) * 4)) & 15 AS band_key
-  FROM ph CROSS JOIN range(0, 4) t(b)
+         (phash >> (({PHASH_BANDS - 1} - b) * {_PHASH_BAND_BITS}))
+           & {_PHASH_BAND_MASK} AS band_key
+  FROM ph CROSS JOIN range(0, {PHASH_BANDS}) t(b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa,
@@ -400,9 +401,10 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_table(spark, sf_dir)
     payload_hex = F.lower(F.hex("media_bytes"))
     bits = []
-    for i in range(1, 17):
+    for i in range(1, PHASH_BITS + 1):
         bits.append(
-            f"IF(contains('89abcdef', substr(ph, {i}, 1)), {1 << (16 - i)}, 0)"
+            f"IF(contains('89abcdef', substr(ph, {i}, 1)),"
+            f" {1 << (PHASH_BITS - i)}, 0)"
         )
     ph = (
         m.select("doc_id", payload_hex.alias("ph"))
