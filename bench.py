@@ -189,6 +189,10 @@ BENCH_QUERIES = [
     "dq_profile_table",
     "maint_partition_stats",
     "retrieval_hard_negatives",
+    # round-7 additions (append-only)
+    "events_hll_distinct",
+    "sample_systematic_pps",
+    "events_pagerank",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is
@@ -231,6 +235,7 @@ _EXCLUDE_GROUPS: dict[str, list[str]] = {
     " lineage; its timing would double-count the benched plan": [
         "text_classifier_confusion",  # text_classifier_score
         "events_kmv_union",  # events_kmv_distinct
+        "events_hll_union",  # events_hll_distinct
         "events_sessionize",  # events_session_window
         "corpus_funnel_counts",  # corpus_filter_funnel
         "plan_mapping_compile",  # plan_mapping_roundtrip

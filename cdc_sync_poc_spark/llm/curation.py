@@ -32,7 +32,7 @@ hashing parsed identically on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
@@ -1077,3 +1077,101 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_ratio"
         ),
     )
+
+
+# Systematic probability-proportional-to-size sampling: PPS_K evenly
+# spaced thresholds over the cumulative-weight axis; the document whose
+# weight interval contains a threshold is drawn (large docs can win
+# multiple draws — standard PPS-with-replacement multiplicity). All
+# integer arithmetic: thresholds t_j = floor((2j+1) * W / (2K)), so
+# both engines derive identical draws with zero float involvement —
+# the same determinism discipline as sample_stratified (task retries,
+# replays, and the oracle all draw the same rows).
+PPS_K = 24
+_PPS_CHUNK = 256  # docs per prefix-sum chunk (two-level cumsum)
+
+
+@register(
+    "sample_systematic_pps",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS cum_prev
+  FROM documents
+),
+tot AS (SELECT sum(weight) AS w FROM d),
+thr AS (
+  SELECT j, ((2 * j + 1) * tot.w) // (2 * {PPS_K}) AS t
+  FROM range(0, {PPS_K}) r(j) CROSS JOIN tot
+)
+SELECT thr.j AS draw_id, d.doc_id, d.lang, d.weight
+FROM thr JOIN d
+  ON thr.t >= d.cum_prev AND thr.t < d.cum_prev + d.weight
+""",
+)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (PPS) sampling of PPS_K documents with inclusion
+    probability proportional to n_chars — the curation move that
+    samples by TOKEN mass, not document count, so a review set or
+    eval slice represents the corpus the way training sees it.
+
+    Scale shape: the cumulative weight is the seq_packing two-level
+    prefix sum (local cumsum inside doc_id-range chunks + a broadcast
+    chunk-carry frame ~{_PPS_CHUNK}x smaller than the data — no
+    corpus-wide row window); the K thresholds are a broadcast
+    {PPS_K}-row table range-joined against each doc's weight interval
+    (a map-side nested-loop against K constants, never a shuffle).
+    Reference parity: none (extension surface); batch twin of the
+    bottom-N sampler family (sample_fixed_n)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark_ = docs.sparkSession
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.expr(f"doc_id div {_PPS_CHUNK}").alias("ck"),
+    )
+    w_local = (
+        Window.partitionBy("ck")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn(
+        "local_prev", F.coalesce(F.sum("weight").over(w_local), F.lit(0))
+    )
+    w_carry = (
+        Window.partitionBy()
+        .orderBy("ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # over the chunk-totals frame only: n_docs / _PPS_CHUNK rows
+    carry = (
+        d.groupBy("ck")
+        .agg(F.sum("weight").alias("ck_tot"))
+        .select(
+            "ck",
+            F.coalesce(F.sum("ck_tot").over(w_carry), F.lit(0)).alias("ck_off"),
+        )
+    )
+    cum = local.join(F.broadcast(carry), "ck").select(
+        "doc_id",
+        "lang",
+        "weight",
+        (F.col("ck_off") + F.col("local_prev")).alias("cum_prev"),
+    )
+    total = d.agg(F.sum("weight").alias("w"))
+    thr = (
+        spark_.range(0, PPS_K)
+        .select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "j",
+            F.expr(f"((2 * j + 1) * w) div (2 * {PPS_K})").alias("t"),
+        )
+    )
+    return cum.join(
+        F.broadcast(thr),
+        (F.col("t") >= F.col("cum_prev"))
+        & (F.col("t") < F.col("cum_prev") + F.col("weight")),
+    ).select(F.col("j").alias("draw_id"), "doc_id", "lang", "weight")

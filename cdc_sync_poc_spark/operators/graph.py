@@ -1,0 +1,136 @@
+"""Graph analytics over the event stream: fixed-point PageRank on the
+event-type transition digraph — "which state of the product funnel
+accumulates the most Markov-chain mass" (the stationary-importance
+twin of events_markov_transitions' one-step probabilities).
+
+Scale design: the DISTRIBUTED work is the edge extraction — a lead()
+window partitioned by user (embarrassingly parallel) aggregated to an
+|event_type|^2 transition matrix, identical to events_markov. The node
+domain is the event-type vocabulary — design-bounded (tens of values,
+like the IVF centroid table), so the K power iterations run driver-
+side over the collected matrix (the sanctioned bounded-collect
+pattern; an unbounded node domain — e.g. per-URL PageRank — would
+instead iterate K joins over the edge frame, each a shuffle on dst).
+
+Exactness (the repo-wide cross-engine recipe): everything is BIGINT
+fixed point at PR_SCALE — pr0 = SCALE div N; per-edge contribution
+(pr(u) * n(u,v)) div outdeg(u); pr' = ((15 * SCALE) div N
++ 85 * sum) div 100 — floor division end to end, so the DuckDB oracle
+(the same iteration unrolled as K chained CTEs) reproduces every
+register bit-for-bit with zero float involvement until the final
+display division. Headroom: pr <= SCALE = 1e9, so pr * n overflows
+BIGINT only past ~9e9 transitions per node; beyond that the same
+iteration runs in DECIMAL(38).
+
+Dangling nodes (no out-edges) leak their mass — the standard
+"dangling mass to nowhere" simplification; documented, identical on
+both engines.
+
+Reference parity: none (extension surface — the reference has no graph
+ops); the edge convention matches events_markov_transitions
+(operators/events_analytics.py:416).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.registry import register
+from cdc_sync_poc_spark.sources.loader import load_table
+
+PR_SCALE = 10**9
+PR_ITERS = 8
+_PR_EDGES_SQL = """
+nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+e AS (
+  SELECT src, dst, count(*)::BIGINT AS n FROM nxt
+  WHERE dst IS NOT NULL GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+od AS (SELECT src, sum(n)::BIGINT AS od FROM e GROUP BY src),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes)
+"""
+
+
+def _pr_iter_ctes() -> str:
+    """pr0..prK as chained CTEs — the power iteration UNROLLED (no
+    recursive CTE: engines disagree on aggregates/multi-references in
+    recursive terms; K chained blocks are plain SQL everywhere)."""
+    blocks = [f"pr0 AS (SELECT node, {PR_SCALE}::BIGINT // nn.n AS v"
+              f" FROM nodes CROSS JOIN nn)"]
+    for i in range(1, PR_ITERS + 1):
+        blocks.append(f"""
+pr{i} AS (
+  SELECT nd.node,
+         ((((15::BIGINT * {PR_SCALE}::BIGINT) // nn.n)
+          + (85::BIGINT * coalesce(s.contrib, 0::BIGINT))) // 100::BIGINT)
+           ::BIGINT AS v
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, sum((p.v * e.n) // od.od)::BIGINT AS contrib
+    FROM pr{i - 1} p JOIN e ON e.src = p.node JOIN od ON od.src = p.node
+    GROUP BY e.dst
+  ) s ON s.dst = nd.node
+)""")
+    return ",\n".join(blocks)
+
+
+@register(
+    "events_pagerank",
+    oracle=f"""
+WITH {_PR_EDGES_SQL},
+{_pr_iter_ctes()}
+SELECT node AS event_type, v AS pr_fixed,
+       round(CAST(v AS DOUBLE) / {PR_SCALE}, 9) AS pagerank
+FROM pr{PR_ITERS}
+""",
+)
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, PR_ITERS power iterations, BIGINT fixed
+    point) over the event-type transition digraph. Edge extraction is
+    the distributed stage (lead window per user + |types|^2 count agg);
+    the iteration runs on the collected bounded matrix (module
+    docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()  # bounded: |event_type|^2 rows
+    )
+    nodes = sorted(
+        r.event_type
+        for r in ev.select("event_type").distinct().collect()
+    )
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return spark.createDataFrame(
+            [], "event_type string, pr_fixed long, pagerank double"
+        )
+    outdeg: dict[str, int] = defaultdict(int)
+    for r in edges:
+        outdeg[r.src] += int(r.n)
+    pr = {v: PR_SCALE // n_nodes for v in nodes}
+    base = (15 * PR_SCALE) // n_nodes
+    for _ in range(PR_ITERS):
+        contrib: dict[str, int] = defaultdict(int)
+        for r in edges:
+            contrib[r.dst] += (pr[r.src] * int(r.n)) // outdeg[r.src]
+        pr = {v: (base + 85 * contrib[v]) // 100 for v in nodes}
+    return spark.createDataFrame(
+        [(v, pr[v], round(pr[v] / PR_SCALE, 9)) for v in nodes],
+        "event_type string, pr_fixed long, pagerank double",
+    )

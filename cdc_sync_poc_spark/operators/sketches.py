@@ -293,3 +293,162 @@ def text_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("n_exact")).cast("bigint").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — the industry-standard cardinality
+# sketch, alongside KMV: m = 64 six-bit registers instead of k 48-bit
+# hashes (8x smaller state), same exact-checkability because every
+# register is an integer order statistic (max leading-zero run) over
+# the SAME md5-derived 48-bit hashes both engines compute. The register
+# build is ONE groupBy (type, bucket) max — map-side combined, bounded
+# 64 rows per group out, no distinct pass needed (duplicates cannot
+# raise a max) — which is why HLL is the rollup sketch of choice at
+# 100 TB: per-partition sketches merge by register-wise max without
+# touching raw data (events_hll_union).
+#
+# Exactness notes: rho = (42 - bit_length(rest)) + 1 computed as
+# 43 - length(bin(rest)) — bin() renders without leading zeros in both
+# Spark and DuckDB, so the lengths agree; rest = 0 pins rho = 43.
+# Z = sum(2^-reg) is a sum of exact dyadic doubles spanning < 53 bits
+# of exponent, so it is EXACT and order-independent; the final
+# alpha*m^2/Z is one double divide with an interpolated Python-repr
+# numerator — bit-identical on both engines. The standard small-range
+# linear-counting correction needs ln() (libm-divergent across
+# engines, the repo-wide ban) so the RAW estimator is reported and its
+# error measured against the exact count riding along.
+HLL_B = 6  # bucket bits -> m = 64 registers
+HLL_M = 1 << HLL_B
+_HLL_REST_BITS = 48 - HLL_B  # 42
+_HLL_REST_MASK = (1 << _HLL_REST_BITS) - 1
+_HLL_RHO_MAX = _HLL_REST_BITS + 1  # rest == 0 -> all bits "zero"
+HLL_ALPHA = 0.709  # Flajolet's alpha_64
+_HLL_NUM = HLL_ALPHA * HLL_M * HLL_M
+
+_DUCK_HLL_REGS = f"""
+hh AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+  FROM events
+),
+hb AS (
+  SELECT event_type, hv >> {_HLL_REST_BITS} AS bucket,
+         CASE WHEN (hv & {_HLL_REST_MASK}) = 0 THEN {_HLL_RHO_MAX}
+              ELSE {_HLL_RHO_MAX} - length(bin(hv & {_HLL_REST_MASK}))
+         END AS rho
+  FROM hh
+),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS reg FROM hb GROUP BY 1, 2
+)
+"""
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bucket, reg): the 64-register HLL sketch per type.
+    No distinct pass — one map-side-combined max aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    rest = hv.bitwiseAND(F.lit(_HLL_REST_MASK))
+    rho = F.when(rest == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(rest))
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.shiftright(hv, _HLL_REST_BITS).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def _hll_estimate_col() -> F.Column:
+    """alpha * m^2 / Z from (z, nb) columns; absent buckets hold
+    register 0 and contribute 2^0 = 1 each to Z."""
+    z = F.col("z") + (F.lit(HLL_M) - F.col("nb"))
+    return F.round(F.lit(_HLL_NUM) / z, 3)
+
+
+@register(
+    "events_hll_distinct",
+    oracle=f"""
+WITH {_DUCK_HLL_REGS},
+z AS (
+  SELECT event_type, sum(pow(2.0, -reg)) AS z, count(*) AS nb
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT ex.event_type, ex.n_exact,
+       round({_HLL_NUM!r} / (z.z + ({HLL_M} - z.nb)), 3) AS hll_estimate
+FROM ex JOIN z USING (event_type)
+""",
+)
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user cardinality, exact AND HLL-estimated
+    (raw estimator; see module comment for why the linear-counting
+    correction is out). The register table is the stored artifact: 64
+    small integers per group, mergeable forever."""
+    regs = _hll_registers(spark, sf_dir)
+    z = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z"),
+        F.count("*").alias("nb"),
+    )
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return ex.join(z, "event_type").select(
+        "event_type", "n_exact", _hll_estimate_col().alias("hll_estimate")
+    )
+
+
+@register(
+    "events_hll_union",
+    oracle=f"""
+WITH {_DUCK_HLL_REGS},
+m AS (
+  SELECT bucket, max(reg) AS reg FROM regs
+  WHERE event_type IN ('purchase', 'signup') GROUP BY 1
+),
+z AS (SELECT sum(pow(2.0, -reg)) AS z, count(*) AS nb FROM m),
+ex AS (
+  SELECT count(DISTINCT user_id)::BIGINT AS n_exact FROM events
+  WHERE event_type IN ('purchase', 'signup')
+)
+SELECT 'purchase+signup' AS pair, ex.n_exact,
+       round({_HLL_NUM!r} / (z.z + ({HLL_M} - z.nb)), 3) AS hll_estimate
+FROM ex CROSS JOIN z
+""",
+)
+def events_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE: |purchase ∪ signup| from the two register sets
+    alone — register-wise max IS the union sketch (the HLL merge law),
+    so per-day / per-partition sketches roll up with a 64-row
+    aggregation, never rescanning raw events. Exact union count rides
+    along for measured error."""
+    regs = _hll_registers(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    m = regs.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    z = m.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z"),
+        F.count("*").alias("nb"),
+    )
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return z.crossJoin(F.broadcast(ex)).select(
+        F.lit("purchase+signup").alias("pair"),
+        "n_exact",
+        _hll_estimate_col().alias("hll_estimate"),
+    )

@@ -76,7 +76,9 @@ _PRIORITY_PREFIXES = [
     "plan_",  # 2: mapping_compile + mapping_roundtrip
     "j05", "cf01",
     # ---- 50-query driver window ends here ----
-    # next in line for r8: the remaining r2-evidence core
+    # next in line for r8: this round's new operators (never
+    # driver-sampled), then the remaining r2-evidence core
+    "events_hll", "sample_systematic", "events_pagerank",
     "r0", "r1", "s0", "st0", "cf0", "j06", "j07", "j08",
     # then r3-evidence
     "src_", "sink_", "a01", "a02", "a03", "pipeline_",
@@ -138,6 +140,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.operators.bench_relational  # noqa: F401
     import cdc_sync_poc_spark.operators.conflict  # noqa: F401
     import cdc_sync_poc_spark.operators.events_analytics  # noqa: F401
+    import cdc_sync_poc_spark.operators.graph  # noqa: F401
     import cdc_sync_poc_spark.operators.joins  # noqa: F401
     import cdc_sync_poc_spark.operators.quality  # noqa: F401
     import cdc_sync_poc_spark.operators.rowops  # noqa: F401

@@ -10,32 +10,37 @@ from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
 
 load_all_queries()
 
-# the r5 window (COVERAGE.md "Driver correctness-sample window")
-R5_WINDOW = [
-    "text_lm_score", "events_rfm_segments", "retrieval_rrf_fusion",
-    "source_csv_docs", "corpus_vocab_growth",
-    "text_classifier_score", "text_classifier_confusion",
-    "events_kmv_distinct", "events_kmv_union", "events_session_window",
-    "events_ab_ttest", "events_user_overlap", "events_value_histogram",
-    "events_lateness_profile", "events_cohort_ltv", "events_active_users",
-    "events_interarrival_stats", "events_seasonality",
-    "events_markov_transitions", "events_path_topk", "events_attribution",
-    "events_anomaly_zscore",
-    "ap08_net_effect_compaction", "ap09_reconciliation",
-    "a12_incremental_rollup", "r15_variant_extract",
-    "dedup_prefix_containment", "dedup_winnowing_pairs",
-    "dedup_precision_minhash", "dedup_recall_minhash",
-    "dedup_incremental", "dedup_corpus_keep", "sem_dedup",
-    "text_winnowing_overlap", "text_hapax_ratio", "text_bm25_rank",
-    "dsir_resample", "dsir_importance",
-    "corpus_simpson_diversity", "corpus_token_budget",
-    "corpus_filter_funnel", "corpus_funnel_counts",
-    "corpus_divergence_chi2", "llm_curation_e2e",
-    "slice_length_quantiles", "sample_fixed_n",
-    "emb_centroid_shift", "emb_dim_stats",
-    "mm_integrity_check", "source_jsonl_docs",
+# the r7 window: the 30-query never-driver-sampled backlog
+# (changed-code first) + the 20 stalest r1/r2-evidence ids
+# (COVERAGE.md "Driver correctness-sample window")
+R7_WINDOW = [
+    'mm_dedup_phash', 'emb_covariance_topk',
+    'maint_partition_stats', 'maint_zorder_layout',
+    'dedup_cluster_stats', 'dedup_rate_by_source',
+    'text_langid_eval', 'text_cms_error',
+    'ap07_scd2_history', 'bpe_merge_steps',
+    'bpe_tokenize_count', 'bpe_fertility_by_lang',
+    'dedup_line_global', 'text_gopher_rules',
+    'gopher_rate_by_source', 'j09_bloom_prefilter_join',
+    'emb_index_growth', 'sim_ivfpq_residual_topk',
+    'emb_pq_residual_error', 'corpus_shard_manifest',
+    'events_decayed_engagement', 'slice_length_mad',
+    'st08_quarantine_replay', 'ap10_pit_lookup',
+    'clf_calibration_by_length', 'a13_cube_report',
+    'events_view_click_pairs', 'dq_constraint_report',
+    'dq_profile_table', 'retrieval_hard_negatives',
+    'a04_max_last_ts', 'a05_next_id',
+    'a06_min_max_filtered', 'a07_count_union',
+    'a08_exists_count', 'a09_percentiles',
+    'a10_pivot_report', 'a11_rollup_report',
+    'bench_q18_large_orders', 'bench_q1_pricing',
+    'bench_q3_shipping', 'bench_q5_local_supplier',
+    'text_langid', 'text_quality',
+    'text_tokens', 'text_fingerprint',
+    'plan_mapping_compile', 'plan_mapping_roundtrip',
+    'j05_conflict_fullouter', 'cf01_lww',
 ]
 
 
 def test_driver_sample_window_is_the_curated_fifty():
-    assert list(QUERIES)[:50] == R5_WINDOW
+    assert list(QUERIES)[:50] == R7_WINDOW

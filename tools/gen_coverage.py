@@ -66,7 +66,8 @@ GROUPS = [
       "doc_length_quantiles", "slice_length_quantiles",
       "corpus_simpson_diversity",
       "corpus_vocab_growth", "emb_dim_stats", "emb_covariance_topk",
-      "corpus_shard_manifest", "slice_length_mad"]),
+      "corpus_shard_manifest", "slice_length_mad",
+      "sample_systematic_pps"]),
     ("M6: preprocessing & packing",
      ["pii_redact", "doc_chunking", "seq_packing", "text_rarity_score",
       "emb_label_centroids", "emb_centroid_shift", "dup_ngram_fraction",
@@ -87,7 +88,8 @@ GROUPS = [
       "events_cohort_ltv", "events_active_users",
       "events_rfm_segments", "events_interarrival_stats",
       "events_seasonality", "events_decayed_engagement",
-      "events_view_click_pairs"]),
+      "events_view_click_pairs",
+      "events_hll_distinct", "events_hll_union", "events_pagerank"]),
     ("M6: quality scoring & data selection",
      ["text_lm_score", "text_bm25_rank", "dsir_importance",
       "text_classifier_score", "text_classifier_confusion",
