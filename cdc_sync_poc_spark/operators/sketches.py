@@ -344,10 +344,12 @@ regs AS (
 """
 
 
-def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, bucket, reg): the 64-register HLL sketch per type.
-    No distinct pass — one map-side-combined max aggregation."""
-    ev = load_table(spark, sf_dir, "events")
+def hll_register_frame(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, reg) over any events-like frame: the
+    64-register HLL sketch per type. No distinct pass — one map-side-
+    combined max aggregation. Shared with the streaming rollup
+    (streaming/hll_rollup.py) so stream- and backfill-built registers
+    are bit-identical and merge freely."""
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
     ).cast("bigint")
@@ -364,6 +366,20 @@ def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(event_type, hll_estimate) from a register frame — the same
+    alpha*m^2/Z estimator the batch queries state."""
+    z = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z"),
+        F.count("*").alias("nb"),
+    )
+    return z.select("event_type", _hll_estimate_col().alias("hll_estimate"))
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_register_frame(load_table(spark, sf_dir, "events"))
 
 
 def _hll_estimate_col() -> F.Column:

@@ -912,3 +912,90 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         got = snap(str(tmp_path / "chaos" / rel), cols)
         assert ref is not None, f"reference store missing: {rel}"
         assert got == ref, f"store diverged after chaos: {rel}"
+
+
+def test_streaming_hll_rollup_equals_batch_and_recovers(spark, tmp_path):
+    """The foreachBatch HLL rollup (streaming/hll_rollup.py): after all
+    micro-batches the stored registers equal the batch register frame
+    over the union (max-merge law), the estimate matches the batch
+    estimator, a replayed batch is a no-op (idempotent max fold), and a
+    partial first write is never promoted."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_register_frame,
+    )
+    from cdc_sync_poc_spark.streaming.hll_rollup import (
+        StreamingHLLRollup,
+        run_streaming_hll_rollup,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        pc.cast(t.column("ts"), pa.timestamp("us")),
+    )
+    n = t.num_rows
+    cuts = (0, n // 3, 2 * n // 3, n)
+    in_dir = tmp_path / "hll_in"
+    in_dir.mkdir()
+    now = time.time()
+    for i in range(3):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    root = tmp_path / "hll_root"
+    q = run_streaming_hll_rollup(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_hll")
+    )
+    q.awaitTermination()
+    roll = StreamingHLLRollup(spark, str(root))
+    got_regs = {
+        (r.event_type, r.bucket, r.reg) for r in roll.registers().collect()
+    }
+
+    union = spark.createDataFrame(
+        t.select(["user_id", "event_type"]).to_pandas()
+    )
+    want_regs = {
+        (r.event_type, r.bucket, r.reg)
+        for r in hll_register_frame(union).collect()
+    }
+    assert got_regs == want_regs
+    got_est = {
+        (r.event_type, r.hll_estimate) for r in roll.estimate().collect()
+    }
+    want_est = {
+        (r.event_type, r.hll_estimate)
+        for r in hll_estimate_from_registers(hll_register_frame(union)).collect()
+    }
+    assert got_est == want_est
+
+    # replay batch 1: register-wise max is idempotent
+    replay = spark.createDataFrame(
+        t.slice(cuts[1], cuts[2] - cuts[1])
+        .select(["user_id", "event_type"]).to_pandas()
+    )
+    roll.absorb_batch(replay, batch_id=1)
+    again = {
+        (r.event_type, r.bucket, r.reg) for r in roll.registers().collect()
+    }
+    assert again == got_regs
+
+    # partial-first-write recovery: cur missing + tmp without _SUCCESS
+    # must be deleted, not promoted
+    fresh = StreamingHLLRollup(spark, str(tmp_path / "hll_partial"))
+    replay.limit(5).write.parquet(fresh.tmp_dir)
+    os.remove(os.path.join(fresh.tmp_dir, "_SUCCESS"))
+    assert fresh._stored() is None
+    assert not os.path.isdir(fresh.tmp_dir)
+    shutil.rmtree(str(root))
