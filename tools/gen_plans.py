@@ -114,6 +114,10 @@ SECTIONS = [
      "Interval attribution join: hash join ON user_id with the event-time range as the join condition (the stream-stream twin's exact shuffle) — never a nested-loop over the cross product"),
     ("dq_constraint_report",
      "Data-quality gate: every column constraint in ONE aggregate pass over one scan + one anti-join for the FK — report size is #constraints"),
+    ("events_hll_distinct",
+     "HLL registers: ONE map-side-combined (type, bucket) max agg — no distinct pass — then a 64-rows-per-type Z fold; shuffle volume is #types x 64 registers, never #events"),
+    ("sample_systematic_pps",
+     "Systematic PPS draw: two-level chunked cumsum (no corpus-wide row window) + broadcast K-row threshold range-join — the draw is map-side against K constants"),
 ]
 
 
