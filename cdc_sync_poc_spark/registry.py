@@ -83,7 +83,7 @@ _PRIORITY_PREFIXES = [
     # then r3-evidence
     "src_", "sink_", "a01", "a02", "a03", "pipeline_",
     "j01", "j02", "j03", "j04",
-    "ap01", "ap02", "ap03", "ap04", "ap05", "ap06", "st01",
+    "ap01", "ap02", "ap03", "ap04", "ap05", "ap06",
     "mm_attach", "mm_decode", "mm_frame", "mm_resize",
     "pii_", "doc_chunk", "bench_q2_", "bench_q20",
     "bench_q16", "bench_q17",
@@ -102,8 +102,8 @@ _PRIORITY_PREFIXES = [
     "sem_dedup", "dsir_", "llm_curation", "sample_fixed_n",
     "mm_integrity", "source_jsonl", "slice_length_quantiles",
     "corpus_", "sample_", "emb_", "events_", "text_",
-    "a12", "r15", "ap08", "ap09",
-    "dedup_", "bench_", "maint_", "st0", "j0", "a1", "cf0",
+    "a12", "ap08", "ap09",
+    "dedup_", "bench_",
 ]
 
 

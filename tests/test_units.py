@@ -180,31 +180,33 @@ def test_driver_sample_window_invariants():
     load_all_queries()
     names = list(QUERIES)
     window = set(names[:50])
-    # round-5 contract (VERDICT r4 #3): the window holds ONLY queries
-    # that never appeared in any r1-r4 driver sample — retiring the
-    # never-sampled backlog — and none of the five metering queries
-    # deliberately deferred to r6
+    # round-7 contract (VERDICT r6 #1): every query that had NO driver
+    # row through r6 sits inside the window (retiring the 30-query
+    # evidence backlog) — EXCEPT operators added this session, which
+    # stage at position 51+ so the window stays stable within a round;
+    # the remaining slots refresh already-sampled ids (the stalest
+    # r1/r2 evidence), so "window ∩ previously-sampled = ∅" no longer
+    # holds by design.
     root = pathlib.Path(__file__).resolve().parents[1]
     sampled = set()
-    for r in range(1, 5):
-        sampled |= set(json.loads((root / f"CORRECTNESS_r0{r}.json").read_text()))
-    assert not (window & sampled), sorted(window & sampled)
-    deferred = {
-        "dedup_cluster_stats", "dedup_rate_by_source", "text_langid_eval",
-        "text_cms_error", "ap07_scd2_history",
+    for r in range(1, 7):
+        f = root / f"CORRECTNESS_r0{r}.json"
+        if f.exists():
+            sampled |= set(json.loads(f.read_text()))
+    r7_new = {
+        "events_hll_distinct", "events_hll_union",
+        "sample_systematic_pps", "events_pagerank",
     }
-    assert not (window & deferred), sorted(window & deferred)
+    backlog = set(names) - sampled - r7_new
+    assert backlog <= window, sorted(backlog - window)
     # the round's changed modules get fresh evidence on exactly the
-    # code that moved
-    for q in (
-        "text_lm_score",
-        "events_rfm_segments",
-        "retrieval_rrf_fusion",
-        "source_csv_docs",
-        "corpus_vocab_growth",
-        "source_jsonl_docs",
-    ):
-        assert q in window, q
+    # code that moved, first in the window
+    assert names[:4] == [
+        "mm_dedup_phash", "emb_covariance_topk",
+        "maint_partition_stats", "maint_zorder_layout",
+    ]
+    # new operators stage right behind the window for r8
+    assert set(names[50:54]) == r7_new
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
 
