@@ -322,7 +322,10 @@ def scale_probe(
                 print(f"# scale-probe ERROR {name}@sf{v}: "
                       f"{str(ex)[:120]}", file=sys.stderr)
         pts[sf] = timings[name]
-        valid = sorted((s, t) for s, t in pts.items() if t)
+        # `is not None`, not truthiness: a sub-millisecond probe rounds
+        # to 0.0 and is a real data point (the lo_t/hi_t > 0 guard
+        # below handles the log), only an ERRORED probe is excluded
+        valid = sorted((s, t) for s, t in pts.items() if t is not None)
         exponent = None
         if len(valid) >= 2:
             (lo_sf, lo_t), (hi_sf, hi_t) = valid[-2], valid[-1]

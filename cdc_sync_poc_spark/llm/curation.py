@@ -960,8 +960,6 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
         .collect()
     )
-    s_of = {int(r.d): int(r.s) for r in dims}
-    n_rows = int(dims[0].n) if dims else 0
     if not dims:
         # empty embeddings table: no per-dim sums exist, so the pair
         # map below would KeyError at plan-build time — short-circuit
@@ -970,6 +968,8 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark_.createDataFrame(
             [], "i long, j long, covariance double"
         )
+    s_of = {int(r.d): int(r.s) for r in dims}
+    n_rows = int(dims[0].n)
     pair_map = [
         (i, j, s_of[i], s_of[j])
         for i in range(1, 64)
@@ -1146,13 +1146,10 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ck")
         .rowsBetween(Window.unboundedPreceding, -1)
     )  # over the chunk-totals frame only: n_docs / _PPS_CHUNK rows
-    carry = (
-        d.groupBy("ck")
-        .agg(F.sum("weight").alias("ck_tot"))
-        .select(
-            "ck",
-            F.coalesce(F.sum("ck_tot").over(w_carry), F.lit(0)).alias("ck_off"),
-        )
+    ck_totals = d.groupBy("ck").agg(F.sum("weight").alias("ck_tot"))
+    carry = ck_totals.select(
+        "ck",
+        F.coalesce(F.sum("ck_tot").over(w_carry), F.lit(0)).alias("ck_off"),
     )
     cum = local.join(F.broadcast(carry), "ck").select(
         "doc_id",
@@ -1160,7 +1157,9 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         (F.col("ck_off") + F.col("local_prev")).alias("cum_prev"),
     )
-    total = d.agg(F.sum("weight").alias("w"))
+    # grand total from the tiny chunk-totals frame — no third scan of
+    # the documents table
+    total = ck_totals.agg(F.sum("ck_tot").alias("w"))
     thr = (
         spark_.range(0, PPS_K)
         .select(F.col("id").alias("j"))

@@ -411,18 +411,14 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raw estimator; see module comment for why the linear-counting
     correction is out). The register table is the stored artifact: 64
     small integers per group, mergeable forever."""
-    regs = _hll_registers(spark, sf_dir)
-    z = regs.groupBy("event_type").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z"),
-        F.count("*").alias("nb"),
-    )
+    est = hll_estimate_from_registers(_hll_registers(spark, sf_dir))
     ex = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.count_distinct("user_id").alias("n_exact"))
     )
-    return ex.join(z, "event_type").select(
-        "event_type", "n_exact", _hll_estimate_col().alias("hll_estimate")
+    return ex.join(est, "event_type").select(
+        "event_type", "n_exact", "hll_estimate"
     )
 
 

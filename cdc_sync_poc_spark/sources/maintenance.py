@@ -55,6 +55,18 @@ _TMP_PREFIX = ".compact-tmp."
 _OLD_PREFIX = ".compact-old."
 
 
+def _encode_part(part: str) -> str:
+    """'='-free scratch-name encoding. '%' is escaped FIRST so the
+    mapping is injective — a partition value that itself contains
+    '%3D' (Spark escapes '=' in values exactly this way) must decode
+    back to itself, not to a '='."""
+    return part.replace("%", "%25").replace("=", "%3D")
+
+
+def _decode_part(safe: str) -> str:
+    return safe.replace("%3D", "=").replace("%25", "%")
+
+
 def _swap_paths(path: str, part: str) -> tuple[str, str, str]:
     """(pdir, tmp, old) for one partition swap. Scratch names are
     dot-prefixed (hidden from Spark file listings) and '='-free
@@ -62,7 +74,7 @@ def _swap_paths(path: str, part: str) -> tuple[str, str, str]:
     partition value)."""
     if part:
         pdir = os.path.join(path, part)
-        safe = part.replace("=", "%3D")
+        safe = _encode_part(part)
         tmp = os.path.join(path, _TMP_PREFIX + safe)
         old = os.path.join(path, _OLD_PREFIX + safe)
     else:  # unpartitioned: swap `path` itself via siblings in its parent
@@ -107,7 +119,7 @@ def recover_compaction(path: str) -> list[dict]:
         if key.startswith("\0"):
             part, pdir = "", root_pdir
         else:
-            part = key.replace("%3D", "=")
+            part = _decode_part(key)
             pdir = os.path.join(path, part)
         tmp, old = s.get("tmp"), s.get("old")
         complete = tmp and os.path.exists(os.path.join(tmp, "_SUCCESS"))

@@ -10,9 +10,8 @@ sketches are bit-identical), merge with the STORED registers by
 register-wise max (the HLL union law), and swap the single stored
 register table. Replay-idempotent with no partition bookkeeping:
 max-merge is idempotent under re-union of the same rows — the same
-argument as the bottom-N sampler (streaming/sampling.py), whose
-write-then-swap + _SUCCESS-guarded promotion this store reuses
-verbatim.
+argument as the bottom-N sampler (streaming/sampling.py), with which
+it shares the crash-safe SwapStore (streaming/swapstore.py).
 
 Equivalence: after any prefix of batches, estimate() equals
 events_hll_distinct's estimator over the union of those batches
@@ -21,40 +20,28 @@ events_hll_distinct's estimator over the union of those batches
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 
 from cdc_sync_poc_spark.operators.sketches import (
     hll_estimate_from_registers,
     hll_register_frame,
 )
+from cdc_sync_poc_spark.streaming.swapstore import SwapStore
 
 
 class StreamingHLLRollup:
     """foreachBatch body maintaining the merged register store under
-    ``root``."""
+    ``root``. State lives in a SwapStore (streaming/swapstore.py) —
+    the same crash matrix as the bottom-N sampler."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
-        self.cur_dir = os.path.join(root, "regs")
-        self.tmp_dir = os.path.join(root, "regs_next")
+        self.store = SwapStore(spark, root, "regs")
+        self.cur_dir = self.store.cur_dir
+        self.tmp_dir = self.store.tmp_dir
 
     def _stored(self) -> DataFrame | None:
-        if not os.path.isdir(self.cur_dir):
-            # the sampler's recovery contract (streaming/sampling.py):
-            # promote ONLY a complete temp (_SUCCESS marker); a partial
-            # first write is deleted and the batch replays
-            if os.path.isdir(self.tmp_dir):
-                if os.path.exists(os.path.join(self.tmp_dir, "_SUCCESS")):
-                    os.rename(self.tmp_dir, self.cur_dir)
-                else:
-                    shutil.rmtree(self.tmp_dir)
-                    return None
-            else:
-                return None
-        return self.spark.read.parquet(self.cur_dir)
+        return self.store.read()
 
     def absorb_batch(self, events: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -68,10 +55,7 @@ class StreamingHLLRollup:
             .groupBy("event_type", "bucket")
             .agg(F.max("reg").alias("reg"))
         )
-        merged.write.mode("overwrite").parquet(self.tmp_dir)
-        if os.path.isdir(self.cur_dir):
-            shutil.rmtree(self.cur_dir)
-        os.rename(self.tmp_dir, self.cur_dir)
+        self.store.swap(merged)
 
     def registers(self) -> DataFrame:
         regs = self._stored()

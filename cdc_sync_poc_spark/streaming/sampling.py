@@ -23,48 +23,30 @@ KMV sketch union (operators/sketches.py).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.llm.curation import SAMPLE_FIXED_N
+from cdc_sync_poc_spark.streaming.swapstore import SwapStore
 
 
 class StreamingSampler:
     """foreachBatch body maintaining the exact bottom-N sample under
-    ``root``."""
+    ``root``. State lives in a SwapStore (streaming/swapstore.py):
+    rename-aside swap, _SUCCESS-guarded roll-forward, partial first
+    writes never promoted — see that module for the crash matrix."""
 
     def __init__(
         self, spark: SparkSession, root: str, n: int = SAMPLE_FIXED_N
     ) -> None:
         self.spark = spark
         self.n = n
-        self.cur_dir = os.path.join(root, "sample")
-        self.tmp_dir = os.path.join(root, "sample_next")
+        self.store = SwapStore(spark, root, "sample")
+        self.cur_dir = self.store.cur_dir
+        self.tmp_dir = self.store.tmp_dir
 
     def _stored(self) -> DataFrame | None:
-        if not os.path.isdir(self.cur_dir):
-            # crash recovery: a crash between the swap's rmtree and
-            # rename leaves only the (complete, already-flushed) next
-            # state in tmp_dir — finish the rename it was about to do,
-            # so the sampler never restarts from an empty state.
-            # Promote ONLY a complete write (Spark's _SUCCESS marker):
-            # a crash mid-FIRST-write also leaves cur missing + tmp
-            # present, but tmp is partial — promoting it would poison
-            # the sampler permanently. Partial tmp is deleted and the
-            # batch replays from the checkpoint.
-            if os.path.isdir(self.tmp_dir):
-                if os.path.exists(os.path.join(self.tmp_dir, "_SUCCESS")):
-                    os.rename(self.tmp_dir, self.cur_dir)
-                else:
-                    import shutil
-
-                    shutil.rmtree(self.tmp_dir)
-                    return None
-            else:
-                return None
-        return self.spark.read.parquet(self.cur_dir)
+        return self.store.read()
 
     def absorb_batch(self, docs: DataFrame, batch_id: int) -> None:
         hk = F.md5(F.col("doc_id").cast("string"))
@@ -82,18 +64,7 @@ class StreamingSampler:
             # makes the fold idempotent before the bottom-N cut
             .distinct()
         )
-        out = merged.orderBy("hk", "doc_id").limit(self.n)
-        # write-then-swap (the compactor's two-phase recipe): a crash
-        # mid-WRITE leaves cur untouched; a crash mid-SWAP (after the
-        # rmtree, before the rename) is healed by _stored's tmp->cur
-        # recovery — at every instant a complete copy of the state
-        # exists on disk
-        out.write.mode("overwrite").parquet(self.tmp_dir)
-        if os.path.isdir(self.cur_dir):
-            import shutil
-
-            shutil.rmtree(self.cur_dir)
-        os.rename(self.tmp_dir, self.cur_dir)
+        self.store.swap(merged.orderBy("hk", "doc_id").limit(self.n))
 
     def sample(self) -> DataFrame:
         out = self._stored()  # routes through the tmp->cur recovery

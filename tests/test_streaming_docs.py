@@ -999,3 +999,71 @@ def test_streaming_hll_rollup_equals_batch_and_recovers(spark, tmp_path):
     assert fresh._stored() is None
     assert not os.path.isdir(fresh.tmp_dir)
     shutil.rmtree(str(root))
+
+
+def test_swapstore_crash_matrix(spark, tmp_path):
+    """SwapStore (streaming/swapstore.py) recovery, state by state:
+    (a) live missing + complete temp -> roll forward; (b) live missing
+    + partial temp + old -> roll back to old; (c) live + old -> old is
+    post-swap debris, dropped; (d) live + stale complete temp -> temp
+    dropped, live kept. rmtree never touches the live dir, so a
+    partially-deleted live state is impossible by construction."""
+    import os
+    import shutil
+
+    from cdc_sync_poc_spark.streaming.swapstore import SwapStore
+
+    def fresh(name, rows):
+        st = SwapStore(spark, str(tmp_path / name), "s")
+        spark.createDataFrame([(i,) for i in rows], "v long").write.parquet(
+            st.tmp_dir
+        )
+        return st
+
+    # (a) crashed between the two renames: temp complete, live missing
+    st = fresh("a", range(5))
+    assert {r.v for r in st.read().collect()} == set(range(5))
+    assert os.path.isdir(st.cur_dir) and not os.path.isdir(st.tmp_dir)
+
+    # (b) partial temp + preserved old: roll back, never promote
+    st = fresh("b", range(3))
+    os.rename(st.tmp_dir, st.cur_dir)
+    st.swap(spark.createDataFrame([(9,)], "v long"))  # live = {9}
+    shutil.copytree(st.cur_dir, st.old_dir)
+    spark.createDataFrame([(7,)], "v long").write.parquet(st.tmp_dir)
+    os.remove(os.path.join(st.tmp_dir, "_SUCCESS"))
+    shutil.rmtree(st.cur_dir)  # the crash state: old + partial tmp
+    assert {r.v for r in st.read().collect()} == {9}
+    assert not os.path.isdir(st.tmp_dir) and not os.path.isdir(st.old_dir)
+
+    # (c) crashed after the second rename, before dropping old
+    st = fresh("c", range(4))
+    os.rename(st.tmp_dir, st.cur_dir)
+    shutil.copytree(st.cur_dir, st.old_dir)
+    assert {r.v for r in st.read().collect()} == set(range(4))
+    assert not os.path.isdir(st.old_dir)
+
+    # (d) crashed after writing temp, before any rename: live wins,
+    # stale temp dropped (its batch replays from the checkpoint)
+    st = fresh("d", range(2))
+    os.rename(st.tmp_dir, st.cur_dir)
+    spark.createDataFrame([(8,)], "v long").write.parquet(st.tmp_dir)
+    assert {r.v for r in st.read().collect()} == {0, 1}
+    assert not os.path.isdir(st.tmp_dir)
+
+
+def test_compaction_scratch_name_roundtrip():
+    """Scratch-name encoding must be injective: a partition value that
+    itself contains '%3D' (Spark's own '=' escape) or '%' round-trips
+    through encode/decode unchanged."""
+    from cdc_sync_poc_spark.sources.maintenance import (
+        _decode_part,
+        _encode_part,
+    )
+
+    for part in (
+        "lang=en", "lang=a%3Db", "k=100%", "k=%25", "a=b=c", "x=%3D%25",
+    ):
+        enc = _encode_part(part)
+        assert "=" not in enc, (part, enc)
+        assert _decode_part(enc) == part, (part, enc)
