@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "events_hll_distinct",
     "sample_systematic_pps",
     "events_pagerank",
+    "sample_fixed_n_by_lang",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

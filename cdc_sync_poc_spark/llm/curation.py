@@ -1174,3 +1174,64 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t") >= F.col("cum_prev"))
         & (F.col("t") < F.col("cum_prev") + F.col("weight")),
     ).select(F.col("j").alias("draw_id"), "doc_id", "lang", "weight")
+
+
+# Per-stratum exactly-N sampling: the balanced-eval-slice primitive —
+# "exactly K documents PER LANGUAGE, reproducibly" — that neither the
+# global bottom-N (sample_fixed_n: head languages crowd out tail ones)
+# nor rate-based stratified sampling (sample_stratified: K only in
+# expectation) provides.
+PER_LANG_N = 8
+_PLN_SALTS = 16  # two-level top-k fan-out (the KMV _bottom_k pattern)
+
+
+@register(
+    "sample_fixed_n_by_lang",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, source, hk,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY hk, doc_id) AS sample_rank
+  FROM h
+)
+SELECT doc_id, lang, source, hk, sample_rank::BIGINT AS sample_rank
+FROM r WHERE sample_rank <= {PER_LANG_N}
+""",
+)
+def sample_fixed_n_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly PER_LANG_N documents per language by md5 draw — stable
+    under corpus growth per stratum (the bottom-k property), and
+    deterministic across retries/replays/engines.
+
+    Scale shape: the salted two-level top-k (the KMV ``_bottom_k``
+    pattern, operators/sketches.py): rank inside (lang, salt) first —
+    parallel, at most PER_LANG_N rows out per salt bucket — then rank
+    the PER_LANG_N x {_PLN_SALTS} survivors per language. No stage ever
+    sorts a whole language's documents in one task, which the naive
+    single window-per-lang form would (a head language holds most of a
+    100 TB crawl). Salt is hash-derived (never rand(): retries must
+    rank identical rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    d = docs.select("doc_id", "lang", "source", hk.alias("hk")).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_PLN_SALTS))
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy("hk", "doc_id")
+    local = (
+        d.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= PER_LANG_N)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        local.withColumn(
+            "sample_rank", F.row_number().over(w2).cast("bigint")
+        )
+        .filter(F.col("sample_rank") <= PER_LANG_N)
+        .select("doc_id", "lang", "source", "hk", "sample_rank")
+    )
