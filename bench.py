@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "sample_systematic_pps",
     "events_pagerank",
     "sample_fixed_n_by_lang",
+    "dedup_ppjoin_exact",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

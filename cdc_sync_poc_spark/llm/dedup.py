@@ -29,7 +29,7 @@ Spark and the DuckDB oracle agree bit-for-bit without sharing any RNG.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
@@ -995,4 +995,145 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cluster_size") - 1) * F.count("*"))
         .cast("bigint")
         .alias("n_dropped"),
+    )
+
+# Exact set-similarity self-join via prefix filtering (PPJoin family,
+# Xiao et al. 2008/2011) — the EXACT counterpart of the MinHash-LSH
+# path: LSH trades false negatives for speed (the s-curve); the prefix
+# filter gives ZERO false negatives at threshold t with a candidate
+# set far below all-pairs. Lemma: order every set element by one
+# GLOBAL total order; if Jaccard(A, B) >= t, the first
+# |A| - ceil(t|A|) + 1 elements of A and the first |B| - ceil(t|B|) + 1
+# of B must share at least one element — so an equi-join on prefix
+# elements finds every qualifying pair.
+#
+# Set elements are the SAME distinct word 3-grams as the MinHash
+# family (_shingles — token SETS are useless on a templated corpus:
+# at t = 0.95 token-Jaccard this fixture still yields ~190k "pairs",
+# while shingle-Jaccard at 0.6 yields the ~256 true near-dups).
+# The global order is (corpus frequency ASC, shingle) carried as a
+# SORTED STRUCT — no row_number over the shingle vocabulary, which
+# grows with the corpus and would otherwise be the one forbidden
+# unpartitioned row-scale window. Rare-first ordering is also the
+# candidate-shrink optimization: prefix tokens are the low-frequency
+# tail, so the candidate join's posting lists are the short ones.
+# Threshold is the integer fraction JACCARD_T_NUM/JACCARD_T_DEN and
+# every comparison is integer (5*common >= 3*union), so both engines
+# verify identically.
+JACCARD_T_NUM = 3
+JACCARD_T_DEN = 5  # t = 0.6
+
+
+@register(
+    "dedup_ppjoin_exact",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+fr AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+arr AS (
+  SELECT s.doc_id, sc.n,
+         list_sort(list(struct_pack(c := fr.c, shingle := s.shingle))) AS rs
+  FROM sh s JOIN fr USING (shingle) JOIN scount sc USING (doc_id)
+  GROUP BY s.doc_id, sc.n
+),
+pre0 AS (
+  SELECT doc_id,
+         unnest(rs[1 : n - (({JACCARD_T_NUM} * n + {JACCARD_T_DEN - 1})
+                            // {JACCARD_T_DEN}) + 1]) AS e
+  FROM arr
+),
+pre AS (SELECT doc_id, e.shingle AS shingle FROM pre0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+com AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh ta ON ta.doc_id = c.doc_a
+  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+  GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b, m.common::BIGINT AS n_common,
+       round(m.common::DOUBLE / (na.n + nb.n - m.common), 6) AS jaccard
+FROM com m
+JOIN scount na ON na.doc_id = m.doc_a
+JOIN scount nb ON nb.doc_id = m.doc_b
+WHERE {JACCARD_T_DEN} * m.common
+      >= {JACCARD_T_NUM} * (na.n + nb.n - m.common)
+""",
+)
+def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard similarity self-join at t = 0.6 via
+    prefix filtering — every qualifying pair, no LSH false negatives
+    (the audit pass that MEASURES what the probabilistic dedup family
+    misses; dedup_recall_minhash estimates the same from the sketch
+    side).
+
+    Scale shape: frequency lookup is one keyed join on the uniform
+    shingle column; the per-doc sort is an array sort inside the row
+    (no global window — see the module comment on the struct order);
+    candidates come from a prefix equi-join whose posting lists are
+    rare-first short; verification is pair-driven (one count agg over
+    the candidate-shingle join), never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    fr = sh.groupBy("shingle").agg(F.count("*").alias("c"))
+    arr = (
+        sh.join(fr, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("c"), F.col("shingle")))
+            ).alias("rs")
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix_len = (
+        f"n - (({JACCARD_T_NUM} * n + {JACCARD_T_DEN - 1})"
+        f" div {JACCARD_T_DEN}) + 1"
+    )
+    pre = arr.select(
+        "doc_id",
+        F.explode(F.expr(f"slice(rs, 1, {prefix_len})")).alias("e"),
+    ).select("doc_id", F.col("e.shingle").alias("shingle"))
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    com = (
+        cand.join(sh.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("tb"),
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.shingle") == F.col("ta.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    union_sz = F.col("na") + F.col("nb") - F.col("common")
+    return (
+        com.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.lit(JACCARD_T_DEN) * F.col("common")
+                >= F.lit(JACCARD_T_NUM) * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("common").cast("bigint").alias("n_common"),
+            F.round(F.col("common").cast("double") / union_sz, 6).alias(
+                "jaccard"
+            ),
+        )
     )
