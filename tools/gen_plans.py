@@ -118,6 +118,10 @@ SECTIONS = [
      "HLL registers: ONE map-side-combined (type, bucket) max agg — no distinct pass — then a 64-rows-per-type Z fold; shuffle volume is #types x 64 registers, never #events"),
     ("sample_systematic_pps",
      "Systematic PPS draw: two-level chunked cumsum (no corpus-wide row window) + broadcast K-row threshold range-join — the draw is map-side against K constants"),
+    ("dedup_ppjoin_exact",
+     "Exact PPJoin: global element order carried as sorted (freq, shingle) structs — no vocabulary-scale window — prefix equi-join candidates, pair-driven integer-threshold verify"),
+    ("sample_fixed_n_by_lang",
+     "Per-stratum bottom-k: salted two-level ranking — no whole-language sort in one task"),
 ]
 
 
