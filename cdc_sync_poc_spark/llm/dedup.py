@@ -1036,15 +1036,18 @@ arr AS (
   GROUP BY s.doc_id, sc.n
 ),
 pre0 AS (
-  SELECT doc_id,
+  SELECT doc_id, n,
          unnest(rs[1 : n - (({JACCARD_T_NUM} * n + {JACCARD_T_DEN - 1})
                             // {JACCARD_T_DEN}) + 1]) AS e
   FROM arr
 ),
-pre AS (SELECT doc_id, e.shingle AS shingle FROM pre0),
+pre AS (SELECT doc_id, n, e.shingle AS shingle FROM pre0),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM pre a JOIN pre b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND {JACCARD_T_DEN} * a.n >= {JACCARD_T_NUM} * b.n
+   AND {JACCARD_T_DEN} * b.n >= {JACCARD_T_NUM} * a.n
 ),
 com AS (
   SELECT c.doc_a, c.doc_b, count(*) AS common
@@ -1095,14 +1098,22 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre = arr.select(
         "doc_id",
+        "n",
         F.explode(F.expr(f"slice(rs, 1, {prefix_len})")).alias("e"),
-    ).select("doc_id", F.col("e.shingle").alias("shingle"))
+    ).select("doc_id", "n", F.col("e.shingle").alias("shingle"))
     cand = (
         pre.alias("a")
         .join(
             pre.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter (the PPJoin size-ratio bound): J >= t
+            # forces t <= min(|A|,|B|)/max(|A|,|B|), so incompatible
+            # sizes are pruned BEFORE the distinct and the verify join
+            & (F.lit(JACCARD_T_DEN) * F.col("a.n")
+               >= F.lit(JACCARD_T_NUM) * F.col("b.n"))
+            & (F.lit(JACCARD_T_DEN) * F.col("b.n")
+               >= F.lit(JACCARD_T_NUM) * F.col("a.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
