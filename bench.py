@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "events_pagerank",
     "sample_fixed_n_by_lang",
     "dedup_ppjoin_exact",
+    "dedup_recall_corpuswide",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

@@ -1076,9 +1076,15 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle column; the per-doc sort is an array sort inside the row
     (no global window — see the module comment on the struct order);
     candidates come from a prefix equi-join whose posting lists are
-    rare-first short; verification is pair-driven (one count agg over
-    the candidate-shingle join), never all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    rare-first short and length-filtered; verification is pair-driven
+    (one count agg over the candidate-shingle join), never all-pairs."""
+    return ppjoin_pairs_frame(load_table(spark, sf_dir, "documents"))
+
+
+def ppjoin_pairs_frame(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common, jaccard) — the exact pair frame over
+    any (doc_id, text) frame; shared with dedup_recall_corpuswide,
+    which uses it as corpus-wide ground truth."""
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     fr = sh.groupBy("shingle").agg(F.count("*").alias("c"))
@@ -1147,4 +1153,88 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
+    )
+
+
+@register(
+    "dedup_recall_corpuswide",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_mh_band_ctes(BAND_SIZE)},
+fr AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+arr AS (
+  SELECT s.doc_id, sc.n,
+         list_sort(list(struct_pack(c := fr.c, shingle := s.shingle))) AS rs
+  FROM sh s JOIN fr USING (shingle) JOIN scount sc USING (doc_id)
+  GROUP BY s.doc_id, sc.n
+),
+pre0 AS (
+  SELECT doc_id, n,
+         unnest(rs[1 : n - (({JACCARD_T_NUM} * n + {JACCARD_T_DEN - 1})
+                            // {JACCARD_T_DEN}) + 1]) AS e
+  FROM arr
+),
+pre AS (SELECT doc_id, n, e.shingle AS shingle FROM pre0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND {JACCARD_T_DEN} * a.n >= {JACCARD_T_NUM} * b.n
+   AND {JACCARD_T_DEN} * b.n >= {JACCARD_T_NUM} * a.n
+),
+com AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh ta ON ta.doc_id = c.doc_a
+  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT m.doc_a, m.doc_b
+  FROM com m
+  JOIN scount na ON na.doc_id = m.doc_a
+  JOIN scount nb ON nb.doc_id = m.doc_b
+  WHERE {JACCARD_T_DEN} * m.common
+        >= {JACCARD_T_NUM} * (na.n + nb.n - m.common)
+)
+SELECT count(*)::BIGINT AS n_true,
+       sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_caught,
+       round(CAST(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall
+FROM truth t
+LEFT JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+""",
+)
+def dedup_recall_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE recall of the MinHash-LSH banding at shingle-Jaccard
+    t = 0.6, measured against CORPUS-WIDE exact ground truth — not the
+    doc_id-bounded sample dedup_recall_minhash uses. The prefix filter
+    (ppjoin_pairs_frame) is what makes exhaustive truth affordable:
+    exact all-pairs would be O(n²), the prefix join is
+    candidate-bounded. Expected value is the banding s-curve at 0.6
+    (3 bands of 4: 1-(1-0.6^4)^3 ≈ 0.34) — the number that tells an
+    operator whether BAND_SIZE suits their dup distribution BEFORE a
+    100 TB run commits to it.
+
+    Scale: one extra left join of the (small) true-pair set against
+    the band-candidate pairs; both sides reuse the shared shingle
+    lineage."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ppjoin_pairs_frame(docs).select("doc_a", "doc_b")
+    lsh = _band_pairs(_minhash_sig(_shingles(docs)), BAND_SIZE).select(
+        F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
+    )
+    joined = truth.join(
+        lsh,
+        (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")),
+        "left",
+    )
+    caught = F.sum(F.when(F.col("la").isNotNull(), 1).otherwise(0))
+    return joined.agg(
+        F.count("*").alias("n_true"),
+        caught.cast("bigint").alias("n_caught"),
+        F.round(
+            caught.cast("double") / F.count("*"), 6
+        ).alias("recall"),
     )

@@ -79,7 +79,7 @@ _PRIORITY_PREFIXES = [
     # next in line for r8: this round's new operators (never
     # driver-sampled), then the remaining r2-evidence core
     "events_hll", "sample_systematic", "events_pagerank",
-    "sample_fixed_n_by_lang", "dedup_ppjoin",
+    "sample_fixed_n_by_lang", "dedup_ppjoin", "dedup_recall_corpuswide",
     "r0", "r1", "s0", "st0", "cf0", "j06", "j07", "j08",
     # then r3-evidence
     "src_", "sink_", "a01", "a02", "a03", "pipeline_",

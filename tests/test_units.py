@@ -197,6 +197,7 @@ def test_driver_sample_window_invariants():
         "events_hll_distinct", "events_hll_union",
         "sample_systematic_pps", "events_pagerank",
         "sample_fixed_n_by_lang", "dedup_ppjoin_exact",
+        "dedup_recall_corpuswide",
     }
     backlog = set(names) - sampled - r7_new
     assert backlog <= window, sorted(backlog - window)
@@ -207,7 +208,7 @@ def test_driver_sample_window_invariants():
         "maint_partition_stats", "maint_zorder_layout",
     ]
     # new operators stage right behind the window for r8
-    assert set(names[50:56]) == r7_new
+    assert set(names[50:57]) == r7_new
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
 

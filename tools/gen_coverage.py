@@ -44,7 +44,7 @@ GROUPS = [
       "dedup_prefix_containment", "dedup_rate_by_source",
       "dedup_winnowing_pairs", "dedup_precision_minhash",
       "dedup_cluster_stats", "dedup_line_global",
-      "dedup_ppjoin_exact"]),
+      "dedup_ppjoin_exact", "dedup_recall_corpuswide"]),
     ("M6: similarity search",
      ["sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_topk_all",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
