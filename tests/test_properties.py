@@ -783,3 +783,131 @@ def test_line_dedup_matches_reference_and_conserves_segments(spark, docs):
         for p in range(1, (len(t.split(" ")) + LINE_WORDS - 1) // LINE_WORDS + 1)
     }
     assert sum(k for _n, k, _t in got.values()) == len(distinct_segments)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=3, max_size=10
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_ppjoin_finds_exactly_the_brute_force_pairs(spark, docs):
+    """The prefix-filter lemma (dedup_ppjoin_exact): on ARBITRARY
+    documents the prefix-join result equals brute-force all-pairs
+    exact shingle-Jaccard at the same threshold — zero false
+    negatives AND zero false positives."""
+    from cdc_sync_poc_spark.llm.dedup import (
+        JACCARD_T_DEN,
+        JACCARD_T_NUM,
+        ppjoin_pairs_frame,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in ppjoin_pairs_frame(frame).collect()
+    }
+
+    def shingle_set(text):
+        w = text.split(" ")
+        return {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        } if len(w) >= 3 else set()
+
+    sets = {i: shingle_set(t) for i, t in enumerate(docs)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if JACCARD_T_DEN * inter >= JACCARD_T_NUM * union:
+                want.add((a, b, inter))
+    assert got == want
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_systematic_pps_reference_and_multiplicity(spark, weights):
+    """sample_systematic_pps invariants on arbitrary weights: every
+    threshold lands in exactly one document's weight interval (total
+    draws == K when total weight > 0), and any document with weight
+    >= W/K is guaranteed at least one draw (the PPS promise)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.llm.curation import PPS_K
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    total = sum(weights)
+    if total == 0:
+        return  # no mass, no draws — degenerate by construction
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {
+                        "doc_id": i,
+                        "text": "x",
+                        "lang": "en",
+                        "source": "s",
+                        "n_chars": w,
+                    }
+                    for i, w in enumerate(weights)
+                ]
+            ),
+            f"{d}/documents.parquet",
+        )
+        rows = QUERIES["sample_systematic_pps"](spark, d).collect()
+    assert len(rows) == PPS_K  # every threshold drawn exactly once
+    assert {r.draw_id for r in rows} == set(range(PPS_K))
+    drawn = {r.doc_id for r in rows}
+    for i, w in enumerate(weights):
+        if w * PPS_K >= total:  # weight >= W/K spans >= one threshold gap
+            assert i in drawn, (i, w, total)
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=10**9), max_size=30),
+    b=st.lists(st.integers(min_value=0, max_value=10**9), max_size=30),
+)
+@settings(**_SETTINGS)
+def test_hll_register_merge_law(spark, a, b):
+    """HLL mergeability (events_hll_union / streaming rollup): the
+    register table of A ∪ B equals the register-wise max of A's and
+    B's tables — on arbitrary user_id multisets."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.operators.sketches import hll_register_frame
+
+    def ev(ids):
+        return spark.createDataFrame(
+            [(u, "t") for u in ids], "user_id long, event_type string"
+        )
+
+    ra = hll_register_frame(ev(a))
+    rb = hll_register_frame(ev(b))
+    merged = {
+        (r.event_type, r.bucket, r.reg)
+        for r in ra.unionByName(rb)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .collect()
+    }
+    union = {
+        (r.event_type, r.bucket, r.reg)
+        for r in hll_register_frame(ev(a + b)).collect()
+    }
+    assert merged == union
