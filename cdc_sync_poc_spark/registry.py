@@ -39,50 +39,36 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver samples the FIRST 50 registered queries (dict insertion
 # order) for its CORRECTNESS gate; the sample rotates per round so every
-# query eventually carries fresh driver evidence. Round 7 executes
-# VERDICT r6 "Next round" #1: retire the 30-query evidence backlog
-# (every id that has never carried a driver row — all r5-session
-# additions plus the 5 metering queries staged since r5).
-# Changed-code-first inside the window: mm_dedup_phash (banding recall
-# fix landed in r6 on local evidence only), emb_covariance_topk
-# (empty-input guard this round), maint_* (crash-safe compaction swap
-# this round). The remaining 20 slots refresh the STALEST driver
-# evidence — the r1-era aggregate/text/bench/plan ids (18) plus two
-# r2-era design-only ops (j05_conflict_fullouter, cf01_lww). Everything
-# else keeps rotating behind the cutoff (still covered by the local
-# exact gate every session), oldest evidence first in line for r8.
-# Prefix match, first hit wins; unmatched ids keep relative order at
-# the end.
+# query eventually carries fresh driver evidence. Round 8 executes
+# VERDICT r7 "Next round" #1: bank FIRST driver evidence for the 7
+# r7-new operators (staged at 51+ all of r7, green in the local gate),
+# then refresh the STALEST remaining evidence — the r2-era core
+# (rowops r01–r15, sorts s01–s05, stateful st01–st07, conflict
+# cf02–cf06, joins j06–j08 = 35 ids; st08/cf01/j05 carry fresh r7
+# rows and rotate behind) — and fill the last 8 slots with the oldest
+# r3-evidence ids (src_* ×6, sink_cdc_append, sink_target_apply).
+# Everything else keeps rotating behind the cutoff (still covered by
+# the local exact gate every session), oldest evidence first in line
+# for r9 (sink_audit_log leads). Prefix match, first hit wins;
+# unmatched ids keep relative order at the end.
 _PRIORITY_PREFIXES = [
-    # ---- the r7 driver window ----
-    # changed-code first
-    "mm_dedup_phash", "emb_covariance", "maint_partition",
-    "maint_zorder",
-    # rest of the 30-query never-driver-sampled backlog
-    "dedup_cluster_stats", "dedup_rate_by_source", "text_langid_eval",
-    "text_cms", "ap07",
-    "bpe_",  # 3: merge_steps + tokenize_count + fertility_by_lang
-    "dedup_line_global", "text_gopher", "gopher_rate",
-    "j09", "emb_index_growth", "sim_ivfpq_residual", "emb_pq_residual",
-    "corpus_shard_manifest", "events_decayed", "slice_length_mad",
-    "st08", "ap10", "clf_calibration", "a13",
-    "events_view_click",
-    "dq_",  # 2: constraint_report + profile_table
-    "retrieval_hard_negatives",
-    # 20 stalest driver-evidence ids (r1: 18, r2: 2)
-    "a04", "a05", "a06", "a07", "a08", "a09", "a10", "a11",
-    "bench_q18", "bench_q1_pricing", "bench_q3", "bench_q5",
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-    "plan_",  # 2: mapping_compile + mapping_roundtrip
-    "j05", "cf01",
-    # ---- 50-query driver window ends here ----
-    # next in line for r8: this round's new operators (never
-    # driver-sampled), then the remaining r2-evidence core
+    # ---- the r8 driver window ----
+    # first-evidence: the 7 operators added in r7
     "events_hll", "sample_systematic", "events_pagerank",
     "sample_fixed_n_by_lang", "dedup_ppjoin", "dedup_recall_corpuswide",
-    "r0", "r1", "s0", "st0", "cf0", "j06", "j07", "j08",
-    # then r3-evidence
-    "src_", "sink_", "a01", "a02", "a03", "pipeline_",
+    # 35 stalest (r2) core ids
+    "r0", "r1",  # rowops r01..r15
+    "s0",  # sorts s01..s05
+    "st01", "st02", "st03", "st04", "st05", "st06", "st07",
+    "cf02", "cf03", "cf04", "cf05", "cf06",
+    "j06", "j07", "j08",
+    # 8 oldest r3-evidence ids
+    "src_",  # kafka_cdc debezium_parse jdbc_snapshot jdbc_lookup
+             # point_lookup schema_drift
+    "sink_cdc_append", "sink_target_apply",
+    # ---- 50-query driver window ends here ----
+    # next in line for r9: the remaining r3-evidence ids
+    "sink_", "st08", "a01", "a02", "a03", "pipeline_",
     "j01", "j02", "j03", "j04",
     "ap01", "ap02", "ap03", "ap04", "ap05", "ap06",
     "mm_attach", "mm_decode", "mm_frame", "mm_resize",

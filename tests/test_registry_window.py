@@ -10,37 +10,50 @@ from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
 
 load_all_queries()
 
-# the r7 window: the 30-query never-driver-sampled backlog
-# (changed-code first) + the 20 stalest r1/r2-evidence ids
-# (COVERAGE.md "Driver correctness-sample window")
-R7_WINDOW = [
-    'mm_dedup_phash', 'emb_covariance_topk',
-    'maint_partition_stats', 'maint_zorder_layout',
-    'dedup_cluster_stats', 'dedup_rate_by_source',
-    'text_langid_eval', 'text_cms_error',
-    'ap07_scd2_history', 'bpe_merge_steps',
-    'bpe_tokenize_count', 'bpe_fertility_by_lang',
-    'dedup_line_global', 'text_gopher_rules',
-    'gopher_rate_by_source', 'j09_bloom_prefilter_join',
-    'emb_index_growth', 'sim_ivfpq_residual_topk',
-    'emb_pq_residual_error', 'corpus_shard_manifest',
-    'events_decayed_engagement', 'slice_length_mad',
-    'st08_quarantine_replay', 'ap10_pit_lookup',
-    'clf_calibration_by_length', 'a13_cube_report',
-    'events_view_click_pairs', 'dq_constraint_report',
-    'dq_profile_table', 'retrieval_hard_negatives',
-    'a04_max_last_ts', 'a05_next_id',
-    'a06_min_max_filtered', 'a07_count_union',
-    'a08_exists_count', 'a09_percentiles',
-    'a10_pivot_report', 'a11_rollup_report',
-    'bench_q18_large_orders', 'bench_q1_pricing',
-    'bench_q3_shipping', 'bench_q5_local_supplier',
-    'text_langid', 'text_quality',
-    'text_tokens', 'text_fingerprint',
-    'plan_mapping_compile', 'plan_mapping_roundtrip',
-    'j05_conflict_fullouter', 'cf01_lww',
+# the r8 window: first driver evidence for the 7 r7-new operators,
+# then the 35 stalest (r2-evidence) core ids, then the 8 oldest
+# r3-evidence ids (COVERAGE.md "Driver correctness-sample window")
+R8_WINDOW = [
+    'events_hll_distinct', 'events_hll_union',
+    'sample_systematic_pps', 'events_pagerank',
+    'sample_fixed_n_by_lang', 'dedup_ppjoin_exact',
+    'dedup_recall_corpuswide',
+    'r01_filter_pending', 'r02_project_rename',
+    'r03_case_flag', 'r04_codemap_join',
+    'r05_cast_date_ts', 'r06_epoch_decode',
+    'r07_decimal_decode', 'r08_default_coalesce',
+    'r09_sha256_hash', 'r10_op_decode',
+    'r11_pick_before_after', 'r12_string_funcs',
+    'r13_ts_convert', 'r14_to_json_preview',
+    'r15_variant_extract',
+    's01_order_by_seq', 's02_topn_desc',
+    's03_ring_buffer', 's04_union_merge_sort',
+    's05_first_nonpk',
+    'st01_loop_dedup', 'st02_state_upsert',
+    'st03_state_ttl', 'st04_microbatch_trigger',
+    'st05_late_and_order', 'st06_quarantine',
+    'st07_backpressure_cfg',
+    'cf02_sys_priority', 'cf03_field_merge',
+    'cf04_upd_vs_del', 'cf05_policy_lookup',
+    'cf06_pk_split',
+    'j06_asof_join', 'j07_range_join_bucketed',
+    'j08_salted_skew_join',
+    'src_kafka_cdc', 'src_debezium_parse',
+    'src_jdbc_snapshot', 'src_jdbc_lookup',
+    'src_point_lookup', 'src_schema_drift',
+    'sink_cdc_append', 'sink_target_apply',
 ]
 
 
 def test_driver_sample_window_is_the_curated_fifty():
-    assert list(QUERIES)[:50] == R7_WINDOW
+    assert list(QUERIES)[:50] == R8_WINDOW
+
+
+def test_window_has_zero_overlap_with_r7_sample():
+    """VERDICT r7 #1: overlap with the r07 driver sample must be 0."""
+    import json
+    import pathlib
+
+    r7 = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r07.json"
+    sampled = set(json.loads(r7.read_text()))
+    assert not set(R8_WINDOW) & sampled

@@ -730,3 +730,108 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_pat
     got = {(r.view_id, r.click_id) for r in rows_out}
     assert (1, 2) in got          # matched pair
     assert (3, None) in got       # null-completed after watermark passed
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 history writer (VERDICT r7 #2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def chunked_events(tmp_path):
+    """The sf0.001 events split into 4 ordered parquet files so the
+    file source delivers 4 micro-batches (maxFilesPerTrigger=1), with
+    ts down-cast to microseconds like the stream schema declares.
+    Ordered chunking preserves each key's cdc_seq order across batches
+    (the writer's documented ordering assumption)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    events_dir = tmp_path / "scd2_events_in"
+    events_dir.mkdir()
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(
+        idx, "ts", pc.floor_temporal(t["ts"], unit="microsecond").cast(pa.timestamp("us"))
+    )
+    t = t.sort_by("event_id")
+    n = t.num_rows
+    now = time.time()
+    for i in range(4):
+        f = events_dir / f"part-{i}.parquet"
+        pq.write_table(t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4), f)
+        import os
+
+        os.utime(f, (now + i * 10, now + i * 10))
+    return str(events_dir)
+
+
+def _hist_set(df):
+    return {
+        (r.version_seq, r.pk, round(r.val, 6), r.valid_from_ms, r.valid_to_ms, r.is_current)
+        for r in df.collect()
+    }
+
+
+def test_scd2_stream_matches_batch_ap07(spark, chunked_events, tmp_path):
+    """Incremental SCD2 over 4 micro-batches == batch ap07 over the
+    full changelog (VERDICT r7 #2 'done' condition)."""
+    from cdc_sync_poc_spark.operators.scd import ap07_scd2_history
+    from cdc_sync_poc_spark.streaming.scd2 import run_scd2_stream
+
+    q, writer = run_scd2_stream(spark, chunked_events, str(tmp_path / "scd2_out"))
+    q.awaitTermination(180)
+
+    got = _hist_set(writer.history())
+    want = _hist_set(ap07_scd2_history(spark, SF_DIR))
+    assert got == want
+    assert any(r[5] for r in got)       # has open versions
+    assert any(not r[5] for r in got)   # and closed ones
+
+
+def test_scd2_replay_and_crash_windows_are_idempotent(spark, tmp_path):
+    """Exactly-once under foreachBatch at-least-once: (a) a fully
+    committed batch replayed verbatim is a no-op (commit marker), and
+    (b) a crash AFTER the closed-partition write but BEFORE the open
+    swap (simulated by restoring the pre-batch open store) replays to
+    the identical history."""
+    import shutil as sh
+
+    from cdc_sync_poc_spark.cdc.envelope import cdc_view
+    from cdc_sync_poc_spark.operators.scd import ap07_scd2_history
+    from cdc_sync_poc_spark.streaming.scd2 import Scd2StreamWriter
+
+    out = tmp_path / "scd2_crash"
+    writer = Scd2StreamWriter(spark, str(out))
+    cdc = cdc_view(spark, SF_DIR)
+    n = cdc.count()
+    chunks = [
+        cdc.orderBy("cdc_seq").limit((i + 1) * n // 3).subtract(
+            cdc.orderBy("cdc_seq").limit(i * n // 3)
+        )
+        for i in range(3)
+    ]
+    writer.apply_batch(chunks[0], 0)
+    writer.apply_batch(chunks[1], 1)
+
+    # snapshot the pre-batch-2 open store, then run batch 2 fully
+    open_dir = writer.open_store.cur_dir
+    sh.copytree(open_dir, str(tmp_path / "open_snapshot"))
+    writer.apply_batch(chunks[2], 2)
+    want = _hist_set(writer.history())
+
+    # (a) replay of a committed batch is a no-op
+    writer.apply_batch(chunks[2], 2)
+    assert _hist_set(writer.history()) == want
+
+    # (b) crash window: closed/batch_id=2 written, open swap lost
+    sh.rmtree(open_dir)
+    sh.copytree(str(tmp_path / "open_snapshot"), open_dir)
+    writer.apply_batch(chunks[2], 2)
+    assert _hist_set(writer.history()) == want
+
+    # and the final history is the batch ap07 answer
+    assert want == _hist_set(ap07_scd2_history(spark, SF_DIR))

@@ -122,6 +122,8 @@ SECTIONS = [
      "Exact PPJoin: global element order carried as sorted (freq, shingle) structs — no vocabulary-scale window — prefix equi-join candidates, pair-driven integer-threshold verify"),
     ("sample_fixed_n_by_lang",
      "Per-stratum bottom-k: salted two-level ranking — no whole-language sort in one task"),
+    ("ap07_scd2_history",
+     "SCD2 version table: ONE pk exchange feeding a single window (lead ts + lead seq) — same physical shape as the last-wins apply; the streaming twin (streaming/scd2.py) maintains the identical table incrementally (closed rows append-only per batch, open set swapped crash-safe)"),
 ]
 
 
