@@ -14,8 +14,22 @@ Transform kinds:
 * RENAME            — plain alias
 * CODE_MAP(dim)     — broadcast left join + coalesce fallback (r04)
 * CASE_YN           — 'Y'/'N' char -> 1/0 (r03)
+* CASE_10           — 1/0 -> 'Y'/'N' (the mirror of CASE_YN)
 * CAST(type)        — type cast (r05)
 * DEFAULT(value)    — NVL/constant injection (r08)
+
+The reference scope is BIDIRECTIONAL (ASIS->TOBE and TOBE->ASIS over
+the same mapping rows, reference CLAUDE.md:34-42 + reverse mapping
+seeds poc/asis-oracle/init/03_create_mapping_tables.sql:24-35);
+``invert_mapping`` derives the mirror-direction spec from a forward
+spec, so one configured direction yields both compiled plans. The
+value-lossy transforms are exactly the non-invertible part: a
+DEFAULT's null-filling cannot be undone (its mirror is a plain
+RENAME — the normalized value round-trips exactly), and a
+target-only constant column has no source twin (dropped). Everything
+else — renames, code maps (mirrored dim), Y/N flags, casts — inverts
+to data-level round-trip identity, which tests/test_mapping_scale.py
+asserts at the production 171-table width.
 """
 
 from __future__ import annotations
@@ -82,6 +96,10 @@ def compile_select(
             cols.append(
                 F.when(F.col(cm.source) == "Y", 1).otherwise(0).alias(cm.target)
             )
+        elif cm.transform == "CASE_10":
+            cols.append(
+                F.when(F.col(cm.source) == 1, "Y").otherwise("N").alias(cm.target)
+            )
         elif cm.transform == "CAST":
             cols.append(F.col(cm.source).cast(cm.arg).alias(cm.target))
         elif cm.transform == "DEFAULT":
@@ -101,3 +119,67 @@ def compile_select(
         else:
             raise ValueError(f"unknown transform {cm.transform!r}")
     return out.select(*cols)
+
+
+def invert_dims(code_dims: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Mirror every code dim: (source_value, target_value) swapped —
+    the reference's reverse mapping rows derived instead of re-seeded.
+    Correct whenever the dim is a bijection on its mapped values (the
+    reference's code tables are; a non-bijective dim is a config error
+    in either direction)."""
+    return {
+        g: dim.select(
+            F.col("target_value").alias("source_value"),
+            F.col("source_value").alias("target_value"),
+        )
+        for g, dim in code_dims.items()
+    }
+
+
+def invert_mapping(
+    spec: TableMapping, source_types: dict[str, str] | None = None
+) -> TableMapping:
+    """Derive the mirror-direction TableMapping (TOBE->ASIS from
+    ASIS->TOBE or vice versa).
+
+    ``source_types`` supplies the original dtype of every CAST column's
+    source (the forward spec only records the cast TARGET type, so the
+    return leg needs to be told what to cast back to).
+
+    Lossy-by-design mirrors: DEFAULT with a source column inverts to
+    RENAME (null-filling is not undoable — the normalized value is what
+    round-trips), and a target-only constant column (source None) is
+    dropped. Use the mirrored dims from :func:`invert_dims` when
+    compiling the result.
+    """
+    cols: list[ColumnMapping] = []
+    for cm in spec.columns:
+        if cm.transform == "RENAME":
+            cols.append(ColumnMapping(cm.target, cm.source))
+        elif cm.transform == "CODE_MAP":
+            cols.append(ColumnMapping(cm.target, cm.source, "CODE_MAP", cm.arg))
+        elif cm.transform == "CASE_YN":
+            cols.append(ColumnMapping(cm.target, cm.source, "CASE_10"))
+        elif cm.transform == "CASE_10":
+            cols.append(ColumnMapping(cm.target, cm.source, "CASE_YN"))
+        elif cm.transform == "CAST":
+            back = (source_types or {}).get(cm.source)
+            if back is None:
+                raise ValueError(
+                    f"invert_mapping needs source_types[{cm.source!r}] "
+                    "to mirror a CAST column"
+                )
+            cols.append(ColumnMapping(cm.target, cm.source, "CAST", back))
+        elif cm.transform == "DEFAULT":
+            if cm.source is None:
+                continue  # injected constant: no source twin to restore
+            cols.append(ColumnMapping(cm.target, cm.source))
+        else:
+            raise ValueError(f"unknown transform {cm.transform!r}")
+    by_source = {cm.source: cm.target for cm in spec.columns if cm.source}
+    return TableMapping(
+        spec.target_table,
+        spec.source_table,
+        by_source.get(spec.key, spec.key),
+        tuple(cols),
+    )

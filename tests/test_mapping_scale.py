@@ -102,3 +102,76 @@ def test_mapping_results_correct_on_sample_tables(mapping_world):
         assert rows[7][f"t{i}_created_by"] == "SYNC"
         if i % 3 == 0:
             assert rows[5][f"t{i}_tier_cd"] == "T2"
+
+
+# ---------------------------------------------------------------------------
+# Mirror direction at production width (VERDICT r6 #7 remainder / r7 #3)
+# ---------------------------------------------------------------------------
+
+from cdc_sync_poc_spark.plans.mapping import invert_dims, invert_mapping
+
+# original dtype of every CAST column's source — what the return leg
+# casts back to (the forward spec only records the cast TARGET type)
+_SOURCE_TYPES = {"amt": "bigint"}
+
+
+def _lossless(spec: TableMapping) -> TableMapping:
+    """The invertible core of a spec: DEFAULT-with-source relaxed to
+    RENAME (null-filling is not undoable) and injected constants
+    dropped — exactly what invert_mapping documents as lossy."""
+    cols = []
+    for cm in spec.columns:
+        if cm.transform == "DEFAULT":
+            if cm.source is None:
+                continue
+            cols.append(ColumnMapping(cm.source, cm.target))
+        else:
+            cols.append(cm)
+    return TableMapping(spec.source_table, spec.target_table, spec.key, tuple(cols))
+
+
+def test_all_171_mirror_specs_compile_and_invert_involutes(mapping_world):
+    """Every one of the 171 specs mirrors into a TOBE->ASIS spec that
+    (a) compiles to an ANALYZED plan against the forward OUTPUT with
+    exactly the original source columns, and (b) double-inversion is
+    the identity on the spec's invertible core — compile->invert->
+    compile round-trips at full production width."""
+    src, dims = mapping_world
+    rdims = invert_dims(dims)
+    for i in range(N_TABLES):
+        spec = _spec(i)
+        fwd = compile_select(src, spec, dims)
+        mirror = invert_mapping(spec, _SOURCE_TYPES)
+        assert mirror.source_table == f"tgt_{i}"
+        assert mirror.target_table == f"src_{i}"
+        assert mirror.key == f"t{i}_id"
+        back = compile_select(fwd, mirror, rdims)
+        want_cols = [c.source for c in spec.columns if c.source is not None]
+        assert back.columns == want_cols, spec.target_table
+        assert dict(back.dtypes)["amt"] == "bigint"
+        # involution: invert(invert(spec)) == the spec's invertible core
+        mirror_types = {f"t{i}_amount": "double"}
+        assert invert_mapping(mirror, mirror_types) == _lossless(spec)
+
+
+def test_mirror_roundtrip_is_identity_on_sample_tables(mapping_world):
+    """Spot-execute the round trip on three of the 171: source ->
+    forward compile -> mirror compile recovers the NORMALIZED source
+    exactly (normalization = the forward DEFAULT null-fill, the one
+    documented lossy transform; every other column is bit-identical,
+    including the unmapped-code fallback passing back through the
+    mirrored dim's fallback)."""
+    src, dims = mapping_world
+    rdims = invert_dims(dims)
+    for i in (0, 1, 170):
+        spec = _spec(i)
+        mirror = invert_mapping(spec, _SOURCE_TYPES)
+        back = compile_select(compile_select(src, spec, dims), mirror, rdims)
+        cols = [c.source for c in spec.columns if c.source is not None]
+        normalized = src.withColumn("note", F.coalesce("note", F.lit("N/A")))
+        got = {tuple(r) for r in back.select(*cols).collect()}
+        want = {tuple(r) for r in normalized.select(*cols).collect()}
+        assert got == want, spec.target_table
+        # a second trip through the mirror pair is exactly idempotent
+        twice = compile_select(compile_select(back, spec, dims), mirror, rdims)
+        assert {tuple(r) for r in twice.select(*cols).collect()} == want
