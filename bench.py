@@ -263,6 +263,12 @@ _EXCLUDE_GROUPS: dict[str, list[str]] = {
 BENCH_EXCLUDED: dict[str, str] = {
     q: reason for reason, qs in _EXCLUDE_GROUPS.items() for q in qs
 }
+# a query id listed in two exclusion groups (or twice in one) would
+# collapse silently in the dict flatten — fail at import instead
+# (ADVICE r7)
+assert len(BENCH_EXCLUDED) == sum(len(qs) for qs in _EXCLUDE_GROUPS.values()), (
+    "duplicate query id in _EXCLUDE_GROUPS"
+)
 
 N_REPS = 3
 
@@ -280,7 +286,12 @@ N_REPS = 3
 # which the top-K-by-cost selection guarantees at the top decade.
 # Probe runs are warm (each query runs twice per probe sf; the second
 # run is timed) so one-time cache builds don't masquerade as data cost,
-# matching the steady-state semantics of the headline numbers.
+# matching the steady-state semantics of the headline numbers. Every
+# fitted point — including the main sf — uses the same warm min-of-2
+# single-query procedure (ADVICE r7: the headline min-of-interleaved-
+# passes number lives in a different contention regime, so it is NOT
+# reused as the top point; the emitted "methodology" field records
+# this).
 SCALE_PROBE_TOP_K = 10
 
 
@@ -310,13 +321,19 @@ def scale_probe(
     """{name: {"t": {sf: sec}, "exponent": e}} for the top-K queries."""
     load_all_queries()  # idempotent; direct callers need not pre-load
     top = sorted(timings, key=timings.get, reverse=True)[:SCALE_PROBE_TOP_K]
-    points = _probe_sf_dirs(sf_dir, sf)
+    # ONE methodology for every fitted point (ADVICE r7): the main sf
+    # is re-timed with the same warm min-of-2 single-query procedure as
+    # the sibling points, instead of reusing the min-of-interleaved-
+    # passes headline number (different cache/contention regime). The
+    # main pass already warmed the main-sf caches, so no extra warm run.
+    points = _probe_sf_dirs(sf_dir, sf) + [(sf, sf_dir)]
     scaling: dict[str, dict] = {}
     for name in top:
         pts: dict[float, float | None] = {}
         for v, d in points:
             try:
-                QUERIES[name](spark, d).count()  # warm: cache builds
+                if v != sf:
+                    QUERIES[name](spark, d).count()  # warm: cache builds
                 best = None
                 for _ in range(2):  # min-of-2: one contention burst
                     # cannot inflate the point (same rationale as the
@@ -331,7 +348,6 @@ def scale_probe(
                 pts[v] = None
                 print(f"# scale-probe ERROR {name}@sf{v}: "
                       f"{str(ex)[:120]}", file=sys.stderr)
-        pts[sf] = timings[name]
         # `is not None`, not truthiness: a sub-millisecond probe rounds
         # to 0.0 and is a real data point (the lo_t/hi_t > 0 guard
         # below handles the log), only an ERRORED probe is excluded
@@ -346,6 +362,7 @@ def scale_probe(
         scaling[name] = {
             "t": {str(s): t for s, t in sorted(pts.items())},
             "exponent": exponent,
+            "methodology": "warm_min_of_2_all_points",
         }
         print(f"# scale-probe {name}: {scaling[name]}", file=sys.stderr)
     return scaling
@@ -481,10 +498,27 @@ def run(
     if names is None and os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         scaling = scale_probe(spark, sf_dir, sf, timings)
 
+    # candidate-set telemetry for the similarity-join family (VERDICT
+    # r7 #4): time is NOT the leading scale risk for LSH/PPJoin —
+    # candidate growth is; counted once per bench run, detail-line
+    # placement (before the scalars, which the driver tail keeps)
+    dedup_telemetry: dict[str, dict] = {}
+    if names is None and os.environ.get("SPARK_GRAFT_TELEMETRY", "1") != "0":
+        from cdc_sync_poc_spark.llm.dedup import dedup_candidate_telemetry
+
+        try:
+            dedup_telemetry = dedup_candidate_telemetry(spark, sf_dir)
+        except Exception as ex:  # noqa: BLE001 — telemetry must not
+            # void the bench numbers
+            print(f"# telemetry ERROR: {str(ex)[:200]}", file=sys.stderr)
+        for q, t in dedup_telemetry.items():
+            print(f"# telemetry {q}: {t}", file=sys.stderr)
+
     result = {
         "metric": "headline_queries_total",
         "unit": "sec",
         "queries": timings,
+        "dedup_telemetry": dedup_telemetry,
         # medians reported alongside min (VERDICT r3 #5) so round-over-
         # round trends aren't flattered by the most favorable statistic;
         # "queries" stays min for comparability with r2/r3.

@@ -1086,6 +1086,13 @@ def ppjoin_pairs_frame(docs: DataFrame) -> DataFrame:
     any (doc_id, text) frame; shared with dedup_recall_corpuswide,
     which uses it as corpus-wide ground truth."""
     sh = _shingles(docs)
+    return _ppjoin_verify(sh, _ppjoin_candidates(sh))
+
+
+def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
+    """Candidate pairs from the PPJoin prefix filter — split out so
+    the bench telemetry can count candidates separately from verified
+    pairs (VERDICT r7 #4)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     fr = sh.groupBy("shingle").agg(F.count("*").alias("c"))
     arr = (
@@ -1127,6 +1134,12 @@ def ppjoin_pairs_frame(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    return cand
+
+
+def _ppjoin_verify(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Pair-driven exact verification of the PPJoin candidates."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     com = (
         cand.join(sh.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
         .join(
@@ -1238,3 +1251,46 @@ def dedup_recall_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
             caught.cast("double") / F.count("*"), 6
         ).alias("recall"),
     )
+
+
+def dedup_candidate_telemetry(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, dict[str, int]]:
+    """Candidate-set growth telemetry for the similarity-join family
+    (VERDICT r7 #4): the scale-probe measures TIME, but for LSH/PPJoin
+    the leading 100 TB risk is the CANDIDATE count — a corpus with
+    heavier templating than the fixture can square the candidate set
+    while small-sf timing stays flat. Emitted by bench.py into the
+    BENCH detail line (before the scalars) so the growth is visible
+    round-over-round.
+
+    Per query: n_candidates (pairs entering exact verification) and
+    n_pairs (pairs surviving it); the ratio is the filter's precision —
+    the knob check is "candidates grow ~linearly with corpus size and
+    candidates/pairs stays bounded"."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).persist()
+    out: dict[str, dict[str, int]] = {}
+
+    mh_cand = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
+    out["dedup_minhash_lsh"] = {
+        "n_candidates": mh_cand.count(),
+        "n_pairs": _verify_jaccard(sh, mh_cand, MINHASH_JACCARD_MIN).count(),
+    }
+    mh_cand.unpersist()
+
+    ng_cand = _band_pairs(_minhash_sig(sh), NGRAM_BAND_SIZE).persist()
+    out["dedup_ngram_jaccard"] = {
+        "n_candidates": ng_cand.count(),
+        "n_pairs": _verify_jaccard(sh, ng_cand, NGRAM_JACCARD_MIN).count(),
+    }
+    ng_cand.unpersist()
+
+    pp_cand = _ppjoin_candidates(sh).persist()
+    out["dedup_ppjoin_exact"] = {
+        "n_candidates": pp_cand.count(),
+        "n_pairs": _ppjoin_verify(sh, pp_cand).count(),
+    }
+    pp_cand.unpersist()
+    sh.unpersist()
+    return out

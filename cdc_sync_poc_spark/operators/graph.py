@@ -43,6 +43,15 @@ from cdc_sync_poc_spark.sources.loader import load_table
 
 PR_SCALE = 10**9
 PR_ITERS = 8
+# Hard bound on the driver-side iteration (VERDICT r7 #5): the
+# collected matrix is |nodes|^2 — fine for an event-type vocabulary,
+# catastrophic if someone repoints this at a user- or URL-level graph.
+# Above the cap the operator fails LOUDLY instead of silently
+# collecting gigabytes; the distributed alternative for unbounded node
+# domains is K iterations of (ranks JOIN edges ON src -> groupBy dst),
+# each a shuffle keyed on dst — same fixed-point arithmetic, no
+# collect (see module docstring).
+PR_MAX_NODES = 10_000
 _PR_EDGES_SQL = """
 nxt AS (
   SELECT event_type AS src,
@@ -100,6 +109,14 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iteration runs on the collected bounded matrix (module
     docstring)."""
     ev = load_table(spark, sf_dir, "events")
+    n_nodes_check = ev.select("event_type").distinct().count()
+    if n_nodes_check > PR_MAX_NODES:
+        raise ValueError(
+            f"events_pagerank collects a |nodes|^2 matrix driver-side; "
+            f"{n_nodes_check} nodes exceeds PR_MAX_NODES={PR_MAX_NODES}. "
+            "For unbounded node domains use a distributed iteration "
+            "(ranks JOIN edges ON src -> groupBy dst, K times) instead."
+        )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
         ev.select(

@@ -123,16 +123,24 @@ def recover_compaction(path: str) -> list[dict]:
             pdir = os.path.join(path, part)
         tmp, old = s.get("tmp"), s.get("old")
         complete = tmp and os.path.exists(os.path.join(tmp, "_SUCCESS"))
-        if not os.path.isdir(pdir) and old:
-            if complete:
-                os.rename(tmp, pdir)
+        if not os.path.isdir(pdir) and complete:
+            # live gone but a COMPLETE temp exists: roll forward whether
+            # or not an .old survives — the temp may be the only copy
+            # (e.g. scratch from a concurrent crashed writer whose own
+            # swap got further than ours)
+            os.rename(tmp, pdir)
+            if old:
                 shutil.rmtree(old)
-                action = "rolled_forward"
-            else:
-                os.rename(old, pdir)
-                if tmp:
-                    shutil.rmtree(tmp)
-                action = "rolled_back"
+            action = "rolled_forward"
+        elif not os.path.isdir(pdir) and old:
+            os.rename(old, pdir)
+            if tmp:
+                shutil.rmtree(tmp)
+            action = "rolled_back"
+        elif not os.path.isdir(pdir):
+            # partial temp, no live, no .old: nothing here is provably
+            # redundant — refuse to delete, surface for operator review
+            action = "orphaned"
         else:
             if tmp:
                 shutil.rmtree(tmp)

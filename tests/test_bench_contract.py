@@ -74,7 +74,10 @@ def test_bench_ledger_covers_registry():
 
 def test_scale_probe_emits_exponents(spark):
     """The scale-probe re-runs the top-K queries at the smaller sibling
-    sf dirs and fits a per-query exponent over the largest decade."""
+    sf dirs AND the main sf with one shared methodology (warm min-of-2
+    single-query runs, ADVICE r7 — the headline min-of-interleaved-
+    passes number is no longer mixed into the fit) and fits a per-query
+    exponent over the largest decade."""
     import bench
 
     timings = {"bench_q1_pricing": 1.0, "dedup_exact": 0.5}
@@ -88,8 +91,39 @@ def test_scale_probe_emits_exponents(spark):
         bench.SCALE_PROBE_TOP_K = old_k
     assert set(scaling) == {"bench_q1_pricing"}
     entry = scaling["bench_q1_pricing"]
-    # one probe point (sf0.001) + the main-pass time
+    # one probe point (sf0.001) + the re-timed main-sf point
     assert set(entry["t"]) == {"0.001", "0.01"}
-    assert entry["t"]["0.01"] == 1.0
+    # the main point is RE-TIMED under probe methodology, not copied
+    # from the headline number fed in
+    assert entry["t"]["0.01"] != 1.0 and entry["t"]["0.01"] > 0
     assert entry["t"]["0.001"] > 0
     assert entry["exponent"] is not None
+    assert entry["methodology"] == "warm_min_of_2_all_points"
+
+
+def test_exclusion_ledger_has_no_duplicate_ids():
+    """ADVICE r7: an id listed in two exclusion groups collapses
+    silently in the BENCH_EXCLUDED flatten — the import-time assert
+    plus this test pin the invariant."""
+    import bench
+
+    assert len(bench.BENCH_EXCLUDED) == sum(
+        len(qs) for qs in bench._EXCLUDE_GROUPS.values()
+    )
+
+
+def test_dedup_candidate_telemetry_fields(spark):
+    """VERDICT r7 #4: candidate-set telemetry for the similarity-join
+    family — n_candidates (pairs entering exact verification) and
+    n_pairs (survivors) per candidate-generating dedup query, with
+    candidates >= pairs."""
+    from cdc_sync_poc_spark.llm.dedup import dedup_candidate_telemetry
+
+    tel = dedup_candidate_telemetry(spark, SF_DIR)
+    assert set(tel) == {
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ppjoin_exact",
+    }
+    for q, t in tel.items():
+        assert set(t) == {"n_candidates", "n_pairs"}, q
+        assert t["n_candidates"] >= t["n_pairs"] >= 0, (q, t)
+        assert t["n_candidates"] > 0, q  # the fixture corpus has dups

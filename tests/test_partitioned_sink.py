@@ -261,3 +261,57 @@ def test_compaction_unpartitioned_root_swap_recovers(spark, tmp_path):
     assert healed == [{"partition": ".", "action": "rolled_forward"}]
     assert {r.id for r in spark.read.parquet(out).collect()} == values
     assert not os.path.isdir(tmp) and not os.path.isdir(old)
+
+
+def test_compaction_complete_temp_without_old_rolls_forward(spark, tmp_path):
+    """ADVICE r7: live partition gone, no .compact-old, but a COMPLETE
+    temp (with _SUCCESS) present — e.g. scratch from a concurrent
+    crashed writer whose swap deleted .old before restoring the live
+    dir. The temp may be the ONLY surviving copy: recovery must roll it
+    forward, never rmtree it as debris."""
+    import os
+    import shutil
+
+    from cdc_sync_poc_spark.sources.maintenance import (
+        _swap_paths,
+        recover_compaction,
+    )
+
+    out, parts, values = _compaction_fixture(spark, tmp_path, "crashD")
+    part = parts[0]
+    pdir, tmp, old = _swap_paths(out, part)
+    spark.read.parquet(pdir).coalesce(1).write.parquet(tmp)
+    shutil.rmtree(pdir)  # live gone, no .old — temp is the only copy
+
+    healed = recover_compaction(out)
+    assert healed == [{"partition": part, "action": "rolled_forward"}]
+    assert os.path.isdir(pdir) and not os.path.isdir(tmp)
+    after = {
+        (r.doc_id, r.n_chars, r.lang) for r in spark.read.parquet(out).collect()
+    }
+    assert after == values
+
+
+def test_compaction_partial_temp_without_old_reports_orphaned(spark, tmp_path):
+    """Live partition gone, no .compact-old, temp PARTIAL (no _SUCCESS):
+    nothing on disk is provably redundant, so recovery must refuse to
+    delete and report 'orphaned' instead of cleaning the partial away."""
+    import os
+
+    from cdc_sync_poc_spark.sources.maintenance import (
+        _swap_paths,
+        recover_compaction,
+    )
+
+    out, parts, _ = _compaction_fixture(spark, tmp_path, "crashE")
+    part = parts[0]
+    pdir, tmp, old = _swap_paths(out, part)
+    spark.read.parquet(pdir).coalesce(1).write.parquet(tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    import shutil
+
+    shutil.rmtree(pdir)
+
+    healed = recover_compaction(out)
+    assert healed == [{"partition": part, "action": "orphaned"}]
+    assert os.path.isdir(tmp)  # preserved for operator review

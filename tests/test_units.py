@@ -180,35 +180,24 @@ def test_driver_sample_window_invariants():
     load_all_queries()
     names = list(QUERIES)
     window = set(names[:50])
-    # round-7 contract (VERDICT r6 #1): every query that had NO driver
-    # row through r6 sits inside the window (retiring the 30-query
-    # evidence backlog) — EXCEPT operators added this session, which
-    # stage at position 51+ so the window stays stable within a round;
-    # the remaining slots refresh already-sampled ids (the stalest
-    # r1/r2 evidence), so "window ∩ previously-sampled = ∅" no longer
-    # holds by design.
+    # round-8 contract (VERDICT r7 #1): every query that had NO driver
+    # row through r7 sits inside the window — i.e. first evidence for
+    # the 7 operators added in r7, at the very front.
     root = pathlib.Path(__file__).resolve().parents[1]
     sampled = set()
-    for r in range(1, 7):
+    for r in range(1, 8):
         f = root / f"CORRECTNESS_r0{r}.json"
         if f.exists():
             sampled |= set(json.loads(f.read_text()))
-    r7_new = {
+    never_sampled = set(names) - sampled
+    assert never_sampled <= window, sorted(never_sampled - window)
+    r7_new = [
         "events_hll_distinct", "events_hll_union",
         "sample_systematic_pps", "events_pagerank",
         "sample_fixed_n_by_lang", "dedup_ppjoin_exact",
         "dedup_recall_corpuswide",
-    }
-    backlog = set(names) - sampled - r7_new
-    assert backlog <= window, sorted(backlog - window)
-    # the round's changed modules get fresh evidence on exactly the
-    # code that moved, first in the window
-    assert names[:4] == [
-        "mm_dedup_phash", "emb_covariance_topk",
-        "maint_partition_stats", "maint_zorder_layout",
     ]
-    # new operators stage right behind the window for r8
-    assert set(names[50:57]) == r7_new
+    assert names[:7] == r7_new
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
 
@@ -389,3 +378,18 @@ def test_emb_covariance_topk_empty_embeddings(spark, tmp_path):
     out = QUERIES["emb_covariance_topk"](spark, str(tmp_path))
     assert [f.name for f in out.schema.fields] == ["i", "j", "covariance"]
     assert out.count() == 0
+
+
+def test_pagerank_node_cap_fails_loudly(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #5: events_pagerank collects a |nodes|^2 matrix
+    driver-side — correct for the design-bounded event-type digraph,
+    wrong the day someone repoints it at a user-level graph. Above
+    PR_MAX_NODES it must raise, not silently collect."""
+    import pytest as _pytest
+
+    from cdc_sync_poc_spark.operators import graph
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setattr(graph, "PR_MAX_NODES", 3)
+    with _pytest.raises(ValueError, match="PR_MAX_NODES"):
+        graph.events_pagerank(spark, SF_DIR)
