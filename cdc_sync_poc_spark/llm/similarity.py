@@ -43,6 +43,15 @@ N_PROBE_FLIPS = 2  # multi-probe: own bucket + flip of bit 1 and bit 2
 EMB_DIM = 64
 N_CELLS = 16  # IVF coarse-quantizer cells (scale knob: cell ~ n/cells)
 N_PROBE_CELLS = 2  # IVF probes: search the query's nearest cells only
+# Lloyd refinement rounds for the coarse quantizer (VERDICT r7 #7):
+# sample-init then N_LLOYD assign->update passes, every round exact
+# fixed-point BIGINT arithmetic so both engines stay bit-identical
+# (the PageRank unrolled-iteration pattern). Real IVF recall at scale
+# wants k iterations, not one; measured on the fixture (r8), going
+# from 1 to 3 rounds lifts mean recall@5 on every index: ann_recall_ivf
+# 0.378->0.418 (sf0.01) / 0.345->0.372 (sf0.1), ann_recall_ivfpq
+# 0.152->0.166 / 0.090->0.102.
+N_LLOYD = 3
 
 
 def _rademacher_planes(bits: int, dim: int) -> list[list[float]]:
@@ -315,8 +324,11 @@ rk{tag} AS (
 
 def _ivf_cte_chain() -> str:
     """Shared DuckDB chain for the IVF family: sample-init c0 →
-    assignment rk0 → fixed-point Lloyd update c1 → re-assignment rk1 →
-    final membership a1 (mirrors _ivf_refined on the Spark side)."""
+    N_LLOYD unrolled (assign rk → fixed-point update c) rounds →
+    final membership (mirrors _ivf_refined on the Spark side). The
+    FINAL round keeps the historical ``c1``/``rk1``/``a1`` names so
+    every consumer oracle reads the refined quantizer unchanged
+    whatever N_LLOYD is; intermediate rounds are tagged ``_rK``."""
     dim_sums = ", ".join(
         f"CAST(sum(CAST(floor(v[{i + 1}] * {_FP_SCALE}) AS BIGINT))"
         f" AS BIGINT) AS s{i}"
@@ -325,22 +337,26 @@ def _ivf_cte_chain() -> str:
     coords = ", ".join(
         f"CAST(s{i} AS DOUBLE) / ({_FP_SCALE} * cnt)" for i in range(EMB_DIM)
     )
-    return f"""{_VEC_CTES},
+    blocks = [f"""{_VEC_CTES},
 c0 AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
        ORDER BY vec_id LIMIT {N_CELLS}),
 {_ivf_assign_ctes("c0", "0")},
-a0 AS (SELECT vec_id, cell_id, v FROM rk0 WHERE rn = 1),
-sums AS (
+a0 AS (SELECT vec_id, cell_id, v, nrm FROM rk0 WHERE rn = 1)"""]
+    for r in range(1, N_LLOYD + 1):
+        prev = "0" if r == 1 else f"_r{r - 1}"
+        tag = "1" if r == N_LLOYD else f"_r{r}"
+        blocks.append(f"""sums{tag} AS (
   SELECT cell_id, count(*)::BIGINT AS cnt, {dim_sums}
-  FROM a0 GROUP BY cell_id
+  FROM a{prev} GROUP BY cell_id
 ),
-c1 AS (
+c{tag} AS (
   SELECT cell_id, cv,
          sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
-  FROM (SELECT cell_id, [{coords}]::DOUBLE[] AS cv FROM sums)
+  FROM (SELECT cell_id, [{coords}]::DOUBLE[] AS cv FROM sums{tag})
 ),
-{_ivf_assign_ctes("c1", "1")},
-a1 AS (SELECT vec_id, cell_id, v, nrm FROM rk1 WHERE rn = 1)"""
+{_ivf_assign_ctes(f"c{tag}", tag)},
+a{tag} AS (SELECT vec_id, cell_id, v, nrm FROM rk{tag} WHERE rn = 1)""")
+    return ",\n".join(blocks)
 
 
 def _ivf_oracle() -> str:
@@ -423,13 +439,14 @@ def _ivf_refined(spark: SparkSession, sf_dir: str):
     _probe_cells_for.
 
     Centroids: deterministic sample-init (the N_CELLS lowest vec_ids)
-    followed by ONE Lloyd refinement round — recompute each cell's
-    centroid as the member mean, then (in the consumers) re-assign
-    every vector once. The iteration count is fixed so the DuckDB
-    oracle replays the identical computation; the mean uses fixed-point
-    BIGINT dimension sums (order-independent integer arithmetic, see
-    _FP_SCALE) so both engines derive bit-identical centroids. Both
-    assignment passes are pure map work (_assign_col); the update is
+    followed by N_LLOYD Lloyd refinement rounds — each recomputes every
+    cell's centroid as the member mean, then re-assigns; the consumers
+    run one final assignment against the refined set. The iteration
+    count is fixed so the DuckDB oracle replays the identical
+    computation (unrolled CTE rounds); the mean uses fixed-point BIGINT
+    dimension sums (order-independent integer arithmetic, see
+    _FP_SCALE) so both engines derive bit-identical centroids. Every
+    assignment pass is pure map work (_assign_col); each update is
     a two-level hash aggregate with map-side combine — no window sort
     and no single-task stage anywhere.
 
@@ -454,10 +471,11 @@ def _ivf_refined(spark: SparkSession, sf_dir: str):
         )
         .collect()
     )
-    assigned0 = n.select("v", "nrm").select(
-        _assign_col(cents0).alias("cell_id"), "v"
-    )
 
+    # N_LLOYD rounds of (assign -> per-cell mean), each round one pass
+    # over the corpus + one bounded k×EMB_DIM collect — the centers
+    # exchange every distributed k-means does per iteration.
+    #
     # Lloyd update: per-cell mean via exact fixed-point integer sums.
     # Fused (round 4, VERDICT r3 #4): the previous form ran ONE hash agg
     # with 65 aggregate buffers, each re-extracting v[i] — the 64
@@ -469,36 +487,45 @@ def _ivf_refined(spark: SparkSession, sf_dir: str):
     # N_CELLS×EMB_DIM-row agg reassembles the mean arrays — collect_list
     # there is bounded at EMB_DIM elements per cell. Same BIGINT sums,
     # same division, bit-identical centroids.
-    fp = assigned0.select(
-        "cell_id",
-        F.expr(
-            f"transform(v, x -> CAST(floor(x * {_FP_SCALE!r}D) AS BIGINT))"
-        ).alias("fp"),
-    )
-    sums_rows = (
-        fp.select("cell_id", F.posexplode("fp").alias("i", "s"))
-        .groupBy("cell_id", "i")
-        .agg(F.sum("s").alias("s"), F.count("*").alias("cnt"))
-        .collect()
-    )
-    # assemble the k mean vectors on the driver from the k×EMB_DIM exact
-    # BIGINT sums (bounded by design constants, not data). Python's
-    # float division / sequential x*x fold / math.sqrt are the same
-    # IEEE-double ops both engines run, so the centroids stay
-    # bit-identical to the oracle's c1.
-    by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-    for r in sums_rows:
-        by_cell.setdefault(int(r.cell_id), {})[int(r.i)] = (int(r.s), int(r.cnt))
-    cents1_rows = []
-    for cell_id in sorted(by_cell):
-        dims = by_cell[cell_id]
-        cv = [dims[i][0] / (_FP_SCALE * dims[i][1]) for i in range(EMB_DIM)]
-        acc = 0.0
-        for x in cv:
-            acc = acc + x * x
-        cents1_rows.append(_Cent(cell_id, cv, math.sqrt(acc)))
-    _IVF_MEMO[key] = (cents0, cents1_rows)
-    return n, cents0, cents1_rows
+    cents = cents0
+    for _ in range(N_LLOYD):
+        assigned = n.select("v", "nrm").select(
+            _assign_col(cents).alias("cell_id"), "v"
+        )
+        fp = assigned.select(
+            "cell_id",
+            F.expr(
+                f"transform(v, x -> CAST(floor(x * {_FP_SCALE!r}D) AS BIGINT))"
+            ).alias("fp"),
+        )
+        sums_rows = (
+            fp.select("cell_id", F.posexplode("fp").alias("i", "s"))
+            .groupBy("cell_id", "i")
+            .agg(F.sum("s").alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        # assemble the k mean vectors on the driver from the k×EMB_DIM
+        # exact BIGINT sums (bounded by design constants, not data).
+        # Python's float division / sequential x*x fold / math.sqrt are
+        # the same IEEE-double ops both engines run, so the centroids
+        # stay bit-identical to the oracle's per-round c CTEs.
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums_rows:
+            by_cell.setdefault(int(r.cell_id), {})[int(r.i)] = (
+                int(r.s),
+                int(r.cnt),
+            )
+        nxt = []
+        for cell_id in sorted(by_cell):
+            dims = by_cell[cell_id]
+            cv = [dims[i][0] / (_FP_SCALE * dims[i][1]) for i in range(EMB_DIM)]
+            acc = 0.0
+            for x in cv:
+                acc = acc + x * x
+            nxt.append(_Cent(cell_id, cv, math.sqrt(acc)))
+        cents = nxt
+    _IVF_MEMO[key] = (cents0, cents)
+    return n, cents0, cents
 
 
 def _probe_cells_for(qv, qn: float, cents_rows) -> list[int]:
@@ -521,7 +548,7 @@ def _probe_cells_for(qv, qn: float, cents_rows) -> list[int]:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN, the partition-pruning scale path: a coarse
     quantizer of N_CELLS centroids (built by _ivf_refined — sample-init
-    + one exact Lloyd round) partitions the corpus into cells; a query
+    + N_LLOYD exact Lloyd rounds) partitions the corpus into cells; a query
     searches only its N_PROBE_CELLS nearest cells. The probe cells are
     ranked on the DRIVER (_probe_cells_for — the centroids are already
     k driver rows) and the query vector is inlined as a literal, so the
@@ -1391,7 +1418,7 @@ FROM a1 LEFT JOIN pairs p ON a1.vec_id = p.vid
 def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
     clustering embeddings with the IVF coarse quantizer (k-means:
-    sample-init + one exact Lloyd round, shared via _ivf_refined's
+    sample-init + N_LLOYD exact Lloyd rounds, shared via _ivf_refined's
     memo) and, WITHIN each cell only, dropping every vector whose
     cosine to a lower-id cell member exceeds SEM_TAU — the lowest id in
     each near-dup group survives as the canonical representative. The
