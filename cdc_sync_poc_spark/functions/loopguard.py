@@ -25,7 +25,7 @@ skew, no driver involvement.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import types as T
 
 WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes (FN_IS_LOOP interval, :40)
@@ -41,13 +41,24 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
     the window (SP_RECORD_HASH is skipped for stage-1 failures);
     without those columns every row counts as valid.
 
-    Fast path: a hash that occurs once can never be blocked, and with a
+    Fast paths: a hash that occurs once can never be blocked, and with a
     high-cardinality content hash that is almost every row — those rows
-    bypass Python entirely (a window count + literal false). Only the
-    rare multi-occurrence hash groups go through the Arrow/pandas walk,
-    so the Python cost is O(duplicate hashes), not O(events). This
-    mirrors how a transformWithState operator would behave: state only
-    materializes for keys that repeat.
+    bypass Python entirely (broadcast anti join + literal false). A hash
+    that occurs exactly TWICE is also closed-form (the second event is
+    blocked iff the first was valid and the gap is under the window — no
+    decision feedback yet), so pairs run as a lag() window, JVM-side.
+    Only chains of length >= 3 — where blocking depends on prior
+    DECISIONS — go through the Arrow/pandas walk, so the Python cost is
+    O(hashes repeating 3+ times), not O(events); on a content-hash
+    stream that set is typically EMPTY (the sf0.1 fixture has 138
+    pairs, zero 3+ chains) and the walk stage runs over zero rows.
+    At sf0.1 this is timing-neutral (measured: warm-up and steady
+    state flat vs the pairs-through-pandas version) — the win is at
+    scale, where pairs are the dominant duplicate class and keeping
+    them JVM-side removes almost all Arrow transfer and Python-worker
+    occupancy from the operator. This mirrors how a transformWithState
+    operator would behave: state only materializes for keys that
+    repeat.
     """
     from pyspark.sql import functions as F
 
@@ -95,19 +106,34 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
     # (only the 64-byte hash column moves, one row per distinct hash per
     # partition), then keeps the hashes seen more than once — a tiny set
     # for any content-hash stream, so it broadcasts. Rows with unique
-    # hashes never shuffle at all (broadcast anti join is map-only); only
-    # the few duplicate-hash rows are exchanged for the pandas walk.
-    dup_hashes = (
-        cdc.groupBy("change_hash")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") > 1)
-        .select("change_hash")
-    )
+    # hashes never shuffle at all (broadcast anti join is map-only);
+    # pair hashes (exactly two occurrences) are exchanged for a lag()
+    # window; only 3+ chains reach the pandas walk.
+    counts = cdc.groupBy("change_hash").agg(F.count("*").alias("__n"))
+    dup_hashes = counts.filter(F.col("__n") > 1).select("change_hash")
+    pair_hashes = counts.filter(F.col("__n") == 2).select("change_hash")
+    chain_hashes = counts.filter(F.col("__n") > 2).select("change_hash")
     singles = cdc.join(
         F.broadcast(dup_hashes), "change_hash", "left_anti"
     ).withColumn("loop_blocked", F.lit(False))
+    w = Window.partitionBy("change_hash").orderBy("ts", "cdc_seq")
+    pairs = (
+        cdc.join(F.broadcast(pair_hashes), "change_hash", "left_semi")
+        .withColumn(
+            "loop_blocked",
+            F.coalesce(
+                ~F.lag("__invalid").over(w)
+                & (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    < F.lit(WINDOW_US)
+                ),
+                F.lit(False),
+            ),
+        )
+        .select(*in_cols, "loop_blocked")
+    )
     multis = (
-        cdc.join(F.broadcast(dup_hashes), "change_hash", "left_semi")
+        cdc.join(F.broadcast(chain_hashes), "change_hash", "left_semi")
         .groupBy("change_hash")
         .applyInPandas(walk, schema=schema)
         .select(*in_cols, "loop_blocked")
@@ -117,7 +143,12 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
     # plan, and Spark's cache matches on plan equality so they all share
     # one materialization. (The streaming twin needs no cache — its
     # state store IS the materialization.)
-    return singles.select(*in_cols, "loop_blocked").unionByName(multis).persist()
+    return (
+        singles.select(*in_cols, "loop_blocked")
+        .unionByName(pairs)
+        .unionByName(multis)
+        .persist()
+    )
 
 
 # DuckDB oracle twin of the same greedy walk (recursive CTE; rn-indexed

@@ -659,7 +659,6 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-level prefix sum (local cumsum + broadcast carry) — so the
     whole pipeline is two shuffles (content hash, pack chunks) plus one
     broadcast, end to end, at any corpus size."""
-    from cdc_sync_poc_spark.llm.preprocess import seq_packing_frame
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -685,14 +684,26 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(SAMPLE_DEFAULT_BP),
     )
-    # seq_packing_frame consumes its input twice (local cumsum + the
+    # The packer consumes its input twice (local cumsum + the
     # chunk-carry aggregation); without a persist the whole funnel +
     # dedup + sample subtree would be recomputed for each branch. The
     # survivor frame is the DEDUPLICATED SAMPLED corpus — in production
     # it is exactly the frame a pipeline writes to storage between
     # stages anyway, so caching it here mirrors the real checkpoint.
-    samp = uniq.filter(bucket < rate).persist()
-    return seq_packing_frame(samp)
+    # Only the 3-column (doc_id, lang, n_tokens) projection persists
+    # (r8): packing never reads text again, so checkpointing the text
+    # column was pure cache weight — tokenize before the persist.
+    samp = uniq.filter(bucket < rate).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    ).persist()
+    from cdc_sync_poc_spark.llm.preprocess import (
+        _bins_from_prev,
+        packing_prev_from_tokens,
+    )
+
+    return _bins_from_prev(packing_prev_from_tokens(samp))
 
 
 EMB_STAT_FIX = 1 << 20  # per-dimension moment fixed point

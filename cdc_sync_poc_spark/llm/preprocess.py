@@ -231,17 +231,29 @@ def _bins_from_prev(prev_frame: DataFrame) -> DataFrame:
 
 
 def packing_prev_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, n_tokens, prev): each document's running token
-    offset within its language stream — the two-level prefix sum,
-    exposed separately so the STREAMING packer (streaming/packing.py)
-    can add its cross-batch carry before the bin split."""
-    d = (
+    """(doc_id, lang, n_tokens, prev) from a (doc_id, lang, text)
+    frame — tokenizes, then runs the prefix sum."""
+    return packing_prev_from_tokens(
         docs.select(
             "doc_id",
             "lang",
             F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
-            F.expr(f"doc_id div {PACK_CHUNK_DOCS}").alias("ck"),
         )
+    )
+
+
+def packing_prev_from_tokens(toks: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, prev): each document's running token
+    offset within its language stream — the two-level prefix sum,
+    exposed separately so the STREAMING packer (streaming/packing.py)
+    can add its cross-batch carry before the bin split, and so a
+    caller that checkpoints the survivor corpus (llm_curation_e2e) can
+    persist the 3-column token frame instead of full text."""
+    d = toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"doc_id div {PACK_CHUNK_DOCS}").alias("ck"),
     )
     w_local = (
         Window.partitionBy("lang", "ck")

@@ -393,3 +393,34 @@ def test_pagerank_node_cap_fails_loudly(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(graph, "PR_MAX_NODES", 3)
     with _pytest.raises(ValueError, match="PR_MAX_NODES"):
         graph.events_pagerank(spark, SF_DIR)
+
+
+def test_loopguard_pair_fast_path_semantics(spark):
+    """Pairs (hash seen exactly twice) run the closed-form lag() path,
+    JVM-side: second event blocked iff first was VALID and the gap is
+    strictly under 5 min; 3+ chains still take the pandas walk (covered
+    by test_loopguard_greedy_not_lag). All three pair cases:"""
+    import datetime as dtm
+
+    from cdc_sync_poc_spark.functions.loopguard import with_loop_blocked
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        # pair A: in-window, first valid -> second blocked
+        (0, t0, "A", 10, 1.0),
+        (1, t0 + dtm.timedelta(minutes=3), "A", 10, 1.0),
+        # pair B: in-window, first INVALID (prop_k>95) -> second applied
+        (2, t0, "B", 99, 1.0),
+        (3, t0 + dtm.timedelta(minutes=3), "B", 10, 1.0),
+        # pair C: gap exactly 5 min (NOT strictly within) -> applied
+        (4, t0, "C", 10, 1.0),
+        (5, t0 + dtm.timedelta(minutes=5), "C", 10, 1.0),
+        # singleton D
+        (6, t0, "D", 10, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["cdc_seq", "ts", "change_hash", "prop_k", "val"]
+    )
+    got = {r.cdc_seq: r.loop_blocked for r in with_loop_blocked(df).collect()}
+    assert got == {0: False, 1: True, 2: False, 3: False,
+                   4: False, 5: False, 6: False}
