@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "events_hll_distinct",
     "sample_systematic_pps",
     "events_pagerank",
+    "graph_pagerank_dist",
     "sample_fixed_n_by_lang",
     "dedup_ppjoin_exact",
     "dedup_recall_corpuswide",
@@ -397,6 +398,10 @@ CACHE_WARMERS = [
     # first BPE call materializes the persisted vocab + per-step winner
     # frames shared by bpe_merge_steps / bpe_tokenize_count
     "bpe_merge_steps",
+    # first PPJoin call materializes the persisted exact pair frame —
+    # dedup_recall_corpuswide reads it as ground truth instead of
+    # re-running the prefix join + verify
+    "dedup_ppjoin_exact",
 ]
 
 

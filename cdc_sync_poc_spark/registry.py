@@ -53,19 +53,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # unmatched ids keep relative order at the end.
 _PRIORITY_PREFIXES = [
     # ---- the r8 driver window ----
-    # first-evidence: the 7 operators added in r7
+    # first-evidence: the 7 operators added in r7 + the r8-new
+    # distributed PageRank (first evidence beats refreshing a stale-
+    # but-green row, so it displaces sink_target_apply to r9)
     "events_hll", "sample_systematic", "events_pagerank",
     "sample_fixed_n_by_lang", "dedup_ppjoin", "dedup_recall_corpuswide",
+    "graph_pagerank_dist",
     # 35 stalest (r2) core ids
     "r0", "r1",  # rowops r01..r15
     "s0",  # sorts s01..s05
     "st01", "st02", "st03", "st04", "st05", "st06", "st07",
     "cf02", "cf03", "cf04", "cf05", "cf06",
     "j06", "j07", "j08",
-    # 8 oldest r3-evidence ids
+    # 7 oldest r3-evidence ids (sink_target_apply displaced to r9 by
+    # graph_pagerank_dist above)
     "src_",  # kafka_cdc debezium_parse jdbc_snapshot jdbc_lookup
              # point_lookup schema_drift
-    "sink_cdc_append", "sink_target_apply",
+    "sink_cdc_append",
     # ---- 50-query driver window ends here ----
     # next in line for r9: the remaining r3-evidence ids
     "sink_", "st08", "a01", "a02", "a03", "pipeline_",

@@ -10,14 +10,15 @@ from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
 
 load_all_queries()
 
-# the r8 window: first driver evidence for the 7 r7-new operators,
-# then the 35 stalest (r2-evidence) core ids, then the 8 oldest
-# r3-evidence ids (COVERAGE.md "Driver correctness-sample window")
+# the r8 window: first driver evidence for the 7 r7-new operators and
+# the r8-new graph_pagerank_dist, then the 35 stalest (r2-evidence)
+# core ids, then the 7 oldest r3-evidence ids (COVERAGE.md "Driver
+# correctness-sample window"; sink_target_apply displaced to r9)
 R8_WINDOW = [
     'events_hll_distinct', 'events_hll_union',
     'sample_systematic_pps', 'events_pagerank',
     'sample_fixed_n_by_lang', 'dedup_ppjoin_exact',
-    'dedup_recall_corpuswide',
+    'dedup_recall_corpuswide', 'graph_pagerank_dist',
     'r01_filter_pending', 'r02_project_rename',
     'r03_case_flag', 'r04_codemap_join',
     'r05_cast_date_ts', 'r06_epoch_decode',
@@ -41,7 +42,7 @@ R8_WINDOW = [
     'src_kafka_cdc', 'src_debezium_parse',
     'src_jdbc_snapshot', 'src_jdbc_lookup',
     'src_point_lookup', 'src_schema_drift',
-    'sink_cdc_append', 'sink_target_apply',
+    'sink_cdc_append',
 ]
 
 

@@ -191,13 +191,14 @@ def test_driver_sample_window_invariants():
             sampled |= set(json.loads(f.read_text()))
     never_sampled = set(names) - sampled
     assert never_sampled <= window, sorted(never_sampled - window)
-    r7_new = [
+    first_evidence = [
         "events_hll_distinct", "events_hll_union",
         "sample_systematic_pps", "events_pagerank",
         "sample_fixed_n_by_lang", "dedup_ppjoin_exact",
         "dedup_recall_corpuswide",
+        "graph_pagerank_dist",  # r8-new
     ]
-    assert names[:7] == r7_new
+    assert names[:8] == first_evidence
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
 
@@ -393,6 +394,29 @@ def test_pagerank_node_cap_fails_loudly(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(graph, "PR_MAX_NODES", 3)
     with _pytest.raises(ValueError, match="PR_MAX_NODES"):
         graph.events_pagerank(spark, SF_DIR)
+
+
+def test_pagerank_dist_matches_driver_side(spark):
+    """graph_pagerank_dist (K join-iterations, no collect) and
+    events_pagerank (bounded driver-side iteration) are the same BIGINT
+    fixed-point recurrence — every pr_fixed register must agree
+    bit-for-bit, which is what licenses pointing the distributed form
+    at node domains the driver-side cap refuses."""
+    from cdc_sync_poc_spark.operators.graph import (
+        events_pagerank,
+        graph_pagerank_dist,
+    )
+    from tests.conftest import SF_DIR
+
+    drv = {
+        r.event_type: r.pr_fixed
+        for r in events_pagerank(spark, SF_DIR).collect()
+    }
+    dist = {
+        r.event_type: r.pr_fixed
+        for r in graph_pagerank_dist(spark, SF_DIR).collect()
+    }
+    assert drv == dist and len(drv) > 0
 
 
 def test_loopguard_pair_fast_path_semantics(spark):

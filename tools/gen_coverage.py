@@ -90,7 +90,8 @@ GROUPS = [
       "events_rfm_segments", "events_interarrival_stats",
       "events_seasonality", "events_decayed_engagement",
       "events_view_click_pairs",
-      "events_hll_distinct", "events_hll_union", "events_pagerank"]),
+      "events_hll_distinct", "events_hll_union", "events_pagerank",
+      "graph_pagerank_dist"]),
     ("M6: quality scoring & data selection",
      ["text_lm_score", "text_bm25_rank", "dsir_importance",
       "text_classifier_score", "text_classifier_confusion",
