@@ -1084,9 +1084,17 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ppjoin_pairs_frame(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_common, jaccard) — the exact pair frame over
     any (doc_id, text) frame; shared with dedup_recall_corpuswide,
-    which uses it as corpus-wide ground truth."""
+    which uses it as corpus-wide ground truth.
+
+    Persisted: the frame is pairs-sized (bounded by true near-dups, a
+    small fraction of any corpus) while its build is the expensive
+    prefix join + verify, and BOTH registered consumers construct the
+    identical plan — Spark's cache matches on plan equality, so the
+    build runs once and the recall audit reads the materialized pairs
+    instead of re-running the join (the same production inter-stage
+    checkpoint argument as llm_curation_e2e's survivor frame)."""
     sh = _shingles(docs)
-    return _ppjoin_verify(sh, _ppjoin_candidates(sh))
+    return _ppjoin_verify(sh, _ppjoin_candidates(sh)).persist()
 
 
 def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
