@@ -1078,23 +1078,26 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from a prefix equi-join whose posting lists are
     rare-first short and length-filtered; verification is pair-driven
     (one count agg over the candidate-shingle join), never all-pairs."""
-    return ppjoin_pairs_frame(load_table(spark, sf_dir, "documents"))
+    return _ppjoin_pairs_persisted(load_table(spark, sf_dir, "documents"))
 
 
 def ppjoin_pairs_frame(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_common, jaccard) — the exact pair frame over
-    any (doc_id, text) frame; shared with dedup_recall_corpuswide,
-    which uses it as corpus-wide ground truth.
+    any (doc_id, text) frame; pure (no persist) so property tests and
+    ad-hoc callers don't leak cache entries."""
+    sh = _shingles(docs)
+    return _ppjoin_verify(sh, _ppjoin_candidates(sh))
 
-    Persisted: the frame is pairs-sized (bounded by true near-dups, a
-    small fraction of any corpus) while its build is the expensive
-    prefix join + verify, and BOTH registered consumers construct the
+
+def _ppjoin_pairs_persisted(docs: DataFrame) -> DataFrame:
+    """Persist policy for the two REGISTERED consumers: the frame is
+    pairs-sized (bounded by true near-dups) while its build is the
+    expensive prefix join + verify, and both consumers construct the
     identical plan — Spark's cache matches on plan equality, so the
     build runs once and the recall audit reads the materialized pairs
     instead of re-running the join (the same production inter-stage
     checkpoint argument as llm_curation_e2e's survivor frame)."""
-    sh = _shingles(docs)
-    return _ppjoin_verify(sh, _ppjoin_candidates(sh)).persist()
+    return ppjoin_pairs_frame(docs).persist()
 
 
 def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
@@ -1242,7 +1245,7 @@ def dedup_recall_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band-candidate pairs; both sides reuse the shared shingle
     lineage."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = ppjoin_pairs_frame(docs).select("doc_a", "doc_b")
+    truth = _ppjoin_pairs_persisted(docs).select("doc_a", "doc_b")
     lsh = _band_pairs(_minhash_sig(_shingles(docs)), BAND_SIZE).select(
         F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
     )

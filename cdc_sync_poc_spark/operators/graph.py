@@ -199,15 +199,22 @@ def graph_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n"))
     )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    return pr_fixed_point_frames(spark, nodes, edges_raw)
+
+
+def pr_fixed_point_frames(
+    spark: SparkSession, nodes: DataFrame, edges_raw: DataFrame
+) -> DataFrame:
+    """The distributed K-iteration fixed point over any (node) /
+    (src, dst, n) pair — shared by graph_pagerank_dist and the
+    streaming incremental twin (streaming/pagerank.py), which feeds it
+    edge counts accumulated across micro-batches."""
     od = edges_raw.groupBy("src").agg(F.sum("n").alias("od"))
     # (src, dst, n, od): outdegree rides on the edge row so the
     # iteration never re-joins it — one materialization, reused K times
     edges = edges_raw.join(od, "src").localCheckpoint()
-    nodes = (
-        ev.select(F.col("event_type").alias("node"))
-        .distinct()
-        .localCheckpoint()
-    )
+    nodes = nodes.localCheckpoint()
     n_nodes = nodes.count()  # one scalar to the driver, not the graph
     if n_nodes == 0:
         return spark.createDataFrame(

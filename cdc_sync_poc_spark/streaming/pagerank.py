@@ -1,0 +1,175 @@
+"""Streaming incremental PageRank — the continuous form of
+graph_pagerank_dist (operators/graph.py): events arrive in
+micro-batches, the transition-count edge table accumulates across
+batches, and the K-iteration BIGINT fixed point recomputes on demand
+from the accumulated counts, matching the batch operator exactly once
+the same events have been absorbed (pinned in
+tests/test_streaming_pagerank.py).
+
+Two pieces of cross-batch state, both replay-safe:
+
+* **edge deltas** (``edges/batch_id=N``): each batch's transition
+  counts land in their own partition, overwritten byte-identically on
+  replay — the same at-least-once foreachBatch recipe as
+  streaming/packing.py and streaming/writer.py. Counts are additive,
+  so idempotency comes from partition ownership, NOT from the merge
+  (an accumulate-in-place store would double-count a replayed batch).
+* **user tails** (``tails/batch_id=N``): each user's LAST event after
+  batch N — the carry that lets the boundary transition (last event of
+  batch k -> first event of batch k+1, same user) form. Batch N reads
+  its PREDECESSOR's snapshot, so a replay recomputes from the same
+  pre-state. The snapshot is users-sized (production: TTL-evict idle
+  users, exactly the state a transformWithState operator would hold).
+
+Ordering contract (same as StreamingPacker): transitions form in
+ARRIVAL order — batch sequence first, then (ts, event_id) within a
+batch. When batches partition event time (the normal ingest case) this
+is IDENTICAL to the batch operator's per-user (ts, event_id) order.
+
+Scale shape: per batch, one per-user lead window over (tails ∪ batch)
+— the batch is the dominant side and is user-partitioned,
+embarrassingly parallel — plus one (src, dst) count agg. The rank
+recompute reads the edge-delta partitions (|types|² rows per batch,
+pruned by the parquet partition layout) and runs the shared
+join-iteration fixed point; nothing is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from cdc_sync_poc_spark.operators.graph import pr_fixed_point_frames
+
+_EV_COLS = ["user_id", "ts", "event_id", "event_type"]
+
+
+class StreamingPageRank:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.edges_dir = os.path.join(root, "edges")
+        self.tails_dir = os.path.join(root, "tails")
+
+    def _tails_before(self, batch_id: int) -> DataFrame | None:
+        """The newest tails snapshot older than ``batch_id`` (None on
+        the first batch) — read as a frame, never collected."""
+        if not os.path.isdir(self.tails_dir):
+            return None
+        snaps = self.spark.read.parquet(self.tails_dir).filter(
+            F.col("batch_id") < batch_id
+        )
+        latest = snaps.agg(F.max("batch_id").alias("b")).collect()[0].b
+        if latest is None:
+            return None
+        return snaps.filter(F.col("batch_id") == latest).select(*_EV_COLS)
+
+    def absorb_batch(self, events: DataFrame, batch_id: int) -> None:
+        """Fold one micro-batch of events into the edge and tail state."""
+        ev = events.select(*_EV_COLS)
+        prev = self._tails_before(batch_id)
+        # the tail row is each user's last ALREADY-ABSORBED event: its
+        # lead() inside the unioned frame is exactly the boundary
+        # transition, and intra-batch pairs form as in the batch
+        # operator — one window, both kinds of edge
+        aug = (ev.unionByName(prev) if prev is not None else ev).persist()
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # every pair in the unioned frame is NEW: the single tail row
+        # per user is the only pre-batch element, so its pair is the
+        # boundary transition and all others are intra-batch
+        deltas = (
+            aug.select(
+                F.col("event_type").alias("src"),
+                F.lead("event_type").over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n"))
+        )
+        deltas.write.mode("overwrite").parquet(
+            os.path.join(self.edges_dir, f"batch_id={batch_id}")
+        )
+        tails = (
+            aug.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.desc("ts"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(*_EV_COLS)
+        )
+        tails.write.mode("overwrite").parquet(
+            os.path.join(self.tails_dir, f"batch_id={batch_id}")
+        )
+        aug.unpersist()
+
+    def _newest_tails(self) -> DataFrame | None:
+        if not os.path.isdir(self.tails_dir):
+            return None
+        snaps = self.spark.read.parquet(self.tails_dir)
+        latest = snaps.agg(F.max("batch_id").alias("b")).collect()[0].b
+        if latest is None:
+            return None
+        return snaps.filter(F.col("batch_id") == latest)
+
+    def ranks(self) -> DataFrame:
+        """PageRank over everything absorbed so far — identical output
+        (bit-for-bit pr_fixed) to graph_pagerank_dist over the same
+        events."""
+        tails = self._newest_tails()
+        if tails is None:
+            return self.spark.createDataFrame(
+                [], "event_type string, pr_fixed long, pagerank double"
+            )
+        edges = (
+            self.spark.read.parquet(self.edges_dir)
+            .groupBy("src", "dst")
+            .agg(F.sum("n").alias("n"))
+        )
+        # every type seen is either inside some transition or is a
+        # user's final (tail) event — a superseded occurrence always
+        # formed an edge with its successor, so this union IS the full
+        # node domain of the batch operator
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .unionByName(tails.select(F.col("event_type").alias("node")))
+            .distinct()
+        )
+        return pr_fixed_point_frames(self.spark, nodes, edges)
+
+
+def run_streaming_pagerank(
+    spark: SparkSession, in_dir: str, root: str, checkpoint: str
+):
+    """Wire an event file-stream through the incremental PageRank
+    state; returns the started query (availableNow for tests). One
+    parquet file per trigger so each file becomes one micro-batch —
+    the same wiring as run_streaming_hll_rollup."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    pr = StreamingPageRank(spark, root)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(pr.absorb_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -53,6 +53,53 @@ def test_loopguard_matches_reference(spark, gaps, hashes):
     assert got == _greedy_reference(rows)
 
 
+def _greedy_reference_validity(events, window_s=300):
+    """Greedy walk WITH stage-1 validity: invalid events can be blocked
+    but never refresh the window (SP_RECORD_HASH skipped on failure)."""
+    out = {}
+    last_applied: dict[str, float] = {}
+    for seq, ts, h, invalid in sorted(events, key=lambda e: (e[1], e[0])):
+        last = last_applied.get(h)
+        if last is not None and (ts - last).total_seconds() < window_s:
+            out[seq] = True
+        else:
+            out[seq] = False
+            if not invalid:
+                last_applied[h] = ts
+    return out
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=12),
+    hashes=st.lists(st.sampled_from(["h1", "h2"]), min_size=1, max_size=12),
+    invalid=st.lists(st.booleans(), min_size=1, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_loopguard_validity_matches_reference(spark, gaps, hashes, invalid):
+    """Random mixes of multiplicity (1, 2, 3+) per hash AND stage-1
+    validity exercise all three loopguard routes — singleton bypass,
+    closed-form pair lag(), pandas chain walk — against the sequential
+    reference, including the pair case where an INVALID first event
+    must not block the second."""
+    from cdc_sync_poc_spark.functions.loopguard import with_loop_blocked
+
+    n = min(len(gaps), len(hashes), len(invalid))
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        t = t + dt.timedelta(seconds=gaps[i])
+        # prop_k > 95 marks the event stage-1 invalid; val kept sane
+        rows.append((i, t, hashes[i], 99 if invalid[i] else 10, 1.0))
+    df = spark.createDataFrame(
+        rows, ["cdc_seq", "ts", "change_hash", "prop_k", "val"]
+    )
+    got = {r.cdc_seq: r.loop_blocked for r in with_loop_blocked(df).collect()}
+    want = _greedy_reference_validity(
+        [(s, ts, h, inv > 95) for s, ts, h, inv, _ in rows]
+    )
+    assert got == want
+
+
 def _merge_reference(base, changes):
     """Single-shot MERGE of last-change-per-key against base."""
     last = {}
