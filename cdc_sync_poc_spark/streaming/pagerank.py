@@ -20,6 +20,14 @@ Two pieces of cross-batch state, both replay-safe:
   its PREDECESSOR's snapshot, so a replay recomputes from the same
   pre-state. The snapshot is users-sized (production: TTL-evict idle
   users, exactly the state a transformWithState operator would hold).
+* **compacted base** (``base`` SwapStore): ``compact()`` folds the
+  delta partitions up to a watermark into one summed table so the
+  per-batch read amplification of ``ranks()`` stays bounded. The
+  watermark rides INSIDE the swapped frame (an ``upto`` column on
+  every row), so base and watermark move in one atomic rename —
+  ``ranks()`` reads base + deltas with ``batch_id > upto`` and a crash
+  between the swap and the delta cleanup merely leaves already-folded
+  partitions on disk, EXCLUDED by the watermark, never double-counted.
 
 Ordering contract (same as StreamingPacker): transitions form in
 ARRIVAL order — batch sequence first, then (ts, event_id) within a
@@ -43,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from cdc_sync_poc_spark.operators.graph import pr_fixed_point_frames
+from cdc_sync_poc_spark.streaming.swapstore import SwapStore
 
 _EV_COLS = ["user_id", "ts", "event_id", "event_type"]
 
@@ -52,6 +61,7 @@ class StreamingPageRank:
         self.spark = spark
         self.edges_dir = os.path.join(root, "edges")
         self.tails_dir = os.path.join(root, "tails")
+        self.base = SwapStore(spark, root, "base")
 
     def _tails_before(self, batch_id: int) -> DataFrame | None:
         """The newest tails snapshot older than ``batch_id`` (None on
@@ -117,6 +127,89 @@ class StreamingPageRank:
             return None
         return snaps.filter(F.col("batch_id") == latest)
 
+    def _delta_frame(self) -> DataFrame | None:
+        """All delta partitions, or None when none exist (e.g. every
+        batch folded into base — an empty partitioned dir cannot be
+        parquet-read)."""
+        if not os.path.isdir(self.edges_dir):
+            return None
+        if not any(
+            d.startswith("batch_id=") for d in os.listdir(self.edges_dir)
+        ):
+            return None
+        return self.spark.read.parquet(self.edges_dir)
+
+    def _edge_counts(self) -> DataFrame:
+        """Accumulated (src, dst, n): compacted base + deltas newer
+        than the base watermark. Folded-but-not-yet-deleted delta
+        partitions (a crash between swap and cleanup — or an
+        at-least-once REPLAY of an already-folded batch recreating its
+        partition) are excluded by the watermark, never
+        double-counted."""
+        base = self.base.read()
+        deltas = self._delta_frame()
+        if deltas is not None and base is not None:
+            upto = base.agg(F.max("upto").alias("u")).collect()[0].u
+            edges = (
+                deltas.filter(F.col("batch_id") > upto)
+                .select("src", "dst", "n")
+                .unionByName(base.select("src", "dst", "n"))
+            )
+        elif base is not None:
+            edges = base.select("src", "dst", "n")
+        elif deltas is not None:
+            edges = deltas.select("src", "dst", "n")
+        else:
+            return self.spark.createDataFrame(
+                [], "src string, dst string, n long"
+            )
+        return edges.groupBy("src", "dst").agg(F.sum("n").alias("n"))
+
+    def compact(self, upto_batch_id: int) -> None:
+        """Fold delta partitions with batch_id <= ``upto_batch_id``
+        (plus any existing base) into one summed base table, then drop
+        the folded partitions. Crash-safe: the watermark travels inside
+        the swapped frame, and cleanup only removes partitions the NEW
+        watermark already excludes — re-running compact() or crashing
+        mid-cleanup changes nothing ``ranks()`` reads."""
+        import shutil
+
+        base = self.base.read()
+        prev_upto = (
+            base.agg(F.max("upto").alias("u")).collect()[0].u
+            if base is not None
+            else None
+        )
+        if prev_upto is not None and upto_batch_id <= prev_upto:
+            return  # already folded this far
+        folded = self.spark.read.parquet(self.edges_dir).filter(
+            (F.col("batch_id") <= upto_batch_id)
+            & (
+                F.col("batch_id") > prev_upto
+                if prev_upto is not None
+                else F.lit(True)
+            )
+        ).select("src", "dst", "n")
+        if base is not None:
+            folded = folded.unionByName(base.select("src", "dst", "n"))
+        new_base = (
+            folded.groupBy("src", "dst")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("upto", F.lit(upto_batch_id).cast("long"))
+        )
+        self.base.swap(new_base)
+        # cleanup AFTER the swap: these partitions are now <= the live
+        # watermark, so ranks() already ignores them
+        if os.path.isdir(self.edges_dir):
+            for d in os.listdir(self.edges_dir):
+                if d.startswith("batch_id="):
+                    try:
+                        bid = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid <= upto_batch_id:
+                        shutil.rmtree(os.path.join(self.edges_dir, d))
+
     def ranks(self) -> DataFrame:
         """PageRank over everything absorbed so far — identical output
         (bit-for-bit pr_fixed) to graph_pagerank_dist over the same
@@ -126,11 +219,7 @@ class StreamingPageRank:
             return self.spark.createDataFrame(
                 [], "event_type string, pr_fixed long, pagerank double"
             )
-        edges = (
-            self.spark.read.parquet(self.edges_dir)
-            .groupBy("src", "dst")
-            .agg(F.sum("n").alias("n"))
-        )
+        edges = self._edge_counts()
         # every type seen is either inside some transition or is a
         # user's final (tail) event — a superseded occurrence always
         # formed an edge with its successor, so this union IS the full

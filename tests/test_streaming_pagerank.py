@@ -87,6 +87,74 @@ def test_empty_store_returns_empty_frame(spark, tmp_path):
     assert pr.ranks().count() == 0
 
 
+def test_compaction_preserves_ranks_and_bounds_partitions(spark, tmp_path):
+    """compact() folds delta partitions into the SwapStore base:
+    ranks unchanged (bit-for-bit), folded partitions gone, and a
+    second compact to the same watermark is a no-op."""
+    import os
+
+    from cdc_sync_poc_spark.streaming.pagerank import StreamingPageRank
+
+    pr = StreamingPageRank(spark, str(tmp_path / "pr"))
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        pr.absorb_batch(b, batch_id=i)
+    want = {r.event_type: r.pr_fixed for r in pr.ranks().collect()}
+
+    pr.compact(upto_batch_id=1)  # fold batches 0..1, keep 2 as delta
+    left = [
+        d
+        for d in os.listdir(str(tmp_path / "pr" / "edges"))
+        if d.startswith("batch_id=")
+    ]
+    assert left == ["batch_id=2"]
+    got = {r.event_type: r.pr_fixed for r in pr.ranks().collect()}
+    assert got == want
+    pr.compact(upto_batch_id=1)  # idempotent no-op
+    assert {r.event_type: r.pr_fixed for r in pr.ranks().collect()} == want
+
+    pr.compact(upto_batch_id=2)  # fold everything — deltas empty
+    assert not any(
+        d.startswith("batch_id=")
+        for d in os.listdir(str(tmp_path / "pr" / "edges"))
+    )
+    assert {r.event_type: r.pr_fixed for r in pr.ranks().collect()} == want
+
+
+def test_compaction_crash_window_never_double_counts(spark, tmp_path):
+    """Crash between the base swap and the delta cleanup leaves folded
+    partitions on disk; the in-frame watermark must exclude them. The
+    same watermark also shields an at-least-once REPLAY of an
+    already-folded batch."""
+    from unittest import mock
+
+    from cdc_sync_poc_spark.streaming.pagerank import StreamingPageRank
+
+    pr = StreamingPageRank(spark, str(tmp_path / "pr"))
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        pr.absorb_batch(b, batch_id=i)
+    want = {r.event_type: r.pr_fixed for r in pr.ranks().collect()}
+
+    # crash exactly between swap and cleanup: suppress the rmtree
+    with mock.patch("shutil.rmtree"):
+        pr.compact(upto_batch_id=1)
+    import os
+
+    left = {
+        d
+        for d in os.listdir(str(tmp_path / "pr" / "edges"))
+        if d.startswith("batch_id=")
+    }
+    assert left == {"batch_id=0", "batch_id=1", "batch_id=2"}  # nothing cleaned
+    assert {r.event_type: r.pr_fixed for r in pr.ranks().collect()} == want
+
+    # an at-least-once replay of folded batch 1 recreates its partition;
+    # the watermark still excludes it
+    pr.absorb_batch(batches[1], batch_id=1)
+    assert {r.event_type: r.pr_fixed for r in pr.ranks().collect()} == want
+
+
 def test_readstream_wrapper_matches_batch(spark, tmp_path):
     """Drive the REAL readStream wiring (file source, one file per
     trigger, availableNow): ranks after the stream drains must equal
