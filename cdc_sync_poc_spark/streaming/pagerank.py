@@ -148,8 +148,13 @@ class StreamingPageRank:
         double-counted."""
         base = self.base.read()
         deltas = self._delta_frame()
-        if deltas is not None and base is not None:
+        if base is not None:
+            # an all-empty base (possible only if compact ever folded
+            # zero batches) has no watermark — treat as absent
             upto = base.agg(F.max("upto").alias("u")).collect()[0].u
+            if upto is None:
+                base = None
+        if deltas is not None and base is not None:
             edges = (
                 deltas.filter(F.col("batch_id") > upto)
                 .select("src", "dst", "n")
@@ -174,6 +179,9 @@ class StreamingPageRank:
         mid-cleanup changes nothing ``ranks()`` reads."""
         import shutil
 
+        if upto_batch_id < 0:
+            return  # nothing to fold (e.g. a compact-every-1 policy
+            # lagging one batch fires on batch 0 with upto = -1)
         base = self.base.read()
         prev_upto = (
             base.agg(F.max("upto").alias("u")).collect()[0].u
@@ -234,12 +242,19 @@ class StreamingPageRank:
 
 
 def run_streaming_pagerank(
-    spark: SparkSession, in_dir: str, root: str, checkpoint: str
+    spark: SparkSession,
+    in_dir: str,
+    root: str,
+    checkpoint: str,
+    compact_every: int | None = None,
 ):
     """Wire an event file-stream through the incremental PageRank
     state; returns the started query (availableNow for tests). One
     parquet file per trigger so each file becomes one micro-batch —
-    the same wiring as run_streaming_hll_rollup."""
+    the same wiring as run_streaming_hll_rollup. With
+    ``compact_every=K`` the delta log folds into the base after every
+    K-th batch (lagging one batch so a replay of the just-absorbed
+    batch still finds its pre-state tails snapshot intact)."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -253,11 +268,17 @@ def run_streaming_pagerank(
         ]
     )
     pr = StreamingPageRank(spark, root)
+
+    def absorb(events: DataFrame, batch_id: int) -> None:
+        pr.absorb_batch(events, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            pr.compact(upto_batch_id=batch_id - 1)
+
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
-        .writeStream.foreachBatch(pr.absorb_batch)
+        .writeStream.foreachBatch(absorb)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -198,3 +198,26 @@ def test_readstream_wrapper_matches_batch(spark, tmp_path):
         for r in StreamingPageRank(spark, str(root)).ranks().collect()
     }
     assert got == _batch_ranks(spark) and len(got) > 0
+
+    # same stream with an in-flight compaction policy (fold after every
+    # batch, lagging one): ranks identical, delta log bounded
+    root2 = tmp_path / "pr_root2"
+    q2 = run_streaming_pagerank(
+        spark,
+        str(in_dir),
+        str(root2),
+        str(tmp_path / "ckpt_pr2"),
+        compact_every=1,
+    )
+    q2.awaitTermination()
+    got2 = {
+        r.event_type: r.pr_fixed
+        for r in StreamingPageRank(spark, str(root2)).ranks().collect()
+    }
+    assert got2 == got
+    left = [
+        d
+        for d in os.listdir(str(root2 / "edges"))
+        if d.startswith("batch_id=")
+    ]
+    assert left == ["batch_id=2"]  # only the not-yet-folded newest batch
