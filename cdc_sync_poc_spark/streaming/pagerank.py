@@ -218,6 +218,26 @@ class StreamingPageRank:
                     if bid <= upto_batch_id:
                         shutil.rmtree(os.path.join(self.edges_dir, d))
 
+    def prune_tails(self, keep: int = 2) -> None:
+        """Drop tail snapshots older than the newest ``keep``. Two are
+        enough under the streaming checkpoint contract: only the most
+        recent batch can replay after a restart, and it reads its
+        PREDECESSOR's snapshot — everything older is never read again.
+        Deletion is crash-safe trivially (pruned snapshots have no
+        reader); a replay never recreates them because it overwrites
+        its OWN snapshot, not its predecessor's."""
+        import shutil
+
+        if not os.path.isdir(self.tails_dir):
+            return
+        bids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.tails_dir)
+            if d.startswith("batch_id=")
+        )
+        for bid in bids[:-keep] if keep > 0 else bids:
+            shutil.rmtree(os.path.join(self.tails_dir, f"batch_id={bid}"))
+
     def ranks(self) -> DataFrame:
         """PageRank over everything absorbed so far — identical output
         (bit-for-bit pr_fixed) to graph_pagerank_dist over the same
@@ -273,6 +293,7 @@ def run_streaming_pagerank(
         pr.absorb_batch(events, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
             pr.compact(upto_batch_id=batch_id - 1)
+            pr.prune_tails()
 
     return (
         spark.readStream.schema(schema)

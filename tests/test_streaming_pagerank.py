@@ -221,3 +221,26 @@ def test_readstream_wrapper_matches_batch(spark, tmp_path):
         if d.startswith("batch_id=")
     ]
     assert left == ["batch_id=2"]  # only the not-yet-folded newest batch
+    tails_left = sorted(
+        d
+        for d in os.listdir(str(root2 / "tails"))
+        if d.startswith("batch_id=")
+    )
+    assert tails_left == ["batch_id=1", "batch_id=2"]  # newest 2 kept
+
+
+def test_prune_tails_keeps_replay_predecessor(spark, tmp_path):
+    """After pruning to the newest 2 snapshots, a replay of the LAST
+    batch (the only replayable one under the checkpoint contract) still
+    finds its predecessor and reproduces identical ranks."""
+    from cdc_sync_poc_spark.streaming.pagerank import StreamingPageRank
+
+    pr = StreamingPageRank(spark, str(tmp_path / "pr"))
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        pr.absorb_batch(b, batch_id=i)
+    want = {r.event_type: r.pr_fixed for r in pr.ranks().collect()}
+    pr.prune_tails()
+    pr.absorb_batch(batches[-1], batch_id=N_BATCHES - 1)  # replay
+    got = {r.event_type: r.pr_fixed for r in pr.ranks().collect()}
+    assert got == want == _batch_ranks(spark)
