@@ -509,9 +509,11 @@ def run(
     # placement (before the scalars, which the driver tail keeps)
     dedup_telemetry: dict[str, dict] = {}
     if names is None and os.environ.get("SPARK_GRAFT_TELEMETRY", "1") != "0":
-        from cdc_sync_poc_spark.llm.dedup import dedup_candidate_telemetry
-
         try:
+            # import INSIDE the guard: an ImportError in llm.dedup must
+            # not void the already-collected timings (ADVICE r8)
+            from cdc_sync_poc_spark.llm.dedup import dedup_candidate_telemetry
+
             dedup_telemetry = dedup_candidate_telemetry(spark, sf_dir)
         except Exception as ex:  # noqa: BLE001 — telemetry must not
             # void the bench numbers

@@ -29,7 +29,12 @@ RENAME — the normalized value round-trips exactly), and a
 target-only constant column has no source twin (dropped). Everything
 else — renames, code maps (mirrored dim), Y/N flags, casts — inverts
 to data-level round-trip identity, which tests/test_mapping_scale.py
-asserts at the production 171-table width.
+asserts at the production 171-table width. Caveat on the flag pair
+(ADVICE r8): CASE_YN maps NULL and any non-'Y' value to 0, which the
+CASE_10 mirror returns as 'N' — so flag round-trip identity holds
+only on a clean non-null 'Y'/'N' (resp. 1/0) domain; dirty or null
+flag values are silently normalized to the 'N'/0 leg, the same
+one-way normalization DEFAULT performs on nulls.
 """
 
 from __future__ import annotations

@@ -190,7 +190,14 @@ class StreamingPageRank:
         )
         if prev_upto is not None and upto_batch_id <= prev_upto:
             return  # already folded this far
-        folded = self.spark.read.parquet(self.edges_dir).filter(
+        deltas = self._delta_frame()
+        if deltas is None:
+            # no delta partitions to fold (compact() called before any
+            # absorb_batch, or every partition already folded+cleaned):
+            # a clean no-op instead of an AnalysisException on the
+            # missing/empty edges dir (ADVICE r8)
+            return
+        folded = deltas.filter(
             (F.col("batch_id") <= upto_batch_id)
             & (
                 F.col("batch_id") > prev_upto

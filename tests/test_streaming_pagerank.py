@@ -87,6 +87,25 @@ def test_empty_store_returns_empty_frame(spark, tmp_path):
     assert pr.ranks().count() == 0
 
 
+def test_compact_before_any_absorb_is_a_clean_noop(spark, tmp_path):
+    """ADVICE r8: compact() called directly on a store with no delta
+    partitions (never absorbed, or already fully folded+cleaned) must
+    no-op, not raise AnalysisException on the missing edges dir."""
+    from cdc_sync_poc_spark.streaming.pagerank import StreamingPageRank
+
+    pr = StreamingPageRank(spark, str(tmp_path / "pr_noop"))
+    pr.compact(upto_batch_id=5)  # edges dir does not exist yet
+    assert pr.ranks().count() == 0
+    # and after full fold+cleanup, compacting further is equally safe
+    batches = _batches(spark)
+    pr.absorb_batch(batches[0], batch_id=0)
+    pr.compact(upto_batch_id=0)
+    before = {r.event_type: r.pr_fixed for r in pr.ranks().collect()}
+    pr.compact(upto_batch_id=7)  # zero unfolded partitions remain
+    after = {r.event_type: r.pr_fixed for r in pr.ranks().collect()}
+    assert before == after and len(after) > 0
+
+
 def test_compaction_preserves_ranks_and_bounds_partitions(spark, tmp_path):
     """compact() folds delta partitions into the SwapStore base:
     ranks unchanged (bit-for-bit), folded partitions gone, and a
