@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "sample_fixed_n_by_lang",
     "dedup_ppjoin_exact",
     "dedup_recall_corpuswide",
+    # round-9 additions (append-only)
+    "graph_pagerank_mass",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

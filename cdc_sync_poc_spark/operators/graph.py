@@ -69,20 +69,33 @@ nn AS (SELECT count(*)::BIGINT AS n FROM nodes)
 """
 
 
-def _pr_iter_ctes() -> str:
+def _pr_iter_ctes(redistribute: bool = False) -> str:
     """pr0..prK as chained CTEs — the power iteration UNROLLED (no
     recursive CTE: engines disagree on aggregates/multi-references in
-    recursive terms; K chained blocks are plain SQL everywhere)."""
+    recursive terms; K chained blocks are plain SQL everywhere).
+    With ``redistribute`` each iteration also sums the previous round's
+    rank mass sitting on dangling nodes (no out-edges) and spreads it
+    uniformly: contrib += dm // N — the standard dangling-mass
+    formulation, so ranks sum to ~SCALE and read as probabilities."""
     blocks = [f"pr0 AS (SELECT node, {PR_SCALE}::BIGINT // nn.n AS v"
               f" FROM nodes CROSS JOIN nn)"]
     for i in range(1, PR_ITERS + 1):
+        if redistribute:
+            blocks.append(f"""
+dm{i} AS (
+  SELECT coalesce(sum(p.v), 0)::BIGINT AS dm
+  FROM pr{i - 1} p LEFT JOIN od ON od.src = p.node
+  WHERE od.src IS NULL
+)""")
+        dm_join = f" CROSS JOIN dm{i}" if redistribute else ""
+        dm_term = " + (dm // nn.n)" if redistribute else ""
         blocks.append(f"""
 pr{i} AS (
   SELECT nd.node,
          ((((15::BIGINT * {PR_SCALE}::BIGINT) // nn.n)
-          + (85::BIGINT * coalesce(s.contrib, 0::BIGINT))) // 100::BIGINT)
-           ::BIGINT AS v
-  FROM nodes nd CROSS JOIN nn
+          + (85::BIGINT * (coalesce(s.contrib, 0::BIGINT){dm_term})))
+          // 100::BIGINT)::BIGINT AS v
+  FROM nodes nd CROSS JOIN nn{dm_join}
   LEFT JOIN (
     SELECT e.dst, sum((p.v * e.n) // od.od)::BIGINT AS contrib
     FROM pr{i - 1} p JOIN e ON e.src = p.node JOIN od ON od.src = p.node
@@ -191,6 +204,14 @@ def graph_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side and distributed iterations produce identical pr_fixed
     registers."""
     ev = load_table(spark, sf_dir, "events")
+    nodes, edges_raw = _event_graph(ev)
+    return pr_fixed_point_frames(spark, nodes, edges_raw)
+
+
+def _event_graph(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(nodes, weighted edges) of the event-type transition digraph —
+    the lead-window edge extraction shared by the two distributed
+    PageRank variants (convention matches events_markov_transitions)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges_raw = (
         ev.select(
@@ -202,16 +223,56 @@ def graph_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
-    return pr_fixed_point_frames(spark, nodes, edges_raw)
+    return nodes, edges_raw
+
+
+@register(
+    "graph_pagerank_mass",
+    oracle=f"""
+WITH {_PR_EDGES_SQL},
+{_pr_iter_ctes(redistribute=True)}
+SELECT node AS event_type, v AS pr_fixed,
+       round(CAST(v AS DOUBLE) / {PR_SCALE}, 9) AS pagerank
+FROM pr{PR_ITERS}
+""",
+)
+def graph_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank_dist with the standard dangling-mass
+    redistribution (VERDICT r8 #7): each iteration's rank mass on
+    nodes with no out-edges is spread uniformly (contrib += dm div N),
+    so ranks sum to ~PR_SCALE (floor-division dust only) and are
+    usable directly as stationary probabilities. Same BIGINT fixed
+    point; the oracle is the unrolled-CTE iteration extended with one
+    dm CTE per round. On a dangling-free graph (every node has an
+    out-edge) dm == 0 every round and this is bit-identical to
+    graph_pagerank_dist — tests/test_units.py pins both that identity
+    and mass conservation on a synthetic dangling graph."""
+    ev = load_table(spark, sf_dir, "events")
+    nodes, edges_raw = _event_graph(ev)
+    return pr_fixed_point_frames(
+        spark, nodes, edges_raw, redistribute_dangling=True
+    )
 
 
 def pr_fixed_point_frames(
-    spark: SparkSession, nodes: DataFrame, edges_raw: DataFrame
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges_raw: DataFrame,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """The distributed K-iteration fixed point over any (node) /
     (src, dst, n) pair — shared by graph_pagerank_dist and the
     streaming incremental twin (streaming/pagerank.py), which feeds it
-    edge counts accumulated across micro-batches."""
+    edge counts accumulated across micro-batches.
+
+    ``redistribute_dangling`` adds the standard dangling-mass term:
+    each iteration sums the previous round's rank mass on nodes with
+    no out-edges (one tiny agg over the |dangling| rows — a 1-row
+    frame cross-joined onto the update, the sanctioned broadcast-
+    scalar pattern) and spreads it uniformly (contrib += dm div N).
+    Ranks then sum to ~SCALE (floor-division dust only) and read as
+    probabilities; without it dangling mass leaks, matching
+    events_pagerank (module docstring)."""
     od = edges_raw.groupBy("src").agg(F.sum("n").alias("od"))
     # (src, dst, n, od): outdegree rides on the edge row so the
     # iteration never re-joins it — one materialization, reused K times
@@ -222,6 +283,21 @@ def pr_fixed_point_frames(
         return spark.createDataFrame(
             [], "event_type string, pr_fixed long, pagerank double"
         )
+    dangling = None
+    if redistribute_dangling:
+        # node domain minus src domain, computed once outside the loop
+        # (|dangling| <= |V| rows; at web scale this is a frame join,
+        # never collected)
+        dangling = nodes.join(
+            edges.select("src").distinct(),
+            nodes.node == F.col("src"),
+            "left_anti",
+        ).select("node").localCheckpoint()
+        if dangling.count() == 0:
+            # dm would be 0 every round — drop the per-iteration agg +
+            # cross-join entirely (one scalar count up front buys K
+            # skipped jobs; bit-identical by construction)
+            dangling = None
     base = (15 * PR_SCALE) // n_nodes
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // n_nodes).cast("long").alias("v")
@@ -232,13 +308,27 @@ def pr_fixed_point_frames(
             .groupBy("dst")
             .agg(F.sum(F.expr("(v * n) div od")).alias("contrib"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            F.expr(
-                f"(cast({base} as bigint)"
-                " + 85 * coalesce(contrib, cast(0 as bigint))) div 100"
-            ).alias("v"),
-        )
+        upd = nodes.join(contrib, nodes.node == contrib.dst, "left")
+        if dangling is not None:
+            dm = ranks.join(dangling, "node").agg(
+                F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("dm")
+            )
+            ranks = upd.crossJoin(F.broadcast(dm)).select(
+                "node",
+                F.expr(
+                    f"(cast({base} as bigint)"
+                    " + 85 * (coalesce(contrib, cast(0 as bigint))"
+                    f" + dm div {n_nodes})) div 100"
+                ).alias("v"),
+            )
+        else:
+            ranks = upd.select(
+                "node",
+                F.expr(
+                    f"(cast({base} as bigint)"
+                    " + 85 * coalesce(contrib, cast(0 as bigint))) div 100"
+                ).alias("v"),
+            )
         # cut lineage every 2nd round, but never after the FINAL round —
         # leaving the last iteration un-checkpointed keeps the returned
         # frame's plan showing the real join/agg shape (PLANS.md) and

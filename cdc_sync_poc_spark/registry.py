@@ -39,62 +39,59 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver samples the FIRST 50 registered queries (dict insertion
 # order) for its CORRECTNESS gate; the sample rotates per round so every
-# query eventually carries fresh driver evidence. Round 8 executes
-# VERDICT r7 "Next round" #1: bank FIRST driver evidence for the 7
-# r7-new operators (staged at 51+ all of r7, green in the local gate),
-# then refresh the STALEST remaining evidence — the r2-era core
-# (rowops r01–r15, sorts s01–s05, stateful st01–st07, conflict
-# cf02–cf06, joins j06–j08 = 35 ids; st08/cf01/j05 carry fresh r7
-# rows and rotate behind) — and fill the last 8 slots with the oldest
-# r3-evidence ids (src_* ×6, sink_cdc_append, sink_target_apply).
-# Everything else keeps rotating behind the cutoff (still covered by
-# the local exact gate every session), oldest evidence first in line
-# for r9 (sink_audit_log leads). Prefix match, first hit wins;
-# unmatched ids keep relative order at the end.
+# query eventually carries fresh driver evidence. Round 9 executes
+# VERDICT r8 "Next round" #1: first evidence for the r9-new
+# dangling-mass PageRank, then retire the r3-evidence staleness tail —
+# sink_target_apply (displaced from the r8 window) leads, followed by
+# the rest of the r3 block (sinks, st08, a01–a03, pipeline_e2e,
+# j01–j04, ap01–ap06, multimodal, PII, chunking, TPC-H reports) — and
+# the window fills to 50 with the OLDEST r4-evidence ids (packing,
+# doc-length, segment dedup, gini, PQ errors, the ANN top-k family +
+# its recall audits, and the oldest dedup ids). After this round no
+# registered query's latest driver evidence predates r4. Everything
+# else keeps rotating behind the cutoff (still covered by the local
+# exact gate every session). Prefix match, first hit wins; unmatched
+# ids keep relative order at the end.
 _PRIORITY_PREFIXES = [
-    # ---- the r8 driver window ----
-    # first-evidence: the 7 operators added in r7 + the r8-new
-    # distributed PageRank (first evidence beats refreshing a stale-
-    # but-green row, so it displaces sink_target_apply to r9)
-    "events_hll", "sample_systematic", "events_pagerank",
-    "sample_fixed_n_by_lang", "dedup_ppjoin", "dedup_recall_corpuswide",
-    "graph_pagerank_dist",
-    # 35 stalest (r2) core ids
-    "r0", "r1",  # rowops r01..r15
-    "s0",  # sorts s01..s05
-    "st01", "st02", "st03", "st04", "st05", "st06", "st07",
-    "cf02", "cf03", "cf04", "cf05", "cf06",
-    "j06", "j07", "j08",
-    # 7 oldest r3-evidence ids (sink_target_apply displaced to r9 by
-    # graph_pagerank_dist above)
-    "src_",  # kafka_cdc debezium_parse jdbc_snapshot jdbc_lookup
-             # point_lookup schema_drift
-    "sink_cdc_append",
-    # ---- 50-query driver window ends here ----
-    # next in line for r9: the remaining r3-evidence ids
-    "sink_", "st08", "a01", "a02", "a03", "pipeline_",
+    # ---- the r9 driver window ----
+    # first-evidence: the r9-new dangling-mass PageRank variant
+    "graph_pagerank_mass",
+    # the 17 stalest (r3-evidence) CDC ids
+    "sink_target_apply", "sink_audit_log", "st08",
+    "a01", "a02", "a03", "pipeline_",
     "j01", "j02", "j03", "j04",
     "ap01", "ap02", "ap03", "ap04", "ap05", "ap06",
+    # remaining r3-evidence: multimodal, PII, chunking, TPC-H reports
     "mm_attach", "mm_decode", "mm_frame", "mm_resize",
-    "pii_", "doc_chunk", "bench_q2_", "bench_q20",
-    "bench_q16", "bench_q17",
-    # then r4-evidence
-    "seq_pack", "doc_length", "dedup_segment", "text_gini", "emb_pq",
-    "sim_", "ann_recall",
+    "pii_", "doc_chunk",
+    "bench_q2_", "bench_q20", "bench_q16", "bench_q17",
+    # oldest r4-evidence ids fill the window to exactly 50
+    "seq_pack", "doc_length", "dedup_segment", "text_gini",
+    "emb_pq",      # emb_pq_error + emb_pq_residual_error
+    "sim_",        # the 6 ANN top-k ids
+    "ann_recall",  # the 4 recall audits
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram", "dedup_embedding", "dedup_normalized",
+    # ---- 50-query driver window ends here ----
+    # next in line for r10: the remaining r4-evidence ids
     "dedup_minhash_cluster", "dedup_span",
     "text_tfidf", "text_top_terms", "events_sessionize",
     "text_rarity", "emb_label", "dup_ngram",
     "text_oov", "text_lexical", "text_repetition",
-    # freshest evidence (the r5/r6 driver window) rotates last
+    # then r5/r6 evidence
     "text_lm_score", "events_rfm", "retrieval_rrf_fusion",
     "source_csv", "corpus_vocab", "text_classifier", "events_kmv",
     "sem_dedup", "dsir_", "llm_curation", "sample_fixed_n",
     "mm_integrity", "source_jsonl", "slice_length_quantiles",
+    # freshest (r7/r8 driver windows) rotates last; the generic family
+    # prefixes intentionally catch the r8-window ids — position past
+    # the cutoff is staging order, not evidence
     "corpus_", "sample_", "emb_", "events_", "text_",
     "a12", "ap08", "ap09",
     "dedup_", "bench_",
+    "graph_pagerank_dist",
+    "r0", "r1", "s0",
+    "st0", "cf0", "j0", "src_", "sink_",
 ]
 
 

@@ -10,51 +10,49 @@ from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
 
 load_all_queries()
 
-# the r8 window: first driver evidence for the 7 r7-new operators and
-# the r8-new graph_pagerank_dist, then the 35 stalest (r2-evidence)
-# core ids, then the 7 oldest r3-evidence ids (COVERAGE.md "Driver
-# correctness-sample window"; sink_target_apply displaced to r9)
-R8_WINDOW = [
-    'events_hll_distinct', 'events_hll_union',
-    'sample_systematic_pps', 'events_pagerank',
-    'sample_fixed_n_by_lang', 'dedup_ppjoin_exact',
-    'dedup_recall_corpuswide', 'graph_pagerank_dist',
-    'r01_filter_pending', 'r02_project_rename',
-    'r03_case_flag', 'r04_codemap_join',
-    'r05_cast_date_ts', 'r06_epoch_decode',
-    'r07_decimal_decode', 'r08_default_coalesce',
-    'r09_sha256_hash', 'r10_op_decode',
-    'r11_pick_before_after', 'r12_string_funcs',
-    'r13_ts_convert', 'r14_to_json_preview',
-    'r15_variant_extract',
-    's01_order_by_seq', 's02_topn_desc',
-    's03_ring_buffer', 's04_union_merge_sort',
-    's05_first_nonpk',
-    'st01_loop_dedup', 'st02_state_upsert',
-    'st03_state_ttl', 'st04_microbatch_trigger',
-    'st05_late_and_order', 'st06_quarantine',
-    'st07_backpressure_cfg',
-    'cf02_sys_priority', 'cf03_field_merge',
-    'cf04_upd_vs_del', 'cf05_policy_lookup',
-    'cf06_pk_split',
-    'j06_asof_join', 'j07_range_join_bucketed',
-    'j08_salted_skew_join',
-    'src_kafka_cdc', 'src_debezium_parse',
-    'src_jdbc_snapshot', 'src_jdbc_lookup',
-    'src_point_lookup', 'src_schema_drift',
-    'sink_cdc_append',
+# the r9 window: first driver evidence for the r9-new dangling-mass
+# PageRank, then the 27 remaining r3-evidence ids (sink_target_apply —
+# displaced from the r8 window — first), then the 22 oldest
+# r4-evidence ids (COVERAGE.md "Driver correctness-sample window")
+R9_WINDOW = [
+    'graph_pagerank_mass',
+    'sink_target_apply', 'sink_audit_log',
+    'st08_quarantine_replay',
+    'a01_global_counters', 'a02_group_by_topic',
+    'a03_group_by_status', 'pipeline_e2e',
+    'j01_broadcast_lookup', 'j02_merge_upsert_join',
+    'j03_antijoin_seen', 'j04_target_exists',
+    'ap01_merge_cdc', 'ap02_ins_to_upd',
+    'ap03_notfound_log', 'ap04_delete_idempotent',
+    'ap05_exactly_once_mark', 'ap06_sequential_replay',
+    'mm_attach_meta', 'mm_decode_features',
+    'mm_frame_sample', 'mm_resize',
+    'pii_redact', 'doc_chunking',
+    'bench_q2_mincost', 'bench_q20_dominant',
+    'bench_q16_suppcnt', 'bench_q17_small_qty',
+    'seq_packing', 'doc_length_quantiles',
+    'dedup_segment_boilerplate', 'text_gini_concentration',
+    'emb_pq_error', 'emb_pq_residual_error',
+    'sim_topk_bruteforce', 'sim_ann_lsh',
+    'sim_ann_topk_all', 'sim_ivf_topk',
+    'sim_ivfpq_topk', 'sim_ivfpq_residual_topk',
+    'ann_recall_lsh', 'ann_recall_ivf',
+    'ann_recall_ivfpq', 'ann_recall_truncated',
+    'dedup_exact', 'dedup_minhash_lsh',
+    'dedup_simhash', 'dedup_ngram_jaccard',
+    'dedup_embedding_cosine', 'dedup_normalized',
 ]
 
 
 def test_driver_sample_window_is_the_curated_fifty():
-    assert list(QUERIES)[:50] == R8_WINDOW
+    assert list(QUERIES)[:50] == R9_WINDOW
 
 
-def test_window_has_zero_overlap_with_r7_sample():
-    """VERDICT r7 #1: overlap with the r07 driver sample must be 0."""
+def test_window_has_zero_overlap_with_r8_sample():
+    """VERDICT r8 #1: overlap with the r08 driver sample must be 0."""
     import json
     import pathlib
 
-    r7 = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r07.json"
-    sampled = set(json.loads(r7.read_text()))
-    assert not set(R8_WINDOW) & sampled
+    r8 = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r08.json"
+    sampled = set(json.loads(r8.read_text()))
+    assert not set(R9_WINDOW) & sampled

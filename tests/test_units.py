@@ -180,25 +180,21 @@ def test_driver_sample_window_invariants():
     load_all_queries()
     names = list(QUERIES)
     window = set(names[:50])
-    # round-8 contract (VERDICT r7 #1): every query that had NO driver
-    # row through r7 sits inside the window — i.e. first evidence for
-    # the 7 operators added in r7, at the very front.
+    # round-9 contract (VERDICT r8 #1): every query that had NO driver
+    # row through r8 sits inside the window — i.e. first evidence for
+    # the r9-new dangling-mass PageRank, at the very front.
     root = pathlib.Path(__file__).resolve().parents[1]
     sampled = set()
-    for r in range(1, 8):
+    for r in range(1, 9):
         f = root / f"CORRECTNESS_r0{r}.json"
         if f.exists():
             sampled |= set(json.loads(f.read_text()))
     never_sampled = set(names) - sampled
     assert never_sampled <= window, sorted(never_sampled - window)
     first_evidence = [
-        "events_hll_distinct", "events_hll_union",
-        "sample_systematic_pps", "events_pagerank",
-        "sample_fixed_n_by_lang", "dedup_ppjoin_exact",
-        "dedup_recall_corpuswide",
-        "graph_pagerank_dist",  # r8-new
+        "graph_pagerank_mass",  # r9-new
     ]
-    assert names[:8] == first_evidence
+    assert names[:1] == first_evidence
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
 
@@ -417,6 +413,56 @@ def test_pagerank_dist_matches_driver_side(spark):
         for r in graph_pagerank_dist(spark, SF_DIR).collect()
     }
     assert drv == dist and len(drv) > 0
+
+
+def test_pagerank_mass_conserves_and_degenerates(spark):
+    """VERDICT r8 #7 — the dangling-mass variant: (a) on a graph WITH
+    a dangling node, ranks sum to PR_SCALE minus floor-division dust
+    only (mass conservation — usable as probabilities), while the
+    plain variant leaks mass; (b) on a dangling-FREE graph dm == 0
+    every round, so the variant is bit-identical to the plain one."""
+    from cdc_sync_poc_spark.operators.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        pr_fixed_point_frames,
+    )
+
+    # (a) a -> b -> c, c dangling
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "node string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 1)], "src string, dst string, n long"
+    )
+    plain = pr_fixed_point_frames(spark, nodes, edges)
+    mass = pr_fixed_point_frames(
+        spark, nodes, edges, redistribute_dangling=True
+    )
+    s_plain = sum(r.pr_fixed for r in plain.collect())
+    s_mass = sum(r.pr_fixed for r in mass.collect())
+    # each iteration floors at most ~2 units per node; generous bound
+    dust = 10 * PR_ITERS * 3
+    assert 0 <= PR_SCALE - s_mass <= dust, (s_mass, PR_SCALE)
+    # the plain variant leaks c's mass (85% of it per round) — far
+    # beyond dust, which is exactly why the variant exists
+    assert PR_SCALE - s_plain > PR_SCALE // 10
+
+    # (b) a <-> b cycle: no dangling nodes => identical registers
+    nodes2 = spark.createDataFrame([("a",), ("b",)], "node string")
+    edges2 = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 5)], "src string, dst string, n long"
+    )
+    p2 = {
+        r.event_type: r.pr_fixed
+        for r in pr_fixed_point_frames(spark, nodes2, edges2).collect()
+    }
+    m2 = {
+        r.event_type: r.pr_fixed
+        for r in pr_fixed_point_frames(
+            spark, nodes2, edges2, redistribute_dangling=True
+        ).collect()
+    }
+    assert p2 == m2 and len(p2) == 2
 
 
 def test_loopguard_pair_fast_path_semantics(spark):

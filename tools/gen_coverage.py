@@ -91,7 +91,7 @@ GROUPS = [
       "events_seasonality", "events_decayed_engagement",
       "events_view_click_pairs",
       "events_hll_distinct", "events_hll_union", "events_pagerank",
-      "graph_pagerank_dist"]),
+      "graph_pagerank_dist", "graph_pagerank_mass"]),
     ("M6: quality scoring & data selection",
      ["text_lm_score", "text_bm25_rank", "dsir_importance",
       "text_classifier_score", "text_classifier_confusion",
