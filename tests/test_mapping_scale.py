@@ -175,3 +175,46 @@ def test_mirror_roundtrip_is_identity_on_sample_tables(mapping_world):
         # a second trip through the mirror pair is exactly idempotent
         twice = compile_select(compile_select(back, spec, dims), mirror, rdims)
         assert {tuple(r) for r in twice.select(*cols).collect()} == want
+
+
+def test_mirror_specs_execute_on_tobe_fixture_rows(spark, mapping_world):
+    """VERDICT r8 #6: execute the same three MIRRORED specs on
+    independent TOBE-side fixture rows — values, fallbacks, defaults —
+    so the inverted SELECTs' own semantics are proven directly, not
+    only as the second leg of a forward round trip (which can never
+    feed the mirror a value the forward leg doesn't produce, e.g. an
+    unmapped TOBE-side code)."""
+    _, dims = mapping_world
+    rdims = invert_dims(dims)
+    for i in (0, 1, 170):
+        spec = _spec(i)
+        mirror = invert_mapping(spec, _SOURCE_TYPES)
+        # a TOBE-side table in the forward OUTPUT schema, including a
+        # mapped code, an unmapped code (dim fallback), both flag
+        # values, and a note that must pass through un-defaulted
+        tobe_cols = (
+            f"t{i}_id long, t{i}_code_cd string, t{i}_active int,"
+            f" t{i}_amount double, t{i}_note string"
+        )
+        rows = [
+            (1, "S2", 1, 10.0, "note"),
+            (2, "Z9", 0, 20.5, "N/A"),
+        ]
+        if i % 3 == 0:
+            tobe = spark.createDataFrame(
+                [r + ("T1",) for r in rows],
+                tobe_cols + f", t{i}_tier_cd string",
+            )
+        else:
+            tobe = spark.createDataFrame(rows, tobe_cols)
+        back = {r["k"]: r for r in compile_select(tobe, mirror, rdims).collect()}
+        assert len(back) == 2
+        assert back[1]["code"] == "2"      # mirrored CODE_MAP
+        assert back[2]["code"] == "Z9"     # unmapped -> dim fallback
+        assert back[1]["yn"] == "Y"        # CASE_10 -> 'Y'
+        assert back[2]["yn"] == "N"
+        assert back[1]["amt"] == 10        # CAST back to bigint
+        assert back[2]["amt"] == 20        # truncating cast, documented
+        assert back[2]["note"] == "N/A"    # DEFAULT mirror = plain RENAME
+        if i % 3 == 0:
+            assert back[1]["code2"] == "1"
