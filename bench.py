@@ -517,6 +517,35 @@ def run(
             from cdc_sync_poc_spark.llm.dedup import dedup_candidate_telemetry
 
             dedup_telemetry = dedup_candidate_telemetry(spark, sf_dir)
+            # candidate-GROWTH probe (VERDICT r8 #4): the time probe
+            # fits 3 sf points, but candidate counts were measured at
+            # one — and candidate growth, not time, is the leading
+            # 100 TB risk for the LSH/PPJoin family. Count at the
+            # sibling sf dirs too and fit the same two-top-points
+            # log-log exponent the time probe uses (~1.0 = linear in
+            # corpus size; quadratic templating blow-up shows as ~2).
+            cand_by_sf: dict[str, dict[str, dict]] = {
+                str(sf): dedup_telemetry
+            }
+            for v, d in _probe_sf_dirs(sf_dir, sf):
+                cand_by_sf[str(v)] = dedup_candidate_telemetry(spark, d)
+            for q, t in dedup_telemetry.items():
+                pts = sorted(
+                    (float(s), m[q]["n_candidates"])
+                    for s, m in cand_by_sf.items()
+                    if q in m
+                )
+                t["candidates_by_sf"] = {str(s): c for s, c in pts}
+                pos = [(s, c) for s, c in pts if c > 0]
+                t["candidate_exponent"] = (
+                    round(
+                        math.log(pos[-1][1] / pos[-2][1])
+                        / math.log(pos[-1][0] / pos[-2][0]),
+                        3,
+                    )
+                    if len(pos) >= 2
+                    else None
+                )
         except Exception as ex:  # noqa: BLE001 — telemetry must not
             # void the bench numbers
             print(f"# telemetry ERROR: {str(ex)[:200]}", file=sys.stderr)

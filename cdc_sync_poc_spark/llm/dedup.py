@@ -1022,6 +1022,10 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verify identically.
 JACCARD_T_NUM = 3
 JACCARD_T_DEN = 5  # t = 0.6
+# adaptive prefix length: index n - ceil(t*n) + L sorted tokens and
+# require >= L prefix matches per candidate pair (L = 1 is the plain
+# prefix filter; see _ppjoin_candidates for the soundness argument)
+PPJOIN_L = 2
 
 
 @register(
@@ -1101,9 +1105,39 @@ def _ppjoin_pairs_persisted(docs: DataFrame) -> DataFrame:
 
 
 def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
-    """Candidate pairs from the PPJoin prefix filter — split out so
-    the bench telemetry can count candidates separately from verified
-    pairs (VERDICT r7 #4)."""
+    """Candidate pairs from the PPJoin prefix + positional filter with
+    the adaptive l-prefix extension (l = PPJOIN_L) — split out so the
+    bench telemetry can count candidates separately from verified
+    pairs (VERDICT r7 #4).
+
+    l-prefix (Wang/Li/Feng, SIGMOD'12 adaptive prefix framework,
+    VERDICT r8 #3): each doc indexes its first
+    ``n - ceil(t*n) + l`` sorted tokens, and a pair qualifies only
+    with >= l matches among them. Sound because the l SMALLEST common
+    tokens of any pair with overlap >= alpha provably sit inside both
+    l-prefixes: the i-th smallest common token has at least alpha - i
+    common tokens above it on both sides, so its position is
+    <= n - alpha + i <= n - alpha + l. The plain prefix filter is the
+    l = 1 case; at l = 2 a pair sharing just ONE (rare) prefix token —
+    the dominant false-candidate shape on a corpus whose docs share
+    boilerplate shingles — never reaches the verify join. Tiny docs
+    whose required overlap alpha < l keep the l = 1 rule (the theorem
+    needs alpha >= l), expressed as ``k >= min(l, alpha)``.
+
+    The positional filter (the "P" in PPJoin, Xiao et al. 2008) rides
+    on the same groupBy: both docs' tokens sit in ONE global
+    (rare-first) order, so with w the LARGEST matched prefix token at
+    position max_i of A (1-based) and max_j of B, and k the number of
+    matched prefix tokens, any common token <= w lies inside both
+    prefixes and IS one of the k matches, while common tokens > w
+    number at most min(|A|-max_i, |B|-max_j). Hence
+    ``overlap <= k + min(|A|-max_i, |B|-max_j)`` — the set-based form
+    of the classic running-overlap bound. J >= t needs
+    overlap >= ceil(t/(1+t) * (|A|+|B|)); integer form:
+    (den+num) * ubound >= num * (|A|+|B|). The groupBy replaces the
+    old ``.distinct()`` at the same shuffle cost, so both prunes are
+    free at the shuffle level and shrink the verify join's probe
+    side."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     fr = sh.groupBy("shingle").agg(F.count("*").alias("c"))
     arr = (
@@ -1118,13 +1152,26 @@ def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
     )
     prefix_len = (
         f"n - (({JACCARD_T_NUM} * n + {JACCARD_T_DEN - 1})"
-        f" div {JACCARD_T_DEN}) + 1"
+        f" div {JACCARD_T_DEN}) + {PPJOIN_L}"
     )
     pre = arr.select(
         "doc_id",
         "n",
-        F.explode(F.expr(f"slice(rs, 1, {prefix_len})")).alias("e"),
-    ).select("doc_id", "n", F.col("e.shingle").alias("shingle"))
+        F.posexplode(F.expr(f"slice(rs, 1, least(n, {prefix_len}))")).alias(
+            "i", "e"
+        ),
+    ).select(
+        "doc_id",
+        "n",
+        (F.col("i") + 1).alias("pos"),  # 1-based position in rs
+        F.col("e.shingle").alias("shingle"),
+    )
+    # alpha = ceil(t/(1+t) * (na+nb)), integer fixed point
+    alpha = (
+        F.lit(JACCARD_T_NUM) * (F.col("na") + F.col("nb"))
+        + F.lit(JACCARD_T_DEN + JACCARD_T_NUM - 1)
+    ) / F.lit(JACCARD_T_DEN + JACCARD_T_NUM)
+    alpha = F.floor(alpha).cast("long")
     cand = (
         pre.alias("a")
         .join(
@@ -1133,7 +1180,7 @@ def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter (the PPJoin size-ratio bound): J >= t
             # forces t <= min(|A|,|B|)/max(|A|,|B|), so incompatible
-            # sizes are pruned BEFORE the distinct and the verify join
+            # sizes are pruned BEFORE the group and the verify join
             & (F.lit(JACCARD_T_DEN) * F.col("a.n")
                >= F.lit(JACCARD_T_NUM) * F.col("b.n"))
             & (F.lit(JACCARD_T_DEN) * F.col("b.n")
@@ -1142,8 +1189,31 @@ def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            F.col("a.pos").alias("ia"),
+            F.col("b.pos").alias("jb"),
         )
-        .distinct()
+        # na/nb are functions of the doc ids — extra group keys add no
+        # cardinality; the groupBy is the shuffle .distinct() already
+        # paid, now also computing both filters' ingredients
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(
+            F.count("*").alias("k"),
+            F.max("ia").alias("mi"),
+            F.max("jb").alias("mj"),
+        )
+        # l-prefix count filter: k >= min(l, alpha)
+        .filter(F.col("k") >= F.least(F.lit(PPJOIN_L), alpha))
+        # positional filter: k + min(na-mi, nb-mj) >= alpha
+        .filter(
+            F.lit(JACCARD_T_DEN + JACCARD_T_NUM)
+            * (F.col("k")
+               + F.least(F.col("na") - F.col("mi"),
+                         F.col("nb") - F.col("mj")))
+            >= F.lit(JACCARD_T_NUM) * (F.col("na") + F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
     )
     return cand
 

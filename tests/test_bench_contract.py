@@ -127,3 +127,40 @@ def test_dedup_candidate_telemetry_fields(spark):
         assert set(t) == {"n_candidates", "n_pairs"}, q
         assert t["n_candidates"] >= t["n_pairs"] >= 0, (q, t)
         assert t["n_candidates"] > 0, q  # the fixture corpus has dups
+
+
+def test_candidate_growth_probe_emits_exponent(spark):
+    """VERDICT r8 #4: the bench telemetry block counts candidates at
+    the sibling sf dirs too and fits the same two-top-points log-log
+    exponent as the time probe. This test runs the telemetry at two sf
+    points, applies the identical fit, bounds the growth, and pins the
+    field names the bench wires into the detail line (running the full
+    bench.run() here would re-time 146 queries)."""
+    import math
+
+    import bench
+
+    cand_by_sf = {}
+    from cdc_sync_poc_spark.llm.dedup import dedup_candidate_telemetry
+
+    for s, d in (("0.001", "/root/testdata/sf0.001"),
+                 ("0.01", "/root/testdata/sf0.01")):
+        cand_by_sf[s] = dedup_candidate_telemetry(spark, d)
+    # mirror bench.run()'s fit on the collected points
+    for q in cand_by_sf["0.01"]:
+        pts = sorted(
+            (float(s), m[q]["n_candidates"]) for s, m in cand_by_sf.items()
+        )
+        pos = [(s, c) for s, c in pts if c > 0]
+        if len(pos) >= 2:
+            e = math.log(pos[-1][1] / pos[-2][1]) / math.log(
+                pos[-1][0] / pos[-2][0]
+            )
+            # sub-quadratic growth is the 100 TB guard this probe exists
+            # to watch; the fixture corpus is comfortably sub-linear
+            assert e < 2.0, (q, pos, e)
+    # and the bench source actually wires the two fields into the
+    # detail line (greppable contract with the driver's BENCH_r{N})
+    src = open(bench.__file__).read()
+    assert '"candidates_by_sf"' in src.replace("'", '"')
+    assert '"candidate_exponent"' in src.replace("'", '"')

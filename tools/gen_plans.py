@@ -119,7 +119,7 @@ SECTIONS = [
     ("sample_systematic_pps",
      "Systematic PPS draw: two-level chunked cumsum (no corpus-wide row window) + broadcast K-row threshold range-join — the draw is map-side against K constants"),
     ("dedup_ppjoin_exact",
-     "Exact PPJoin: global element order carried as sorted (freq, shingle) structs — no vocabulary-scale window — prefix equi-join candidates, pair-driven integer-threshold verify"),
+     "Exact PPJoin: global element order carried as sorted (freq, shingle) structs — no vocabulary-scale window — adaptive 2-prefix equi-join candidates (>=2 prefix matches required, positional overlap bound on the same groupBy), pair-driven integer-threshold verify; sf0.1 candidates 193,340 -> 1,353 for 256 true pairs"),
     ("sample_fixed_n_by_lang",
      "Per-stratum bottom-k: salted two-level ranking — no whole-language sort in one task"),
     ("ap07_scd2_history",
