@@ -18,8 +18,12 @@ Two pieces of cross-batch state, both replay-safe:
   batch N — the carry that lets the boundary transition (last event of
   batch k -> first event of batch k+1, same user) form. Batch N reads
   its PREDECESSOR's snapshot, so a replay recomputes from the same
-  pre-state. The snapshot is users-sized (production: TTL-evict idle
-  users, exactly the state a transformWithState operator would hold).
+  pre-state. The snapshot is active-users-sized: ``ttl_batches``
+  evicts a user's row after that many event-free batches (exactly the
+  TTL a transformWithState operator would put on this state), at the
+  documented cost of dropping the ONE boundary transition across an
+  idle gap for a user that later returns; ``None`` keeps tails
+  forever for exact batch parity.
 * **compacted base** (``base`` SwapStore): ``compact()`` folds the
   delta partitions up to a watermark into one summed table so the
   per-batch read amplification of ``ranks()`` stays bounded. The
@@ -57,11 +61,27 @@ _EV_COLS = ["user_id", "ts", "event_id", "event_type"]
 
 
 class StreamingPageRank:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        ttl_batches: int | None = None,
+    ) -> None:
+        """``ttl_batches``: evict a user's tail row once it has gone
+        that many batches without an event (VERDICT r8 #5) — bounds
+        the snapshot at the ACTIVE user set instead of the all-time
+        one. Documented deviation vs batch: an evicted-then-returning
+        user loses exactly the ONE boundary transition across the idle
+        gap (its last pre-gap event no longer pairs with its first
+        post-gap event); every other edge is identical, and eviction
+        is a pure function of (predecessor snapshot, batch, batch_id),
+        so replays stay byte-identical. None (default) keeps tails
+        forever — exact batch parity."""
         self.spark = spark
         self.edges_dir = os.path.join(root, "edges")
         self.tails_dir = os.path.join(root, "tails")
         self.base = SwapStore(spark, root, "base")
+        self.ttl_batches = ttl_batches
 
     def _tails_before(self, batch_id: int) -> DataFrame | None:
         """The newest tails snapshot older than ``batch_id`` (None on
@@ -74,11 +94,15 @@ class StreamingPageRank:
         latest = snaps.agg(F.max("batch_id").alias("b")).collect()[0].b
         if latest is None:
             return None
-        return snaps.filter(F.col("batch_id") == latest).select(*_EV_COLS)
+        return snaps.filter(F.col("batch_id") == latest).select(
+            *_EV_COLS, "last_batch"
+        )
 
     def absorb_batch(self, events: DataFrame, batch_id: int) -> None:
         """Fold one micro-batch of events into the edge and tail state."""
-        ev = events.select(*_EV_COLS)
+        ev = events.select(*_EV_COLS).withColumn(
+            "last_batch", F.lit(batch_id).cast("long")
+        )
         prev = self._tails_before(batch_id)
         # the tail row is each user's last ALREADY-ABSORBED event: its
         # lead() inside the unioned frame is exactly the boundary
@@ -111,8 +135,15 @@ class StreamingPageRank:
                 ),
             )
             .filter(F.col("__rn") == 1)
-            .select(*_EV_COLS)
+            .select(*_EV_COLS, "last_batch")
         )
+        if self.ttl_batches is not None:
+            # idle-user eviction: the surviving row's last_batch is the
+            # batch that produced the user's newest event (carried
+            # forward untouched while the user is idle)
+            tails = tails.filter(
+                F.col("last_batch") > batch_id - self.ttl_batches
+            )
         tails.write.mode("overwrite").parquet(
             os.path.join(self.tails_dir, f"batch_id={batch_id}")
         )
@@ -274,6 +305,7 @@ def run_streaming_pagerank(
     root: str,
     checkpoint: str,
     compact_every: int | None = None,
+    ttl_batches: int | None = None,
 ):
     """Wire an event file-stream through the incremental PageRank
     state; returns the started query (availableNow for tests). One
@@ -281,7 +313,9 @@ def run_streaming_pagerank(
     the same wiring as run_streaming_hll_rollup. With
     ``compact_every=K`` the delta log folds into the base after every
     K-th batch (lagging one batch so a replay of the just-absorbed
-    batch still finds its pre-state tails snapshot intact)."""
+    batch still finds its pre-state tails snapshot intact);
+    ``ttl_batches`` bounds the tail snapshots at the active user set
+    (see StreamingPageRank)."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -294,7 +328,7 @@ def run_streaming_pagerank(
             T.StructField("props", T.StringType()),
         ]
     )
-    pr = StreamingPageRank(spark, root)
+    pr = StreamingPageRank(spark, root, ttl_batches=ttl_batches)
 
     def absorb(events: DataFrame, batch_id: int) -> None:
         pr.absorb_batch(events, batch_id)

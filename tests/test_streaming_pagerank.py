@@ -263,3 +263,80 @@ def test_prune_tails_keeps_replay_predecessor(spark, tmp_path):
     pr.absorb_batch(batches[-1], batch_id=N_BATCHES - 1)  # replay
     got = {r.event_type: r.pr_fixed for r in pr.ranks().collect()}
     assert got == want == _batch_ranks(spark)
+
+
+def _mk_batch(spark, rows):
+    """rows: (user_id, ts_sec, event_id, event_type)"""
+    import datetime as dtm
+
+    base = dtm.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [
+            (u, base + dtm.timedelta(seconds=s), e, t)
+            for (u, s, e, t) in rows
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+
+
+def test_ttl_evicts_idle_user_tails(spark, tmp_path):
+    """VERDICT r8 #5: with ttl_batches set, a user with no events for
+    that many batches leaves the tail snapshot — tails are bounded by
+    the ACTIVE user set under a long stream, not the all-time one."""
+    from cdc_sync_poc_spark.streaming.pagerank import StreamingPageRank
+
+    pr = StreamingPageRank(spark, str(tmp_path / "pr"), ttl_batches=2)
+    # u1 appears only in batch 0; u2 is active every batch
+    pr.absorb_batch(_mk_batch(spark, [(1, 0, 1, "a"), (2, 1, 2, "b")]), 0)
+    pr.absorb_batch(_mk_batch(spark, [(2, 10, 3, "c")]), 1)
+    users_b1 = {r.user_id for r in pr._newest_tails().collect()}
+    assert users_b1 == {1, 2}  # u1 idle 1 batch: still inside ttl
+    pr.absorb_batch(_mk_batch(spark, [(2, 20, 4, "d")]), 2)
+    users_b2 = {r.user_id for r in pr._newest_tails().collect()}
+    assert users_b2 == {2}  # u1 idle 2 batches: evicted
+    # a long stream keeps the snapshot at the active set
+    for i in range(3, 10):
+        pr.absorb_batch(_mk_batch(spark, [(2, 10 * i, i + 2, "e")]), i)
+        assert {r.user_id for r in pr._newest_tails().collect()} == {2}
+
+
+def test_ttl_returning_user_loses_exactly_one_boundary_edge(spark, tmp_path):
+    """The documented deviation: an evicted-then-returning user drops
+    ONLY the boundary transition across its idle gap — every other
+    accumulated edge matches the no-ttl twin exactly, and replaying
+    the return batch is still idempotent."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.streaming.pagerank import StreamingPageRank
+
+    batches = [
+        _mk_batch(spark, [(1, 0, 1, "a"), (1, 1, 2, "b"),
+                          (2, 2, 3, "x")]),          # u1: a->b
+        _mk_batch(spark, [(2, 10, 4, "y")]),          # u1 idle
+        _mk_batch(spark, [(2, 20, 5, "x")]),          # u1 idle
+        _mk_batch(spark, [(1, 30, 6, "c"), (1, 31, 7, "d"),
+                          (2, 32, 8, "y")]),          # u1 returns: c->d
+    ]
+    prs = {}
+    for name, ttl in (("nottl", None), ("ttl", 2)):
+        pr = StreamingPageRank(spark, str(tmp_path / name), ttl_batches=ttl)
+        for i, b in enumerate(batches):
+            pr.absorb_batch(b, batch_id=i)
+        prs[name] = pr
+
+    def edge_counts(pr):
+        return {
+            (r.src, r.dst): r.n for r in pr._edge_counts().collect()
+        }
+
+    full, evicted = edge_counts(prs["nottl"]), edge_counts(prs["ttl"])
+    # u1's boundary edge across the idle gap (b -> c) is the ONE delta
+    assert full[("b", "c")] == 1
+    diff = {k: full.get(k, 0) - evicted.get(k, 0)
+            for k in set(full) | set(evicted)}
+    assert {k: v for k, v in diff.items() if v != 0} == {("b", "c"): 1}
+    # replaying the return batch changes nothing (byte-identical state)
+    prs["ttl"].absorb_batch(batches[3], batch_id=3)
+    assert edge_counts(prs["ttl"]) == evicted
+    # the returning user is back in the tail snapshot afterwards
+    assert {r.user_id for r in prs["ttl"]._newest_tails().collect()} == {1, 2}
