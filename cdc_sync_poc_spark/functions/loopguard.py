@@ -110,9 +110,18 @@ def with_loop_blocked(cdc: DataFrame) -> DataFrame:
     # pair hashes (exactly two occurrences) are exchanged for a lag()
     # window; only 3+ chains reach the pandas walk.
     counts = cdc.groupBy("change_hash").agg(F.count("*").alias("__n"))
-    dup_hashes = counts.filter(F.col("__n") > 1).select("change_hash")
-    pair_hashes = counts.filter(F.col("__n") == 2).select("change_hash")
-    chain_hashes = counts.filter(F.col("__n") > 2).select("change_hash")
+    # The REPEATED-hash set persists (138 rows at sf0.1 — O(duplicate
+    # keys), exactly the state a transformWithState operator holds):
+    # the three class filters below would otherwise each re-evaluate
+    # the counts agg — three extra scan+hash+shuffle passes over the
+    # raw events during the one materialization (measured ~2 s each at
+    # sf0.1, the bulk of the st01 warmup cost). Never unpersisted — see
+    # the SPARK-24596 note above; the broadcast joins already assume
+    # this set is small, so pinning it adds no new scale assumption.
+    dups = counts.filter(F.col("__n") > 1).persist()
+    dup_hashes = dups.select("change_hash")
+    pair_hashes = dups.filter(F.col("__n") == 2).select("change_hash")
+    chain_hashes = dups.filter(F.col("__n") > 2).select("change_hash")
     singles = cdc.join(
         F.broadcast(dup_hashes), "change_hash", "left_anti"
     ).withColumn("loop_blocked", F.lit(False))
