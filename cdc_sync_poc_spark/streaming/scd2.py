@@ -38,11 +38,12 @@ key-partitioned topic and for the file source's ordered parts.
 
 Scale: per batch the shuffle is (batch rows + open rows), keyed by pk.
 The open set is one row per live key — the same scale as the merge
-writer's state table; at 100 TB the upgrade is the same too: hash-bucket
-the open store by pk and rewrite only touched buckets
-(ParquetMergeWriter's layout), keeping the whole-swap SwapStore for the
-marker. Closed partitions compact with the maintenance compactor
-(sources/maintenance.py) like any append log.
+writer's state table; the 100 TB layout is the BUCKETED mode
+(``n_buckets=N``): the open set hash-buckets by pk and a batch
+rewrites only touched buckets as MVCC version dirs committed by an
+atomic marker swap (see Scd2StreamWriter). Closed partitions compact
+with the maintenance compactor (sources/maintenance.py) like any
+append log.
 """
 
 from __future__ import annotations
@@ -67,17 +68,91 @@ _OPEN_SCHEMA = T.StructType(
 
 
 class Scd2StreamWriter:
-    """foreachBatch body maintaining an SCD2 version table incrementally."""
+    """foreachBatch body maintaining an SCD2 version table incrementally.
 
-    def __init__(self, spark: SparkSession, out_dir: str) -> None:
+    Two open-store layouts (identical history, pinned by
+    tests/test_streaming.py::test_scd2_bucketed_matches_whole_swap):
+
+    * whole-swap (default, ``n_buckets=None``): the open set + sentinel
+      commit marker move in ONE atomic SwapStore swap per batch.
+    * bucketed (``n_buckets=N`` — the module docstring's own 100 TB
+      upgrade, VERDICT r8 #8): the open set hash-buckets by pk under
+      ``scd2_open_buckets/bucket=K/v=B`` and a batch rewrites only the
+      buckets containing changed keys. SCD2 replay is NOT
+      merge-idempotent (re-running a batch against a half-advanced
+      open set would re-close the new open versions), so bucket writes
+      are MVCC: each batch writes its touched buckets as NEW ``v=B``
+      version dirs, and a tiny marker SwapStore commits the batch
+      atomically LAST. Readers select, per bucket, the newest version
+      ``<= committed`` — a crash anywhere before the marker swap
+      leaves the half-written ``v=B`` dirs invisible, and the replay
+      recomputes them from exactly the pre-batch state. Superseded
+      versions are pruned after the commit (they have no reader).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_buckets: int | None = None,
+    ) -> None:
         self.spark = spark
         self.closed_dir = os.path.join(out_dir, "scd2_closed")
-        self.open_store = SwapStore(spark, out_dir, "scd2_open")
+        self.n_buckets = n_buckets
+        if n_buckets is None:
+            self.open_store = SwapStore(spark, out_dir, "scd2_open")
+        else:
+            self.buckets_dir = os.path.join(out_dir, "scd2_open_buckets")
+            self.marker_store = SwapStore(spark, out_dir, "scd2_marker")
 
     # -- state reads ------------------------------------------------------
 
+    def _bucket_col(self) -> F.Column:
+        """Deterministic pk bucket (stable across batches/replays) —
+        the same recipe as ParquetMergeWriter (streaming/writer.py)."""
+        return F.pmod(
+            F.xxhash64(F.col("pk").cast("long")), F.lit(self.n_buckets)
+        )
+
+    def _committed_versions(self, committed: int) -> list[str]:
+        """Per bucket, the path of its newest version <= committed
+        (driver-side listing over <= n_buckets dirs, never row data)."""
+        paths: list[str] = []
+        if not os.path.isdir(self.buckets_dir):
+            return paths
+        for b in os.listdir(self.buckets_dir):
+            if not b.startswith("bucket="):
+                continue
+            vs = [
+                int(v.split("=", 1)[1])
+                for v in os.listdir(os.path.join(self.buckets_dir, b))
+                if v.startswith("v=") and int(v.split("=", 1)[1]) <= committed
+            ]
+            if vs:
+                paths.append(
+                    os.path.join(self.buckets_dir, b, f"v={max(vs)}")
+                )
+        return paths
+
     def _open_state(self) -> tuple[DataFrame, int | None]:
         """(open version rows, committed batch id or None if no commit yet)."""
+        open_schema = T.StructType(_OPEN_SCHEMA.fields[:4])
+        if self.n_buckets is not None:
+            marker = self.marker_store.read()
+            committed = (
+                marker.agg(F.max("committed_batch")).first()[0]
+                if marker is not None
+                else None
+            )
+            if committed is None:
+                return self.spark.createDataFrame([], open_schema), None
+            paths = self._committed_versions(committed)
+            if not paths:
+                return self.spark.createDataFrame([], open_schema), committed
+            return (
+                self.spark.read.schema(open_schema).parquet(*paths),
+                committed,
+            )
         cur = self.open_store.read()
         if cur is None:
             empty = self.spark.createDataFrame([], _OPEN_SCHEMA)
@@ -165,27 +240,117 @@ class Scd2StreamWriter:
             F.col("ts_ms").alias("valid_from_ms"),
         )
         kept = open_prev.join(batch_pks, "pk", "left_anti")
-        sentinel = self.spark.createDataFrame(
-            [(None, None, None, None)],
-            T.StructType(_OPEN_SCHEMA.fields[:4]),
-        )
-        open_next = (
-            kept.unionByName(new_open)
-            .unionByName(sentinel)
-            .withColumn("committed_batch", F.lit(batch_id).cast("long"))
-        )
-        self.open_store.swap(open_next)
+        if self.n_buckets is not None:
+            self._commit_buckets(batch_pks, kept, new_open, batch_id)
+        else:
+            sentinel = self.spark.createDataFrame(
+                [(None, None, None, None)],
+                T.StructType(_OPEN_SCHEMA.fields[:4]),
+            )
+            open_next = (
+                kept.unionByName(new_open)
+                .unionByName(sentinel)
+                .withColumn("committed_batch", F.lit(batch_id).cast("long"))
+            )
+            self.open_store.swap(open_next)
         vers.unpersist()
+
+    def _commit_buckets(
+        self,
+        batch_pks: DataFrame,
+        kept: DataFrame,
+        new_open: DataFrame,
+        batch_id: int,
+    ) -> None:
+        """MVCC bucket commit: write each touched bucket's post-batch
+        open rows as a new ``v=batch_id`` version dir, then swap the
+        marker. Only ``kept`` rows in TOUCHED buckets are rewritten —
+        untouched buckets are never opened; a batch touching k keys
+        rewrites at most min(k, n_buckets) buckets."""
+        import shutil
+
+        touched = sorted(
+            r.b
+            for r in batch_pks.select(self._bucket_col().alias("b"))
+            .distinct()
+            .collect()  # bounded by n_buckets
+        )
+        open_schema = T.StructType(_OPEN_SCHEMA.fields[:4])
+        tmp = os.path.join(
+            os.path.dirname(self.buckets_dir), f".scd2_open_tmp_b{batch_id}"
+        )
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # crashed-attempt debris
+        bucketed = (
+            kept.unionByName(new_open)
+            .withColumn("bucket", self._bucket_col())
+            .filter(F.col("bucket").isin([int(b) for b in touched]))
+        )
+        bucketed.write.partitionBy("bucket").parquet(tmp)
+        for k in touched:
+            src = os.path.join(tmp, f"bucket={k}")
+            dst = os.path.join(self.buckets_dir, f"bucket={k}", f"v={batch_id}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # replay of an uncommitted attempt
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            else:
+                # every key in the bucket ended DELETEd: the new version
+                # is EMPTY, and it must still supersede the old one
+                self.spark.createDataFrame([], open_schema).coalesce(
+                    1
+                ).write.parquet(dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # marker LAST: committing the batch atomically makes the new
+        # versions visible (and proves the closed partition write)
+        self.marker_store.swap(
+            self.spark.createDataFrame(
+                [(batch_id,)], "committed_batch long"
+            )
+        )
+        # prune superseded versions (nothing selects them anymore). The
+        # cutoff is the marker READ BACK from the store, not batch_id:
+        # if the swap did not land (crash/failure), pruning against
+        # batch_id would delete the still-live committed versions and
+        # keep only uncommitted ones. Versions above the marker are
+        # never touched (an uncommitted attempt owns them); a crash
+        # mid-prune is harmless — survivors re-prune on any later batch.
+        marker = self.marker_store.read()
+        committed = (
+            marker.agg(F.max("committed_batch")).first()[0]
+            if marker is not None
+            else None
+        )
+        if committed is None:
+            return
+        for b in os.listdir(self.buckets_dir):
+            if not b.startswith("bucket="):
+                continue
+            bdir = os.path.join(self.buckets_dir, b)
+            vs = sorted(
+                int(v.split("=", 1)[1])
+                for v in os.listdir(bdir)
+                if v.startswith("v=") and int(v.split("=", 1)[1]) <= committed
+            )
+            for old in vs[:-1]:
+                shutil.rmtree(
+                    os.path.join(bdir, f"v={old}"), ignore_errors=True
+                )
 
 
 def run_scd2_stream(
-    spark: SparkSession, events_path: str, out_dir: str, trigger: dict | None = None
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    trigger: dict | None = None,
+    n_buckets: int | None = None,
 ):
     """Wire file source -> cdc view -> SCD2 history writer. Returns
     (StreamingQuery, writer); default availableNow trigger for tests."""
     from cdc_sync_poc_spark.streaming.source import file_event_stream, stream_cdc_view
 
-    writer = Scd2StreamWriter(spark, out_dir)
+    writer = Scd2StreamWriter(spark, out_dir, n_buckets=n_buckets)
     cdc = stream_cdc_view(file_event_stream(spark, events_path))
     q = (
         cdc.writeStream.foreachBatch(writer.apply_batch)

@@ -835,3 +835,72 @@ def test_scd2_replay_and_crash_windows_are_idempotent(spark, tmp_path):
 
     # and the final history is the batch ap07 answer
     assert want == _hist_set(ap07_scd2_history(spark, SF_DIR))
+
+
+def test_scd2_bucketed_matches_whole_swap(spark, chunked_events, tmp_path):
+    """VERDICT r8 #8: the bucketed MVCC open store produces the exact
+    whole-swap history (== batch ap07), while touching only changed
+    buckets per batch and keeping one committed version per bucket."""
+    import os
+
+    from cdc_sync_poc_spark.operators.scd import ap07_scd2_history
+    from cdc_sync_poc_spark.streaming.scd2 import run_scd2_stream
+
+    q, writer = run_scd2_stream(
+        spark, chunked_events, str(tmp_path / "scd2_b"), n_buckets=8
+    )
+    q.awaitTermination(180)
+    got = _hist_set(writer.history())
+    assert got == _hist_set(ap07_scd2_history(spark, SF_DIR))
+    # post-prune: exactly one committed version per bucket remains
+    for b in os.listdir(writer.buckets_dir):
+        if b.startswith("bucket="):
+            vs = [
+                v
+                for v in os.listdir(os.path.join(writer.buckets_dir, b))
+                if v.startswith("v=")
+            ]
+            assert len(vs) == 1, (b, vs)
+
+
+def test_scd2_bucketed_crash_windows_are_idempotent(spark, tmp_path):
+    """Bucketed-mode exactly-once: (a) replay of a committed batch is a
+    no-op (marker), and (b) a crash AFTER some bucket version dirs are
+    written but BEFORE the marker swap leaves them invisible — the
+    replay reads the pre-batch state and commits identical history."""
+    from unittest import mock
+
+    from cdc_sync_poc_spark.cdc.envelope import cdc_view
+    from cdc_sync_poc_spark.operators.scd import ap07_scd2_history
+    from cdc_sync_poc_spark.streaming.scd2 import Scd2StreamWriter
+
+    writer = Scd2StreamWriter(
+        spark, str(tmp_path / "scd2_bc"), n_buckets=8
+    )
+    cdc = cdc_view(spark, SF_DIR)
+    n = cdc.count()
+    chunks = [
+        cdc.orderBy("cdc_seq").limit((i + 1) * n // 3).subtract(
+            cdc.orderBy("cdc_seq").limit(i * n // 3)
+        )
+        for i in range(3)
+    ]
+    writer.apply_batch(chunks[0], 0)
+    writer.apply_batch(chunks[1], 1)
+
+    # (b) crash: bucket v=2 dirs written, marker swap suppressed
+    with mock.patch.object(
+        type(writer.marker_store), "swap", lambda self, df: None
+    ):
+        writer.apply_batch(chunks[2], 2)
+    # the uncommitted v=2 dirs are invisible: state is still batch-1
+    _, committed = writer._open_state()
+    assert committed == 1
+    # replay commits for real and lands on the batch answer
+    writer.apply_batch(chunks[2], 2)
+    want = _hist_set(ap07_scd2_history(spark, SF_DIR))
+    assert _hist_set(writer.history()) == want
+
+    # (a) replay of the committed batch is a no-op
+    writer.apply_batch(chunks[2], 2)
+    assert _hist_set(writer.history()) == want
