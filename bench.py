@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "dedup_recall_corpuswide",
     # round-9 additions (append-only)
     "graph_pagerank_mass",
+    "sample_cluster_balanced",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

@@ -577,6 +577,65 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CB_PER_CELL_N = 8  # cluster-balanced sample: keep exactly N per cell
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=f"""
+WITH {{ivf_chain}},
+r AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY cell_id
+                            ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+  FROM a1
+)
+SELECT vec_id, cell_id, rn::BIGINT AS cell_rank
+FROM r WHERE rn <= {CB_PER_CELL_N}
+""".format(ivf_chain=_ivf_cte_chain()),
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-diversity downsampling: exactly CB_PER_CELL_N vectors
+    per IVF cell of the shared refined quantizer — the embedding-space
+    twin of sample_fixed_n_by_lang (strata = semantic clusters instead
+    of languages). Cluster-balanced selection is the standard guard
+    against a crawl's head topics dominating a training mix: a cell
+    holding half the corpus and a cell holding fifty vectors contribute
+    the same N rows.
+
+    Scale shape: cell assignment is the same map-only argmax expression
+    every IVF consumer uses (centroids ride inline, nothing shuffles to
+    assign), and the exactly-N draw is the salted two-level bottom-k —
+    rank inside (cell, salt) first, then rank the N x salts survivors
+    per cell — so no task ever sorts a whole (possibly head-heavy) cell,
+    and the md5 draw keeps the winners stable under corpus growth and
+    identical across engines/replays."""
+    n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
+    hk = F.md5(F.col("vec_id").cast("string"))
+    d = (
+        n.select(
+            "vec_id",
+            _assign_col(cents1_rows).alias("cell_id"),
+            hk.alias("hk"),
+        )
+        .withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(8)))
+    )
+    w1 = Window.partitionBy("cell_id", "salt").orderBy("hk", "vec_id")
+    local = (
+        d.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= CB_PER_CELL_N)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy("cell_id").orderBy("hk", "vec_id")
+    return (
+        local.withColumn(
+            "cell_rank", F.row_number().over(w2).cast("bigint")
+        )
+        .filter(F.col("cell_rank") <= CB_PER_CELL_N)
+        .select("vec_id", "cell_id", "cell_rank")
+    )
+
+
 RECALL_SAMPLE_MOD = 5  # evaluate recall on vec_id % MOD == 0 queries
 
 

@@ -54,8 +54,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # ids keep relative order at the end.
 _PRIORITY_PREFIXES = [
     # ---- the r9 driver window ----
-    # first-evidence: the r9-new dangling-mass PageRank variant
-    "graph_pagerank_mass",
+    # first-evidence: the two r9-new operators (dangling-mass PageRank,
+    # cluster-balanced embedding sampler)
+    "graph_pagerank_mass", "sample_cluster_balanced",
     # the 17 stalest (r3-evidence) CDC ids
     "sink_target_apply", "sink_audit_log", "st08",
     "a01", "a02", "a03", "pipeline_",
@@ -71,8 +72,10 @@ _PRIORITY_PREFIXES = [
     "sim_",        # the 6 ANN top-k ids
     "ann_recall",  # the 4 recall audits
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram", "dedup_embedding", "dedup_normalized",
+    "dedup_ngram", "dedup_embedding",
     # ---- 50-query driver window ends here ----
+    # (dedup_normalized displaced to r10 by sample_cluster_balanced —
+    # first evidence beats refreshing a stale-but-green row)
     # next in line for r10: the remaining r4-evidence ids
     "dedup_minhash_cluster", "dedup_span",
     "text_tfidf", "text_top_terms", "events_sessionize",

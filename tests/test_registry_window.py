@@ -15,7 +15,7 @@ load_all_queries()
 # displaced from the r8 window — first), then the 22 oldest
 # r4-evidence ids (COVERAGE.md "Driver correctness-sample window")
 R9_WINDOW = [
-    'graph_pagerank_mass',
+    'graph_pagerank_mass', 'sample_cluster_balanced',
     'sink_target_apply', 'sink_audit_log',
     'st08_quarantine_replay',
     'a01_global_counters', 'a02_group_by_topic',
@@ -40,7 +40,7 @@ R9_WINDOW = [
     'ann_recall_ivfpq', 'ann_recall_truncated',
     'dedup_exact', 'dedup_minhash_lsh',
     'dedup_simhash', 'dedup_ngram_jaccard',
-    'dedup_embedding_cosine', 'dedup_normalized',
+    'dedup_embedding_cosine',
 ]
 
 

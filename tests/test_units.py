@@ -192,9 +192,10 @@ def test_driver_sample_window_invariants():
     never_sampled = set(names) - sampled
     assert never_sampled <= window, sorted(never_sampled - window)
     first_evidence = [
-        "graph_pagerank_mass",  # r9-new
+        "graph_pagerank_mass",       # r9-new
+        "sample_cluster_balanced",   # r9-new
     ]
-    assert names[:1] == first_evidence
+    assert names[:2] == first_evidence
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
 

@@ -126,6 +126,8 @@ SECTIONS = [
      "SCD2 version table: ONE pk exchange feeding a single window (lead ts + lead seq) — same physical shape as the last-wins apply; the streaming twin (streaming/scd2.py) maintains the identical table incrementally (closed rows append-only per batch, open set swapped crash-safe)"),
     ("graph_pagerank_dist",
      "Distributed PageRank: K join-iterations (ranks joined to outdegree-decorated edges, one dst-keyed map-side-combined shuffle per round, the broadcast side picked from statistics (edges at fixture scale, ranks at web scale while it fits, else shuffle-join)), lineage cut every 2nd round — no collected matrix, so the node domain is unbounded; BIGINT fixed point keeps it bit-identical to events_pagerank and the unrolled-CTE oracle"),
+    ("sample_cluster_balanced",
+     "Cluster-balanced embedding sample: map-only IVF cell assignment (inlined centroids, nothing shuffles to assign) + salted two-level exactly-N bottom-k per cell — no task sorts a whole head-heavy cell; md5 draw is stable under growth and identical across engines"),
     ("graph_pagerank_mass",
      "Dangling-mass PageRank: the distributed iteration plus one |dangling|-row agg per round whose 1-row result is broadcast-cross-joined onto the rank update (contrib += dm div N) — ranks sum to ~SCALE and read as probabilities; same per-round shuffle shape as graph_pagerank_dist, dm costs one tiny extra agg, nothing collected"),
 ]
