@@ -904,3 +904,55 @@ def test_scd2_bucketed_crash_windows_are_idempotent(spark, tmp_path):
     # (a) replay of the committed batch is a no-op
     writer.apply_batch(chunks[2], 2)
     assert _hist_set(writer.history()) == want
+
+
+def test_scd2_bucketed_partial_rename_crash(spark, tmp_path):
+    """The nastiest bucketed window: crash AFTER some (but not all)
+    touched buckets renamed their v=B version in. Those dirs are
+    uncommitted (marker still at B-1), so the replay must see pure
+    pre-batch state, overwrite the orphan versions, and commit the
+    identical history."""
+    import os as _os
+    from unittest import mock
+
+    from cdc_sync_poc_spark.cdc.envelope import cdc_view
+    from cdc_sync_poc_spark.operators.scd import ap07_scd2_history
+    from cdc_sync_poc_spark.streaming.scd2 import Scd2StreamWriter
+
+    writer = Scd2StreamWriter(
+        spark, str(tmp_path / "scd2_pr"), n_buckets=8
+    )
+    cdc = cdc_view(spark, SF_DIR)
+    n = cdc.count()
+    chunks = [
+        cdc.orderBy("cdc_seq").limit((i + 1) * n // 2).subtract(
+            cdc.orderBy("cdc_seq").limit(i * n // 2)
+        )
+        for i in range(2)
+    ]
+    writer.apply_batch(chunks[0], 0)
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        # let the first bucket land, then crash the process mid-commit
+        if "scd2_open_buckets" in dst:
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise OSError("simulated crash mid bucket renames")
+        return real_rename(src, dst)
+
+    import pytest as _pytest
+
+    with mock.patch("os.rename", side_effect=failing_rename):
+        with _pytest.raises(Exception, match="simulated crash"):
+            writer.apply_batch(chunks[1], 1)
+    assert calls["n"] > 1  # the crash actually hit a later rename
+    # marker never advanced: the orphan v=1 dirs are invisible
+    _, committed = writer._open_state()
+    assert committed == 0
+    # replay completes and lands on the batch answer
+    writer.apply_batch(chunks[1], 1)
+    want = _hist_set(ap07_scd2_history(spark, SF_DIR))
+    assert _hist_set(writer.history()) == want
