@@ -70,13 +70,25 @@ class StreamingPageRank:
         """``ttl_batches``: evict a user's tail row once it has gone
         that many batches without an event (VERDICT r8 #5) — bounds
         the snapshot at the ACTIVE user set instead of the all-time
-        one. Documented deviation vs batch: an evicted-then-returning
-        user loses exactly the ONE boundary transition across the idle
-        gap (its last pre-gap event no longer pairs with its first
-        post-gap event); every other edge is identical, and eviction
-        is a pure function of (predecessor snapshot, batch, batch_id),
-        so replays stay byte-identical. None (default) keeps tails
-        forever — exact batch parity."""
+        one. Documented deviations vs batch: (a) an evicted-then-
+        returning user loses exactly the ONE boundary transition
+        across the idle gap (its last pre-gap event no longer pairs
+        with its first post-gap event); (b) an event TYPE whose only
+        remaining occurrence is an evicted idle user's tail leaves the
+        node domain that ``ranks()`` unions from edges + tails, which
+        shrinks |V| and therefore shifts every node's fixed-point
+        registers — on real event streams types live in many
+        transitions and (b) never fires, but it is a real divergence,
+        not just a missing edge. Eviction is a pure function of
+        (predecessor snapshot, batch, batch_id), so replays stay
+        byte-identical. None (default) keeps tails forever — exact
+        batch parity."""
+        if ttl_batches is not None and ttl_batches < 1:
+            # 0 would evict EVERY tail each batch (last_batch <=
+            # batch_id always), silently dropping all boundary edges
+            raise ValueError(
+                f"ttl_batches must be >= 1, got {ttl_batches}"
+            )
         self.spark = spark
         self.edges_dir = os.path.join(root, "edges")
         self.tails_dir = os.path.join(root, "tails")
@@ -88,15 +100,29 @@ class StreamingPageRank:
         the first batch) — read as a frame, never collected."""
         if not os.path.isdir(self.tails_dir):
             return None
-        snaps = self.spark.read.parquet(self.tails_dir).filter(
-            F.col("batch_id") < batch_id
+        # mergeSchema: after an upgrade the dir can hold BOTH formats
+        # (a legacy snapshot without last_batch next to a new one) and
+        # a plain read would take one arbitrary file's schema
+        snaps = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.tails_dir)
+            .filter(F.col("batch_id") < batch_id)
         )
         latest = snaps.agg(F.max("batch_id").alias("b")).collect()[0].b
         if latest is None:
             return None
-        return snaps.filter(F.col("batch_id") == latest).select(
-            *_EV_COLS, "last_batch"
+        newest = snaps.filter(F.col("batch_id") == latest)
+        # migration: rows written before last_batch existed count as
+        # last seen at their snapshot batch (the most recent
+        # information the old format holds)
+        fallback = F.lit(latest).cast("long")
+        newest = newest.withColumn(
+            "last_batch",
+            F.coalesce(F.col("last_batch"), fallback)
+            if "last_batch" in newest.columns
+            else fallback,
         )
+        return newest.select(*_EV_COLS, "last_batch")
 
     def absorb_batch(self, events: DataFrame, batch_id: int) -> None:
         """Fold one micro-batch of events into the edge and tail state."""
@@ -279,7 +305,10 @@ class StreamingPageRank:
     def ranks(self) -> DataFrame:
         """PageRank over everything absorbed so far — identical output
         (bit-for-bit pr_fixed) to graph_pagerank_dist over the same
-        events."""
+        events when ``ttl_batches`` is None; under TTL the documented
+        eviction deviations apply (see __init__), including the node
+        domain below losing a type whose only occurrence was an
+        evicted tail."""
         tails = self._newest_tails()
         if tails is None:
             return self.spark.createDataFrame(
@@ -289,7 +318,8 @@ class StreamingPageRank:
         # every type seen is either inside some transition or is a
         # user's final (tail) event — a superseded occurrence always
         # formed an edge with its successor, so this union IS the full
-        # node domain of the batch operator
+        # node domain of the batch operator (under ttl_batches, minus
+        # types whose only occurrence was an evicted idle tail)
         nodes = (
             edges.select(F.col("src").alias("node"))
             .unionByName(edges.select(F.col("dst").alias("node")))

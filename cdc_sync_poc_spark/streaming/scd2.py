@@ -96,6 +96,10 @@ class Scd2StreamWriter:
         out_dir: str,
         n_buckets: int | None = None,
     ) -> None:
+        if n_buckets is not None and n_buckets < 1:
+            # 0 would make pmod NULL for every row and fail deep inside
+            # the first batch; fail loudly at construction instead
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.spark = spark
         self.closed_dir = os.path.join(out_dir, "scd2_closed")
         self.n_buckets = n_buckets
@@ -108,11 +112,21 @@ class Scd2StreamWriter:
     # -- state reads ------------------------------------------------------
 
     def _bucket_col(self) -> F.Column:
-        """Deterministic pk bucket (stable across batches/replays) —
-        the same recipe as ParquetMergeWriter (streaming/writer.py)."""
-        return F.pmod(
-            F.xxhash64(F.col("pk").cast("long")), F.lit(self.n_buckets)
-        )
+        """Deterministic pk bucket — the shared layout definition
+        (streaming/writer.py::pk_bucket_col), so this store and the
+        merge writer's bucketed state can never drift apart."""
+        from cdc_sync_poc_spark.streaming.writer import pk_bucket_col
+
+        return pk_bucket_col(F.col("pk"), self.n_buckets)
+
+    def _committed_marker(self) -> int | None:
+        """The bucketed mode's committed batch id (None before any
+        commit) — the one read of the marker store, shared by
+        _open_state and the post-commit prune."""
+        marker = self.marker_store.read()
+        if marker is None:
+            return None
+        return marker.agg(F.max("committed_batch")).first()[0]
 
     def _committed_versions(self, committed: int) -> list[str]:
         """Per bucket, the path of its newest version <= committed
@@ -138,12 +152,7 @@ class Scd2StreamWriter:
         """(open version rows, committed batch id or None if no commit yet)."""
         open_schema = T.StructType(_OPEN_SCHEMA.fields[:4])
         if self.n_buckets is not None:
-            marker = self.marker_store.read()
-            committed = (
-                marker.agg(F.max("committed_batch")).first()[0]
-                if marker is not None
-                else None
-            )
+            committed = self._committed_marker()
             if committed is None:
                 return self.spark.createDataFrame([], open_schema), None
             paths = self._committed_versions(committed)
@@ -316,27 +325,22 @@ class Scd2StreamWriter:
         # keep only uncommitted ones. Versions above the marker are
         # never touched (an uncommitted attempt owns them); a crash
         # mid-prune is harmless — survivors re-prune on any later batch.
-        marker = self.marker_store.read()
-        committed = (
-            marker.agg(F.max("committed_batch")).first()[0]
-            if marker is not None
-            else None
-        )
-        if committed is None:
+        committed = self._committed_marker()
+        if committed is None or not os.path.isdir(self.buckets_dir):
+            # no commit yet, or an all-empty first batch never created
+            # the buckets dir (touched was empty) — nothing to prune
             return
+        keep = set(self._committed_versions(committed))
         for b in os.listdir(self.buckets_dir):
             if not b.startswith("bucket="):
                 continue
             bdir = os.path.join(self.buckets_dir, b)
-            vs = sorted(
-                int(v.split("=", 1)[1])
-                for v in os.listdir(bdir)
-                if v.startswith("v=") and int(v.split("=", 1)[1]) <= committed
-            )
-            for old in vs[:-1]:
-                shutil.rmtree(
-                    os.path.join(bdir, f"v={old}"), ignore_errors=True
-                )
+            for v in os.listdir(bdir):
+                if not v.startswith("v="):
+                    continue
+                path = os.path.join(bdir, v)
+                if int(v.split("=", 1)[1]) <= committed and path not in keep:
+                    shutil.rmtree(path, ignore_errors=True)
 
 
 def run_scd2_stream(

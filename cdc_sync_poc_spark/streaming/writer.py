@@ -52,6 +52,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def pk_bucket_col(col: F.Column, n_buckets: int) -> F.Column:
+    """Deterministic pk bucket (stable across batches/retries/engines)
+    — the ONE definition of the bucketed-state layout, shared by
+    ParquetMergeWriter and the SCD2 writer's bucketed open store so
+    the two can never drift apart."""
+    return F.pmod(F.xxhash64(col.cast("long")), F.lit(n_buckets))
+
+
 class ParquetMergeWriter:
     """MERGE-into-parquet state maintainer for foreachBatch, with
     pk-hash-bucketed state so each batch rewrites only touched buckets."""
@@ -83,7 +91,7 @@ class ParquetMergeWriter:
 
     def _bucket(self, col: F.Column) -> F.Column:
         """Deterministic bucket for a pk (stable across batches/retries)."""
-        return F.pmod(F.xxhash64(col.cast("long")), F.lit(self.n_buckets))
+        return pk_bucket_col(col, self.n_buckets)
 
     def init_state(self, base: DataFrame) -> None:
         (

@@ -956,3 +956,28 @@ def test_scd2_bucketed_partial_rename_crash(spark, tmp_path):
     writer.apply_batch(chunks[1], 1)
     want = _hist_set(ap07_scd2_history(spark, SF_DIR))
     assert _hist_set(writer.history()) == want
+
+
+def test_scd2_bucketed_empty_first_batch_and_bad_n_buckets(spark, tmp_path):
+    """Review findings: (a) an all-empty FIRST batch (touched = [])
+    never creates the buckets dir — the post-commit prune must no-op,
+    not FileNotFoundError after the marker already advanced; (b)
+    n_buckets < 1 fails loudly at construction."""
+    import pytest as _pytest
+
+    from cdc_sync_poc_spark.cdc.envelope import cdc_view
+    from cdc_sync_poc_spark.operators.scd import ap07_scd2_history
+    from cdc_sync_poc_spark.streaming.scd2 import Scd2StreamWriter
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        Scd2StreamWriter(spark, str(tmp_path / "bad"), n_buckets=0)
+
+    writer = Scd2StreamWriter(spark, str(tmp_path / "scd2_e"), n_buckets=4)
+    cdc = cdc_view(spark, SF_DIR)
+    writer.apply_batch(cdc.limit(0), 0)  # empty first batch
+    _, committed = writer._open_state()
+    assert committed == 0 and writer.history().count() == 0
+    writer.apply_batch(cdc, 1)  # then the whole changelog
+    assert _hist_set(writer.history()) == _hist_set(
+        ap07_scd2_history(spark, SF_DIR)
+    )

@@ -340,3 +340,32 @@ def test_ttl_returning_user_loses_exactly_one_boundary_edge(spark, tmp_path):
     assert edge_counts(prs["ttl"]) == evicted
     # the returning user is back in the tail snapshot afterwards
     assert {r.user_id for r in prs["ttl"]._newest_tails().collect()} == {1, 2}
+
+
+def test_ttl_validation_and_legacy_snapshot_migration(spark, tmp_path):
+    """Review findings: (a) ttl_batches < 1 fails loudly (0 would
+    silently evict every tail each batch); (b) a tails store written
+    by the pre-last_batch format still loads — carried rows count as
+    last seen at their snapshot batch."""
+    import pytest as _pytest
+
+    from cdc_sync_poc_spark.streaming.pagerank import StreamingPageRank
+
+    with _pytest.raises(ValueError, match="ttl_batches"):
+        StreamingPageRank(spark, str(tmp_path / "bad"), ttl_batches=0)
+
+    # write a legacy-format snapshot (no last_batch column) by hand
+    root = tmp_path / "pr_legacy"
+    pr = StreamingPageRank(spark, str(root), ttl_batches=2)
+    legacy = _mk_batch(spark, [(1, 0, 1, "a"), (2, 1, 2, "b")])
+    legacy.write.parquet(str(root / "tails" / "batch_id=0"))
+    # absorbing the next batch reads the legacy snapshot: u1's tail
+    # carries (treated as last seen at batch 0) and forms the boundary
+    pr.absorb_batch(_mk_batch(spark, [(1, 10, 3, "c")]), 1)
+    edges = {(r.src, r.dst): r.n for r in pr._edge_counts().collect()}
+    assert edges == {("a", "c"): 1}
+    users = {r.user_id for r in pr._newest_tails().collect()}
+    assert users == {1, 2}
+    # u2 (idle since the legacy snapshot) evicts once the ttl passes
+    pr.absorb_batch(_mk_batch(spark, [(1, 20, 4, "d")]), 2)
+    assert {r.user_id for r in pr._newest_tails().collect()} == {1}
