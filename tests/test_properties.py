@@ -958,3 +958,19 @@ def test_hll_register_merge_law(spark, a, b):
         for r in hll_register_frame(ev(a + b)).collect()
     }
     assert merged == union
+
+
+def test_ppjoin_alpha_below_l_keeps_tiny_doc_pairs(spark):
+    """Deterministic pin for the l-prefix guard (k >= min(l, alpha)):
+    two identical 1-shingle docs have required overlap alpha = 1 < L,
+    can only ever share ONE prefix token, and must still pair (J=1.0).
+    A plain k >= L rule would silently drop them."""
+    from cdc_sync_poc_spark.llm.dedup import PPJOIN_L, ppjoin_pairs_frame
+
+    assert PPJOIN_L >= 2  # the guard only matters for l >= 2
+    frame = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b, r.n_common) for r in ppjoin_pairs_frame(frame).collect()}
+    assert got == {(0, 1, 1)}
