@@ -981,3 +981,39 @@ def test_scd2_bucketed_empty_first_batch_and_bad_n_buckets(spark, tmp_path):
     assert _hist_set(writer.history()) == _hist_set(
         ap07_scd2_history(spark, SF_DIR)
     )
+
+
+def test_streaming_cluster_sampler_matches_batch(spark, tmp_path):
+    """Per-cell bottom-k associativity: streaming the embeddings in 3
+    micro-batches through StreamingClusterSampler (fixed quantizer =
+    the batch operator's own refined centroids) must land on exactly
+    sample_cluster_balanced's draw, and replaying the last batch must
+    change nothing."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.llm.similarity import _ivf_refined
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from cdc_sync_poc_spark.streaming.cluster_sample import (
+        StreamingClusterSampler,
+    )
+
+    load_all_queries()
+    _, _c0, cents1 = _ivf_refined(spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    s = StreamingClusterSampler(spark, str(tmp_path / "cs"), cents1)
+    for i in range(3):
+        s.absorb_batch(emb.filter(F.col("vec_id") % 3 == i), i)
+    got = {
+        (r.vec_id, r.cell_id, r.cell_rank) for r in s.sample().collect()
+    }
+    want = {
+        (r.vec_id, r.cell_id, r.cell_rank)
+        for r in QUERIES["sample_cluster_balanced"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+    # at-least-once replay of the final batch is a no-op
+    s.absorb_batch(emb.filter(F.col("vec_id") % 3 == 2), 2)
+    assert {
+        (r.vec_id, r.cell_id, r.cell_rank) for r in s.sample().collect()
+    } == want
