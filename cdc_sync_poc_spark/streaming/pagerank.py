@@ -302,13 +302,15 @@ class StreamingPageRank:
         for bid in bids[:-keep] if keep > 0 else bids:
             shutil.rmtree(os.path.join(self.tails_dir, f"batch_id={bid}"))
 
-    def ranks(self) -> DataFrame:
+    def ranks(self, redistribute_dangling: bool = False) -> DataFrame:
         """PageRank over everything absorbed so far — identical output
         (bit-for-bit pr_fixed) to graph_pagerank_dist over the same
         events when ``ttl_batches`` is None; under TTL the documented
         eviction deviations apply (see __init__), including the node
         domain below losing a type whose only occurrence was an
-        evicted tail."""
+        evicted tail. ``redistribute_dangling=True`` selects the
+        mass-conserving variant instead — then the match is
+        graph_pagerank_mass, same flag on the shared fixed point."""
         tails = self._newest_tails()
         if tails is None:
             return self.spark.createDataFrame(
@@ -326,7 +328,12 @@ class StreamingPageRank:
             .unionByName(tails.select(F.col("event_type").alias("node")))
             .distinct()
         )
-        return pr_fixed_point_frames(self.spark, nodes, edges)
+        return pr_fixed_point_frames(
+            self.spark,
+            nodes,
+            edges,
+            redistribute_dangling=redistribute_dangling,
+        )
 
 
 def run_streaming_pagerank(

@@ -369,3 +369,24 @@ def test_ttl_validation_and_legacy_snapshot_migration(spark, tmp_path):
     # u2 (idle since the legacy snapshot) evicts once the ttl passes
     pr.absorb_batch(_mk_batch(spark, [(1, 20, 4, "d")]), 2)
     assert {r.user_id for r in pr._newest_tails().collect()} == {1}
+
+
+def test_streaming_ranks_mass_variant_matches_batch(spark, tmp_path):
+    """ranks(redistribute_dangling=True) over the absorbed stream must
+    equal graph_pagerank_mass over the same events — the streaming
+    state feeds the identical shared fixed point, flag included."""
+    from cdc_sync_poc_spark.operators.graph import graph_pagerank_mass
+    from cdc_sync_poc_spark.streaming.pagerank import StreamingPageRank
+
+    pr = StreamingPageRank(spark, str(tmp_path / "prm"))
+    for i, b in enumerate(_batches(spark)):
+        pr.absorb_batch(b, batch_id=i)
+    got = {
+        r.event_type: r.pr_fixed
+        for r in pr.ranks(redistribute_dangling=True).collect()
+    }
+    want = {
+        r.event_type: r.pr_fixed
+        for r in graph_pagerank_mass(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
