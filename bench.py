@@ -553,10 +553,43 @@ def run(
         for q, t in dedup_telemetry.items():
             print(f"# telemetry {q}: {t}", file=sys.stderr)
 
+    # per-query trend vs the committed round-accepted baseline
+    # (BENCH_LOCAL_BASELINE.json): the driver's BENCH_r{N} artifact is
+    # tail-truncated to the summary line, so round-over-round per-query
+    # regression detection needs a snapshot the repo owns. Flags only
+    # real movement (>1.5x and >0.2 s) so the ±20% host-contention band
+    # stays quiet; never voids the bench numbers.
+    trend: dict[str, object] = {}
+    try:
+        base_path = os.path.join(os.path.dirname(__file__), "BENCH_LOCAL_BASELINE.json")
+        with open(base_path) as fh:
+            base = json.load(fh)
+        # subset runs (names) have no warmup and are not comparable
+        if names is None and base.get("sf") == sf:
+            prev = base.get("queries", {})
+            shared = [q for q in timings if q in prev]
+            regressed = {
+                q: {"prev": prev[q], "now": timings[q]}
+                for q in shared
+                if timings[q] > prev[q] * 1.5 + 0.2
+            }
+            trend = {
+                "baseline_round": base.get("round"),
+                "shared_total_prev": round(sum(prev[q] for q in shared), 3),
+                "shared_total_now": round(sum(timings[q] for q in shared), 3),
+                "regressed": regressed,
+            }
+            if regressed:
+                print(f"# trend REGRESSED vs r{base.get('round')}: "
+                      f"{regressed}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001 — trend is advisory
+        print(f"# trend ERROR: {str(ex)[:120]}", file=sys.stderr)
+
     result = {
         "metric": "headline_queries_total",
         "unit": "sec",
         "queries": timings,
+        "trend": trend,
         "dedup_telemetry": dedup_telemetry,
         # medians reported alongside min (VERDICT r3 #5) so round-over-
         # round trends aren't flattered by the most favorable statistic;

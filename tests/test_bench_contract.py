@@ -164,3 +164,29 @@ def test_candidate_growth_probe_emits_exponent(spark):
     src = open(bench.__file__).read()
     assert '"candidates_by_sf"' in src.replace("'", '"')
     assert '"candidate_exponent"' in src.replace("'", '"')
+
+
+def test_trend_baseline_contract():
+    """BENCH_LOCAL_BASELINE.json exists because the driver's BENCH_r{N}
+    artifact is tail-truncated to the summary line: per-query
+    round-over-round regression detection needs a repo-owned snapshot.
+    Pin its shape and that every baseline query is still registered
+    (a renamed/removed query would silently fall out of the trend)."""
+    import json
+    import pathlib
+
+    import bench
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    base = json.loads(
+        (pathlib.Path(bench.__file__).parent / "BENCH_LOCAL_BASELINE.json")
+        .read_text()
+    )
+    assert set(base) >= {"round", "sf", "queries"}
+    assert base["sf"] == 0.1
+    unknown = set(base["queries"]) - set(QUERIES)
+    assert unknown == set(), sorted(unknown)
+    # and the trend block is wired into the detail line
+    src = open(bench.__file__).read()
+    assert '"trend"' in src.replace("'", '"')
