@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     # round-9 additions (append-only)
     "graph_pagerank_mass",
     "sample_cluster_balanced",
+    "emb_proto_prune",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

@@ -390,20 +390,23 @@ def _score_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
     return n.crossJoin(F.broadcast(cents)).withColumn("cosc", cosc)
 
 
-def _assign_col(cents) -> F.Column:
-    """Per-row argmax cell over a DRIVER-LOCAL centroid list (k rows,
-    collected — the centers exchange every distributed k-means does per
-    iteration), inlined as one map-side expression: the centroids ride
-    in a SINGLE JSON string literal that ``from_json`` materializes
-    (constant-folded once by Catalyst — inlining them as k×dim literal
-    array nodes instead costs ~0.5 s of analyzer time per query build),
-    then ``array_max`` over ``transform``-ed ``struct(cosc, -cell_id)``
-    realizes the oracle's cosc DESC / cell_id ASC tie-break
-    lexicographically. ZERO shuffles and zero broadcast exchanges —
-    assignment is pure map work inside the scan stage, so a 100 TB
-    corpus is assigned in one pass. Same sequential-fold dot product as
-    _score_cells; json.dumps floats round-trip exactly (shortest-repr),
-    so oracle parity is unaffected."""
+def _assign_struct_col(cents) -> F.Column:
+    """The winning ``struct(cosc, nc)`` of the per-row argmax cell over
+    a DRIVER-LOCAL centroid list (k rows, collected — the centers
+    exchange every distributed k-means does per iteration), inlined as
+    one map-side expression: the centroids ride in a SINGLE JSON string
+    literal that ``from_json`` materializes (constant-folded once by
+    Catalyst — inlining them as k×dim literal array nodes instead costs
+    ~0.5 s of analyzer time per query build), then ``array_max`` over
+    ``transform``-ed ``struct(cosc, -cell_id)`` realizes the oracle's
+    cosc DESC / cell_id ASC tie-break lexicographically. ZERO shuffles
+    and zero broadcast exchanges — assignment is pure map work inside
+    the scan stage, so a 100 TB corpus is assigned in one pass. Same
+    sequential-fold dot product as _score_cells; json.dumps floats
+    round-trip exactly (shortest-repr), so oracle parity is unaffected.
+    ``nc`` is the NEGATED cell id (the lexicographic tie-break trick);
+    ``cosc`` is the cosine to the assigned (nearest) centroid — the
+    prototypicality score emb_proto_prune ranks on."""
     payload = json.dumps(
         [
             {
@@ -416,13 +419,20 @@ def _assign_col(cents) -> F.Column:
         separators=(",", ":"),
     )
     return F.expr(
-        f"""-array_max(transform(
+        f"""array_max(transform(
   from_json('{payload}', 'array<struct<cid:bigint,cv:array<double>,cn:double>>'),
   c -> struct(
     aggregate(zip_with(v, c.cv, (x, y) -> x * y),
               CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (nrm * c.cn) AS cosc,
-    -c.cid AS nc))).nc"""
+    -c.cid AS nc)))"""
     )
+
+
+def _assign_col(cents) -> F.Column:
+    """Per-row argmax cell id over a driver-local centroid list — the
+    ``nc`` field of _assign_struct_col un-negated; see that docstring
+    for the full mechanics."""
+    return -_assign_struct_col(cents).getField("nc")
 
 
 _Cent = namedtuple("_Cent", ["cell_id", "cv", "cn"])
@@ -633,6 +643,86 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cell_rank") <= CB_PER_CELL_N)
         .select("vec_id", "cell_id", "cell_rank")
+    )
+
+
+PROTO_PRUNE_FRAC = 0.25  # prune the most-prototypical quarter per cell
+
+
+@register(
+    "emb_proto_prune",
+    oracle=f"""
+WITH {{ivf_chain}},
+s AS (
+  SELECT a.vec_id, a.cell_id,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                  i -> a.v[i] * c.cv[i])) / (a.nrm * c.cn) AS proto
+  FROM a1 a JOIN c1 c USING (cell_id)
+),
+r AS (
+  SELECT vec_id, cell_id, proto,
+         row_number() OVER (PARTITION BY cell_id
+                            ORDER BY proto DESC, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cell_id) AS nc
+  FROM s
+)
+SELECT vec_id, cell_id,
+       rn::BIGINT AS proto_rank, nc::BIGINT AS cell_n,
+       round(proto, 6) AS prototypicality,
+       rn > CAST(ceil(nc * {PROTO_PRUNE_FRAC}::DOUBLE) AS BIGINT) AS keep
+FROM r
+""".format(ivf_chain=_ivf_cte_chain()),
+)
+def emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (the D4 / SSL-prototypes
+    recipe: Sorscher et al. 2022, Tirumala et al. 2023): score every
+    vector by its cosine to its own cluster centroid, rank within the
+    cluster (most-prototypical first), and mark the top
+    PROTO_PRUNE_FRAC of each cell as pruned — dropping the easy,
+    redundant core of every semantic cluster while keeping its hard,
+    diverse rim. Complements sem_dedup (which removes near-identical
+    PAIRS): pruning removes the over-represented CENTER. Output is the
+    full audit table (rank, cell size, score, keep flag) so the prune
+    threshold can be re-cut without recomputing.
+
+    Scale shape: centroid assignment and the prototypicality score come
+    from the SAME single map-side argmax expression every IVF consumer
+    uses (_assign_struct_col — the winning struct carries both the cell
+    and the cosine, nothing shuffles to score), so the only exchange is
+    the one hash partition by cell_id for the in-cell rank. Catalyst
+    keeps the struct in its own Project (CollapseProject declines to
+    duplicate a non-cheap expression referenced twice — see PLANS.md),
+    so the k×dim fold runs ONCE per row. The in-cell window sort is
+    the honest cost at 100 TB: a head-heavy cell sorts in one task
+    chain, so a production corpus would pre-cut with a per-cell
+    approximate quantile on proto and rank only the band around the
+    threshold; here the full rank IS the deliverable (audit table) and
+    the oracle pins it exactly."""
+    n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
+    d = n.select(
+        "vec_id", _assign_struct_col(cents1_rows).alias("mx")
+    ).select(
+        "vec_id",
+        (-F.col("mx").getField("nc")).alias("cell_id"),
+        F.col("mx").getField("cosc").alias("proto"),
+    )
+    w_rank = Window.partitionBy("cell_id").orderBy(
+        F.desc("proto"), F.asc("vec_id")
+    )
+    w_cell = Window.partitionBy("cell_id")
+    cut = F.ceil(F.col("cell_n") * F.lit(PROTO_PRUNE_FRAC))
+    return (
+        d.withColumn("proto_rank", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("cell_n", F.count(F.lit(1)).over(w_cell).cast("bigint"))
+        .withColumn("keep", F.col("proto_rank") > cut)
+        .select(
+            "vec_id",
+            "cell_id",
+            "proto_rank",
+            "cell_n",
+            F.round(F.col("proto"), 6).alias("prototypicality"),
+            "keep",
+        )
     )
 
 

@@ -54,9 +54,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # ids keep relative order at the end.
 _PRIORITY_PREFIXES = [
     # ---- the r9 driver window ----
-    # first-evidence: the two r9-new operators (dangling-mass PageRank,
-    # cluster-balanced embedding sampler)
-    "graph_pagerank_mass", "sample_cluster_balanced",
+    # first-evidence: the three r9-new operators (dangling-mass
+    # PageRank, cluster-balanced embedding sampler, prototypicality
+    # pruning)
+    "graph_pagerank_mass", "sample_cluster_balanced", "emb_proto_prune",
     # the 17 stalest (r3-evidence) CDC ids
     "sink_target_apply", "sink_audit_log", "st08",
     "a01", "a02", "a03", "pipeline_",
@@ -72,12 +73,13 @@ _PRIORITY_PREFIXES = [
     "sim_",        # the 6 ANN top-k ids
     "ann_recall",  # the 4 recall audits
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram", "dedup_embedding",
+    "dedup_ngram",
     # ---- 50-query driver window ends here ----
-    # (dedup_normalized displaced to r10 by sample_cluster_balanced —
-    # first evidence beats refreshing a stale-but-green row)
+    # (dedup_normalized then dedup_embedding_cosine displaced to r10 by
+    # sample_cluster_balanced / emb_proto_prune — first evidence beats
+    # refreshing a stale-but-green row)
     # next in line for r10: the remaining r4-evidence ids
-    "dedup_minhash_cluster", "dedup_span",
+    "dedup_embedding", "dedup_minhash_cluster", "dedup_span",
     "text_tfidf", "text_top_terms", "events_sessionize",
     "text_rarity", "emb_label", "dup_ngram",
     "text_oov", "text_lexical", "text_repetition",

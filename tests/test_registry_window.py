@@ -10,12 +10,12 @@ from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
 
 load_all_queries()
 
-# the r9 window: first driver evidence for the r9-new dangling-mass
-# PageRank, then the 27 remaining r3-evidence ids (sink_target_apply —
-# displaced from the r8 window — first), then the 22 oldest
-# r4-evidence ids (COVERAGE.md "Driver correctness-sample window")
+# the r9 window: first driver evidence for the three r9-new operators,
+# then the 27 remaining r3-evidence ids (sink_target_apply — displaced
+# from the r8 window — first), then the oldest r4-evidence ids filling
+# to 50 (COVERAGE.md "Driver correctness-sample window")
 R9_WINDOW = [
-    'graph_pagerank_mass', 'sample_cluster_balanced',
+    'graph_pagerank_mass', 'sample_cluster_balanced', 'emb_proto_prune',
     'sink_target_apply', 'sink_audit_log',
     'st08_quarantine_replay',
     'a01_global_counters', 'a02_group_by_topic',
@@ -40,7 +40,6 @@ R9_WINDOW = [
     'ann_recall_ivfpq', 'ann_recall_truncated',
     'dedup_exact', 'dedup_minhash_lsh',
     'dedup_simhash', 'dedup_ngram_jaccard',
-    'dedup_embedding_cosine',
 ]
 
 

@@ -194,8 +194,9 @@ def test_driver_sample_window_invariants():
     first_evidence = [
         "graph_pagerank_mass",       # r9-new
         "sample_cluster_balanced",   # r9-new
+        "emb_proto_prune",           # r9-new
     ]
-    assert names[:2] == first_evidence
+    assert names[:3] == first_evidence
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
 
@@ -495,3 +496,38 @@ def test_loopguard_pair_fast_path_semantics(spark):
     got = {r.cdc_seq: r.loop_blocked for r in with_loop_blocked(df).collect()}
     assert got == {0: False, 1: True, 2: False, 3: False,
                    4: False, 5: False, 6: False}
+
+
+def test_proto_prune_invariants(spark):
+    """emb_proto_prune structural guarantees, independent of the oracle:
+    ranks are dense 1..cell_n per cell, the pruned set is EXACTLY the
+    ceil(cell_n * PROTO_PRUNE_FRAC) most-prototypical ranks, and
+    prototypicality is non-increasing along the rank order (score ties
+    broken by vec_id can repeat a score but never invert it)."""
+    import math
+
+    from tests.conftest import SF_DIR
+
+    from cdc_sync_poc_spark.llm.similarity import PROTO_PRUNE_FRAC
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    rows = QUERIES["emb_proto_prune"](spark, SF_DIR).collect()
+    assert rows
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for cell, members in by_cell.items():
+        members.sort(key=lambda r: r.proto_rank)
+        n = members[0].cell_n
+        assert len(members) == n
+        assert [r.proto_rank for r in members] == list(range(1, n + 1))
+        assert all(r.cell_n == n for r in members)
+        cut = math.ceil(n * PROTO_PRUNE_FRAC)
+        pruned = [r for r in members if not r.keep]
+        assert len(pruned) == cut, (cell, n, cut, len(pruned))
+        assert {r.proto_rank for r in pruned} == set(range(1, cut + 1))
+        scores = [r.prototypicality for r in members]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # every vector appears exactly once across cells
+    assert len({r.vec_id for r in rows}) == len(rows)

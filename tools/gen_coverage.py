@@ -69,7 +69,7 @@ GROUPS = [
       "corpus_vocab_growth", "emb_dim_stats", "emb_covariance_topk",
       "corpus_shard_manifest", "slice_length_mad",
       "sample_systematic_pps", "sample_fixed_n_by_lang",
-      "sample_cluster_balanced"]),
+      "sample_cluster_balanced", "emb_proto_prune"]),
     ("M6: preprocessing & packing",
      ["pii_redact", "doc_chunking", "seq_packing", "text_rarity_score",
       "emb_label_centroids", "emb_centroid_shift", "dup_ngram_fraction",

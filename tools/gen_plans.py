@@ -130,6 +130,8 @@ SECTIONS = [
      "Cluster-balanced embedding sample: map-only IVF cell assignment (inlined centroids, nothing shuffles to assign) + salted two-level exactly-N bottom-k per cell — no task sorts a whole head-heavy cell; md5 draw is stable under growth and identical across engines"),
     ("graph_pagerank_mass",
      "Dangling-mass PageRank: the distributed iteration plus one |dangling|-row agg per round whose 1-row result is broadcast-cross-joined onto the rank update (contrib += dm div N) — ranks sum to ~SCALE and read as probabilities; same per-round shuffle shape as graph_pagerank_dist, dm costs one tiny extra agg, nothing collected"),
+    ("emb_proto_prune",
+     "Prototypicality pruning (D4): cell id AND cosine-to-own-centroid come from the SAME map-side argmax struct (inlined centroids — nothing shuffles to score); the only exchange is one hash partition by cell_id feeding the in-cell rank + count windows"),
 ]
 
 
