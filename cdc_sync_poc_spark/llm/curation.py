@@ -54,19 +54,36 @@ SAMPLE_DEFAULT_BP = 10000
 def _bg_sql(col: str) -> str:
     """Spark SQL: the word-bigram array of token-array column ``col``
     (shared by text_repetition_filter and the funnel so the two can
-    never diverge on the same metric)."""
+    never diverge on the same metric).
+
+    Written as slice + zip_with, NOT transform(sequence, i ->
+    element_at(col, i)...): the lambda form references ``col`` once
+    PER ELEMENT, so when a consumer's filter is pushed into the scan
+    and CollapseProject inlines ``col`` = split(text) into every
+    reference, each bigram re-splits the document — O(words²) per row.
+    The zip form references ``col`` a constant number of times, so the
+    same inlining costs a handful of splits per row and the expression
+    stays O(words) wherever the optimizer moves it (funnel_verdict_frame
+    documents the pushdown; measured 8 s → sub-second on the
+    llm_curation_e2e build at sf0.1). Requires size({col}) >= 2 —
+    both consumers gate on >= 3."""
     return (
-        f"transform(sequence(1, size({col}) - 1),"
-        f" i -> concat_ws(' ', element_at({col}, i), element_at({col}, i + 1)))"
+        f"zip_with(slice({col}, 1, size({col}) - 1),"
+        f" slice({col}, 2, size({col}) - 1),"
+        f" (x, y) -> concat_ws(' ', x, y))"
     )
 
 
 def _tg_sql(col: str) -> str:
-    """Spark SQL: the word-trigram array of token-array column ``col``."""
+    """Spark SQL: the word-trigram array of token-array column ``col``
+    (same constant-reference zip form as _bg_sql; requires
+    size({col}) >= 3)."""
     return (
-        f"transform(sequence(1, size({col}) - 2),"
-        f" i -> concat_ws(' ', element_at({col}, i), element_at({col}, i + 1),"
-        f" element_at({col}, i + 2)))"
+        f"zip_with(zip_with(slice({col}, 1, size({col}) - 2),"
+        f" slice({col}, 2, size({col}) - 2),"
+        f" (x, y) -> concat_ws(' ', x, y)),"
+        f" slice({col}, 3, size({col}) - 2),"
+        f" (xy, z) -> concat_ws(' ', xy, z))"
     )
 
 

@@ -1138,7 +1138,6 @@ def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
     old ``.distinct()`` at the same shuffle cost, so both prunes are
     free at the shuffle level and shrink the verify join's probe
     side."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     fr = sh.groupBy("shingle").agg(F.count("*").alias("c"))
     arr = (
         sh.join(fr, "shingle")
@@ -1148,7 +1147,10 @@ def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
                 F.collect_list(F.struct(F.col("c"), F.col("shingle")))
             ).alias("rs")
         )
-        .join(sizes, "doc_id")
+        # shingles are distinct within a doc (_shingles array_distincts),
+        # so |rs| IS the doc's shingle count — deriving n here saves the
+        # separate sizes agg + join the build used to pay
+        .withColumn("n", F.size("rs").cast("long"))
     )
     prefix_len = (
         f"n - (({JACCARD_T_NUM} * n + {JACCARD_T_DEN - 1})"
@@ -1213,14 +1215,18 @@ def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
                          F.col("nb") - F.col("mj")))
             >= F.lit(JACCARD_T_NUM) * (F.col("na") + F.col("nb"))
         )
-        .select("doc_a", "doc_b")
+        # na/nb ride along so verification never re-joins doc sizes
+        .select("doc_a", "doc_b", "na", "nb")
     )
     return cand
 
 
 def _ppjoin_verify(sh: DataFrame, cand: DataFrame) -> DataFrame:
-    """Pair-driven exact verification of the PPJoin candidates."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    """Pair-driven exact verification of the PPJoin candidates. The
+    candidate frame carries (na, nb) from generation — functional deps
+    of the pair key, so grouping by them is free and the union size
+    needs no size joins (every candidate shares >= 1 prefix shingle,
+    so the inner join can never drop a pair)."""
     com = (
         cand.join(sh.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
         .join(
@@ -1228,17 +1234,13 @@ def _ppjoin_verify(sh: DataFrame, cand: DataFrame) -> DataFrame:
             (F.col("tb.doc_id") == F.col("doc_b"))
             & (F.col("tb.shingle") == F.col("ta.shingle")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("common"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     union_sz = F.col("na") + F.col("nb") - F.col("common")
     return (
-        com.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(F.lit(JACCARD_T_DEN) * F.col("common")
-                >= F.lit(JACCARD_T_NUM) * union_sz)
+        com.filter(F.lit(JACCARD_T_DEN) * F.col("common")
+                   >= F.lit(JACCARD_T_NUM) * union_sz)
         .select(
             "doc_a",
             "doc_b",

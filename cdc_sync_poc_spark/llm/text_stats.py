@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
-from cdc_sync_poc_spark.sources.loader import load_table, spread_small_input
+from cdc_sync_poc_spark.sources.loader import literal_frame, load_table, spread_small_input
 
 _TOK_CTES = """
 tok AS (
@@ -199,7 +199,7 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = hist.select("n_chars", F.sum("c").over(w).alias("cum_c"))
     tot = docs.agg(F.count("*").alias("n"))
-    qs = spark.createDataFrame([(25,), (50,), (75,), (90,), (99,)], "q long")
+    qs = literal_frame(spark, [(25,), (50,), (75,), (90,), (99,)], "q long")
     return (
         cum.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(qs))
@@ -490,8 +490,8 @@ def slice_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_chars", F.sum("c").over(w).cast("bigint").alias("cum_c")
     )
     tot = docs.groupBy("lang").agg(F.count("*").alias("n"))
-    qs = docs.sparkSession.createDataFrame(
-        [(25,), (50,), (75,), (90,), (99,)], "q long"
+    qs = literal_frame(
+        docs.sparkSession, [(25,), (50,), (75,), (90,), (99,)], "q long"
     )
     return (
         cum.join(F.broadcast(tot), "lang")

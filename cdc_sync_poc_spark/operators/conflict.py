@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.cdc.envelope import CDC_CTE, cdc_view
 from cdc_sync_poc_spark.registry import register
-from cdc_sync_poc_spark.sources.loader import load_table
+from cdc_sync_poc_spark.sources.loader import literal_frame, load_table
 
 _SIDES_CTE = f"""
 asis AS (
@@ -248,7 +248,8 @@ def cf05_policy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("UPDATE_UPDATE")
         .alias("conflict_type"),
     )
-    policy = spark.createDataFrame(
+    policy = literal_frame(
+        spark,
         _POLICY_ROWS,
         ["table_name", "column_name", "p_conflict_type", "policy", "specificity"],
     )

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
-from cdc_sync_poc_spark.sources.loader import load_table
+from cdc_sync_poc_spark.sources.loader import literal_frame, load_table
 
 PR_SCALE = 10**9
 PR_ITERS = 8
@@ -138,8 +138,8 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fixed-point recurrence as K join-iterations, no collect)."
         )
     if n_nodes == 0:
-        return spark.createDataFrame(
-            [], "event_type string, pr_fixed long, pagerank double"
+        return literal_frame(
+            spark, [], "event_type string, pr_fixed long, pagerank double"
         )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
@@ -162,7 +162,8 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in edges:
             contrib[r.dst] += (pr[r.src] * int(r.n)) // outdeg[r.src]
         pr = {v: (base + 85 * contrib[v]) // 100 for v in nodes}
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(v, pr[v], round(pr[v] / PR_SCALE, 9)) for v in nodes],
         "event_type string, pr_fixed long, pagerank double",
     )
@@ -280,8 +281,8 @@ def pr_fixed_point_frames(
     nodes = nodes.localCheckpoint()
     n_nodes = nodes.count()  # one scalar to the driver, not the graph
     if n_nodes == 0:
-        return spark.createDataFrame(
-            [], "event_type string, pr_fixed long, pagerank double"
+        return literal_frame(
+            spark, [], "event_type string, pr_fixed long, pagerank double"
         )
     dangling = None
     if redistribute_dangling:

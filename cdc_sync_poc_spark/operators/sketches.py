@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
-from cdc_sync_poc_spark.sources.loader import load_table
+from cdc_sync_poc_spark.sources.loader import literal_frame, load_table
 
 KMV_K = 64
 SALT_BUCKETS = 32
@@ -269,12 +269,13 @@ def text_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-hashing the corpus
         .cache()
     )
-    probe_rows = [
-        (t, j) for t in CMS_TERMS for j in range(CMS_D)
-    ]
-    probe = docs.sparkSession.createDataFrame(probe_rows, "term string, j int").select(
+    probe = literal_frame(
+        docs.sparkSession,
+        [(t, j) for t in CMS_TERMS for j in range(CMS_D)],
+        "term string, j bigint",
+    ).select(
         "term",
-        F.col("j").cast("bigint").alias("j"),
+        "j",
         ((h1 + F.col("j") * h2) % 4294967296 % CMS_W).alias("bucket"),
     )
     est = (

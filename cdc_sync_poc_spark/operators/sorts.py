@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.cdc.envelope import CDC_CTE, _with_walk, cdc_view, classified_view
 from cdc_sync_poc_spark.registry import register
-from cdc_sync_poc_spark.sources.loader import load_table
+from cdc_sync_poc_spark.sources.loader import literal_frame, load_table
 
 
 @register(
@@ -130,6 +130,6 @@ def s05_first_nonpk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a distributed op; exposed for surface parity."""
     cust = load_table(spark, sf_dir, "customer")
     first_nonpk = cust.columns[1]
-    return spark.createDataFrame(
-        [("customer", first_nonpk)], ["table_name", "first_non_pk_col"]
+    return literal_frame(
+        spark, [("customer", first_nonpk)], ["table_name", "first_non_pk_col"]
     )

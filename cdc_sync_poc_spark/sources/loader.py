@@ -112,3 +112,47 @@ def spread_small_input(df: DataFrame, max_parts: int = 16) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def literal_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small local-literal DataFrame built JVM-side.
+
+    ``createDataFrame`` on a handful of driver rows round-trips through
+    a Python RDD (``applySchemaToPythonRDD``) — an extra Python-gateway
+    job costing ~0.5 s per call that an array-of-structs literal
+    produces for free. Query bodies that attach tiny dims / probe rows
+    / driver-computed results (quantile probes, CMS probe terms,
+    conflict policy, bounded PageRank ranks) pay that cost per bench
+    rep, so they build through here instead.
+
+    ``schema`` is either a simple DDL string ``"name type, ..."``
+    (each value cast to its field type; no nested commas — use
+    createDataFrame for complex types) or a list of column names
+    (types inferred from the literals). Empty ``rows`` yields a typed
+    empty frame, also without a Python RDD.
+    """
+    if isinstance(schema, str):
+        fields = [
+            (p.strip().split()[0], " ".join(p.strip().split()[1:]) or None)
+            for p in schema.split(",")
+        ]
+    else:
+        fields = [(n, None) for n in schema]
+
+    def cell(value, name, typ):
+        c = F.lit(value)
+        if typ:
+            c = c.cast(typ)
+        return c.alias(name)
+
+    if not rows:
+        return spark.range(0).select(
+            *[cell(None, n, t or "string") for n, t in fields]
+        )
+    arr = F.array(
+        *[
+            F.struct(*[cell(v, n, t) for v, (n, t) in zip(r, fields)])
+            for r in rows
+        ]
+    )
+    return spark.range(1).select(F.explode(arr).alias("r")).select("r.*")
