@@ -531,3 +531,34 @@ def test_proto_prune_invariants(spark):
         assert all(a >= b for a, b in zip(scores, scores[1:]))
     # every vector appears exactly once across cells
     assert len({r.vec_id for r in rows}) == len(rows)
+
+
+def test_literal_frame_matches_createdataframe(spark):
+    """literal_frame (JVM-side array-of-structs) must agree with
+    createDataFrame on rows, schema types, and the typed-empty case —
+    it replaces createDataFrame in query bodies purely for the
+    Python-RDD round-trip cost."""
+    from cdc_sync_poc_spark.sources.loader import literal_frame
+
+    rows = [("a", 1, 0.5), ("b", 2, None)]
+    ddl = "name string, k bigint, x double"
+    got = literal_frame(spark, rows, ddl)
+    ref = spark.createDataFrame(rows, ddl)
+    # literals come out non-nullable (tighter, harmless); names+types
+    # must match exactly
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in ref.schema.fields
+    ]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    # names-only schema: types inferred from the literals
+    got2 = literal_frame(spark, [("t", 7)], ["a", "b"])
+    assert got2.columns == ["a", "b"]
+    assert got2.collect()[0].asDict() == {"a": "t", "b": 7}
+
+    # typed empty frame, still no Python RDD
+    empty = literal_frame(spark, [], ddl)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in ref.schema.fields
+    ]
+    assert empty.count() == 0
