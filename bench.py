@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "graph_pagerank_mass",
     "sample_cluster_balanced",
     "emb_proto_prune",
+    "pack_padding_waste",
+    "train_order_shuffle",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

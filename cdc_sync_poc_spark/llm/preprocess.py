@@ -519,3 +519,218 @@ def emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("shift"), 6).alias("max_abs_shift"),
         F.count(F.when(F.col("shift") > SHIFT_TAU, 1)).alias("n_dims_shifted"),
     )
+
+
+PAD_BATCH_DOCS = 8  # pack_padding_waste: docs per length-bucketed batch
+
+
+@register(
+    "pack_padding_waste",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT sum((tot + {PACK_BUDGET - 1}) // {PACK_BUDGET})::BIGINT AS n_units,
+         sum(tot)::BIGINT AS n_tokens,
+         (sum((tot + {PACK_BUDGET - 1}) // {PACK_BUDGET})
+          * {PACK_BUDGET})::BIGINT AS n_slots
+  FROM (SELECT lang, sum(n_tokens) AS tot FROM d GROUP BY lang)
+),
+bucketed_rows AS (
+  SELECT lang, n_tokens,
+         CASE WHEN n_tokens <= 1 THEN 1
+              ELSE 1 << length(bin(n_tokens - 1)) END AS bucket,
+         row_number() OVER (
+           PARTITION BY lang,
+             CASE WHEN n_tokens <= 1 THEN 1
+                  ELSE 1 << length(bin(n_tokens - 1)) END
+           ORDER BY doc_id) AS rn
+  FROM d
+),
+batches AS (
+  SELECT lang, bucket, (rn - 1) // {PAD_BATCH_DOCS} AS batch_id,
+         count(*)::BIGINT AS n_docs, max(n_tokens)::BIGINT AS mx,
+         sum(n_tokens)::BIGINT AS toks
+  FROM bucketed_rows GROUP BY 1, 2, 3
+),
+bucketed AS (
+  SELECT count(*)::BIGINT AS n_units, sum(toks)::BIGINT AS n_tokens,
+         sum(n_docs * mx)::BIGINT AS n_slots
+  FROM batches
+)
+SELECT 'packed' AS method, n_units, n_tokens, n_slots,
+       round(CAST(n_slots - n_tokens AS DOUBLE) / n_slots, 6) AS waste_frac
+FROM packed
+UNION ALL
+SELECT 'bucketed' AS method, n_units, n_tokens, n_slots,
+       round(CAST(n_slots - n_tokens AS DOUBLE) / n_slots, 6) AS waste_frac
+FROM bucketed
+""",
+)
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency audit: how many context-window token slots
+    each batching strategy burns on the same corpus — the number that
+    justifies sequence packing in a pre-training pipeline.
+
+    * ``packed`` — contiguous concat-then-split packing (seq_packing):
+      the only waste is each language stream's final partial bin, so
+      slots = ceil(tokens/budget) * budget per language, derived from
+      the per-language token totals (one tiny agg — the packer's own
+      bin math, no window needed).
+    * ``bucketed`` — the classic pad-to-batch-max baseline: docs land
+      in power-of-two length buckets (bucket = 2^bitlen(n-1), the HLL
+      bin()-length trick so both engines agree without log()),
+      PAD_BATCH_DOCS docs per batch in doc_id order, every doc padded
+      to its batch's max length.
+
+    Scale shape: the bucketed rank is the packer's two-level pattern —
+    row_number inside (lang, bucket, doc_id-chunk) + broadcast
+    carry-in counts per chunk — so no window ever sorts a whole
+    (lang, bucket) group in one task; the oracle states the same rank
+    as one flat window."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = spread_small_input(docs).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+
+    lang_tot = d.groupBy("lang").agg(F.sum("n_tokens").alias("tot"))
+    bins = F.expr(f"(tot + {PACK_BUDGET - 1}) div {PACK_BUDGET}")
+    packed = lang_tot.select(
+        bins.alias("bins"), F.col("tot")
+    ).agg(
+        F.sum("bins").cast("bigint").alias("n_units"),
+        F.sum("tot").cast("bigint").alias("n_tokens"),
+        (F.sum("bins") * PACK_BUDGET).cast("bigint").alias("n_slots"),
+    )
+
+    bucket = F.expr(
+        "CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)"
+        " ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1))) END"
+    )
+    db = d.withColumn("bucket", bucket).withColumn(
+        "ck", F.expr(f"doc_id div {PACK_CHUNK_DOCS}")
+    )
+    w_local = Window.partitionBy("lang", "bucket", "ck").orderBy("doc_id")
+    local = db.withColumn("local_rn", F.row_number().over(w_local))
+    w_carry = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        db.groupBy("lang", "bucket", "ck")
+        .agg(F.count("*").alias("ck_n"))
+        .select(
+            "lang",
+            "bucket",
+            "ck",
+            F.coalesce(F.sum("ck_n").over(w_carry), F.lit(0)).alias("ck_off"),
+        )
+    )
+    batches = (
+        local.join(F.broadcast(carry), ["lang", "bucket", "ck"])
+        .withColumn("batch_id", F.expr(f"(ck_off + local_rn - 1) div {PAD_BATCH_DOCS}"))
+        .groupBy("lang", "bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("toks"),
+        )
+    )
+    bucketed = batches.agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("n_docs") * F.col("mx")).cast("bigint").alias("n_slots"),
+    )
+
+    waste = F.round(
+        (F.col("n_slots") - F.col("n_tokens")).cast("double") / F.col("n_slots"), 6
+    )
+    return (
+        packed.select(F.lit("packed").alias("method"), "n_units", "n_tokens", "n_slots")
+        .unionByName(
+            bucketed.select(
+                F.lit("bucketed").alias("method"), "n_units", "n_tokens", "n_slots"
+            )
+        )
+        .withColumn("waste_frac", waste)
+    )
+
+
+TRAIN_SHARDS = 16  # train_order_shuffle output shards
+_SHUF_SEED = "e0"  # epoch seed baked into the order hash
+_SHUF_BANDS_DIV = 1 << 40  # 48-bit hash -> 256 range bands per shard
+
+
+@register(
+    "train_order_shuffle",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)),
+                         1, 12))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id, (hv % {TRAIN_SHARDS})::BIGINT AS shard,
+       row_number() OVER (PARTITION BY hv % {TRAIN_SHARDS}
+                          ORDER BY hv, doc_id)::BIGINT AS pos
+FROM h
+""",
+)
+def train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: the global training order a
+    pre-training data loader consumes. Each document's order key is a
+    seeded 48-bit md5 hash; shard = hash mod TRAIN_SHARDS, position
+    within the shard = rank by (hash, doc_id). Same seed -> same order
+    on every run and both engines; a new epoch is a new seed, never a
+    reshuffle job over state.
+
+    Scale shape: a naive per-shard row_number sorts corpus/SHARDS rows
+    in one task. Instead the rank is computed TeraSort-style: the
+    uniform hash is split into 256 range bands, rows rank locally
+    inside (shard, band) — 4096 independent groups — and each band
+    adds the broadcast carry count of the bands below it. This is the
+    packer's two-level prefix-sum pattern applied to ordering; the
+    oracle states the identical rank as one flat window."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = spread_small_input(docs.select("doc_id")).select(
+        "doc_id",
+        hv.alias("hv"),
+    ).withColumn("shard", (F.col("hv") % TRAIN_SHARDS).cast("bigint")).withColumn(
+        "band", F.expr(f"hv div {_SHUF_BANDS_DIV}")
+    )
+    w_local = Window.partitionBy("shard", "band").orderBy("hv", "doc_id")
+    local = d.withColumn("local_rn", F.row_number().over(w_local))
+    w_carry = (
+        Window.partitionBy("shard")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        d.groupBy("shard", "band")
+        .agg(F.count("*").alias("band_n"))
+        .select(
+            "shard",
+            "band",
+            F.coalesce(F.sum("band_n").over(w_carry), F.lit(0)).alias("band_off"),
+        )
+    )
+    return local.join(F.broadcast(carry), ["shard", "band"]).select(
+        "doc_id",
+        "shard",
+        (F.col("band_off") + F.col("local_rn")).cast("bigint").alias("pos"),
+    )
