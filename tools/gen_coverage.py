@@ -71,7 +71,8 @@ GROUPS = [
       "sample_systematic_pps", "sample_fixed_n_by_lang",
       "sample_cluster_balanced", "emb_proto_prune"]),
     ("M6: preprocessing & packing",
-     ["pii_redact", "doc_chunking", "seq_packing", "text_rarity_score",
+     ["pii_redact", "doc_chunking", "seq_packing", "pack_padding_waste",
+      "train_order_shuffle", "text_rarity_score",
       "emb_label_centroids", "emb_centroid_shift", "dup_ngram_fraction",
       "text_cooccur_lift"]),
     ("M6: tokenizer induction",

@@ -132,6 +132,10 @@ SECTIONS = [
      "Dangling-mass PageRank: the distributed iteration plus one |dangling|-row agg per round whose 1-row result is broadcast-cross-joined onto the rank update (contrib += dm div N) — ranks sum to ~SCALE and read as probabilities; same per-round shuffle shape as graph_pagerank_dist, dm costs one tiny extra agg, nothing collected"),
     ("emb_proto_prune",
      "Prototypicality pruning (D4): cell id AND cosine-to-own-centroid come from the SAME map-side argmax struct (inlined centroids — nothing shuffles to score); the only exchange is one hash partition by cell_id feeding the in-cell rank + count windows"),
+    ("pack_padding_waste",
+     "Padding audit: packed slots from one per-language token-total agg; the bucketed baseline ranks docs inside (lang, pow2-bucket, doc-chunk) windows + broadcast chunk-count carry — bounded groups, no whole-bucket sort in one task"),
+    ("train_order_shuffle",
+     "Deterministic epoch shuffle: seeded md5 order key, rank computed TeraSort-style — local row_number inside (shard, hash-range band) + broadcast carry counts per band — so the global per-shard order never funnels a shard into one task"),
 ]
 
 
