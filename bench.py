@@ -427,8 +427,23 @@ def run(
         spark = get_spark("cdc-sync-poc-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warmup: JVM + codegen + parquet footer caches
+    # untimed warmup: JVM + codegen + parquet footer caches. The named
+    # warmup phase below exists to attribute CACHE-BUILD cost, so the
+    # session-wide first-touch costs that would otherwise land on
+    # whichever warmer runs first are paid here instead: the lineitem
+    # scan path (bench_q1), the documents scan (every dedup/text
+    # warmer's input), and one 2-row Arrow applyInPandas round trip
+    # (Python-worker + Arrow codepath spin-up, ~2-3 s once per
+    # session, otherwise billed to st01's builder).
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.sources.loader import load_table
+
     QUERIES["bench_q1_pricing"](spark, sf_dir).collect()
+    load_table(spark, sf_dir, "documents").count()
+    spark.range(2).withColumn("g", F.col("id") % 2).groupBy("g").applyInPandas(
+        lambda p: p, schema="id bigint, g bigint"
+    ).count()
 
     timings: dict[str, float] = {}
     warmup: dict[str, float] = {}
