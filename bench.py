@@ -260,7 +260,7 @@ _EXCLUDE_GROUPS: dict[str, list[str]] = {
         "doc_length_quantiles",  # slice_length_quantiles
         "sample_stratified",  # sample_fixed_n
         "corpus_mix_weights", "corpus_train_split",  # corpus_token_budget
-        "source_jsonl_docs",  # source_csv_docs
+        "source_jsonl_docs", "source_orc_docs",  # source_csv_docs
     ],
     "stub-backed multimodal plumbing (no real decode in this container);"
     " mm_decode_features/mm_resize own the family timing": [

@@ -143,6 +143,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.operators.stateful  # noqa: F401
     import cdc_sync_poc_spark.sources.csvsrc  # noqa: F401
     import cdc_sync_poc_spark.sources.jsonl  # noqa: F401
+    import cdc_sync_poc_spark.sources.orcsrc  # noqa: F401
     import cdc_sync_poc_spark.sources.layout  # noqa: F401
 
     ordered = sorted(QUERIES, key=lambda n: (_priority(n), 0))

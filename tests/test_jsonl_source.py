@@ -101,3 +101,39 @@ def test_csv_text_roundtrips_exactly(spark):
         for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
     }
     assert via_csv == via_parquet
+
+
+def test_orc_text_and_types_roundtrip_exactly(spark, tmp_path):
+    """ORC round trip must preserve values AND Spark-side types (the
+    drift ORC ingest actually risks), including text with embedded
+    newlines/quotes/unicode written through the same pyarrow path."""
+    import pandas as pd
+
+    from cdc_sync_poc_spark.sources.orcsrc import ensure_orc, read_orc_docs
+
+    path = ensure_orc(SF_DIR)
+    got = read_orc_docs(spark, path)
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == [
+        ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"),
+    ]
+    via_orc = {r.doc_id: r.text for r in got.collect()}
+    via_parquet = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert via_orc == via_parquet
+
+    # hostile text through the same derive path
+    hostile = 'a,"b"\nc\\d\tе́🙂'
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [hostile],
+            "lang": ["xx"],
+            "source": ["t"],
+            "n_chars": [len(hostile)],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    p2 = ensure_orc(str(tmp_path))
+    assert read_orc_docs(spark, p2).collect()[0].text == hostile

@@ -14,7 +14,7 @@ GROUPS = [
     ("§2.1 Scans / sources / sinks",
      ["src_kafka_cdc", "src_debezium_parse", "src_jdbc_snapshot",
       "src_jdbc_lookup", "src_point_lookup", "src_schema_drift",
-      "source_jsonl_docs", "source_csv_docs",
+      "source_jsonl_docs", "source_csv_docs", "source_orc_docs",
       "sink_cdc_append", "sink_target_apply", "sink_audit_log"]),
     ("§2.2 Row transforms", [f"r{i:02d}" for i in range(1, 16)]),
     ("§2.3 Joins", [f"j{i:02d}" for i in range(1, 10)]),
