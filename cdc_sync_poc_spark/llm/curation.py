@@ -966,9 +966,12 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-building expression INTO the generator, re-evaluating the
     O(d^2) array once per OUTPUT row (O(d^4) per vector — 22 s vs
     ~1 s at sf0.1). The per-dimension sums come from the same
-    cross-join shape over a 64-row dim table, collected to the driver
-    (design-bounded, the IVF centroid precedent) and attached to the
-    2016-row decode map."""
+    cross-join shape over a 64-row dim table and attach to the
+    2016-cell pair agg as two broadcast joins on the 64-row dims
+    frame — nothing is collected, so the whole query is ONE job (the
+    earlier collect+createDataFrame form paid a separate full scan
+    plus a Python-RDD round trip per call), and an empty table flows
+    through as empty with no special case."""
     emb = load_table(spark, sf_dir, "embeddings")
     spark_ = emb.sparkSession
     fp_expr = (
@@ -986,40 +989,39 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", F.expr("element_at(f, d)").alias("x"))
         .groupBy("d")
         .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-        .collect()
     )
-    if not dims:
-        # empty embeddings table: no per-dim sums exist, so the pair
-        # map below would KeyError at plan-build time — short-circuit
-        # to an empty frame with the output schema (covariance is
-        # undefined for n < 2 anyway, matching the n > 1 filter)
-        return spark_.createDataFrame(
-            [], "i long, j long, covariance double"
-        )
-    s_of = {int(r.d): int(r.s) for r in dims}
-    n_rows = int(dims[0].n)
-    pair_map = [
-        (i, j, s_of[i], s_of[j])
-        for i in range(1, 64)
-        for j in range(i + 1, 65)
-    ]
-    decode = F.broadcast(
-        spark_.createDataFrame(pair_map, "i long, j long, si long, sj long")
-    )
+    ii = spark_.range(1, 65).select(F.col("id").alias("i"))
+    jj = spark_.range(1, 65).select(F.col("id").alias("j"))
+    pairs = ii.crossJoin(jj).filter(F.col("j") > F.col("i"))
     agg = (
-        fp.crossJoin(decode)
+        fp.crossJoin(F.broadcast(pairs))
         .select(
             "i",
             "j",
-            "si",
-            "sj",
             F.expr(
                 "element_at(f, CAST(i AS INT)) * element_at(f, CAST(j AS INT))"
             ).alias("p"),
         )
-        .groupBy("i", "j", "si", "sj")
+        .groupBy("i", "j")
         .agg(F.sum("p").alias("sp"))
-        .withColumn("n", F.lit(n_rows))
+        .join(
+            F.broadcast(
+                dims.select(
+                    F.col("d").cast("long").alias("i"),
+                    F.col("s").alias("si"),
+                    F.col("n").alias("n"),
+                )
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                dims.select(
+                    F.col("d").cast("long").alias("j"), F.col("s").alias("sj")
+                )
+            ),
+            "j",
+        )
     )
     c = (
         F.col("sp").cast("double") / F.lit(_COV_FIX2)
