@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
-from cdc_sync_poc_spark.sources.loader import load_table
+from cdc_sync_poc_spark.sources.loader import literal_frame, load_table
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -891,8 +891,8 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_PROBE_CELLS nearest cells. Both rankings break cosine ties by
     vec_id, so the compared sets are deterministic on both engines."""
     n, _, cents1_rows = _ivf_refined(spark, sf_dir)
-    cents1 = spark.createDataFrame(
-        cents1_rows, schema="cell_id long, cv array<double>, cn double"
+    cents1 = literal_frame(
+        spark, cents1_rows, "cell_id long, cv array<double>, cn double"
     )
     assigned1 = n.select(
         "vec_id", "v", "nrm", _assign_col(cents1_rows).alias("cell_id")
@@ -1464,8 +1464,8 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    cents1 = spark.createDataFrame(
-        cents1_rows, schema="cell_id long, cv array<double>, cn double"
+    cents1 = literal_frame(
+        spark, cents1_rows, "cell_id long, cv array<double>, cn double"
     )
     wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
     qcells = (
