@@ -698,6 +698,13 @@ def train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     packer's two-level prefix-sum pattern applied to ordering; the
     oracle states the identical rank as one flat window."""
     docs = load_table(spark, sf_dir, "documents")
+    return train_order_frame(spread_small_input(docs.select("doc_id")))
+
+
+def train_order_frame(docs: DataFrame) -> DataFrame:
+    """Core of train_order_shuffle over any frame with ``doc_id`` —
+    separated so the streaming twin (streaming/train_order.py) assigns
+    the identical in-batch order before adding its per-shard carry."""
     hv = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string"))),
@@ -707,7 +714,7 @@ def train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    d = spread_small_input(docs.select("doc_id")).select(
+    d = docs.select(
         "doc_id",
         hv.alias("hv"),
     ).withColumn("shard", (F.col("hv") % TRAIN_SHARDS).cast("bigint")).withColumn(

@@ -1067,3 +1067,85 @@ def test_compaction_scratch_name_roundtrip():
         enc = _encode_part(part)
         assert "=" not in enc, (part, enc)
         assert _decode_part(enc) == part, (part, enc)
+
+
+def test_streaming_train_order_carries_and_replays(spark, tmp_path):
+    """The continuous epoch-shuffle (streaming/train_order.py): a
+    single-batch arrival must equal the batch train_order_frame
+    exactly; across batches each shard's positions stay a gapless
+    1..n permutation whose per-batch blocks continue the carry; and a
+    replayed batch leaves output and carry byte-identical."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.llm.preprocess import train_order_frame
+    from cdc_sync_poc_spark.streaming.train_order import (
+        StreamingOrderAssigner,
+        run_streaming_train_order,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    docs = sorted(t.to_pylist()[:60], key=lambda d: d["doc_id"])
+    batches = (docs[:25], docs[25:40], docs[40:60])
+    in_dir = tmp_path / "ord_in"
+    in_dir.mkdir()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    root = tmp_path / "ord_root"
+    q = run_streaming_train_order(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_ord")
+    )
+    q.awaitTermination()
+    assigner = StreamingOrderAssigner(spark, str(root))
+    got = assigner.order().collect()
+    assert len(got) == len(docs)
+
+    # per shard: gapless 1..n permutation, blocks in batch order, each
+    # block internally ordered by the batch op's (hash, doc_id) rank
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(int(r.shard), []).append(r)
+    batch_ids = {d["doc_id"]: i for i, rows in enumerate(batches) for d in rows}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1)), shard
+        assert [batch_ids[r.doc_id] for r in rows] == sorted(
+            batch_ids[r.doc_id] for r in rows
+        ), shard
+
+    # single-batch arrival == batch op exactly
+    union = spark.createDataFrame(
+        [(d["doc_id"],) for d in docs], "doc_id long"
+    )
+    single = StreamingOrderAssigner(spark, str(tmp_path / "ord_single"))
+    single.assign_batch(
+        spark.createDataFrame(
+            [(d["doc_id"], d["text"], d["lang"], d["source"], d["n_chars"])
+             for d in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        batch_id=0,
+    )
+    want = {(r.doc_id, r.shard, r.pos) for r in train_order_frame(union).collect()}
+    assert {(r.doc_id, r.shard, r.pos) for r in single.order().collect()} == want
+
+    # replay the middle batch: nothing changes
+    before = sorted((r.doc_id, r.shard, r.pos) for r in assigner.order().collect())
+    mid = spark.read.parquet(str(in_dir / "part-1.parquet"))
+    assigner.assign_batch(mid, batch_id=1)
+    after = sorted((r.doc_id, r.shard, r.pos) for r in assigner.order().collect())
+    assert after == before
