@@ -3,8 +3,9 @@ llm_curation_e2e's spine (llm/curation.py): every document micro-batch
 flows through
 
     funnel gate -> cross-batch dedup screen -> continuous packing
+                                            -> continuous epoch order
 
-in ONE foreachBatch body, composing the three streaming components this
+in ONE foreachBatch body, composing the four streaming components this
 package already proves individually:
 
 * the funnel verdict is a stateless map (funnel_verdict_frame) — the
@@ -16,7 +17,10 @@ package already proves individually:
   the corpus);
 * documents that are neither funnel-dropped nor dup-flagged continue
   each language's token stream through the carry-state packer
-  (streaming/packing.py).
+  (streaming/packing.py) AND receive their training-order slot from
+  the carry-state epoch-shuffle assigner (streaming/train_order.py) —
+  the same fresh set feeds both, so the curated corpus leaves the
+  pipeline packed and ordered.
 
 Everything inherits the per-batch overwrite idempotence of its
 component (a replayed batch rewrites funnel/verdict/packed partitions
@@ -35,6 +39,7 @@ from pyspark.sql import functions as F
 from cdc_sync_poc_spark.llm.curation import funnel_verdict_frame
 from cdc_sync_poc_spark.streaming.docs_index import StreamingDedupIndex
 from cdc_sync_poc_spark.streaming.packing import StreamingPacker
+from cdc_sync_poc_spark.streaming.train_order import StreamingOrderAssigner
 
 
 class StreamingCurator:
@@ -43,6 +48,7 @@ class StreamingCurator:
         self.funnel_dir = os.path.join(root, "funnel")
         self.idx = StreamingDedupIndex(spark, os.path.join(root, "dedup"))
         self.packer = StreamingPacker(spark, os.path.join(root, "pack"))
+        self.assigner = StreamingOrderAssigner(spark, os.path.join(root, "order"))
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         docs = docs.persist()
@@ -61,14 +67,18 @@ class StreamingCurator:
             )
             .select("doc_id")
         )
-        self.packer.pack_batch(
-            survivors.join(fresh_ids, "doc_id", "left_semi"), batch_id
-        )
+        fresh = survivors.join(fresh_ids, "doc_id", "left_semi").persist()
+        self.packer.pack_batch(fresh, batch_id)
+        self.assigner.assign_batch(fresh, batch_id)
+        fresh.unpersist()
         survivors.unpersist()
         docs.unpersist()
 
     def packed(self) -> DataFrame:
         return self.packer.packed()
+
+    def order(self) -> DataFrame:
+        return self.assigner.order()
 
 
 def run_streaming_curation(

@@ -524,6 +524,23 @@ def test_streaming_curation_pipeline_matches_straightline(spark, tmp_path):
     }
     assert any(9000 <= d < 9005 for d in flagged)
 
+    # the epoch-order stage covers exactly the packed (fresh) set, on
+    # the batch operator's shards, with gapless per-shard positions
+    from cdc_sync_poc_spark.llm.preprocess import train_order_frame
+
+    ordr = cur.order().collect()
+    assert {r.doc_id for r in ordr} == set(got)
+    shard_of = {
+        r.doc_id: r.shard
+        for r in train_order_frame(frame(fresh_rows).select("doc_id")).collect()
+    }
+    by_shard: dict[int, list] = {}
+    for r in ordr:
+        assert r.shard == shard_of[r.doc_id], r.doc_id
+        by_shard.setdefault(int(r.shard), []).append(int(r.pos))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
 
 def test_streaming_curator_survives_all_dropped_batch(spark, tmp_path):
     """A micro-batch whose documents ALL fail the funnel (or an empty
@@ -902,6 +919,8 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         ("cur/pack/packed", ["doc_id", "lang", "n_tokens", "bin_id",
                              "bin_offset", "batch_id"]),
         ("cur/pack/carry", ["lang", "batch_id"]),
+        ("cur/order/order", ["doc_id", "shard", "pos", "batch_id"]),
+        ("cur/order/carry", ["shard", "total", "batch_id"]),
         ("smp/sample", ["doc_id", "hk"]),
         ("ld/cleaned", ["doc_id", "n_seg", "n_kept", "text_kept",
                         "batch_id"]),
