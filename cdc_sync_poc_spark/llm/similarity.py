@@ -114,8 +114,12 @@ q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = {QUERY_VEC_ID})
 """
 
 
-def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def normed_frame(emb: DataFrame) -> DataFrame:
+    """float->double widening + L2 norm over ANY frame with
+    (vec_id, embedding, label) — the shared projection every consumer
+    (batch queries via _normed, the streaming index maintainer) applies
+    before vector math, so stream- and batch-assigned vectors are
+    bit-identical."""
     v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     norm = F.sqrt(
         F.expr(
@@ -124,6 +128,10 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return emb.select("vec_id", "label", v.alias("v"), norm.alias("nrm"))
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normed_frame(load_table(spark, sf_dir, "embeddings"))
 
 
 _DOT = (

@@ -1,0 +1,152 @@
+"""Streaming IVF-Flat index maintenance — the continuous form of the
+batch IVF family (llm/similarity.py): embedding micro-batches are
+assigned to a FROZEN coarse quantizer with the same constant-folded
+map-only expression the batch queries use (_assign_col) and appended to
+a cell-partitioned index store. ``emb_index_growth`` is the audit that
+decides when a cell re-splits; this module is the ingest that audit
+watches.
+
+Layout & idempotence: batch N writes ``index/batch_id=N/cell_id=C/``
+with mode=overwrite — the quantizer is frozen and assignment is
+deterministic, so a replayed batch recomputes the identical rows and
+overwrites its own partition: the at-least-once foreachBatch contract
+shared with streaming/packing.py and streaming/writer.py, idempotent by
+partition ownership.
+
+Scale shape: the ingest path is ONE map stage per batch (assignment is
+pure column math against from_json-folded centroid literals — zero
+shuffles, zero driver collects over data). A probe reads ONLY its
+N_PROBE_CELLS nearest cells: ``cell_id`` is a physical partition key,
+so every other cell's files are pruned at planning time (pinned by the
+input_file_name test) — at 100 TB a search touches
+N_PROBE_CELLS/N_CELLS of the lake and skips the rest entirely.
+
+The quantizer is stored WITH the index (``quantizer/``, written once at
+construction): a restarted maintainer reloads it, keeping assignments
+consistent across process lifetimes. Retraining per batch would corrupt
+the cell partitioning — cell re-splits are an offline maintenance
+action triggered by emb_index_growth's ``needs_split`` flag, and
+small-file pressure from per-batch partitions is the existing
+``compact_partitions`` maintenance op's job.
+
+Reference parity: the reference ships no vector search; this is part of
+the M6 training-data surface built on the same public IVF design
+(Jégou et al., PAPERS.md) as the batch sim_ivf/* queries.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.llm.similarity import (
+    ANN_TOP_K,
+    _assign_col,
+    _Cent,
+    _probe_cells_for,
+    normed_frame,
+)
+
+
+class StreamingIVFIndex:
+    def __init__(self, spark: SparkSession, root: str, cents_rows=None) -> None:
+        self.spark = spark
+        self.index_dir = os.path.join(root, "index")
+        self.quant_dir = os.path.join(root, "quantizer")
+        if cents_rows is not None and not os.path.isdir(self.quant_dir):
+            # one-time k-row write; createDataFrame is fine off the hot path
+            self.spark.createDataFrame(
+                [
+                    (int(r.cell_id), [float(x) for x in r.cv], float(r.cn))
+                    for r in cents_rows
+                ],
+                "cell_id bigint, cv array<double>, cn double",
+            ).coalesce(1).write.parquet(self.quant_dir)
+        self._cents: list | None = None
+
+    def centroids(self) -> list:
+        """The frozen quantizer as driver-local rows (k rows — the same
+        bounded collect every batch IVF consumer performs)."""
+        if self._cents is None:
+            self._cents = sorted(
+                (
+                    _Cent(int(r.cell_id), [float(x) for x in r.cv], float(r.cn))
+                    for r in self.spark.read.parquet(self.quant_dir).collect()
+                ),
+                key=lambda c: c.cell_id,
+            )
+        return self._cents
+
+    def absorb_batch(self, embs: DataFrame, batch_id: int) -> None:
+        """Assign one micro-batch (vec_id, embedding, label) and write
+        it under its own batch partition, sub-partitioned by cell."""
+        assigned = normed_frame(embs).select(
+            "vec_id",
+            "label",
+            "v",
+            "nrm",
+            _assign_col(self.centroids()).alias("cell_id"),
+        )
+        assigned.write.partitionBy("cell_id").mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"batch_id={batch_id}")
+        )
+
+    def index(self) -> DataFrame:
+        return self.spark.read.parquet(self.index_dir)
+
+    def search(self, qv, k: int = ANN_TOP_K) -> DataFrame:
+        """Top-k cosine neighbors of ``qv`` from the stored index: probe
+        cells ranked on the driver against the k centroid rows, then ONE
+        pruned scan -> map-side cosine -> TakeOrderedAndProject — the
+        stored-index twin of sim_ivf_topk's in-flight probe."""
+        qv = [float(x) for x in qv]
+        acc = 0.0
+        for x in qv:
+            acc = acc + x * x
+        qn = math.sqrt(acc)
+        probe = _probe_cells_for(qv, qn, self.centroids())
+        qarr = "array(" + ",".join(f"{x!r}D" for x in qv) + ")"
+        cos = F.expr(
+            f"aggregate(zip_with(v, {qarr}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+        ) / (F.col("nrm") * F.lit(qn))
+        return (
+            self.index()
+            .filter(F.col("cell_id").isin(probe))
+            .withColumn("cosr", cos)
+            .orderBy(F.desc("cosr"), F.asc("vec_id"))
+            .limit(k)
+            .select(
+                "vec_id", "cell_id", F.round(F.col("cosr"), 6).alias("cosine")
+            )
+        )
+
+
+EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def emb_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of embedding rows: each new parquet file in
+    ``path`` is a micro-batch of freshly embedded vectors."""
+    return (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def run_streaming_ann_index(
+    spark: SparkSession, in_dir: str, root: str, checkpoint: str, cents_rows
+):
+    """Wire the embedding file-stream through the index maintainer."""
+    idx = StreamingIVFIndex(spark, root, cents_rows)
+    return (
+        emb_stream(spark, in_dir)
+        .writeStream.foreachBatch(idx.absorb_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,153 @@
+"""Streaming IVF index maintenance (streaming/ann_index.py): embedding
+micro-batches assigned against a frozen quantizer must land in the same
+cells the batch assignment puts them in; a probe must read only its
+probe cells' files; replays and maintainer restarts must be no-ops for
+assignment semantics."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _emb_batches(tmp_path, n_batches=3):
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    rows = sorted(t.to_pylist(), key=lambda r: r["vec_id"])[:90]
+    cuts = [rows[i::n_batches] for i in range(n_batches)]
+    in_dir = tmp_path / "emb_in"
+    in_dir.mkdir()
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    now = time.time()
+    for i, batch in enumerate(cuts):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(batch, schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+    return in_dir, rows, cuts
+
+
+def test_streaming_ivf_index_matches_batch_assignment(spark, tmp_path):
+    from cdc_sync_poc_spark.llm.similarity import (
+        _assign_col,
+        _ivf_refined,
+        normed_frame,
+    )
+    from cdc_sync_poc_spark.streaming.ann_index import (
+        StreamingIVFIndex,
+        run_streaming_ann_index,
+    )
+
+    in_dir, rows, cuts = _emb_batches(tmp_path)
+    _n, _c0, cents = _ivf_refined(spark, SF_DIR)
+
+    root = tmp_path / "ann_root"
+    q = run_streaming_ann_index(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_ann"), cents
+    )
+    q.awaitTermination()
+    idx = StreamingIVFIndex(spark, str(root))
+
+    got = {
+        r.vec_id: (int(r.cell_id), int(r.label))
+        for r in idx.index().collect()
+    }
+    union = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    want = {
+        r.vec_id: (int(r.cell_id), int(r.label))
+        for r in normed_frame(union)
+        .select("vec_id", "label", _assign_col(cents).alias("cell_id"))
+        .collect()
+    }
+    assert got == want
+
+    # search == the same probe run batch-side over the union frame
+    qrow = rows[7]
+    qv = [float(x) for x in qrow["embedding"]]
+    hits = [(r.vec_id, r.cell_id, r.cosine) for r in idx.search(qv).collect()]
+
+    import math
+
+    from cdc_sync_poc_spark.llm.similarity import ANN_TOP_K, _probe_cells_for
+
+    qn = math.sqrt(sum(x * x for x in qv))
+    probe = _probe_cells_for(qv, qn, idx.centroids())
+    qarr = "array(" + ",".join(f"{x!r}D" for x in qv) + ")"
+    cos = F.expr(
+        f"aggregate(zip_with(v, {qarr}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    ) / (F.col("nrm") * F.lit(qn))
+    want_hits = [
+        (r.vec_id, r.cell_id, r.cosine)
+        for r in normed_frame(union)
+        .select("vec_id", "v", "nrm", _assign_col(cents).alias("cell_id"))
+        .filter(F.col("cell_id").isin(probe))
+        .withColumn("cosr", cos)
+        .orderBy(F.desc("cosr"), F.asc("vec_id"))
+        .limit(ANN_TOP_K)
+        .select("vec_id", "cell_id", F.round(F.col("cosr"), 6).alias("cosine"))
+        .collect()
+    ]
+    assert hits == want_hits
+    assert hits[0][0] == qrow["vec_id"]  # the query vector is stored too
+
+    # a probe scans ONLY files under its probe cells (partition pruning)
+    scanned = {
+        os.path.basename(os.path.dirname(r.f))
+        for r in idx.index()
+        .filter(F.col("cell_id").isin(probe))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert scanned == {f"cell_id={c}" for c in probe if f"cell_id={c}" in scanned}
+    assert all(
+        part.split("=")[1] in {str(c) for c in probe} for part in scanned
+    ), scanned
+
+    # replaying the middle batch leaves the store byte-identical
+    before = sorted(
+        (r.vec_id, int(r.cell_id), int(r.batch_id)) for r in idx.index().collect()
+    )
+    mid = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in cuts[1]],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx.absorb_batch(mid, batch_id=1)
+    after = sorted(
+        (r.vec_id, int(r.cell_id), int(r.batch_id)) for r in idx.index().collect()
+    )
+    assert after == before
+
+    # a RESTARTED maintainer (no cents passed) reloads the stored
+    # quantizer and keeps assigning identically
+    idx2 = StreamingIVFIndex(spark, str(root))
+    extra = spark.createDataFrame(
+        [(r["vec_id"] + 100000, r["embedding"], r["label"]) for r in cuts[0][:5]],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx2.absorb_batch(extra, batch_id=3)
+    got3 = {
+        r.vec_id: int(r.cell_id)
+        for r in idx2.index().filter(F.col("batch_id") == 3).collect()
+    }
+    want3 = {
+        r.vec_id: int(r.cell_id)
+        for r in normed_frame(extra)
+        .select("vec_id", _assign_col(cents).alias("cell_id"))
+        .collect()
+    }
+    assert got3 == want3
