@@ -47,17 +47,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # j01–j04, ap01–ap06, multimodal, PII, chunking, TPC-H reports) — and
 # the window fills to 50 with the OLDEST r4-evidence ids (packing,
 # doc-length, segment dedup, gini, PQ errors, the ANN top-k family +
-# its recall audits, and the oldest dedup ids). After this round no
+# its recall audits, and dedup_exact); the six operators REGISTERED in
+# round 9 lead the window so none stays never-sampled. After this
+# round no
 # registered query's latest driver evidence predates r4. Everything
 # else keeps rotating behind the cutoff (still covered by the local
 # exact gate every session). Prefix match, first hit wins; unmatched
 # ids keep relative order at the end.
 _PRIORITY_PREFIXES = [
     # ---- the r9 driver window ----
-    # first-evidence: the three r9-new operators (dangling-mass
-    # PageRank, cluster-balanced embedding sampler, prototypicality
-    # pruning)
+    # first-evidence: the six r9-new operators (dangling-mass PageRank,
+    # cluster-balanced embedding sampler, prototypicality pruning,
+    # padding-waste audit, epoch shuffle, ORC source) — a query
+    # registered mid-round MUST be inserted here or it stays
+    # never-sampled (test_units window invariant fails loudly)
     "graph_pagerank_mass", "sample_cluster_balanced", "emb_proto_prune",
+    "pack_padding_waste", "train_order_shuffle", "source_orc_docs",
     # the 17 stalest (r3-evidence) CDC ids
     "sink_target_apply", "sink_audit_log", "st08",
     "a01", "a02", "a03", "pipeline_",
@@ -72,13 +77,14 @@ _PRIORITY_PREFIXES = [
     "emb_pq",      # emb_pq_error + emb_pq_residual_error
     "sim_",        # the 6 ANN top-k ids
     "ann_recall",  # the 4 recall audits
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram",
+    "dedup_exact",
     # ---- 50-query driver window ends here ----
-    # (dedup_normalized then dedup_embedding_cosine displaced to r10 by
-    # sample_cluster_balanced / emb_proto_prune — first evidence beats
+    # (dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard — and
+    # earlier dedup_normalized / dedup_embedding_cosine — displaced to
+    # r10 by the six first-evidence ids: first evidence beats
     # refreshing a stale-but-green row)
     # next in line for r10: the remaining r4-evidence ids
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram",
     "dedup_embedding", "dedup_minhash_cluster", "dedup_span",
     "text_tfidf", "text_top_terms", "events_sessionize",
     "text_rarity", "emb_label", "dup_ngram",

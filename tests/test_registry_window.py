@@ -10,12 +10,13 @@ from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
 
 load_all_queries()
 
-# the r9 window: first driver evidence for the three r9-new operators,
+# the r9 window: first driver evidence for the six r9-new operators,
 # then the 27 remaining r3-evidence ids (sink_target_apply — displaced
 # from the r8 window — first), then the oldest r4-evidence ids filling
 # to 50 (COVERAGE.md "Driver correctness-sample window")
 R9_WINDOW = [
     'graph_pagerank_mass', 'sample_cluster_balanced', 'emb_proto_prune',
+    'pack_padding_waste', 'train_order_shuffle', 'source_orc_docs',
     'sink_target_apply', 'sink_audit_log',
     'st08_quarantine_replay',
     'a01_global_counters', 'a02_group_by_topic',
@@ -38,8 +39,7 @@ R9_WINDOW = [
     'sim_ivfpq_topk', 'sim_ivfpq_residual_topk',
     'ann_recall_lsh', 'ann_recall_ivf',
     'ann_recall_ivfpq', 'ann_recall_truncated',
-    'dedup_exact', 'dedup_minhash_lsh',
-    'dedup_simhash', 'dedup_ngram_jaccard',
+    'dedup_exact',
 ]
 
 

@@ -195,8 +195,11 @@ def test_driver_sample_window_invariants():
         "graph_pagerank_mass",       # r9-new
         "sample_cluster_balanced",   # r9-new
         "emb_proto_prune",           # r9-new
+        "pack_padding_waste",        # r9-new (registered mid-round)
+        "train_order_shuffle",       # r9-new (registered mid-round)
+        "source_orc_docs",           # r9-new (registered mid-round)
     ]
-    assert names[:3] == first_evidence
+    assert names[:6] == first_evidence
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
 
