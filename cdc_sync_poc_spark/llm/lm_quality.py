@@ -277,7 +277,14 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (never an unordered float sum), so scores hash-match the
     oracle; the final top-K is TakeOrderedAndProject, no global
     sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank_frame(load_table(spark, sf_dir, "documents"))
+
+
+def bm25_rank_frame(docs: DataFrame) -> DataFrame:
+    """Core of text_bm25_rank over any frame with (doc_id, text) —
+    separated so the streaming corpus-statistics twin
+    (streaming/bm25_stats.py) can pin exact score parity against the
+    batch operator on arbitrary document subsets."""
     tok = spread_small_input(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -357,15 +364,12 @@ s AS (
 """
 
 
-def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sq, n): exact BIGINT per-document DSIR accumulators
-    (sum of fixed-point term ratios x counts, and term count) — shared
-    by the weight report (dsir_importance) and the resampling apply
-    step (dsir_resample)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = spread_small_input(docs.select("doc_id", "lang", "text")).select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
+def dsir_ratio_frame(tok: DataFrame) -> DataFrame:
+    """(term, q) fixed-point frequency-ratio table over a token frame
+    (doc_id, lang, term): DSIR's smoothed p_target/p_raw per distinct
+    term, floored to DSIR_FIX fixed point. Shared by _dsir_doc_scores
+    and pinned bit-identical against the streaming term-stats
+    maintainer's stored-state ratio (streaming/dsir_stats.py)."""
     raw = tok.groupBy("term").agg(F.count("*").alias("c_r"))
     tgt = (
         tok.filter(F.col("lang") == "en")
@@ -377,7 +381,7 @@ def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
         F.count_distinct("term").alias("v"),
     )
-    ratio = (
+    return (
         raw.join(tgt, "term", "left")
         .crossJoin(F.broadcast(tot))
         .select(
@@ -392,6 +396,18 @@ def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q"),
         )
     )
+
+
+def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sq, n): exact BIGINT per-document DSIR accumulators
+    (sum of fixed-point term ratios x counts, and term count) — shared
+    by the weight report (dsir_importance) and the resampling apply
+    step (dsir_resample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    ratio = dsir_ratio_frame(tok)
     k = tok.groupBy("doc_id", "term").agg(F.count("*").alias("k"))
     return (
         k.join(F.broadcast(ratio), "term")

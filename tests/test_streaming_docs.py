@@ -813,6 +813,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from cdc_sync_poc_spark.streaming.bm25_stats import StreamingBM25Stats
     from cdc_sync_poc_spark.streaming.curation_pipeline import StreamingCurator
     from cdc_sync_poc_spark.streaming.docs_dedup import doc_stream
     from cdc_sync_poc_spark.streaming.line_dedup import StreamingLineDedup
@@ -854,6 +855,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
                 spark, os.path.join(root, "smp"), n=10
             )
             self.sld = StreamingLineDedup(spark, os.path.join(root, "ld"))
+            self.bm = StreamingBM25Stats(spark, os.path.join(root, "bm"))
             self.crash_plan = dict(crash_plan or {})
             self.crashes = []
 
@@ -878,6 +880,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
                 self.crashes.append((batch_id, point))
                 raise RuntimeError("chaos: killed before line-dedup")
             self.sld.clean_batch(docs_df, batch_id)
+            self.bm.absorb_batch(docs_df, batch_id)
 
     def drive(root, crash_plan=None, max_restarts=4):
         body = CompositeBody(str(root), crash_plan)
@@ -925,6 +928,8 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         ("ld/cleaned", ["doc_id", "n_seg", "n_kept", "text_kept",
                         "batch_id"]),
         ("ld/seg_idx", ["segment", "batch_id"]),
+        ("bm/stats", ["term", "df", "n_docs", "sum_len", "batch_id"]),
+        ("bm/postings", ["doc_id", "term", "tf", "dl", "batch_id"]),
     ]
     for rel, cols in stores:
         ref = snap(str(tmp_path / "ref" / rel), cols)
