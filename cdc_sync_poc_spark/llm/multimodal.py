@@ -42,7 +42,13 @@ def decode_image(data: bytes):  # pragma: no cover - stub
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> media rows: 16-byte fake payload (md5 of the text),
     modality tag, and typed metadata."""
-    docs = load_table(spark, sf_dir, "documents")
+    return media_frame(load_table(spark, sf_dir, "documents"))
+
+
+def media_frame(docs: DataFrame) -> DataFrame:
+    """media_table's projection over any frame with (doc_id, text) —
+    shared with the streaming media-dedup screen so stream- and
+    batch-derived media rows are bit-identical."""
     return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -347,6 +353,38 @@ _PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
 _PHASH_BAND_MASK = (1 << _PHASH_BAND_BITS) - 1
 
 
+def phash_band_frame(m: DataFrame) -> DataFrame:
+    """(doc_id, phash, band_id, band_key) for a media frame — the
+    16-bit surrogate fingerprint from the payload bytes' nibble
+    high-bits plus its PHASH_BANDS banding, all map-side expressions
+    reading the blob once. Shared by mm_dedup_phash and the streaming
+    media-dedup screen (streaming/mm_index.py) so both paths band
+    bit-identically and one stored index serves stream and backfill."""
+    payload_hex = F.lower(F.hex("media_bytes"))
+    bits = []
+    for i in range(1, PHASH_BITS + 1):
+        bits.append(
+            f"IF(contains('89abcdef', substr(ph, {i}, 1)),"
+            f" {1 << (PHASH_BITS - i)}, 0)"
+        )
+    ph = m.select("doc_id", payload_hex.alias("ph")).select(
+        "doc_id",
+        F.expr(" + ".join(bits)).cast("bigint").alias("phash"),
+    )
+    band_exprs = ", ".join(
+        f"shiftright(phash, {(PHASH_BANDS - 1 - b) * _PHASH_BAND_BITS})"
+        f" & {_PHASH_BAND_MASK}"
+        for b in range(PHASH_BANDS)
+    )
+    return ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(F.expr(f"array({band_exprs})")).alias(
+            "band_id", "band_key"
+        ),
+    )
+
+
 @register(
     "mm_dedup_phash",
     oracle=f"""
@@ -398,33 +436,13 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); the verify is one xor + bit_count per candidate. The
     blob column prunes out of the join entirely — only the 16-bit
     fingerprints shuffle."""
-    m = media_table(spark, sf_dir)
-    payload_hex = F.lower(F.hex("media_bytes"))
-    bits = []
-    for i in range(1, PHASH_BITS + 1):
-        bits.append(
-            f"IF(contains('89abcdef', substr(ph, {i}, 1)),"
-            f" {1 << (PHASH_BITS - i)}, 0)"
-        )
-    ph = (
-        m.select("doc_id", payload_hex.alias("ph"))
-        .select(
-            "doc_id",
-            F.expr(" + ".join(bits)).cast("bigint").alias("phash"),
-        )
-    )
-    band_exprs = ", ".join(
-        f"shiftright(phash, {(PHASH_BANDS - 1 - b) * _PHASH_BAND_BITS})"
-        f" & {_PHASH_BAND_MASK}"
-        for b in range(PHASH_BANDS)
-    )
-    bd = ph.select(
-        "doc_id",
-        "phash",
-        F.posexplode(F.expr(f"array({band_exprs})")).alias(
-            "band_id", "band_key"
-        ),
-    )
+    return phash_pairs_frame(phash_band_frame(media_table(spark, sf_dir)))
+
+
+def phash_pairs_frame(bd: DataFrame) -> DataFrame:
+    """Band equi-join + exact-Hamming verify over a banded fingerprint
+    frame: the candidate/verify half of mm_dedup_phash, shared with the
+    streaming media-dedup screen's single-batch equivalence pin."""
     a = bd.alias("a")
     c = bd.alias("c")
     cand = (
