@@ -443,6 +443,36 @@ def _assign_col(cents) -> F.Column:
     return -_assign_struct_col(cents).getField("nc")
 
 
+def _cents_frame(spark: SparkSession, cents_rows) -> DataFrame:
+    """The k driver-local centroid rows as a DataFrame, via ONE
+    from_json string literal (constant-folded once by Catalyst) —
+    the _assign_struct_col trick applied to frame building. Both
+    alternatives measured slower: createDataFrame pays a ~0.3-0.5 s
+    Python-RDD round trip per call, and literal_frame inlines
+    k x EMB_DIM literal array nodes costing ~0.6 s of analyzer time
+    (the exact trap _assign_struct_col's docstring names). json.dumps
+    floats round-trip exactly, so values are unchanged."""
+    payload = json.dumps(
+        [
+            {
+                "cell_id": int(r.cell_id),
+                "cv": [float(x) for x in r.cv],
+                "cn": float(r.cn),
+            }
+            for r in cents_rows
+        ],
+        separators=(",", ":"),
+    )
+    return spark.range(1).select(
+        F.inline(
+            F.from_json(
+                F.lit(payload),
+                "array<struct<cell_id:bigint,cv:array<double>,cn:double>>",
+            )
+        )
+    )
+
+
 _Cent = namedtuple("_Cent", ["cell_id", "cv", "cn"])
 
 # (applicationId, sf_dir) -> (cents0_rows, cents1_rows); see _ivf_refined
@@ -899,9 +929,7 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_PROBE_CELLS nearest cells. Both rankings break cosine ties by
     vec_id, so the compared sets are deterministic on both engines."""
     n, _, cents1_rows = _ivf_refined(spark, sf_dir)
-    cents1 = literal_frame(
-        spark, cents1_rows, "cell_id long, cv array<double>, cn double"
-    )
+    cents1 = _cents_frame(spark, cents1_rows)
     assigned1 = n.select(
         "vec_id", "v", "nrm", _assign_col(cents1_rows).alias("cell_id")
     )
@@ -1472,9 +1500,7 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    cents1 = literal_frame(
-        spark, cents1_rows, "cell_id long, cv array<double>, cn double"
-    )
+    cents1 = _cents_frame(spark, cents1_rows)
     wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
     qcells = (
         _score_cells(n.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0), cents1)
