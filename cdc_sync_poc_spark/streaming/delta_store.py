@@ -44,9 +44,10 @@ class AdditiveDeltaStore:
         key_cols: list[str],
         sum_cols: list[str],
         ddl: str,
+        deltas_name: str = "deltas",
     ) -> None:
         self.spark = spark
-        self.deltas_dir = os.path.join(root, "deltas")
+        self.deltas_dir = os.path.join(root, deltas_name)
         self.base = SwapStore(spark, root, "base")
         self.key_cols = list(key_cols)
         self.sum_cols = list(sum_cols)

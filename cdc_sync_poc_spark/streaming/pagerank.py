@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from cdc_sync_poc_spark.operators.graph import pr_fixed_point_frames
-from cdc_sync_poc_spark.streaming.swapstore import SwapStore
+from cdc_sync_poc_spark.streaming.delta_store import AdditiveDeltaStore
 
 _EV_COLS = ["user_id", "ts", "event_id", "event_type"]
 
@@ -90,9 +90,20 @@ class StreamingPageRank:
                 f"ttl_batches must be >= 1, got {ttl_batches}"
             )
         self.spark = spark
-        self.edges_dir = os.path.join(root, "edges")
+        # edge counts live in the generalized additive store (this
+        # module is where its delta/compaction recipe was first built;
+        # the mechanics now live in streaming/delta_store.py)
+        self.edge_store = AdditiveDeltaStore(
+            spark,
+            root,
+            key_cols=["src", "dst"],
+            sum_cols=["n"],
+            ddl="src string, dst string, n long",
+            deltas_name="edges",
+        )
+        self.edges_dir = self.edge_store.deltas_dir
         self.tails_dir = os.path.join(root, "tails")
-        self.base = SwapStore(spark, root, "base")
+        self.base = self.edge_store.base
         self.ttl_batches = ttl_batches
 
     def _tails_before(self, batch_id: int) -> DataFrame | None:
@@ -148,9 +159,7 @@ class StreamingPageRank:
             .groupBy("src", "dst")
             .agg(F.count("*").alias("n"))
         )
-        deltas.write.mode("overwrite").parquet(
-            os.path.join(self.edges_dir, f"batch_id={batch_id}")
-        )
+        self.edge_store.write_delta(deltas, batch_id)
         tails = (
             aug.withColumn(
                 "__rn",
@@ -184,103 +193,22 @@ class StreamingPageRank:
             return None
         return snaps.filter(F.col("batch_id") == latest)
 
-    def _delta_frame(self) -> DataFrame | None:
-        """All delta partitions, or None when none exist (e.g. every
-        batch folded into base — an empty partitioned dir cannot be
-        parquet-read)."""
-        if not os.path.isdir(self.edges_dir):
-            return None
-        if not any(
-            d.startswith("batch_id=") for d in os.listdir(self.edges_dir)
-        ):
-            return None
-        return self.spark.read.parquet(self.edges_dir)
-
     def _edge_counts(self) -> DataFrame:
         """Accumulated (src, dst, n): compacted base + deltas newer
-        than the base watermark. Folded-but-not-yet-deleted delta
-        partitions (a crash between swap and cleanup — or an
-        at-least-once REPLAY of an already-folded batch recreating its
-        partition) are excluded by the watermark, never
-        double-counted."""
-        base = self.base.read()
-        deltas = self._delta_frame()
-        if base is not None:
-            # an all-empty base (possible only if compact ever folded
-            # zero batches) has no watermark — treat as absent
-            upto = base.agg(F.max("upto").alias("u")).collect()[0].u
-            if upto is None:
-                base = None
-        if deltas is not None and base is not None:
-            edges = (
-                deltas.filter(F.col("batch_id") > upto)
-                .select("src", "dst", "n")
-                .unionByName(base.select("src", "dst", "n"))
-            )
-        elif base is not None:
-            edges = base.select("src", "dst", "n")
-        elif deltas is not None:
-            edges = deltas.select("src", "dst", "n")
-        else:
-            return self.spark.createDataFrame(
-                [], "src string, dst string, n long"
-            )
-        return edges.groupBy("src", "dst").agg(F.sum("n").alias("n"))
+        than the base watermark (AdditiveDeltaStore.totals —
+        folded-but-not-yet-deleted or replay-recreated partitions are
+        excluded by the watermark, never double-counted)."""
+        return self.edge_store.totals()
 
     def compact(self, upto_batch_id: int) -> None:
         """Fold delta partitions with batch_id <= ``upto_batch_id``
-        (plus any existing base) into one summed base table, then drop
-        the folded partitions. Crash-safe: the watermark travels inside
-        the swapped frame, and cleanup only removes partitions the NEW
-        watermark already excludes — re-running compact() or crashing
-        mid-cleanup changes nothing ``ranks()`` reads."""
-        import shutil
-
-        if upto_batch_id < 0:
-            return  # nothing to fold (e.g. a compact-every-1 policy
-            # lagging one batch fires on batch 0 with upto = -1)
-        base = self.base.read()
-        prev_upto = (
-            base.agg(F.max("upto").alias("u")).collect()[0].u
-            if base is not None
-            else None
-        )
-        if prev_upto is not None and upto_batch_id <= prev_upto:
-            return  # already folded this far
-        deltas = self._delta_frame()
-        if deltas is None:
-            # no delta partitions to fold (compact() called before any
-            # absorb_batch, or every partition already folded+cleaned):
-            # a clean no-op instead of an AnalysisException on the
-            # missing/empty edges dir (ADVICE r8)
-            return
-        folded = deltas.filter(
-            (F.col("batch_id") <= upto_batch_id)
-            & (
-                F.col("batch_id") > prev_upto
-                if prev_upto is not None
-                else F.lit(True)
-            )
-        ).select("src", "dst", "n")
-        if base is not None:
-            folded = folded.unionByName(base.select("src", "dst", "n"))
-        new_base = (
-            folded.groupBy("src", "dst")
-            .agg(F.sum("n").alias("n"))
-            .withColumn("upto", F.lit(upto_batch_id).cast("long"))
-        )
-        self.base.swap(new_base)
-        # cleanup AFTER the swap: these partitions are now <= the live
-        # watermark, so ranks() already ignores them
-        if os.path.isdir(self.edges_dir):
-            for d in os.listdir(self.edges_dir):
-                if d.startswith("batch_id="):
-                    try:
-                        bid = int(d.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    if bid <= upto_batch_id:
-                        shutil.rmtree(os.path.join(self.edges_dir, d))
+        into the summed base (AdditiveDeltaStore.compact): the
+        watermark travels inside the swapped frame, cleanup only
+        removes partitions the NEW watermark already excludes, and
+        calling before any absorb_batch is a clean no-op (ADVICE r8) —
+        re-running compact() or crashing mid-cleanup changes nothing
+        ``ranks()`` reads."""
+        self.edge_store.compact(upto_batch_id)
 
     def prune_tails(self, keep: int = 2) -> None:
         """Drop tail snapshots older than the newest ``keep``. Two are

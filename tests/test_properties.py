@@ -1034,3 +1034,58 @@ def test_pack_padding_waste_invariants(spark, tmp_path):
         assert r.n_slots >= r.n_tokens > 0
         assert 0.0 <= r.waste_frac < 1.0
     assert rows["packed"].n_slots == rows["packed"].n_units * PACK_BUDGET
+
+
+@given(
+    counts=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "d"]),
+                st.integers(min_value=1, max_value=50),
+            ),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    compact_at=st.integers(min_value=-1, max_value=3),
+    replay=st.integers(min_value=0, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_additive_delta_store_totals_invariant(
+    spark, tmp_path_factory, counts, compact_at, replay
+):
+    """AdditiveDeltaStore (streaming/delta_store.py): for ANY batch
+    split, compaction point, and replayed batch, totals() equals the
+    straight-line per-key sum over all batches — compaction and
+    replays must be observationally invisible."""
+    from collections import defaultdict
+
+    from cdc_sync_poc_spark.streaming.delta_store import AdditiveDeltaStore
+
+    root = tmp_path_factory.mktemp("ads_prop")
+    store = AdditiveDeltaStore(
+        spark, str(root), ["k"], ["n"], "k string, n bigint"
+    )
+
+    def agg_frame(batch):
+        sums = defaultdict(int)
+        for k, n in batch:
+            sums[k] += n
+        return spark.createDataFrame(list(sums.items()), "k string, n bigint")
+
+    want: dict[str, int] = defaultdict(int)
+    for bid, batch in enumerate(counts):
+        store.write_delta(agg_frame(batch), bid)
+        for k, n in batch:
+            want[k] += n
+
+    store.compact(compact_at)
+    if replay < len(counts):
+        # at-least-once: a batch replays AFTER compaction may have
+        # folded it — partition ownership + watermark must absorb it
+        store.write_delta(agg_frame(counts[replay]), replay)
+
+    got = {r.k: r.n for r in store.totals().collect()}
+    assert got == {k: v for k, v in want.items() if v}

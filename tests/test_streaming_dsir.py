@@ -53,8 +53,11 @@ def test_streaming_dsir_ratio_matches_batch(spark, tmp_path):
 
     in_dir, docs, cuts = _doc_batches(tmp_path)
     root = tmp_path / "ds_root"
+    # compact_every=2 fires the in-flight lagging compaction at batch 1
+    # (folding batch 0) — the stream itself exercises the policy path
     q = run_streaming_dsir(
-        spark, str(in_dir), str(root), str(tmp_path / "ckpt_ds")
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_ds"),
+        compact_every=2,
     )
     q.awaitTermination()
     st = StreamingDSIRStats(spark, str(root))
