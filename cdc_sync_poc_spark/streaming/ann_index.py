@@ -22,12 +22,18 @@ input_file_name test) — at 100 TB a search touches
 N_PROBE_CELLS/N_CELLS of the lake and skips the rest entirely.
 
 The quantizer is stored WITH the index (``quantizer/``, written once at
-construction): a restarted maintainer reloads it, keeping assignments
-consistent across process lifetimes. Retraining per batch would corrupt
-the cell partitioning — cell re-splits are an offline maintenance
-action triggered by emb_index_growth's ``needs_split`` flag, and
-small-file pressure from per-batch partitions is the existing
-``compact_partitions`` maintenance op's job.
+construction, completion marked by _SUCCESS): a restarted maintainer
+reloads it, keeping assignments consistent across process lifetimes.
+Retraining per batch would corrupt the cell partitioning — cell
+re-splits are an offline maintenance action triggered by
+emb_index_growth's ``needs_split`` flag.
+
+``compact()`` bounds both small-file pressure and probe fan-in: it
+re-lays accumulated batch partitions into ONE SwapStore base
+partitioned by cell_id (file count O(cells), not O(batches x cells)),
+with the watermark inside the swapped frame so replays of folded
+batches stay invisible — the crash-window analysis of
+streaming/delta_store.py applied to append-only rows.
 
 Reference parity: the reference ships no vector search; this is part of
 the M6 training-data surface built on the same public IVF design
@@ -49,6 +55,9 @@ from cdc_sync_poc_spark.llm.similarity import (
     _probe_cells_for,
     normed_frame,
 )
+from cdc_sync_poc_spark.streaming.swapstore import SwapStore
+
+_IDX_COLS = ["vec_id", "label", "v", "nrm", "cell_id", "batch_id"]
 
 
 class StreamingIVFIndex:
@@ -56,21 +65,38 @@ class StreamingIVFIndex:
         self.spark = spark
         self.index_dir = os.path.join(root, "index")
         self.quant_dir = os.path.join(root, "quantizer")
-        if cents_rows is not None and not os.path.isdir(self.quant_dir):
-            # one-time k-row write; createDataFrame is fine off the hot path
+        # compacted base: the per-batch partitions re-laid-out with
+        # cell_id as the TOP-level partition key (see compact())
+        self.base = SwapStore(spark, root, "base")
+        # completion = _SUCCESS, not isdir: a crash mid-write leaves a
+        # partial dir that must be overwritten, never trusted (the
+        # SwapStore lesson applied to the one-time quantizer write)
+        if cents_rows is not None and not self._quantizer_complete():
+            # one-time k-row write; createDataFrame is fine off the hot
+            # path, and mode=overwrite clears any partial leftover
             self.spark.createDataFrame(
                 [
                     (int(r.cell_id), [float(x) for x in r.cv], float(r.cn))
                     for r in cents_rows
                 ],
                 "cell_id bigint, cv array<double>, cn double",
-            ).coalesce(1).write.parquet(self.quant_dir)
+            ).coalesce(1).write.mode("overwrite").parquet(self.quant_dir)
         self._cents: list | None = None
+
+    def _quantizer_complete(self) -> bool:
+        return os.path.exists(os.path.join(self.quant_dir, "_SUCCESS"))
 
     def centroids(self) -> list:
         """The frozen quantizer as driver-local rows (k rows — the same
         bounded collect every batch IVF consumer performs)."""
         if self._cents is None:
+            if not self._quantizer_complete():
+                raise RuntimeError(
+                    "no complete quantizer at "
+                    f"{self.quant_dir}: construct StreamingIVFIndex with "
+                    "cents_rows once (a partial directory from a crashed "
+                    "write is not trusted)"
+                )
             self._cents = sorted(
                 (
                     _Cent(int(r.cell_id), [float(x) for x in r.cv], float(r.cn))
@@ -94,8 +120,93 @@ class StreamingIVFIndex:
             os.path.join(self.index_dir, f"batch_id={batch_id}")
         )
 
-    def index(self) -> DataFrame:
+    def _delta_frame(self) -> DataFrame | None:
+        if not os.path.isdir(self.index_dir):
+            return None
+        if not any(
+            d.startswith("batch_id=") for d in os.listdir(self.index_dir)
+        ):
+            return None
         return self.spark.read.parquet(self.index_dir)
+
+    def index(self) -> DataFrame:
+        """Everything ingested so far: compacted base + per-batch
+        partitions newer than the base watermark. Rows are append-only
+        (a vector never changes its cell under a frozen quantizer), so
+        folded-then-replayed batch partitions are excluded by the
+        watermark, never double-read."""
+        base = self.base.read()
+        deltas = self._delta_frame()
+        if base is not None:
+            upto = base.agg(F.max("upto").alias("u")).collect()[0].u
+            if upto is None:
+                base = None
+        if base is not None and deltas is not None:
+            return (
+                deltas.filter(F.col("batch_id") > upto)
+                .select(*_IDX_COLS)
+                .unionByName(base.select(*_IDX_COLS))
+            )
+        if base is not None:
+            return base.select(*_IDX_COLS)
+        if deltas is not None:
+            return deltas.select(*_IDX_COLS)
+        return self.spark.createDataFrame(
+            [],
+            "vec_id long, label int, v array<double>, nrm double,"
+            " cell_id bigint, batch_id long",
+        )
+
+    def compact(self, upto_batch_id: int) -> None:
+        """Re-layout: fold batch partitions with batch_id <=
+        ``upto_batch_id`` (plus the existing base) into ONE base
+        partitioned by cell_id — the 'at rest the cell becomes the
+        partition key' layout the batch IVF queries assume, which both
+        bounds the small-file count (O(cells), not O(batches x cells))
+        and turns every probe's cell filter into top-level directory
+        pruning. Crash-safe by the shared recipe: the watermark rides
+        inside the swapped frame (an ``upto`` column), cleanup after
+        the swap removes only partitions the live watermark already
+        excludes, and an at-least-once replay recreating a folded
+        partition is invisible to ``index()``."""
+        import shutil
+
+        if upto_batch_id < 0:
+            return
+        base = self.base.read()
+        prev_upto = (
+            base.agg(F.max("upto").alias("u")).collect()[0].u
+            if base is not None
+            else None
+        )
+        if prev_upto is not None and upto_batch_id <= prev_upto:
+            return
+        deltas = self._delta_frame()
+        if deltas is None:
+            return
+        folded = deltas.filter(
+            (F.col("batch_id") <= upto_batch_id)
+            & (
+                F.col("batch_id") > prev_upto
+                if prev_upto is not None
+                else F.lit(True)
+            )
+        ).select(*_IDX_COLS)
+        if base is not None:
+            folded = folded.unionByName(base.select(*_IDX_COLS))
+        self.base.swap(
+            folded.withColumn("upto", F.lit(upto_batch_id).cast("long")),
+            partition_by=["cell_id"],
+        )
+        if os.path.isdir(self.index_dir):
+            for d in os.listdir(self.index_dir):
+                if d.startswith("batch_id="):
+                    try:
+                        bid = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid <= upto_batch_id:
+                        shutil.rmtree(os.path.join(self.index_dir, d))
 
     def search(self, qv, k: int = ANN_TOP_K) -> DataFrame:
         """Top-k cosine neighbors of ``qv`` from the stored index: probe

@@ -68,9 +68,16 @@ class SwapStore:
             return None
         return self.spark.read.parquet(self.cur_dir)
 
-    def swap(self, df: DataFrame) -> None:
-        """Persist ``df`` as the new state; atomic at every step."""
-        df.write.mode("overwrite").parquet(self.tmp_dir)
+    def swap(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Persist ``df`` as the new state; atomic at every step.
+        ``partition_by`` lays the state out as hive partitions (the
+        _SUCCESS marker still lands at the root, so completion
+        detection is unchanged) — used by stores whose readers prune on
+        a key, e.g. the IVF index base's cell_id."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.tmp_dir)
         if os.path.isdir(self.cur_dir):
             if os.path.isdir(self.old_dir):  # stale debris
                 shutil.rmtree(self.old_dir)

@@ -151,3 +151,129 @@ def test_streaming_ivf_index_matches_batch_assignment(spark, tmp_path):
         .collect()
     }
     assert got3 == want3
+
+
+def test_quantizer_partial_write_recovers(spark, tmp_path):
+    """A crash mid-quantizer-write leaves a partial dir (no _SUCCESS):
+    a maintainer re-constructed WITH centroids overwrites it; one
+    constructed WITHOUT centroids refuses loudly instead of reading a
+    possibly-partial quantizer."""
+    import pytest
+
+    from cdc_sync_poc_spark.llm.similarity import _ivf_refined
+    from cdc_sync_poc_spark.streaming.ann_index import StreamingIVFIndex
+
+    _n, _c0, cents = _ivf_refined(spark, SF_DIR)
+    root = tmp_path / "ann_crash"
+    qdir = root / "quantizer"
+    qdir.mkdir(parents=True)
+    (qdir / "part-00000.parquet").write_bytes(b"partial garbage")
+
+    # without centroids: loud failure, the partial dir is not trusted
+    broken = StreamingIVFIndex(spark, str(root))
+    with pytest.raises(RuntimeError, match="no complete quantizer"):
+        broken.centroids()
+
+    # with centroids: the partial write is overwritten and usable
+    idx = StreamingIVFIndex(spark, str(root), cents)
+    got = idx.centroids()
+    assert [(c.cell_id, c.cn) for c in got] == [
+        (int(r.cell_id), float(r.cn)) for r in sorted(cents, key=lambda r: r.cell_id)
+    ]
+
+    # a SECOND construction with centroids is a no-op (complete store)
+    again = StreamingIVFIndex(spark, str(root), cents)
+    assert [(c.cell_id, c.cn) for c in again.centroids()] == [
+        (c.cell_id, c.cn) for c in got
+    ]
+
+
+def test_ivf_index_compaction_relayouts_by_cell(spark, tmp_path):
+    """compact() folds batch partitions into a cell-partitioned base:
+    index() content is unchanged (batch_id preserved), probes prune on
+    the base's top-level cell dirs, a replay recreating a folded
+    partition is excluded by the watermark, and re-compacting at the
+    same watermark is a no-op."""
+    import math
+
+    from cdc_sync_poc_spark.llm.similarity import _ivf_refined, _probe_cells_for
+    from cdc_sync_poc_spark.streaming.ann_index import (
+        StreamingIVFIndex,
+        run_streaming_ann_index,
+    )
+
+    in_dir, rows, cuts = _emb_batches(tmp_path)
+    _n, _c0, cents = _ivf_refined(spark, SF_DIR)
+    root = tmp_path / "annc_root"
+    q = run_streaming_ann_index(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_annc"), cents
+    )
+    q.awaitTermination()
+    idx = StreamingIVFIndex(spark, str(root))
+
+    before = sorted(
+        (r.vec_id, int(r.cell_id), int(r.batch_id))
+        for r in idx.index().collect()
+    )
+    qv = [float(x) for x in rows[11]["embedding"]]
+    hits_before = [(r.vec_id, r.cosine) for r in idx.search(qv).collect()]
+
+    idx.compact(1)  # fold batches 0..1, keep 2 as delta
+    assert sorted(
+        (r.vec_id, int(r.cell_id), int(r.batch_id))
+        for r in idx.index().collect()
+    ) == before
+    assert [(r.vec_id, r.cosine) for r in idx.search(qv).collect()] == hits_before
+    left = sorted(
+        d for d in os.listdir(idx.index_dir) if d.startswith("batch_id=")
+    )
+    assert left == ["batch_id=2"]
+    base_cells = sorted(
+        d for d in os.listdir(idx.base.cur_dir) if d.startswith("cell_id=")
+    )
+    assert base_cells  # the base really is cell-partitioned
+
+    # probe scan only touches probe-cell directories (base + delta)
+    qn = math.sqrt(sum(x * x for x in qv))
+    probe = {str(c) for c in _probe_cells_for(qv, qn, idx.centroids())}
+    from pyspark.sql import functions as F
+
+    scanned = {
+        os.path.basename(os.path.dirname(r.f))
+        for r in idx.index()
+        .filter(F.col("cell_id").isin([int(c) for c in probe]))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert all(p.split("=")[1] in probe for p in scanned), scanned
+
+    # at-least-once replay of a FOLDED batch: partition reappears but
+    # the watermark excludes it
+    mid = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in cuts[1]],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx.absorb_batch(mid, batch_id=1)
+    assert os.path.isdir(os.path.join(idx.index_dir, "batch_id=1"))
+    assert sorted(
+        (r.vec_id, int(r.cell_id), int(r.batch_id))
+        for r in idx.index().collect()
+    ) == before
+
+    # same-watermark recompaction: no-op
+    idx.compact(1)
+    assert sorted(
+        (r.vec_id, int(r.cell_id), int(r.batch_id))
+        for r in idx.index().collect()
+    ) == before
+
+    # fold everything (incl. the replayed partition) into the base
+    idx.compact(2)
+    assert not any(
+        d.startswith("batch_id=") for d in os.listdir(idx.index_dir)
+    )
+    assert sorted(
+        (r.vec_id, int(r.cell_id), int(r.batch_id))
+        for r in idx.index().collect()
+    ) == before
