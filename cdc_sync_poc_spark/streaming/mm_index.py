@@ -42,6 +42,7 @@ from cdc_sync_poc_spark.llm.multimodal import (
     phash_band_frame,
     phash_pairs_frame,
 )
+from cdc_sync_poc_spark.streaming.swapstore import SwapStore
 
 
 class StreamingMediaIndex:
@@ -49,14 +50,90 @@ class StreamingMediaIndex:
         self.spark = spark
         self.bands_dir = os.path.join(root, "bands")
         self.pairs_dir = os.path.join(root, "pairs")
+        # compacted fingerprint base (rows keep batch_id so the
+        # predecessor-state filter still works after folding)
+        self.base = SwapStore(spark, root, "base")
+
+    def _bands_frame(self) -> DataFrame | None:
+        """All stored fingerprints: compacted base + per-batch
+        partitions newer than the base watermark (folded-then-replayed
+        partitions excluded — the streaming/delta_store.py analysis
+        applied to append-only rows)."""
+        cols = ["doc_id", "phash", "band_id", "band_key", "batch_id"]
+        base = self.base.read()
+        deltas = None
+        if os.path.isdir(self.bands_dir) and any(
+            d.startswith("batch_id=") for d in os.listdir(self.bands_dir)
+        ):
+            deltas = self.spark.read.parquet(self.bands_dir)
+        if base is not None:
+            upto = base.agg(F.max("upto").alias("u")).collect()[0].u
+            if upto is None:
+                base = None
+        if base is not None and deltas is not None:
+            return (
+                deltas.filter(F.col("batch_id") > upto)
+                .select(*cols)
+                .unionByName(base.select(*cols))
+            )
+        if base is not None:
+            return base.select(*cols)
+        return deltas.select(*cols) if deltas is not None else None
+
+    def compact(self, upto_batch_id: int) -> None:
+        """Fold fingerprint partitions with batch_id <= ``upto_batch_id``
+        into one SwapStore base — bounds the stored-index file count at
+        O(1) dirs instead of O(batches); crash-safe by the shared
+        watermark-inside-the-frame recipe, and replay-invisible because
+        screening reads through _bands_frame()."""
+        import shutil
+
+        if upto_batch_id < 0:
+            return
+        base = self.base.read()
+        prev_upto = (
+            base.agg(F.max("upto").alias("u")).collect()[0].u
+            if base is not None
+            else None
+        )
+        if prev_upto is not None and upto_batch_id <= prev_upto:
+            return
+        if not (
+            os.path.isdir(self.bands_dir)
+            and any(
+                d.startswith("batch_id=") for d in os.listdir(self.bands_dir)
+            )
+        ):
+            return
+        cols = ["doc_id", "phash", "band_id", "band_key", "batch_id"]
+        deltas = self.spark.read.parquet(self.bands_dir)
+        folded = deltas.filter(
+            (F.col("batch_id") <= upto_batch_id)
+            & (
+                F.col("batch_id") > prev_upto
+                if prev_upto is not None
+                else F.lit(True)
+            )
+        ).select(*cols)
+        if base is not None:
+            folded = folded.unionByName(base.select(*cols))
+        self.base.swap(
+            folded.withColumn("upto", F.lit(upto_batch_id).cast("long"))
+        )
+        for d in os.listdir(self.bands_dir):
+            if d.startswith("batch_id="):
+                try:
+                    bid = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid <= upto_batch_id:
+                    shutil.rmtree(os.path.join(self.bands_dir, d))
 
     def _stored_before(self, batch_id: int) -> DataFrame | None:
-        if not os.path.isdir(self.bands_dir):
+        stored = self._bands_frame()
+        if stored is None:
             return None
-        stored = self.spark.read.parquet(self.bands_dir).filter(
-            F.col("batch_id") < batch_id
-        )
-        return stored.drop("batch_id")
+        return stored.filter(F.col("batch_id") < batch_id).drop("batch_id")
 
     def screen_batch(self, docs: DataFrame, batch_id: int) -> None:
         """Fingerprint one micro-batch of documents' media payloads,

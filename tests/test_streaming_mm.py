@@ -101,3 +101,29 @@ def test_streaming_media_screen_equals_batch_pairs(spark, tmp_path):
     )
     assert after_pairs == before_pairs
     assert after_bands == before_bands
+
+    # compaction folds fingerprint partitions into the base without
+    # changing screening: replay of a FOLDED batch is pair-idempotent,
+    # and a later batch still finds cross-batch pairs against the base
+    idx.compact(1)  # fold batches 0..1; batch 2 stays a delta
+    left = sorted(
+        d
+        for d in os.listdir(str(root / "bands"))
+        if d.startswith("batch_id=")
+    )
+    assert left == ["batch_id=2"]
+    idx.screen_batch(mid, batch_id=1)  # replay of a folded batch
+    assert sorted(
+        (r.doc_a, r.doc_b, r.hamming, r.batch_id) for r in idx.pairs().collect()
+    ) == before_pairs
+
+    b3 = spark.createDataFrame(
+        [(9400, docs[0]["text"])], "doc_id long, text string"
+    )
+    idx.screen_batch(b3, batch_id=3)
+    got3 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.read.parquet(str(root / "pairs" / "batch_id=3")).collect()
+    }
+    assert (batches[0][0]["doc_id"], 9400, 0) in got3  # found via the BASE
+    assert (9200, 9400, 0) in got3  # and via the re-crawl's fingerprints
