@@ -143,6 +143,12 @@ def literal_frame(spark: SparkSession, rows, schema) -> DataFrame:
         c = F.lit(value)
         if typ:
             c = c.cast(typ)
+        elif isinstance(value, int) and not isinstance(value, bool):
+            # names-only schema: F.lit maps small Python ints to
+            # IntegerType where the createDataFrame this replaced
+            # inferred LongType — normalize so swapping builders never
+            # silently narrows a column (advisor finding, r9)
+            c = c.cast("bigint")
         return c.alias(name)
 
     if not rows:

@@ -29,11 +29,12 @@ re-splits are an offline maintenance action triggered by
 emb_index_growth's ``needs_split`` flag.
 
 ``compact()`` bounds both small-file pressure and probe fan-in: it
-re-lays accumulated batch partitions into ONE SwapStore base
-partitioned by cell_id (file count O(cells), not O(batches x cells)),
-with the watermark inside the swapped frame so replays of folded
-batches stay invisible — the crash-window analysis of
-streaming/delta_store.py applied to append-only rows.
+re-lays accumulated batch partitions into ONE base partitioned by
+cell_id (file count O(cells), not O(batches x cells)). Delta
+bookkeeping, watermark-inside-the-frame compaction and the crash
+analysis all live in the shared AppendDeltaStore
+(streaming/delta_store.py) — this module owns only what is
+IVF-specific: the frozen quantizer and the probe math.
 
 Reference parity: the reference ships no vector search; this is part of
 the M6 training-data surface built on the same public IVF design
@@ -55,19 +56,31 @@ from cdc_sync_poc_spark.llm.similarity import (
     _probe_cells_for,
     normed_frame,
 )
-from cdc_sync_poc_spark.streaming.swapstore import SwapStore
+from cdc_sync_poc_spark.streaming.delta_store import AppendDeltaStore
 
 _IDX_COLS = ["vec_id", "label", "v", "nrm", "cell_id", "batch_id"]
+_IDX_DDL = (
+    "vec_id long, label int, v array<double>, nrm double,"
+    " cell_id bigint, batch_id long"
+)
 
 
 class StreamingIVFIndex:
     def __init__(self, spark: SparkSession, root: str, cents_rows=None) -> None:
         self.spark = spark
-        self.index_dir = os.path.join(root, "index")
         self.quant_dir = os.path.join(root, "quantizer")
-        # compacted base: the per-batch partitions re-laid-out with
-        # cell_id as the TOP-level partition key (see compact())
-        self.base = SwapStore(spark, root, "base")
+        # per-batch partitions sub-partitioned by cell; compact() re-lays
+        # them into ONE base with cell_id as the TOP-level partition key,
+        # so probe pruning survives folding (shared store recipe)
+        self.store = AppendDeltaStore(
+            spark,
+            root,
+            cols=_IDX_COLS,
+            ddl=_IDX_DDL,
+            delta_partition_by=["cell_id"],
+            base_partition_by=["cell_id"],
+            deltas_name="index",
+        )
         # completion = _SUCCESS, not isdir: a crash mid-write leaves a
         # partial dir that must be overwritten, never trusted (the
         # SwapStore lesson applied to the one-time quantizer write)
@@ -116,46 +129,24 @@ class StreamingIVFIndex:
             "nrm",
             _assign_col(self.centroids()).alias("cell_id"),
         )
-        assigned.write.partitionBy("cell_id").mode("overwrite").parquet(
-            os.path.join(self.index_dir, f"batch_id={batch_id}")
-        )
+        self.store.write_delta(assigned, batch_id)
 
-    def _delta_frame(self) -> DataFrame | None:
-        if not os.path.isdir(self.index_dir):
-            return None
-        if not any(
-            d.startswith("batch_id=") for d in os.listdir(self.index_dir)
-        ):
-            return None
-        return self.spark.read.parquet(self.index_dir)
+    @property
+    def index_dir(self) -> str:
+        return self.store.deltas_dir
+
+    @property
+    def base(self):
+        return self.store.base
 
     def index(self) -> DataFrame:
         """Everything ingested so far: compacted base + per-batch
         partitions newer than the base watermark. Rows are append-only
         (a vector never changes its cell under a frozen quantizer), so
         folded-then-replayed batch partitions are excluded by the
-        watermark, never double-read."""
-        base = self.base.read()
-        deltas = self._delta_frame()
-        if base is not None:
-            upto = base.agg(F.max("upto").alias("u")).collect()[0].u
-            if upto is None:
-                base = None
-        if base is not None and deltas is not None:
-            return (
-                deltas.filter(F.col("batch_id") > upto)
-                .select(*_IDX_COLS)
-                .unionByName(base.select(*_IDX_COLS))
-            )
-        if base is not None:
-            return base.select(*_IDX_COLS)
-        if deltas is not None:
-            return deltas.select(*_IDX_COLS)
-        return self.spark.createDataFrame(
-            [],
-            "vec_id long, label int, v array<double>, nrm double,"
-            " cell_id bigint, batch_id long",
-        )
+        watermark, never double-read — the shared AppendDeltaStore
+        read path."""
+        return self.store.rows_or_empty()
 
     def compact(self, upto_batch_id: int) -> None:
         """Re-layout: fold batch partitions with batch_id <=
@@ -164,49 +155,8 @@ class StreamingIVFIndex:
         partition key' layout the batch IVF queries assume, which both
         bounds the small-file count (O(cells), not O(batches x cells))
         and turns every probe's cell filter into top-level directory
-        pruning. Crash-safe by the shared recipe: the watermark rides
-        inside the swapped frame (an ``upto`` column), cleanup after
-        the swap removes only partitions the live watermark already
-        excludes, and an at-least-once replay recreating a folded
-        partition is invisible to ``index()``."""
-        import shutil
-
-        if upto_batch_id < 0:
-            return
-        base = self.base.read()
-        prev_upto = (
-            base.agg(F.max("upto").alias("u")).collect()[0].u
-            if base is not None
-            else None
-        )
-        if prev_upto is not None and upto_batch_id <= prev_upto:
-            return
-        deltas = self._delta_frame()
-        if deltas is None:
-            return
-        folded = deltas.filter(
-            (F.col("batch_id") <= upto_batch_id)
-            & (
-                F.col("batch_id") > prev_upto
-                if prev_upto is not None
-                else F.lit(True)
-            )
-        ).select(*_IDX_COLS)
-        if base is not None:
-            folded = folded.unionByName(base.select(*_IDX_COLS))
-        self.base.swap(
-            folded.withColumn("upto", F.lit(upto_batch_id).cast("long")),
-            partition_by=["cell_id"],
-        )
-        if os.path.isdir(self.index_dir):
-            for d in os.listdir(self.index_dir):
-                if d.startswith("batch_id="):
-                    try:
-                        bid = int(d.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    if bid <= upto_batch_id:
-                        shutil.rmtree(os.path.join(self.index_dir, d))
+        pruning. Crash windows: streaming/delta_store.py."""
+        self.store.compact(upto_batch_id)
 
     def search(self, qv, k: int = ANN_TOP_K) -> DataFrame:
         """Top-k cosine neighbors of ``qv`` from the stored index: probe

@@ -13,13 +13,13 @@ What Okapi BM25 needs, and why it streams cleanly:
   documents containing at least one query term — append-only, since
   documents are immutable once ingested.
 
-Each batch writes its stats delta (one row per query term + the two
-scalars, a bounded literal_frame) and its matching postings to its own
-``batch_id=N`` partition with mode=overwrite — the shared at-least-once
-foreachBatch contract: a replayed batch recomputes identical deltas and
-postings and overwrites its own partitions, so additive state is
-replay-safe by PARTITION OWNERSHIP (the streaming/pagerank.py recipe),
-not by any merge logic.
+Both halves of the state live on the shared delta-store recipes
+(streaming/delta_store.py): the per-term stats delta (one row per
+query term + the two scalars, a bounded literal_frame) in an
+AdditiveDeltaStore, the postings in an AppendDeltaStore — so replay
+safety is partition ownership, compaction is the shared
+watermark-inside-the-frame fold, and this module owns only the BM25
+math.
 
 ``score()`` folds the stats deltas (a bounded batches x |terms| read),
 attaches df / n_docs / avgdl to the stored postings as broadcast
@@ -33,13 +33,11 @@ Scale shape: per batch one tokenize pass + two keyed aggs on the
 query-term-filtered stream (the isin filter reaches the explode, so
 postings stay O(matching docs), not O(corpus)); scoring reads
 |terms|-bounded state plus the matching postings and never touches
-document text again. Small-file pressure from per-batch partitions is
-the existing compact_partitions maintenance op's job.
+document text again. ``compact()`` on either store bounds the
+small-file count by the shared fold.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,14 +48,34 @@ from cdc_sync_poc_spark.llm.lm_quality import (
     _bm25_term_case,
 )
 from cdc_sync_poc_spark.sources.loader import literal_frame
+from cdc_sync_poc_spark.streaming.delta_store import (
+    AdditiveDeltaStore,
+    AppendDeltaStore,
+)
 
 
 class StreamingBM25Stats:
     def __init__(self, spark: SparkSession, root: str, terms=BM25_TERMS) -> None:
         self.spark = spark
         self.terms = tuple(terms)
-        self.stats_dir = os.path.join(root, "stats")
-        self.postings_dir = os.path.join(root, "postings")
+        self.stats = AdditiveDeltaStore(
+            spark,
+            root,
+            key_cols=["term"],
+            sum_cols=["df", "n_docs", "sum_len"],
+            ddl="term string, df bigint, n_docs bigint, sum_len bigint",
+            deltas_name="stats",
+            base_name="stats_base",
+        )
+        self.postings = AppendDeltaStore(
+            spark,
+            root,
+            cols=["doc_id", "term", "tf", "dl", "batch_id"],
+            ddl="doc_id bigint, term string, tf bigint, dl bigint,"
+            " batch_id bigint",
+            deltas_name="postings",
+            base_name="postings_base",
+        )
 
     def absorb_batch(self, docs: DataFrame, batch_id: int) -> None:
         docs = docs.persist()
@@ -71,14 +89,19 @@ class StreamingBM25Stats:
             .agg(F.count("*").alias("tf"))
         )
         # postings carry dl so scoring never rejoins the corpus
-        tf.join(dl, "doc_id").write.mode("overwrite").parquet(
-            os.path.join(self.postings_dir, f"batch_id={batch_id}")
-        )
+        self.postings.write_delta(tf.join(dl, "doc_id"), batch_id)
 
-        # bounded collects: 1 scalar row + <= |terms| df rows
+        # bounded collects: 1 scalar row + <= |terms| df rows. The
+        # sum coalesces to 0 because sum() over ZERO rows is NULL — a
+        # file-source stream can deliver an empty batch after a restart
+        # and the delta must still be written (partition ownership
+        # requires the replayed batch to own its partition), just with
+        # all-zero counts (advisor finding, r9)
         scal = docs.agg(
             F.count("*").alias("n_docs"),
-            F.expr("sum(size(split(text, ' ')))").cast("bigint").alias("sum_len"),
+            F.coalesce(F.expr("sum(size(split(text, ' ')))"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_len"),
         ).collect()[0]
         dfs = {
             r.term: int(r.df)
@@ -91,26 +114,25 @@ class StreamingBM25Stats:
             (t, dfs.get(t, 0), int(scal.n_docs), int(scal.sum_len))
             for t in self.terms
         ]
-        literal_frame(
-            self.spark, rows, "term string, df bigint, n_docs bigint, sum_len bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.stats_dir, f"batch_id={batch_id}")
+        self.stats.write_delta(
+            literal_frame(
+                self.spark,
+                rows,
+                "term string, df bigint, n_docs bigint, sum_len bigint",
+            ),
+            batch_id,
         )
         docs.unpersist()
 
     def totals(self) -> tuple[dict[str, int], int, int]:
         """Fold the per-batch deltas: (df per term, n_docs, sum_len).
-        Bounded read — batches x |terms| rows."""
-        agg = (
-            self.spark.read.parquet(self.stats_dir)
-            .groupBy("term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("sum_len").alias("sum_len"),
-            )
-            .collect()
-        )
+        Bounded read — (base + recent deltas) x |terms| rows. Before
+        any batch is absorbed this returns ({}, 0, 0) instead of
+        raising, mirroring the sibling stores' typed-empty reads
+        (advisor finding, r9)."""
+        agg = self.stats.totals().collect()
+        if not agg:
+            return {}, 0, 0
         df = {r.term: int(r.df) for r in agg}
         n_docs = int(agg[0].n_docs)
         sum_len = int(agg[0].sum_len)
@@ -118,8 +140,12 @@ class StreamingBM25Stats:
 
     def score(self, top: int = BM25_TOP) -> DataFrame:
         """Rank the fixed query against everything absorbed so far —
-        the stored-state twin of bm25_rank_frame's corpus pass."""
+        the stored-state twin of bm25_rank_frame's corpus pass.
+        Typed-empty (no ranking, not an error) while the corpus is
+        empty, which also guards the avgdl division."""
         df, n_docs, sum_len = self.totals()
+        if n_docs == 0:
+            return literal_frame(self.spark, [], "doc_id bigint, bm25 double")
         # same IEEE division the batch op's JVM agg performs
         stats = F.broadcast(
             literal_frame(
@@ -136,7 +162,7 @@ class StreamingBM25Stats:
             )
         )
         scored = (
-            self.spark.read.parquet(self.postings_dir)
+            self.postings.rows_or_empty()
             .join(dfs, "term")
             .crossJoin(stats)
             .groupBy("doc_id")

@@ -1,28 +1,38 @@
-"""Keyed additive counters for streaming state — the generalized form
-of the edge-count store inside streaming/pagerank.py, reusable for any
-sum-mergeable keyed statistic (term counts, document frequencies,
-n-gram tables).
+"""Keyed streaming state as per-batch delta partitions + a compacted
+base — the shared recipe behind every foreachBatch maintainer in this
+package, extracted once so the crash-window analysis lives in ONE
+place instead of per-store copies (VERDICT r9 "Next round" #3).
 
 Contract (two mechanisms, each carrying half the safety):
 
 * **Deltas are replay-safe by PARTITION OWNERSHIP**: batch N writes its
-  per-key sums to ``deltas/batch_id=N`` with mode=overwrite; counts are
-  additive, so idempotency comes from a replayed batch overwriting its
-  OWN partition byte-identically, never from merge logic.
+  rows to ``deltas/batch_id=N`` with mode=overwrite; the rows a batch
+  produces are a pure function of the batch, so idempotency comes from
+  a replayed batch overwriting its OWN partition byte-identically,
+  never from merge logic.
 * **Compaction is crash-safe by the WATERMARK INSIDE THE FRAME**:
   ``compact(upto)`` folds delta partitions with batch_id <= upto (plus
-  any existing base) into one summed base carrying an ``upto`` column,
+  any existing base) into one base carrying an ``upto`` column,
   swapped atomically through SwapStore; cleanup after the swap only
   removes partitions the live watermark already excludes, so a crash
   between swap and cleanup — or an at-least-once replay RECREATING an
-  already-folded partition — leaves ``totals()`` unchanged (folded
+  already-folded partition — leaves the read path unchanged (folded
   partitions are filtered out by ``batch_id > upto``, never
   double-counted).
 
-Scale: per batch one keyed hash agg (map-side combined) and one delta
-write; ``totals()`` reads base + post-watermark deltas and re-sums —
-read amplification stays O(base + recent deltas), bounded by the
-compaction cadence, not O(batches).
+Two fold disciplines share that skeleton:
+
+* :class:`AdditiveDeltaStore` — sum-mergeable keyed counters (term
+  counts, document frequencies, edge weights): folding re-sums per
+  key, reads re-sum base + post-watermark deltas. Read amplification
+  O(keys + recent deltas), bounded by compaction cadence.
+* :class:`AppendDeltaStore` — append-only row sets (IVF index rows,
+  media fingerprints, BM25 postings): folding is a plain union (a row
+  never changes once written), reads union base + post-watermark
+  deltas. Optional hive partitioning on both the per-batch delta
+  (``delta_partition_by``) and the compacted base
+  (``base_partition_by``) keeps key-pruned probes — e.g. the IVF
+  cell_id layout — pruning at planning time after compaction too.
 """
 
 from __future__ import annotations
@@ -36,28 +46,29 @@ from pyspark.sql import functions as F
 from cdc_sync_poc_spark.streaming.swapstore import SwapStore
 
 
-class AdditiveDeltaStore:
+class _DeltaStoreBase:
+    """Delta-partition bookkeeping shared by both fold disciplines.
+
+    ``cols`` is the logical row schema of the store as read back —
+    append stores include ``batch_id`` (a hive partition column on the
+    delta side, a plain column inside the folded base), additive
+    stores exclude it (their rows are re-summed, so provenance is
+    meaningless after folding).
+    """
+
     def __init__(
         self,
         spark: SparkSession,
         root: str,
-        key_cols: list[str],
-        sum_cols: list[str],
-        ddl: str,
+        cols: list[str],
         deltas_name: str = "deltas",
+        base_name: str = "base",
     ) -> None:
         self.spark = spark
         self.deltas_dir = os.path.join(root, deltas_name)
-        self.base = SwapStore(spark, root, "base")
-        self.key_cols = list(key_cols)
-        self.sum_cols = list(sum_cols)
-        self.ddl = ddl  # "key1 type, ..., sum1 bigint, ..." (no batch_id)
-
-    def write_delta(self, agg: DataFrame, batch_id: int) -> None:
-        """Persist one batch's per-key sums under its own partition."""
-        agg.select(*self.key_cols, *self.sum_cols).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.deltas_dir, f"batch_id={batch_id}"))
+        self.base = SwapStore(spark, root, base_name)
+        self.cols = list(cols)
+        self.base_partition_by: list[str] | None = None
 
     def _delta_frame(self) -> DataFrame | None:
         if not os.path.isdir(self.deltas_dir):
@@ -68,49 +79,50 @@ class AdditiveDeltaStore:
             return None
         return self.spark.read.parquet(self.deltas_dir)
 
-    def totals(self) -> DataFrame:
-        """Accumulated per-key sums: compacted base + deltas newer than
-        the base watermark, re-summed."""
+    def _base_frame(self) -> tuple[DataFrame | None, int | None]:
+        """The live base and its watermark (None, None when absent or
+        degenerate-empty)."""
         base = self.base.read()
+        if base is None:
+            return None, None
+        upto = base.agg(F.max("upto").alias("u")).collect()[0].u
+        if upto is None:
+            return None, None
+        return base, upto
+
+    def _rows(self) -> DataFrame | None:
+        """Everything stored so far: base + deltas newer than the base
+        watermark (folded-then-replayed partitions excluded)."""
+        base, upto = self._base_frame()
         deltas = self._delta_frame()
-        cols = self.key_cols + self.sum_cols
-        if base is not None:
-            upto = base.agg(F.max("upto").alias("u")).collect()[0].u
-            if upto is None:
-                base = None
-        if deltas is not None and base is not None:
-            rows = (
+        if base is not None and deltas is not None:
+            return (
                 deltas.filter(F.col("batch_id") > upto)
-                .select(*cols)
-                .unionByName(base.select(*cols))
+                .select(*self.cols)
+                .unionByName(base.select(*self.cols))
             )
-        elif base is not None:
-            rows = base.select(*cols)
-        elif deltas is not None:
-            rows = deltas.select(*cols)
-        else:
-            return self.spark.createDataFrame([], self.ddl)
-        return rows.groupBy(*self.key_cols).agg(
-            *[F.sum(c).alias(c) for c in self.sum_cols]
-        )
+        if base is not None:
+            return base.select(*self.cols)
+        if deltas is not None:
+            return deltas.select(*self.cols)
+        return None
+
+    def _fold(self, rows: DataFrame) -> DataFrame:
+        """Subclass hook: collapse the pre-watermark rows for the new
+        base (re-sum for additive state, identity for append-only)."""
+        return rows
 
     def compact(self, upto_batch_id: int) -> None:
         """Fold deltas with batch_id <= ``upto_batch_id`` into the
         base; see module docstring for the crash-window analysis."""
         if upto_batch_id < 0:
             return
-        base = self.base.read()
-        prev_upto = (
-            base.agg(F.max("upto").alias("u")).collect()[0].u
-            if base is not None
-            else None
-        )
+        base, prev_upto = self._base_frame()
         if prev_upto is not None and upto_batch_id <= prev_upto:
             return  # already folded this far
         deltas = self._delta_frame()
         if deltas is None:
             return
-        cols = self.key_cols + self.sum_cols
         folded = deltas.filter(
             (F.col("batch_id") <= upto_batch_id)
             & (
@@ -118,17 +130,15 @@ class AdditiveDeltaStore:
                 if prev_upto is not None
                 else F.lit(True)
             )
-        ).select(*cols)
+        ).select(*self.cols)
         if base is not None:
-            folded = folded.unionByName(base.select(*cols))
-        new_base = (
-            folded.groupBy(*self.key_cols)
-            .agg(*[F.sum(c).alias(c) for c in self.sum_cols])
-            .withColumn("upto", F.lit(upto_batch_id).cast("long"))
+            folded = folded.unionByName(base.select(*self.cols))
+        new_base = self._fold(folded).withColumn(
+            "upto", F.lit(upto_batch_id).cast("long")
         )
-        self.base.swap(new_base)
+        self.base.swap(new_base, partition_by=self.base_partition_by)
         # cleanup AFTER the swap: these partitions are now <= the live
-        # watermark, so totals() already ignores them
+        # watermark, so the read path already ignores them
         if os.path.isdir(self.deltas_dir):
             for d in os.listdir(self.deltas_dir):
                 if d.startswith("batch_id="):
@@ -138,3 +148,94 @@ class AdditiveDeltaStore:
                         continue
                     if bid <= upto_batch_id:
                         shutil.rmtree(os.path.join(self.deltas_dir, d))
+
+
+class AdditiveDeltaStore(_DeltaStoreBase):
+    """Keyed additive counters — the generalized form of the edge-count
+    store inside streaming/pagerank.py, reusable for any sum-mergeable
+    keyed statistic (term counts, document frequencies, n-gram
+    tables)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        sum_cols: list[str],
+        ddl: str,
+        deltas_name: str = "deltas",
+        base_name: str = "base",
+    ) -> None:
+        super().__init__(
+            spark, root, list(key_cols) + list(sum_cols), deltas_name,
+            base_name,
+        )
+        self.key_cols = list(key_cols)
+        self.sum_cols = list(sum_cols)
+        self.ddl = ddl  # "key1 type, ..., sum1 bigint, ..." (no batch_id)
+
+    def write_delta(self, agg: DataFrame, batch_id: int) -> None:
+        """Persist one batch's per-key sums under its own partition."""
+        agg.select(*self.key_cols, *self.sum_cols).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.deltas_dir, f"batch_id={batch_id}"))
+
+    def _fold(self, rows: DataFrame) -> DataFrame:
+        return rows.groupBy(*self.key_cols).agg(
+            *[F.sum(c).alias(c) for c in self.sum_cols]
+        )
+
+    def totals(self) -> DataFrame:
+        """Accumulated per-key sums: compacted base + deltas newer than
+        the base watermark, re-summed. Typed-empty when nothing has
+        been absorbed yet."""
+        rows = self._rows()
+        if rows is None:
+            return self.spark.createDataFrame([], self.ddl)
+        return self._fold(rows)
+
+
+class AppendDeltaStore(_DeltaStoreBase):
+    """Append-only row sets — the union-fold twin of
+    :class:`AdditiveDeltaStore`, extracted from the hand-rolled copies
+    in streaming/ann_index.py, streaming/mm_index.py and
+    streaming/bm25_stats.py's postings path (VERDICT r9 #3). A row
+    never changes once written (frozen quantizer assignments,
+    immutable fingerprints, immutable postings), so folding is a plain
+    union and replay safety is pure partition ownership."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cols: list[str],
+        ddl: str | None = None,
+        delta_partition_by: list[str] | None = None,
+        base_partition_by: list[str] | None = None,
+        deltas_name: str = "deltas",
+        base_name: str = "base",
+    ) -> None:
+        assert "batch_id" in cols, "append stores read batch provenance"
+        super().__init__(spark, root, cols, deltas_name, base_name)
+        self.ddl = ddl  # full row DDL incl. batch_id, for rows_or_empty
+        self.delta_partition_by = delta_partition_by
+        self.base_partition_by = base_partition_by
+
+    def write_delta(self, df: DataFrame, batch_id: int) -> None:
+        """Persist one batch's rows (WITHOUT a batch_id column — the
+        partition directory carries it) under its own partition."""
+        w = df.write.mode("overwrite")
+        if self.delta_partition_by:
+            w = w.partitionBy(*self.delta_partition_by)
+        w.parquet(os.path.join(self.deltas_dir, f"batch_id={batch_id}"))
+
+    def rows(self) -> DataFrame | None:
+        return self._rows()
+
+    def rows_or_empty(self) -> DataFrame:
+        rows = self._rows()
+        if rows is None:
+            if self.ddl is None:
+                raise ValueError("empty store and no ddl to type it")
+            return self.spark.createDataFrame([], self.ddl)
+        return rows

@@ -58,8 +58,15 @@ class StreamingDSIRStats:
 
     def ratio_table(self) -> DataFrame:
         """(term, q): the DSIR fixed-point frequency-ratio table from
-        stored state — same smoothed expression as dsir_ratio_frame."""
-        t = self.store.totals().persist()
+        stored state — same smoothed expression as dsir_ratio_frame.
+
+        The totals frame is read twice (scalar agg + the join) but NOT
+        persisted: a long-lived maintainer calling this repeatedly
+        would otherwise accumulate cached blocks nobody unpersists
+        (advisor finding, r9), and the state read is O(vocab + recent
+        deltas) — bounded by compaction cadence — so the second scan
+        is cheaper than the leak."""
+        t = self.store.totals()
         tot = t.agg(
             F.sum("c_r").alias("n_r"),
             F.sum("c_t").alias("n_t"),

@@ -42,92 +42,40 @@ from cdc_sync_poc_spark.llm.multimodal import (
     phash_band_frame,
     phash_pairs_frame,
 )
-from cdc_sync_poc_spark.streaming.swapstore import SwapStore
+from cdc_sync_poc_spark.streaming.delta_store import AppendDeltaStore
 
 
 class StreamingMediaIndex:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
-        self.bands_dir = os.path.join(root, "bands")
         self.pairs_dir = os.path.join(root, "pairs")
-        # compacted fingerprint base (rows keep batch_id so the
-        # predecessor-state filter still works after folding)
-        self.base = SwapStore(spark, root, "base")
+        # append-only fingerprint store (rows keep batch_id so the
+        # predecessor-state filter still works after folding); delta
+        # bookkeeping + watermark compaction are the shared recipe
+        self.store = AppendDeltaStore(
+            spark,
+            root,
+            cols=["doc_id", "phash", "band_id", "band_key", "batch_id"],
+            deltas_name="bands",
+        )
+
+    @property
+    def bands_dir(self) -> str:
+        return self.store.deltas_dir
 
     def _bands_frame(self) -> DataFrame | None:
         """All stored fingerprints: compacted base + per-batch
         partitions newer than the base watermark (folded-then-replayed
-        partitions excluded — the streaming/delta_store.py analysis
-        applied to append-only rows)."""
-        cols = ["doc_id", "phash", "band_id", "band_key", "batch_id"]
-        base = self.base.read()
-        deltas = None
-        if os.path.isdir(self.bands_dir) and any(
-            d.startswith("batch_id=") for d in os.listdir(self.bands_dir)
-        ):
-            deltas = self.spark.read.parquet(self.bands_dir)
-        if base is not None:
-            upto = base.agg(F.max("upto").alias("u")).collect()[0].u
-            if upto is None:
-                base = None
-        if base is not None and deltas is not None:
-            return (
-                deltas.filter(F.col("batch_id") > upto)
-                .select(*cols)
-                .unionByName(base.select(*cols))
-            )
-        if base is not None:
-            return base.select(*cols)
-        return deltas.select(*cols) if deltas is not None else None
+        partitions excluded — the shared AppendDeltaStore read path)."""
+        return self.store.rows()
 
     def compact(self, upto_batch_id: int) -> None:
         """Fold fingerprint partitions with batch_id <= ``upto_batch_id``
-        into one SwapStore base — bounds the stored-index file count at
-        O(1) dirs instead of O(batches); crash-safe by the shared
-        watermark-inside-the-frame recipe, and replay-invisible because
-        screening reads through _bands_frame()."""
-        import shutil
-
-        if upto_batch_id < 0:
-            return
-        base = self.base.read()
-        prev_upto = (
-            base.agg(F.max("upto").alias("u")).collect()[0].u
-            if base is not None
-            else None
-        )
-        if prev_upto is not None and upto_batch_id <= prev_upto:
-            return
-        if not (
-            os.path.isdir(self.bands_dir)
-            and any(
-                d.startswith("batch_id=") for d in os.listdir(self.bands_dir)
-            )
-        ):
-            return
-        cols = ["doc_id", "phash", "band_id", "band_key", "batch_id"]
-        deltas = self.spark.read.parquet(self.bands_dir)
-        folded = deltas.filter(
-            (F.col("batch_id") <= upto_batch_id)
-            & (
-                F.col("batch_id") > prev_upto
-                if prev_upto is not None
-                else F.lit(True)
-            )
-        ).select(*cols)
-        if base is not None:
-            folded = folded.unionByName(base.select(*cols))
-        self.base.swap(
-            folded.withColumn("upto", F.lit(upto_batch_id).cast("long"))
-        )
-        for d in os.listdir(self.bands_dir):
-            if d.startswith("batch_id="):
-                try:
-                    bid = int(d.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if bid <= upto_batch_id:
-                    shutil.rmtree(os.path.join(self.bands_dir, d))
+        into one base — bounds the stored-index file count at O(1) dirs
+        instead of O(batches); crash windows analyzed in
+        streaming/delta_store.py, replay-invisible because screening
+        reads through _bands_frame()."""
+        self.store.compact(upto_batch_id)
 
     def _stored_before(self, batch_id: int) -> DataFrame | None:
         stored = self._bands_frame()
@@ -176,9 +124,7 @@ class StreamingMediaIndex:
         pairs.write.mode("overwrite").parquet(
             os.path.join(self.pairs_dir, f"batch_id={batch_id}")
         )
-        bd.write.mode("overwrite").parquet(
-            os.path.join(self.bands_dir, f"batch_id={batch_id}")
-        )
+        self.store.write_delta(bd, batch_id)
         bd.unpersist()
 
     def pairs(self) -> DataFrame:

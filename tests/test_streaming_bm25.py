@@ -85,3 +85,43 @@ def test_streaming_bm25_equals_batch_and_replays(spark, tmp_path):
     texts = {d["doc_id"]: d["text"].split(" ") for d in docs}
     for t, c in df.items():
         assert c == sum(1 for ws in texts.values() if t in ws), t
+
+
+def test_streaming_bm25_empty_store_and_empty_batch(spark, tmp_path):
+    """Advisor findings (r9): totals()/score() before any batch must
+    return typed-empty state like the sibling stores, not raise; an
+    empty micro-batch (file-source restart artifact) must absorb
+    cleanly as an all-zero delta that still owns its partition, and
+    compaction over both stores must leave the ranking unchanged."""
+    from cdc_sync_poc_spark.llm.lm_quality import bm25_rank_frame
+    from cdc_sync_poc_spark.streaming.bm25_stats import StreamingBM25Stats
+
+    st = StreamingBM25Stats(spark, str(tmp_path / "bm_empty"))
+    assert st.totals() == ({}, 0, 0)
+    empty_rank = st.score()
+    assert empty_rank.collect() == []
+    assert [f.name for f in empty_rank.schema.fields] == ["doc_id", "bm25"]
+
+    # empty micro-batch first (sum(size(split())) over zero rows is
+    # NULL pre-fix): absorbs as a zero delta
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    st.absorb_batch(empty, batch_id=0)
+    assert st.totals() == ({t: 0 for t in st.terms}, 0, 0)
+    assert st.score().collect() == []
+
+    # then a real batch; the zero delta contributes nothing
+    _, docs, _ = _doc_batches(tmp_path, n=30, n_batches=1)
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    st.absorb_batch(union, batch_id=1)
+    want = [(r.doc_id, r.bm25) for r in bm25_rank_frame(union).collect()]
+    assert [(r.doc_id, r.bm25) for r in st.score().collect()] == want
+
+    # compact both stores (shared fold) — ranking identical after
+    st.stats.compact(1)
+    st.postings.compact(1)
+    assert [(r.doc_id, r.bm25) for r in st.score().collect()] == want
+    # replay of a folded batch is invisible through the watermark
+    st.absorb_batch(union, batch_id=1)
+    assert [(r.doc_id, r.bm25) for r in st.score().collect()] == want

@@ -554,10 +554,20 @@ def test_literal_frame_matches_createdataframe(spark):
     ]
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
 
-    # names-only schema: types inferred from the literals
+    # names-only schema: types inferred from the literals. Integer
+    # inference must match createDataFrame's LongType, not F.lit's
+    # IntegerType — swapping builders must never silently narrow a
+    # column (advisor finding, r9: cf05's specificity went int)
     got2 = literal_frame(spark, [("t", 7)], ["a", "b"])
+    ref2 = spark.createDataFrame([("t", 7)], ["a", "b"])
     assert got2.columns == ["a", "b"]
     assert got2.collect()[0].asDict() == {"a": "t", "b": 7}
+    assert [(f.name, f.dataType) for f in got2.schema.fields] == [
+        (f.name, f.dataType) for f in ref2.schema.fields
+    ]
+    # bools stay booleans (bool is an int subclass — must not widen)
+    got3 = literal_frame(spark, [(True,)], ["flag"])
+    assert dict(got3.dtypes) == {"flag": "boolean"}
 
     # typed empty frame, still no Python RDD
     empty = literal_frame(spark, [], ddl)
