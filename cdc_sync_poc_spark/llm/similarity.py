@@ -1022,6 +1022,47 @@ FROM best GROUP BY vec_id
 """
 
 
+def _pq_cb_payload(seed_vecs) -> str:
+    """PQ codebook as ONE JSON literal NESTED by subspace (outer array
+    index = s): ``seed_vecs`` is [(cid, full_vector), ...]. Nesting is
+    the scale fix shared with _adc_payload: encode expressions read
+    their subspace's PQ_K entries with one element_at instead of
+    filtering all PQ_M x PQ_K entries per subspace PER ROW — the
+    higher-order functions are interpreted, so that flat-list scan was
+    the dominant per-row cost of every PQ map stage (measured 2.8 s →
+    the attribution of the r9 residual-family scale-probe growth)."""
+    by_s: list[list[dict]] = [[] for _ in range(PQ_M)]
+    for cid, vec in seed_vecs:
+        for s in range(PQ_M):
+            by_s[s].append(
+                {
+                    "cid": int(cid),
+                    "cv": [float(x) for x in vec[s * PQ_DSUB : (s + 1) * PQ_DSUB]],
+                }
+            )
+    return json.dumps(by_s, separators=(",", ":"))
+
+
+_PQ_CB_DDL = "array<array<struct<cid:bigint,cv:array<double>>>>"
+
+
+def _pq_encode(payload: str, vec: str) -> F.Column:
+    """Per-subspace nearest-code assignment (L2, tie-break lowest code
+    id) over a nested codebook literal: array of PQ_M structs
+    (dist, cid) — the map-side PQ encode shared by emb_pq_error,
+    emb_pq_residual_error and the recall audit's candidate coding."""
+    return F.expr(
+        f"""transform(sequence(0, {PQ_M - 1}), s ->
+  array_min(transform(
+    element_at(from_json('{payload}', '{_PQ_CB_DDL}'), s + 1),
+    e -> struct(
+      aggregate(zip_with(slice({vec}, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
+                         (x, y) -> (x - y) * (x - y)),
+                CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
+      e.cid AS cid))))"""
+    )
+
+
 @register("emb_pq_error", oracle=_pq_oracle())
 def emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization encode + reconstruction error: split each
@@ -1041,29 +1082,8 @@ def emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic as the oracle's list_sum."""
     n = _normed(spark, sf_dir)
     seeds = n.orderBy("vec_id").limit(PQ_K).select("vec_id", "v").collect()
-    payload = json.dumps(
-        [
-            {
-                "s": s,
-                "cid": int(r.vec_id),
-                "cv": [float(x) for x in r.v[s * PQ_DSUB : (s + 1) * PQ_DSUB]],
-            }
-            for r in seeds
-            for s in range(PQ_M)
-        ],
-        separators=(",", ":"),
-    )
-    pq = F.expr(
-        f"""transform(sequence(0, {PQ_M - 1}), s ->
-  array_min(transform(
-    filter(from_json('{payload}',
-                     'array<struct<s:int,cid:bigint,cv:array<double>>>'),
-           e -> e.s = s),
-    e -> struct(
-      aggregate(zip_with(slice(v, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
-                         (x, y) -> (x - y) * (x - y)),
-                CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
-      e.cid AS cid))))"""
+    pq = _pq_encode(
+        _pq_cb_payload([(int(r.vec_id), r.v) for r in seeds]), "v"
     )
     return n.select("vec_id", pq.alias("pq")).select(
         "vec_id",
@@ -1158,11 +1178,28 @@ def _residual_frame(n, cents1_rows):
     )
 
 
-def _residual_seeds(resid):
+# (applicationId, sf_dir) -> PQ_K seed rows. The seed collect is a
+# FULL-CORPUS TakeOrdered job (map the residuals, keep the PQ_K lowest
+# vec_ids) that used to re-run at every query build — the one stage of
+# the residual family whose build cost grows with the corpus, and the
+# attribution behind sim_ivfpq_residual_topk's r9 scale-probe exponent
+# (VERDICT r9 #2). The seeds are a pure function of (corpus, frozen
+# quantizer), so they memoize exactly like _IVF_MEMO one line up.
+_RESIDUAL_SEED_MEMO: dict[tuple[str, str], list] = {}
+
+
+def _residual_seeds(resid, memo_key: tuple[str, str] | None = None):
     """The PQ_K lowest vec_ids' residuals, collected to the driver —
     the deterministic sample-init codebook (PQ_K rows, design-bounded
-    like every centroid exchange in the IVF family)."""
-    return resid.orderBy("vec_id").limit(PQ_K).select("vec_id", "rv").collect()
+    like every centroid exchange in the IVF family). Pass ``memo_key =
+    (applicationId, sf_dir)`` to reuse the collect across query builds
+    within a session."""
+    if memo_key is not None and memo_key in _RESIDUAL_SEED_MEMO:
+        return _RESIDUAL_SEED_MEMO[memo_key]
+    seeds = resid.orderBy("vec_id").limit(PQ_K).select("vec_id", "rv").collect()
+    if memo_key is not None:
+        _RESIDUAL_SEED_MEMO[memo_key] = seeds
+    return seeds
 
 
 @register("emb_pq_residual_error", oracle=_pq_residual_oracle())
@@ -1188,30 +1225,11 @@ def emb_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     (design-bounded, like every centroid exchange in the IVF family)."""
     n, _cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
     resid = _residual_frame(n, cents1_rows)
-    seeds = _residual_seeds(resid)
-    cb_payload = json.dumps(
-        [
-            {
-                "s": s,
-                "cid": int(r.vec_id),
-                "cv": [float(x) for x in r.rv[s * PQ_DSUB : (s + 1) * PQ_DSUB]],
-            }
-            for r in seeds
-            for s in range(PQ_M)
-        ],
-        separators=(",", ":"),
+    seeds = _residual_seeds(
+        resid, memo_key=(spark.sparkContext.applicationId, sf_dir)
     )
-    pq = F.expr(
-        f"""transform(sequence(0, {PQ_M - 1}), s ->
-  array_min(transform(
-    filter(from_json('{cb_payload}',
-                     'array<struct<s:int,cid:bigint,cv:array<double>>>'),
-           e -> e.s = s),
-    e -> struct(
-      aggregate(zip_with(slice(rv, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
-                         (x, y) -> (x - y) * (x - y)),
-                CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
-      e.cid AS cid))))"""
+    pq = _pq_encode(
+        _pq_cb_payload([(int(r.vec_id), r.rv) for r in seeds]), "rv"
     )
     return resid.select("vec_id", "cell_id", pq.alias("pq")).select(
         "vec_id",
@@ -1244,19 +1262,24 @@ def _query_vec(n, cents0_rows):
 
 
 def _adc_payload(seed_vecs, qv) -> str:
-    """Codebook + precomputed ADC terms as one JSON literal:
-    ``seed_vecs`` is [(cid, full_vector), ...]; per (subspace, code)
-    the entry carries the code subvector AND t = dot(q_sub, code_sub)
-    (same sequential fold as the oracle's list_sum)."""
-    entries = []
+    """Codebook + precomputed ADC terms as one JSON literal, NESTED by
+    subspace (outer array index = s): ``seed_vecs`` is
+    [(cid, full_vector), ...]; per (subspace, code) the entry carries
+    the code subvector AND t = dot(q_sub, code_sub) (same sequential
+    fold as the oracle's list_sum). The nesting matters at scale: the
+    scoring expression reads its subspace's PQ_K entries with one
+    element_at instead of filtering all PQ_M x PQ_K entries per
+    subspace PER ROW — higher-order functions are interpreted, so that
+    scan was the dominant per-row cost of the ADC map stage."""
+    by_s: list[list[dict]] = [[] for _ in range(PQ_M)]
     for cid, vec in seed_vecs:
         for s in range(PQ_M):
             cv = [float(x) for x in vec[s * PQ_DSUB : (s + 1) * PQ_DSUB]]
             acc = 0.0
             for x, y in zip(qv[s * PQ_DSUB : (s + 1) * PQ_DSUB], cv):
                 acc = acc + x * y
-            entries.append({"s": s, "cid": cid, "cv": cv, "t": acc})
-    return json.dumps(entries, separators=(",", ":"))
+            by_s[s].append({"cid": cid, "cv": cv, "t": acc})
+    return json.dumps(by_s, separators=(",", ":"))
 
 
 def _adc_dot(payload: str, vec: str) -> F.Column:
@@ -1267,9 +1290,9 @@ def _adc_dot(payload: str, vec: str) -> F.Column:
         f"""aggregate(transform(
   transform(sequence(0, {PQ_M - 1}), s ->
     array_min(transform(
-      filter(from_json('{payload}',
-        'array<struct<s:int,cid:bigint,cv:array<double>,t:double>>'),
-             e -> e.s = s),
+      element_at(from_json('{payload}',
+        'array<array<struct<cid:bigint,cv:array<double>,t:double>>>'),
+        s + 1),
       e -> struct(
         aggregate(zip_with(slice({vec}, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
                            (x, y) -> (x - y) * (x - y)),
@@ -1462,30 +1485,8 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
     assert N_CELLS >= PQ_K, "PQ seeds reuse the IVF seed rows"
     seeds = sorted(cents0_rows, key=lambda r: int(r.cell_id))[:PQ_K]
-    cb_payload = json.dumps(
-        [
-            {
-                "s": s,
-                "cid": int(r.cell_id),
-                "cv": [float(x) for x in r.cv[s * PQ_DSUB : (s + 1) * PQ_DSUB]],
-            }
-            for r in seeds
-            for s in range(PQ_M)
-        ],
-        separators=(",", ":"),
-    )
-    codes = F.expr(
-        f"""transform(sequence(0, {PQ_M - 1}), s ->
-  array_min(transform(
-    filter(from_json('{cb_payload}',
-      'array<struct<s:int,cid:bigint,cv:array<double>>>'),
-           e -> e.s = s),
-    e -> struct(
-      aggregate(zip_with(slice(v, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
-                         (x, y) -> (x - y) * (x - y)),
-                CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist,
-      e.cid AS cid))))"""
-    )
+    cb_payload = _pq_cb_payload([(int(r.cell_id), r.cv) for r in seeds])
+    codes = _pq_encode(cb_payload, "v")
     assigned = n.select(
         "vec_id", "nrm", _assign_col(cents1_rows).alias("cell_id"), codes.alias("pq")
     )
@@ -1518,9 +1519,7 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     f"""flatten(transform(sequence(0, {PQ_M - 1}), s ->
   transform(
-    filter(from_json('{cb_payload}',
-      'array<struct<s:int,cid:bigint,cv:array<double>>>'),
-           e -> e.s = s),
+    element_at(from_json('{cb_payload}', '{_PQ_CB_DDL}'), s + 1),
     e -> struct(s AS s,
       e.cid AS cid,
       aggregate(zip_with(slice(qv, s*{PQ_DSUB}+1, {PQ_DSUB}), e.cv,
@@ -1899,7 +1898,9 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + x * y
         qdotc[int(r.cell_id)] = acc
     resid = _residual_frame(n, cents1_rows)
-    seeds = _residual_seeds(resid)
+    seeds = _residual_seeds(
+        resid, memo_key=(spark.sparkContext.applicationId, sf_dir)
+    )
     rdot = _adc_dot(
         _adc_payload([(int(r.vec_id), r.rv) for r in seeds], qv), "rv"
     )
