@@ -685,6 +685,7 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PROTO_PRUNE_FRAC = 0.25  # prune the most-prototypical quarter per cell
+_PROTO_BANDS = 256  # score-range bands for the two-level in-cell rank
 
 
 @register(
@@ -727,31 +728,67 @@ def emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the SAME single map-side argmax expression every IVF consumer
     uses (_assign_struct_col — the winning struct carries both the cell
     and the cosine, nothing shuffles to score), so the only exchange is
-    the one hash partition by cell_id for the in-cell rank. Catalyst
-    keeps the struct in its own Project (CollapseProject declines to
-    duplicate a non-cheap expression referenced twice — see PLANS.md),
-    so the k×dim fold runs ONCE per row. The in-cell window sort is
-    the honest cost at 100 TB: a head-heavy cell sorts in one task
-    chain, so a production corpus would pre-cut with a per-cell
-    approximate quantile on proto and rank only the band around the
-    threshold; here the full rank IS the deliverable (audit table) and
-    the oracle pins it exactly."""
+    a hash partition for the rank. The rank itself never sorts a whole
+    cell in one task (the head-heavy-cell hazard at 100 TB): cosine is
+    bounded on [-1, 1], so the score range is cut into _PROTO_BANDS
+    fixed bands, rows rank locally inside (cell, band) —
+    cells × bands independent groups — and each band adds the
+    broadcast carry count of the higher-score bands in its cell
+    (train_order_frame's TeraSort-style two-level prefix-sum applied
+    to a VALUE key; exact because the band is a monotone function of
+    the score and ties share a band). cell_n rides on the same tiny
+    per-(cell, band) count frame. The oracle pins the identical rank
+    as one flat window."""
     n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
-    d = n.select(
-        "vec_id", _assign_struct_col(cents1_rows).alias("mx")
-    ).select(
-        "vec_id",
-        (-F.col("mx").getField("nc")).alias("cell_id"),
-        F.col("mx").getField("cosc").alias("proto"),
+    d = (
+        n.select("vec_id", _assign_struct_col(cents1_rows).alias("mx"))
+        .select(
+            "vec_id",
+            (-F.col("mx").getField("nc")).alias("cell_id"),
+            F.col("mx").getField("cosc").alias("proto"),
+        )
+        # monotone: higher proto -> lower band; equal protos share a
+        # band, so in-band (proto DESC, vec_id) + carry == flat rank.
+        # The clamp absorbs cosine's float excursions beyond ±1.
+        .withColumn(
+            "band",
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.lit(1.0) - F.col("proto"))
+                        / F.lit(2.0)
+                        * F.lit(float(_PROTO_BANDS))
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(_PROTO_BANDS - 1),
+            ).cast("bigint"),
+        )
     )
-    w_rank = Window.partitionBy("cell_id").orderBy(
+    w_local = Window.partitionBy("cell_id", "band").orderBy(
         F.desc("proto"), F.asc("vec_id")
     )
+    local = d.withColumn("local_rn", F.row_number().over(w_local))
+    bc = d.groupBy("cell_id", "band").agg(F.count("*").alias("band_n"))
+    w_carry = (
+        Window.partitionBy("cell_id")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     w_cell = Window.partitionBy("cell_id")
+    carry = bc.select(
+        "cell_id",
+        "band",
+        F.coalesce(F.sum("band_n").over(w_carry), F.lit(0)).alias("band_off"),
+        F.sum("band_n").over(w_cell).cast("bigint").alias("cell_n"),
+    )
     cut = F.ceil(F.col("cell_n") * F.lit(PROTO_PRUNE_FRAC))
     return (
-        d.withColumn("proto_rank", F.row_number().over(w_rank).cast("bigint"))
-        .withColumn("cell_n", F.count(F.lit(1)).over(w_cell).cast("bigint"))
+        local.join(F.broadcast(carry), ["cell_id", "band"])
+        .withColumn(
+            "proto_rank",
+            (F.col("band_off") + F.col("local_rn")).cast("bigint"),
+        )
         .withColumn("keep", F.col("proto_rank") > cut)
         .select(
             "vec_id",

@@ -131,7 +131,7 @@ SECTIONS = [
     ("graph_pagerank_mass",
      "Dangling-mass PageRank: the distributed iteration plus one |dangling|-row agg per round whose 1-row result is broadcast-cross-joined onto the rank update (contrib += dm div N) — ranks sum to ~SCALE and read as probabilities; same per-round shuffle shape as graph_pagerank_dist, dm costs one tiny extra agg, nothing collected"),
     ("emb_proto_prune",
-     "Prototypicality pruning (D4): cell id AND cosine-to-own-centroid come from the SAME map-side argmax struct (inlined centroids — nothing shuffles to score); the only exchange is one hash partition by cell_id feeding the in-cell rank + count windows"),
+     "Prototypicality pruning (D4): cell id AND cosine-to-own-centroid come from the SAME map-side argmax struct (inlined centroids — nothing shuffles to score); the in-cell rank is TWO-LEVEL over fixed cosine-range bands — local row_number inside (cell, band) + broadcast carry counts — so no task ever sorts a whole head-heavy cell (train_order's TeraSort recipe applied to a VALUE key)"),
     ("pack_padding_waste",
      "Padding audit: packed slots from one per-language token-total agg; the bucketed baseline ranks docs inside (lang, pow2-bucket, doc-chunk) windows + broadcast chunk-count carry — bounded groups, no whole-bucket sort in one task"),
     ("train_order_shuffle",
