@@ -799,25 +799,56 @@ def test_streaming_sampler_never_promotes_partial_first_write(spark, tmp_path):
 
 def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     """Chaos test for the COMPOSED streaming curation pipeline
-    (VERDICT r6 #5): one foreachBatch body drives curator (funnel ->
-    dedup-screen -> pack) + bottom-N sampler + line-dedup. The body is
-    killed mid-batch at two different points (inside the curator after
-    the funnel+dedup writes but before packing; after the sampler but
-    before line-dedup), the query restarted from the checkpoint each
-    time, and EVERY store — funnel verdicts, dedup hash/band index +
-    verdicts, packed bins, carry snapshots, stored sample, line-dedup
-    cleaned docs + segment index — must equal a never-crashed run."""
+    (VERDICT r6 #5; r9 maintainers composed in per VERDICT r9 #6): one
+    foreachBatch body drives curator (funnel -> dedup-screen -> pack ->
+    epoch order) + bottom-N sampler + line-dedup + BM25 stats + media
+    near-dup screen + cluster-balanced sampler. The body is killed
+    mid-batch at three different points (inside the curator after the
+    funnel+dedup writes but before packing; after the sampler but
+    before line-dedup; after BM25 but before the media screen), the
+    query restarted from the checkpoint each time, and EVERY store —
+    funnel verdicts, dedup hash/band index + verdicts, packed bins,
+    carry snapshots, epoch order + carry, stored sample, line-dedup
+    cleaned docs + segment index, BM25 stats + postings, media pairs +
+    fingerprint bands, per-cell embedding sample — must equal a
+    never-crashed run."""
     import os
     import time
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.llm.similarity import _Cent
     from cdc_sync_poc_spark.streaming.bm25_stats import StreamingBM25Stats
+    from cdc_sync_poc_spark.streaming.cluster_sample import (
+        StreamingClusterSampler,
+    )
     from cdc_sync_poc_spark.streaming.curation_pipeline import StreamingCurator
     from cdc_sync_poc_spark.streaming.docs_dedup import doc_stream
     from cdc_sync_poc_spark.streaming.line_dedup import StreamingLineDedup
+    from cdc_sync_poc_spark.streaming.mm_index import StreamingMediaIndex
     from cdc_sync_poc_spark.streaming.sampling import StreamingSampler
+
+    # fixed 4-dim quantizer + deterministic doc_id-derived embeddings:
+    # the cluster sampler consumes the embedding twin of the same
+    # micro-batches (production: the embedder sits in the same body)
+    cents = [
+        _Cent(0, [1.0, 0.1, 0.1, 0.1], 1.0149876107),
+        _Cent(1, [0.1, 1.0, 0.1, 0.1], 1.0149876107),
+        _Cent(2, [0.1, 0.1, 1.0, 0.1], 1.0149876107),
+    ]
+
+    def emb_of(docs_df):
+        return docs_df.select(
+            F.col("doc_id").alias("vec_id"),
+            F.expr(
+                "array(CAST(doc_id % 7 AS DOUBLE) / 7.0 + 0.1,"
+                " CAST(doc_id % 11 AS DOUBLE) / 11.0 + 0.1,"
+                " CAST(doc_id % 13 AS DOUBLE) / 13.0 + 0.1, 0.5)"
+            ).alias("embedding"),
+        )
 
     t = pq.read_table(f"{SF_DIR}/documents.parquet")
     docs = sorted(t.to_pylist()[:45], key=lambda d: d["doc_id"])
@@ -856,6 +887,10 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
             )
             self.sld = StreamingLineDedup(spark, os.path.join(root, "ld"))
             self.bm = StreamingBM25Stats(spark, os.path.join(root, "bm"))
+            self.mm = StreamingMediaIndex(spark, os.path.join(root, "mm"))
+            self.cs = StreamingClusterSampler(
+                spark, os.path.join(root, "cs"), cents, n=4
+            )
             self.crash_plan = dict(crash_plan or {})
             self.crashes = []
 
@@ -881,6 +916,12 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
                 raise RuntimeError("chaos: killed before line-dedup")
             self.sld.clean_batch(docs_df, batch_id)
             self.bm.absorb_batch(docs_df, batch_id)
+            if point == "after_bm25":
+                del self.crash_plan[batch_id]
+                self.crashes.append((batch_id, point))
+                raise RuntimeError("chaos: killed before media screen")
+            self.mm.screen_batch(docs_df, batch_id)
+            self.cs.absorb_batch(emb_of(docs_df), batch_id)
 
     def drive(root, crash_plan=None, max_restarts=4):
         body = CompositeBody(str(root), crash_plan)
@@ -904,10 +945,12 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     ref_body, ref_restarts = drive(tmp_path / "ref")
     assert ref_restarts == 0
     chaos_body, chaos_restarts = drive(
-        tmp_path / "chaos", {0: "pack", 1: "after_sampler"}
+        tmp_path / "chaos", {0: "pack", 1: "after_sampler", 2: "after_bm25"}
     )
-    assert chaos_restarts == 2
-    assert chaos_body.crashes == [(0, "pack"), (1, "after_sampler")]
+    assert chaos_restarts == 3
+    assert chaos_body.crashes == [
+        (0, "pack"), (1, "after_sampler"), (2, "after_bm25")
+    ]
 
     def snap(path, cols):
         if not os.path.isdir(path):
@@ -930,6 +973,10 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         ("ld/seg_idx", ["segment", "batch_id"]),
         ("bm/stats", ["term", "df", "n_docs", "sum_len", "batch_id"]),
         ("bm/postings", ["doc_id", "term", "tf", "dl", "batch_id"]),
+        ("mm/pairs", ["doc_a", "doc_b", "hamming", "batch_id"]),
+        ("mm/bands", ["doc_id", "phash", "band_id", "band_key",
+                      "batch_id"]),
+        ("cs/cell_sample", ["vec_id", "cell_id", "hk"]),
     ]
     for rel, cols in stores:
         ref = snap(str(tmp_path / "ref" / rel), cols)
