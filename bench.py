@@ -203,6 +203,11 @@ BENCH_QUERIES = [
     "emb_proto_prune",
     "pack_padding_waste",
     "train_order_shuffle",
+    # round-10 additions (append-only)
+    "text_ngram_novelty",
+    "dedup_minhash_estimate",
+    "corpus_dedup_rate_by_source",
+    "emb_hard_negatives",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

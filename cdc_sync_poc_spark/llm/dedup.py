@@ -276,6 +276,184 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_mh_band_ctes(BAND_SIZE)},
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM pairs p
+  JOIN mh ma ON ma.doc_id = p.doc_a
+  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.j = ma.j
+  GROUP BY p.doc_a, p.doc_b
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS ni
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+       round(CAST(e.n_match AS DOUBLE) / {N_HASHES}, 6) AS est_jaccard,
+       round(CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni), 6) AS jaccard,
+       round(abs(CAST(e.n_match AS DOUBLE) / {N_HASHES}
+                 - CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni)), 6)
+         AS abs_err
+FROM est e
+JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN scount ca ON ca.doc_id = e.doc_a
+JOIN scount cb ON cb.doc_id = e.doc_b
+""",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every BANDED candidate pair,
+    the signature-estimated Jaccard (matching components / N_HASHES —
+    the number an index-only dedup pass would act on) next to the
+    exact shingle Jaccard and the absolute error. This is the audit
+    that justifies N_HASHES and the verify step: at 100 TB you dedup
+    on the estimate only if this table says its error is tolerable at
+    your threshold, and the verify stage exists exactly because near
+    the s-curve cut it is not.
+
+    Scale shape: candidates come from the shared banded equi-join
+    (never all-pairs); the component-match count is a 2x broadcast-
+    scale join of the candidate pairs against the one-row-per-doc
+    signature frame (12 integer equality tests per pair, map-side);
+    the exact side is the same pair-driven array_intersect gather the
+    verified queries use — all bounded by the LSH candidate count."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    mh = _minhash_sig(sh)
+    pairs = _band_pairs(mh, BAND_SIZE).persist()
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(1, N_HASHES + 1)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(1, N_HASHES + 1)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(1, N_HASHES + 1)
+    ).cast("bigint")
+    est = (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    # exact side: the pair-driven gather, unfiltered (calibration needs
+    # the misses near the cut, not just the survivors)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), sh.doc_id == F.col("d"), "left_semi")
+    sets = shc.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shset"), F.count("*").alias("n")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shset").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shset").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    est_j = F.col("n_match").cast("double") / F.lit(float(N_HASHES))
+    return (
+        est.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(F.abs(est_j - jac), 6).alias("abs_err"),
+        )
+    )
+
+
+@register(
+    "corpus_dedup_rate_by_source",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_mh_band_ctes(BAND_SIZE)},
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS ni
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN scount ca ON ca.doc_id = i.doc_a
+  JOIN scount cb ON cb.doc_id = i.doc_b
+  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= {MINHASH_JACCARD_MIN}
+),
+dup AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM verified
+    UNION ALL SELECT doc_b AS doc_id FROM verified)
+)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_docs,
+       round(CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS dup_rate
+FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup INCIDENCE per source: for each source, how many of its
+    documents participate in at least one VERIFIED minhash near-dup
+    pair. Distinct from dedup_rate_by_source, which reports the
+    post-collapse LOSS (non-canonical cluster members dropped, per
+    (lang, source)): incidence counts BOTH members of every pair —
+    canonical survivors included — so a feed that syndicates content
+    other feeds keep shows up here while its loss rate stays low. The
+    two together separate "this source duplicates others" from "this
+    source loses documents to dedup".
+
+    Scale shape: reuses the shared shingle/signature caches and the
+    persisted verified-pair plan (plan-equality cache hit with
+    dedup_minhash_lsh); the dup-doc set is pairs-bounded, so the
+    source rollup is a broadcast left join onto one map pass over
+    documents plus a low-cardinality source hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
+    verified = _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN)
+    dup = (
+        verified.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(verified.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    n_dup = F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint")
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(dup), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            n_dup.alias("n_dup_docs"),
+            F.round(n_dup.cast("double") / F.count("*"), 6).alias("dup_rate"),
+        )
+    )
+
+
+@register(
     "dedup_simhash",
     oracle="""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -438,6 +438,72 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - {DUP_N - 2}),
+             i -> md5(array_to_string(words[i : i + {DUP_N - 1}], ' '))))) AS gh
+  FROM w WHERE len(words) >= {DUP_N}
+),
+own AS (SELECT gh, min(doc_id) AS owner FROM g GROUP BY gh)
+SELECT g.doc_id, count(*)::BIGINT AS n_distinct,
+       sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel,
+       round(CAST(sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_frac
+FROM g JOIN own USING (gh) GROUP BY g.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order n-gram novelty per document: the share of a
+    document's DISTINCT DUP_N-grams whose FIRST owner (minimum doc_id
+    over the corpus) is this document — the novelty-decay curve an
+    incremental crawl watches to decide when a source has stopped
+    contributing new content (complement of dup_ngram_fraction, which
+    charges repetition to every occurrence; novelty charges each gram
+    to exactly one document, so corpus novelty mass sums to the
+    distinct-gram count).
+
+    Scale shape: per-doc gram DISTINCTNESS is map-side
+    (array_distinct before the explode — no (doc_id, gh) shuffle),
+    first-owner is one min() hash agg on the uniform 128-bit gram hash
+    with map-side combine, the back-join lands on the agg's own
+    partitioning, and the final per-doc rollup is a doc_id hash agg.
+    Every exchange keys on a uniform hash — no skew at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread_small_input(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    ).filter(F.size("w") >= DUP_N)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {DUP_N - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(w, i, {DUP_N}))))"
+                )
+            )
+        ).alias("gh"),
+    )
+    own = grams.groupBy("gh").agg(F.min("doc_id").alias("owner"))
+    novel = F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        grams.join(own, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
 SHIFT_TAU = 0.05  # per-dimension drift alarm threshold
 
 

@@ -1022,6 +1022,85 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_hard_negatives",
+    oracle=f"""
+WITH {_ivf_cte_chain()},
+qs AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+       FROM n WHERE vec_id % {RECALL_SAMPLE_MOD} = 0),
+qc AS (SELECT vec_id AS q_id, cell_id FROM rk1
+       WHERE vec_id % {RECALL_SAMPLE_MOD} = 0 AND rn <= {N_PROBE_CELLS})
+SELECT q_id, q_label, neg_id, neg_label, round(cosr, 6) AS cosine
+FROM (
+  SELECT qc.q_id, s.q_label, a.vec_id AS neg_id, lbl.label AS neg_label,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                  i -> a.v[i] * s.qv[i])) / (a.nrm * s.qn) AS cosr,
+         row_number() OVER (
+           PARTITION BY qc.q_id
+           ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                    i -> a.v[i] * s.qv[i])) / (a.nrm * s.qn) DESC,
+                    a.vec_id) AS rnk
+  FROM qc JOIN qs s ON s.q_id = qc.q_id
+          JOIN a1 a ON a.cell_id = qc.cell_id
+          JOIN n lbl ON lbl.vec_id = a.vec_id
+  WHERE a.vec_id <> qc.q_id AND lbl.label <> s.q_label)
+WHERE rnk = 1
+""",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each sampled anchor, the single most-similar vector with a
+    DIFFERENT label among the anchor's probe-cell candidates — the
+    pairs a triplet/InfoNCE fine-tune wants, and the standard reason a
+    training pipeline runs ANN probes over its own corpus (anchors
+    with no different-label candidate in their probe cells simply mine
+    nothing — inner semantics on both engines).
+
+    Scale shape: identical to ann_recall_ivf's ANN side — the
+    sample × N_PROBE_CELLS probe list and query vectors broadcast onto
+    the cell-assigned corpus (equi-join on cell_id, never all-pairs),
+    label mismatch filters map-side, and the per-anchor top-1 is a
+    WindowGroupLimit rank over each anchor's bounded candidate set."""
+    n, _, cents1_rows = _ivf_refined(spark, sf_dir)
+    cents1 = _cents_frame(spark, cents1_rows)
+    assigned1 = n.select(
+        "vec_id", "label", "v", "nrm", _assign_col(cents1_rows).alias("cell_id")
+    )
+    sample = n.filter(F.col("vec_id") % RECALL_SAMPLE_MOD == 0)
+    qs = sample.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
+    qcells = (
+        _score_cells(sample, cents1)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE_CELLS)
+        .select(F.col("vec_id").alias("q_id"), "cell_id")
+    )
+    cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosr"), F.asc("vec_id"))
+    return (
+        assigned1.join(F.broadcast(qcells.join(qs, "q_id")), "cell_id")
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .withColumn("cosr", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(F.col("cosr"), 6).alias("cosine"),
+        )
+    )
+
+
 PQ_M = 8  # product-quantization subspaces
 PQ_DSUB = EMB_DIM // PQ_M  # dims per subspace
 PQ_K = 16  # codes per subspace codebook

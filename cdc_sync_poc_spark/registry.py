@@ -77,16 +77,21 @@ _PRIORITY_PREFIXES = [
     "dedup_normalized", "dedup_minhash_lsh", "dedup_minhash_cluster",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "events_sessionize", "text_tfidf_top_term", "text_top_terms",
-    # fill block: r10-new operators first (none yet — an Avro source
-    # was probed and env-gated: no spark-avro connector jar in the
-    # sandbox, see README "Environment gates"), then the oldest
-    # r6-evidence ids to exactly 50
+    # fill block: the four r10-new operators first (a query registered
+    # mid-round MUST be staged here or it stays never-sampled — the
+    # generated window test fails loudly; an Avro source was also
+    # probed and env-gated: no spark-avro connector jar in the sandbox,
+    # see README "Environment gates"), then the oldest r6-evidence ids
+    # to exactly 50
+    "text_ngram_novelty", "dedup_minhash_estimate",
+    "corpus_dedup_rate_by_source", "emb_hard_negatives",
     "text_lm_score", "events_rfm_segments", "retrieval_rrf_fusion",
-    "source_csv_docs", "corpus_vocab_growth", "text_classifier_score",
-    "text_classifier_confusion", "events_kmv_distinct",
+    "source_csv_docs",
     # ---- 50-query driver window ends here ----
     # next in line for r11: the remaining r6-evidence ids in their r6
     # sample order
+    "corpus_vocab_growth", "text_classifier_score",
+    "text_classifier_confusion", "events_kmv_distinct",
     "events_kmv_union", "events_session_window", "events_ab_ttest",
     "events_user_overlap", "events_value_histogram",
     "events_lateness_profile", "events_cohort_ltv",

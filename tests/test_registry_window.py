@@ -24,10 +24,10 @@ load_all_queries()
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
 # the r10 window: the REAL staleness tail — all 33 r3-evidence ids,
-# all 9 r4-evidence ids, then the oldest r6-evidence ids filling to 50
-# (no r10-new operators yet; the probed Avro source is env-gated, see
-# README "Environment gates"). COVERAGE.md "Driver correctness-sample
-# window".
+# all 9 r4-evidence ids, then first evidence for the four r10-new
+# operators, filled to 50 with the oldest r6-evidence ids (the probed
+# Avro source is env-gated, see README "Environment gates").
+# COVERAGE.md "Driver correctness-sample window".
 R10_WINDOW = [
     'bench_q4_priority', 'bench_q6_forecast', 'bench_q7_volume',
     'bench_q8_mktshare', 'bench_q9_profit', 'bench_q10_returned',
@@ -45,9 +45,10 @@ R10_WINDOW = [
     'dedup_normalized', 'dedup_minhash_lsh', 'dedup_minhash_cluster',
     'dedup_simhash', 'dedup_ngram_jaccard', 'dedup_embedding_cosine',
     'events_sessionize', 'text_tfidf_top_term', 'text_top_terms',
+    'text_ngram_novelty', 'dedup_minhash_estimate',
+    'corpus_dedup_rate_by_source', 'emb_hard_negatives',
     'text_lm_score', 'events_rfm_segments', 'retrieval_rrf_fusion',
-    'source_csv_docs', 'corpus_vocab_growth', 'text_classifier_score',
-    'text_classifier_confusion', 'events_kmv_distinct',
+    'source_csv_docs',
 ]
 
 

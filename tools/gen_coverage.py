@@ -42,6 +42,7 @@ GROUPS = [
       "dedup_segment_boilerplate", "dedup_corpus_keep", "sem_dedup",
       "dedup_incremental", "dedup_recall_minhash",
       "dedup_prefix_containment", "dedup_rate_by_source",
+      "corpus_dedup_rate_by_source", "dedup_minhash_estimate",
       "dedup_winnowing_pairs", "dedup_precision_minhash",
       "dedup_cluster_stats", "dedup_line_global",
       "dedup_ppjoin_exact", "dedup_recall_corpuswide"]),
@@ -51,7 +52,7 @@ GROUPS = [
       "emb_index_growth", "ann_recall_lsh",
       "ann_recall_ivf", "ann_recall_ivfpq", "ann_recall_truncated",
       "emb_pq_error", "emb_pq_residual_error", "retrieval_rrf_fusion",
-      "retrieval_hard_negatives"]),
+      "retrieval_hard_negatives", "emb_hard_negatives"]),
     ("M6: text analysis",
      ["text_langid", "text_langid_eval", "text_quality", "text_tokens",
       "text_fingerprint",
@@ -74,7 +75,7 @@ GROUPS = [
      ["pii_redact", "doc_chunking", "seq_packing", "pack_padding_waste",
       "train_order_shuffle", "text_rarity_score",
       "emb_label_centroids", "emb_centroid_shift", "dup_ngram_fraction",
-      "text_cooccur_lift"]),
+      "text_cooccur_lift", "text_ngram_novelty"]),
     ("M6: tokenizer induction",
      ["bpe_merge_steps", "bpe_tokenize_count", "bpe_fertility_by_lang"]),
     ("M6: multimodal",
