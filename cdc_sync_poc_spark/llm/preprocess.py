@@ -470,9 +470,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-doc gram DISTINCTNESS is map-side
     (array_distinct before the explode — no (doc_id, gh) shuffle),
     first-owner is one min() hash agg on the uniform 128-bit gram hash
-    with map-side combine, the back-join lands on the agg's own
-    partitioning, and the final per-doc rollup is a doc_id hash agg.
-    Every exchange keys on a uniform hash — no skew at any corpus
+    with map-side combine, the back-join is UNHINTED so Catalyst picks
+    from statistics (auto-broadcast of the owner table at fixture SF;
+    a shuffle join sharing the agg's partitioning once the owner table
+    is corpus-sized), and the final per-doc rollup is a doc_id hash
+    agg. Every exchange keys on a uniform hash — no skew at any corpus
     size."""
     docs = load_table(spark, sf_dir, "documents")
     base = spread_small_input(

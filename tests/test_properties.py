@@ -1089,3 +1089,109 @@ def test_additive_delta_store_totals_invariant(
 
     got = {r.k: r.n for r in store.totals().collect()}
     assert got == {k: v for k, v in want.items() if v}
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_ngram_novelty_matches_reference(spark, texts):
+    """text_ngram_novelty vs a straight-line reference on arbitrary
+    small-vocabulary corpora (small vocab forces heavy gram sharing):
+    per-doc (n_distinct, n_novel) match, and corpus novelty mass
+    conservation — sum(n_novel) == |distinct grams in the corpus| —
+    because each gram is charged to exactly one owner."""
+    from cdc_sync_poc_spark.llm.preprocess import DUP_N, text_ngram_novelty
+    from cdc_sync_poc_spark.registry import load_all_queries
+
+    load_all_queries()
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+
+    # straight-line reference
+    import hashlib
+
+    def grams(words):
+        return {
+            " ".join(words[i : i + DUP_N])
+            for i in range(len(words) - DUP_N + 1)
+        }
+
+    ref_grams = {i: grams(t.split(" ")) for i, t in docs if len(t.split(" ")) >= DUP_N}
+    owner: dict[str, int] = {}
+    for i in sorted(ref_grams):
+        for g in ref_grams[i]:
+            owner.setdefault(g, i)
+    want = {
+        i: (len(gs), sum(1 for g in gs if owner[g] == i))
+        for i, gs in ref_grams.items()
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import unittest.mock as mock
+
+    with mock.patch(
+        "cdc_sync_poc_spark.llm.preprocess.load_table", return_value=df
+    ):
+        rows = text_ngram_novelty(spark, "ignored").collect()
+    got = {r.doc_id: (r.n_distinct, r.n_novel) for r in rows}
+    assert got == want
+    if want:
+        all_grams = set().union(*ref_grams.values())
+        assert sum(n for _, n in got.values()) == len(all_grams)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "gold"]),
+            min_size=3,
+            max_size=16,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_estimate_bounds_and_exact_side(spark, texts):
+    """dedup_minhash_estimate invariants on arbitrary tiny corpora:
+    est_jaccard in [0,1] in 1/N_HASHES steps, jaccard matches a
+    straight-line shingle computation, abs_err consistent."""
+    from cdc_sync_poc_spark.llm.dedup import (
+        N_HASHES,
+        dedup_minhash_estimate,
+    )
+    from cdc_sync_poc_spark.registry import load_all_queries
+
+    load_all_queries()
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+
+    def shingles(words):
+        return {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+
+    ref = {i: shingles(t.split(" ")) for i, t in docs if len(t.split(" ")) >= 3}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import unittest.mock as mock
+
+    with mock.patch(
+        "cdc_sync_poc_spark.llm.dedup.load_table", return_value=df
+    ):
+        rows = dedup_minhash_estimate(spark, "ignored").collect()
+    for r in rows:
+        steps = round(r.est_jaccard * N_HASHES)
+        assert 0 <= steps <= N_HASHES
+        assert abs(r.est_jaccard - steps / N_HASHES) < 1e-9
+        sa, sb = ref[r.doc_a], ref[r.doc_b]
+        want_j = round(len(sa & sb) / len(sa | sb), 6)
+        assert r.jaccard == want_j
+        assert abs(r.abs_err - round(abs(r.est_jaccard - len(sa & sb) / len(sa | sb)), 6)) <= 1e-6

@@ -180,26 +180,16 @@ def test_driver_sample_window_invariants():
     load_all_queries()
     names = list(QUERIES)
     window = set(names[:50])
-    # round-9 contract (VERDICT r8 #1): every query that had NO driver
-    # row through r8 sits inside the window — i.e. first evidence for
-    # the r9-new dangling-mass PageRank, at the very front.
+    # standing contract (generated form lives in
+    # tests/test_registry_window.py): every query with NO driver row in
+    # ANY CORRECTNESS file sits inside the window — a mid-round
+    # registration that misses the window would stay never-sampled.
     root = pathlib.Path(__file__).resolve().parents[1]
     sampled = set()
-    for r in range(1, 9):
-        f = root / f"CORRECTNESS_r0{r}.json"
-        if f.exists():
-            sampled |= set(json.loads(f.read_text()))
+    for f in root.glob("CORRECTNESS_r*.json"):
+        sampled |= set(json.loads(f.read_text()))
     never_sampled = set(names) - sampled
     assert never_sampled <= window, sorted(never_sampled - window)
-    first_evidence = [
-        "graph_pagerank_mass",       # r9-new
-        "sample_cluster_balanced",   # r9-new
-        "emb_proto_prune",           # r9-new
-        "pack_padding_waste",        # r9-new (registered mid-round)
-        "train_order_shuffle",       # r9-new (registered mid-round)
-        "source_orc_docs",           # r9-new (registered mid-round)
-    ]
-    assert names[:6] == first_evidence
     # every registered query has an exact oracle (no rows-only checks)
     assert set(QUERIES) == set(ORACLES)
 

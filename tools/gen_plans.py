@@ -136,6 +136,10 @@ SECTIONS = [
      "Padding audit: packed slots from one per-language token-total agg; the bucketed baseline ranks docs inside (lang, pow2-bucket, doc-chunk) windows + broadcast chunk-count carry — bounded groups, no whole-bucket sort in one task"),
     ("train_order_shuffle",
      "Deterministic epoch shuffle: seeded md5 order key, rank computed TeraSort-style — local row_number inside (shard, hash-range band) + broadcast carry counts per band — so the global per-shard order never funnels a shard into one task"),
+    ("text_ngram_novelty",
+     "N-gram novelty: per-doc gram distinctness map-side (array_distinct before the explode), first-owner as ONE min() hash agg on the uniform gram hash; the back-join is UNHINTED and follows statistics (auto-broadcast at fixture SF, shuffle join sharing the agg's partitioning at corpus scale)"),
+    ("emb_hard_negatives",
+     "Hard-negative mining: probe list + query vectors broadcast onto the cell-assigned corpus (equi-join on cell_id, never all-pairs), label mismatch filtered map-side, per-anchor top-1 as a WindowGroupLimit rank"),
 ]
 
 
