@@ -20,12 +20,15 @@ Contract (two mechanisms, each carrying half the safety):
   partitions are filtered out by ``batch_id > upto``, never
   double-counted).
 
-Two fold disciplines share that skeleton:
+Three fold disciplines share that skeleton:
 
 * :class:`AdditiveDeltaStore` — sum-mergeable keyed counters (term
   counts, document frequencies, edge weights): folding re-sums per
   key, reads re-sum base + post-watermark deltas. Read amplification
   O(keys + recent deltas), bounded by compaction cadence.
+* :class:`MinDeltaStore` — min-mergeable keyed state (first-owner
+  gram index, earliest-occurrence tables): same skeleton with a min
+  fold, which is additionally idempotent per row.
 * :class:`AppendDeltaStore` — append-only row sets (IVF index rows,
   media fingerprints, BM25 postings): folding is a plain union (a row
   never changes once written), reads union base + post-watermark
@@ -150,11 +153,63 @@ class _DeltaStoreBase:
                         shutil.rmtree(os.path.join(self.deltas_dir, d))
 
 
-class AdditiveDeltaStore(_DeltaStoreBase):
+class _KeyedFoldDeltaStore(_DeltaStoreBase):
+    """Keyed state whose per-key values merge through an associative,
+    commutative, idempotent-under-replay fold (``_AGG``): sum for
+    counters, min for first-owner / earliest-event state. Folding and
+    reading re-apply the same aggregate, so arrival order never
+    matters and a replayed batch's overwritten delta changes
+    nothing."""
+
+    _AGG = staticmethod(F.sum)
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        fold_cols: list[str],
+        ddl: str,
+        deltas_name: str = "deltas",
+        base_name: str = "base",
+    ) -> None:
+        super().__init__(
+            spark, root, list(key_cols) + list(fold_cols), deltas_name,
+            base_name,
+        )
+        self.key_cols = list(key_cols)
+        self.fold_cols = list(fold_cols)
+        self.ddl = ddl  # "key1 type, ..., val1 bigint, ..." (no batch_id)
+
+    def write_delta(self, agg: DataFrame, batch_id: int) -> None:
+        """Persist one batch's per-key fold values under its own
+        partition."""
+        agg.select(*self.key_cols, *self.fold_cols).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.deltas_dir, f"batch_id={batch_id}"))
+
+    def _fold(self, rows: DataFrame) -> DataFrame:
+        return rows.groupBy(*self.key_cols).agg(
+            *[self._AGG(c).alias(c) for c in self.fold_cols]
+        )
+
+    def totals(self) -> DataFrame:
+        """Accumulated per-key state: compacted base + deltas newer
+        than the base watermark, re-folded. Typed-empty when nothing
+        has been absorbed yet."""
+        rows = self._rows()
+        if rows is None:
+            return self.spark.createDataFrame([], self.ddl)
+        return self._fold(rows)
+
+
+class AdditiveDeltaStore(_KeyedFoldDeltaStore):
     """Keyed additive counters — the generalized form of the edge-count
     store inside streaming/pagerank.py, reusable for any sum-mergeable
     keyed statistic (term counts, document frequencies, n-gram
     tables)."""
+
+    _AGG = staticmethod(F.sum)
 
     def __init__(
         self,
@@ -167,32 +222,34 @@ class AdditiveDeltaStore(_DeltaStoreBase):
         base_name: str = "base",
     ) -> None:
         super().__init__(
-            spark, root, list(key_cols) + list(sum_cols), deltas_name,
-            base_name,
+            spark, root, key_cols, sum_cols, ddl, deltas_name, base_name
         )
-        self.key_cols = list(key_cols)
-        self.sum_cols = list(sum_cols)
-        self.ddl = ddl  # "key1 type, ..., sum1 bigint, ..." (no batch_id)
+        self.sum_cols = self.fold_cols  # historical public name
 
-    def write_delta(self, agg: DataFrame, batch_id: int) -> None:
-        """Persist one batch's per-key sums under its own partition."""
-        agg.select(*self.key_cols, *self.sum_cols).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.deltas_dir, f"batch_id={batch_id}"))
 
-    def _fold(self, rows: DataFrame) -> DataFrame:
-        return rows.groupBy(*self.key_cols).agg(
-            *[F.sum(c).alias(c) for c in self.sum_cols]
+class MinDeltaStore(_KeyedFoldDeltaStore):
+    """Keyed min-fold — first-owner / earliest-occurrence state (the
+    streaming n-gram novelty index keys gram-hash -> min doc_id).
+    min is associative, commutative AND idempotent, so on top of the
+    shared replay safety, even a DOUBLE-counted row could not corrupt
+    this store."""
+
+    _AGG = staticmethod(F.min)
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        min_cols: list[str],
+        ddl: str,
+        deltas_name: str = "deltas",
+        base_name: str = "base",
+    ) -> None:
+        super().__init__(
+            spark, root, key_cols, min_cols, ddl, deltas_name, base_name
         )
-
-    def totals(self) -> DataFrame:
-        """Accumulated per-key sums: compacted base + deltas newer than
-        the base watermark, re-summed. Typed-empty when nothing has
-        been absorbed yet."""
-        rows = self._rows()
-        if rows is None:
-            return self.spark.createDataFrame([], self.ddl)
-        return self._fold(rows)
+        self.min_cols = self.fold_cols
 
 
 class AppendDeltaStore(_DeltaStoreBase):
