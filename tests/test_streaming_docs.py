@@ -802,7 +802,8 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     (VERDICT r6 #5; r9 maintainers composed in per VERDICT r9 #6): one
     foreachBatch body drives curator (funnel -> dedup-screen -> pack ->
     epoch order) + bottom-N sampler + line-dedup + BM25 stats + media
-    near-dup screen + cluster-balanced sampler. The body is killed
+    near-dup screen + cluster-balanced sampler + n-gram novelty (ten
+    maintainers). The body is killed
     mid-batch at three different points (inside the curator after the
     funnel+dedup writes but before packing; after the sampler but
     before line-dedup; after BM25 but before the media screen), the
@@ -810,8 +811,8 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     funnel verdicts, dedup hash/band index + verdicts, packed bins,
     carry snapshots, epoch order + carry, stored sample, line-dedup
     cleaned docs + segment index, BM25 stats + postings, media pairs +
-    fingerprint bands, per-cell embedding sample — must equal a
-    never-crashed run."""
+    fingerprint bands, per-cell embedding sample, novelty owners + doc
+    counts — must equal a never-crashed run."""
     import os
     import time
 
@@ -829,6 +830,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     from cdc_sync_poc_spark.streaming.docs_dedup import doc_stream
     from cdc_sync_poc_spark.streaming.line_dedup import StreamingLineDedup
     from cdc_sync_poc_spark.streaming.mm_index import StreamingMediaIndex
+    from cdc_sync_poc_spark.streaming.novelty import StreamingNovelty
     from cdc_sync_poc_spark.streaming.sampling import StreamingSampler
 
     # fixed 4-dim quantizer + deterministic doc_id-derived embeddings:
@@ -891,6 +893,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
             self.cs = StreamingClusterSampler(
                 spark, os.path.join(root, "cs"), cents, n=4
             )
+            self.nov = StreamingNovelty(spark, os.path.join(root, "nov"))
             self.crash_plan = dict(crash_plan or {})
             self.crashes = []
 
@@ -922,6 +925,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
                 raise RuntimeError("chaos: killed before media screen")
             self.mm.screen_batch(docs_df, batch_id)
             self.cs.absorb_batch(emb_of(docs_df), batch_id)
+            self.nov.absorb_batch(docs_df, batch_id)
 
     def drive(root, crash_plan=None, max_restarts=4):
         body = CompositeBody(str(root), crash_plan)
@@ -977,6 +981,8 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         ("mm/bands", ["doc_id", "phash", "band_id", "band_key",
                       "batch_id"]),
         ("cs/cell_sample", ["vec_id", "cell_id", "hk"]),
+        ("nov/owners", ["gh", "owner", "batch_id"]),
+        ("nov/docs", ["doc_id", "n_distinct", "batch_id"]),
     ]
     for rel, cols in stores:
         ref = snap(str(tmp_path / "ref" / rel), cols)
