@@ -43,6 +43,7 @@ the M6 training-data surface built on the same public IVF design
 
 from __future__ import annotations
 
+import json
 import math
 import os
 
@@ -51,8 +52,11 @@ from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.llm.similarity import (
     ANN_TOP_K,
+    EMB_DIM,
+    N_LLOYD,
     _assign_col,
     _Cent,
+    _FP_SCALE,
     _probe_cells_for,
     normed_frame,
 )
@@ -68,7 +72,9 @@ _IDX_DDL = (
 class StreamingIVFIndex:
     def __init__(self, spark: SparkSession, root: str, cents_rows=None) -> None:
         self.spark = spark
+        self._root = root
         self.quant_dir = os.path.join(root, "quantizer")
+        self.journal_path = os.path.join(root, "split_journal.json")
         # per-batch partitions sub-partitioned by cell; compact() re-lays
         # them into ONE base with cell_id as the TOP-level partition key,
         # so probe pruning survives folding (shared store recipe)
@@ -157,6 +163,192 @@ class StreamingIVFIndex:
         and turns every probe's cell filter into top-level directory
         pruning. Crash windows: streaming/delta_store.py."""
         self.store.compact(upto_batch_id)
+
+    # -- cell split: the offline maintenance action emb_index_growth's
+    # -- needs_split flag triggers (docstring contract, implemented r10)
+
+    def _sub_centroids(self, members: DataFrame, new_ids: list[int]) -> list:
+        """Deterministic sub-quantizer over ONE cell's members: the
+        n_sub lowest vec_ids seed, N_LLOYD exact Lloyd rounds refine —
+        the corpus quantizer's own recipe (_ivf_refined) scoped to the
+        cell. All distributed passes are map+agg over the members; the
+        collects are n_sub seeds + n_sub x EMB_DIM fixed-point sums per
+        round. A sub that empties in a round keeps its previous
+        centroid (cannot happen for n_sub=2 on distinct vectors, but
+        must not crash when it does)."""
+        seeds = (
+            members.orderBy("vec_id").limit(len(new_ids))
+            .select("v", "nrm").collect()
+        )
+        if len(seeds) < len(new_ids):
+            raise ValueError(
+                f"cell has only {len(seeds)} members; cannot split into "
+                f"{len(new_ids)}"
+            )
+        cents = [
+            _Cent(new_ids[i], [float(x) for x in r.v], float(r.nrm))
+            for i, r in enumerate(seeds)
+        ]
+        for _ in range(N_LLOYD):
+            assigned = members.select(_assign_col(cents).alias("cell_id"), "v")
+            fp = assigned.select(
+                "cell_id",
+                F.expr(
+                    f"transform(v, x -> CAST(floor(x * {_FP_SCALE!r}D) AS BIGINT))"
+                ).alias("fp"),
+            )
+            sums_rows = (
+                fp.select("cell_id", F.posexplode("fp").alias("i", "s"))
+                .groupBy("cell_id", "i")
+                .agg(F.sum("s").alias("s"), F.count("*").alias("cnt"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in sums_rows:
+                by_cell.setdefault(int(r.cell_id), {})[int(r.i)] = (
+                    int(r.s), int(r.cnt),
+                )
+            nxt = []
+            for c in cents:
+                dims = by_cell.get(int(c.cell_id))
+                if not dims:
+                    nxt.append(c)  # emptied sub keeps its centroid
+                    continue
+                cv = [
+                    dims[i][0] / (_FP_SCALE * dims[i][1])
+                    for i in range(EMB_DIM)
+                ]
+                acc = 0.0
+                for x in cv:
+                    acc = acc + x * x
+                nxt.append(_Cent(int(c.cell_id), cv, math.sqrt(acc)))
+            cents = nxt
+        return cents
+
+    def split_cell(self, cell_id: int, n_sub: int = 2) -> list[int]:
+        """Split an overgrown cell into ``n_sub`` sub-cells — the
+        re-layout that keeps probe selectivity ~N_PROBE_CELLS/N_CELLS
+        as the corpus grows (emb_index_growth's ``needs_split`` is the
+        trigger; this is the action).
+
+        Protocol (journal-first, the scd2 marker idiom — every step
+        idempotent, any crash healed by heal_splits() / a re-run):
+
+        1. compact() everything, so the cell's rows live in ONE base;
+        2. derive the sub-quantizer deterministically from the cell's
+           members (first sub KEEPS ``cell_id``; the rest take fresh
+           ids above the current max);
+        3. write the split journal atomically (tmp + rename) — the
+           journal records the DECISION (ids + centroid floats), so
+           recovery never needs the pre-split state back;
+        4. swap the quantizer (old cells minus the split cell's old
+           entry, plus the subs) through SwapStore;
+        5. swap the base with the split cell's rows re-assigned among
+           the subs (other cells' rows byte-identical, the watermark
+           column carried through);
+        6. remove the journal.
+
+        A crash between 4 and 5 leaves fresh-sub probes finding
+        nothing (recall degraded, results still true cosines) until
+        heal_splits() replays 4-6 from the journal; replaying after 5
+        re-assigns sub rows onto themselves (deterministic argmax) —
+        a no-op. Returns the sub-cell ids."""
+        cents = self.centroids()
+        by_id = {int(c.cell_id): c for c in cents}
+        if int(cell_id) not in by_id:
+            raise ValueError(f"unknown cell_id {cell_id}")
+        if n_sub < 2:
+            raise ValueError(f"n_sub must be >= 2, got {n_sub}")
+        if os.path.exists(self.journal_path):
+            raise RuntimeError(
+                "unfinished split journal present — run heal_splits() first"
+            )
+        # 1. fold every delta so the membership is one base
+        if os.path.isdir(self.store.deltas_dir):
+            bids = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(self.store.deltas_dir)
+                if d.startswith("batch_id=")
+            ]
+            if bids:
+                self.store.compact(max(bids))
+        base = self.store.base.read()
+        if base is None:
+            raise ValueError("empty index; nothing to split")
+        members = base.filter(F.col("cell_id") == int(cell_id)).select(
+            "vec_id", "v", "nrm"
+        )
+        new_ids = [int(cell_id)] + [
+            max(by_id) + 1 + i for i in range(n_sub - 1)
+        ]
+        subs = self._sub_centroids(members, new_ids)
+        # 3. journal = the decision record
+        tmp = self.journal_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "cell_id": int(cell_id),
+                    "subs": [
+                        {"cell_id": int(c.cell_id), "cv": c.cv, "cn": c.cn}
+                        for c in subs
+                    ],
+                },
+                fh,
+            )
+        os.replace(tmp, self.journal_path)
+        self._apply_journal()
+        return new_ids
+
+    def heal_splits(self) -> bool:
+        """Finish a crash-interrupted split (True if one was healed).
+        Idempotent: replays quantizer + base swaps from the journal."""
+        if not os.path.exists(self.journal_path):
+            return False
+        self._apply_journal()
+        return True
+
+    def _apply_journal(self) -> None:
+        from cdc_sync_poc_spark.streaming.swapstore import SwapStore
+
+        with open(self.journal_path) as fh:
+            j = json.load(fh)
+        cell_id = int(j["cell_id"])
+        subs = [
+            _Cent(int(s["cell_id"]), [float(x) for x in s["cv"]],
+                  float(s["cn"]))
+            for s in j["subs"]
+        ]
+        sub_ids = {int(c.cell_id) for c in subs}
+        # 4. quantizer swap (atomic via the SwapStore protocol; the
+        # _SUCCESS marker lands at the root as before)
+        kept = [
+            c for c in self.centroids()
+            if int(c.cell_id) != cell_id and int(c.cell_id) not in sub_ids
+        ]
+        qrows = [
+            (int(c.cell_id), [float(x) for x in c.cv], float(c.cn))
+            for c in kept + subs
+        ]
+        qstore = SwapStore(self.spark, self._root, "quantizer")
+        qstore.swap(
+            self.spark.createDataFrame(
+                qrows, "cell_id bigint, cv array<double>, cn double"
+            ).coalesce(1)
+        )
+        self._cents = None  # re-read on next use
+        # 5. base swap: rows of the split family re-assigned among the
+        # subs (idempotent — sub rows re-assign onto themselves), every
+        # other cell untouched, watermark column carried through
+        base = self.store.base.read()
+        if base is not None:
+            fam = F.col("cell_id").isin([cell_id, *sub_ids])
+            relaid = base.withColumn(
+                "cell_id",
+                F.when(fam, _assign_col(subs)).otherwise(F.col("cell_id")),
+            )
+            self.store.base.swap(relaid, partition_by=["cell_id"])
+        # 6. the journal is the last thing to go
+        os.remove(self.journal_path)
 
     def search(self, qv, k: int = ANN_TOP_K) -> DataFrame:
         """Top-k cosine neighbors of ``qv`` from the stored index: probe

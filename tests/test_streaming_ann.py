@@ -277,3 +277,128 @@ def test_ivf_index_compaction_relayouts_by_cell(spark, tmp_path):
         (r.vec_id, int(r.cell_id), int(r.batch_id))
         for r in idx.index().collect()
     ) == before
+
+
+def test_split_cell_relayout_and_crash_heal(spark, tmp_path):
+    """split_cell (the action emb_index_growth's needs_split triggers):
+    after splitting the fullest cell, (a) the vector set is preserved
+    exactly and every family row sits in the sub nearest to it (other
+    cells byte-identical); (b) absorb_batch after the split assigns
+    into the subs; (c) search returns true cosines from the new
+    routing; (d) a crash between the quantizer swap and the base swap
+    is healed by heal_splits() to the identical end state; (e) a
+    replayed heal / double split are rejected or no-ops."""
+    import pytest
+    from unittest import mock
+
+    from cdc_sync_poc_spark.llm.similarity import _ivf_refined
+    from cdc_sync_poc_spark.streaming.ann_index import StreamingIVFIndex
+
+    in_dir, rows, cuts = _emb_batches(tmp_path)
+    _n, _c0, cents = _ivf_refined(spark, SF_DIR)
+
+    def build(root):
+        idx = StreamingIVFIndex(spark, str(root), cents)
+        for i, batch in enumerate(cuts):
+            idx.absorb_batch(
+                spark.read.parquet(str(in_dir / f"part-{i}.parquet")), i
+            )
+        return idx
+
+    idx = build(tmp_path / "sp_root")
+    before = {
+        (r.vec_id, int(r.cell_id)) for r in idx.index().collect()
+    }
+    counts = {}
+    for _v, c in before:
+        counts[c] = counts.get(c, 0) + 1
+    big = max(counts, key=lambda c: (counts[c], -c))
+
+    sub_ids = idx.split_cell(big)
+    assert sub_ids[0] == big and len(sub_ids) == 2
+    after = {(r.vec_id, int(r.cell_id)) for r in idx.index().collect()}
+    # (a) same vectors; non-family rows unchanged; family rows in subs
+    assert {v for v, _ in after} == {v for v, _ in before}
+    fam_before = {v for v, c in before if c == big}
+    for v, c in after:
+        if v in fam_before:
+            assert c in sub_ids
+        else:
+            assert (v, c) in before
+    # both subs non-empty for a fullest-cell split on real data
+    assert {c for v, c in after if v in fam_before} == set(sub_ids)
+    # family rows sit in their NEAREST sub (re-derive via assignment)
+    subs = [c for c in idx.centroids() if int(c.cell_id) in set(sub_ids)]
+    from cdc_sync_poc_spark.llm.similarity import _assign_col
+
+    want_cell = {
+        r.vec_id: int(r.c)
+        for r in idx.index()
+        .filter(F.col("cell_id").isin(sub_ids))
+        .select("vec_id", _assign_col(subs).alias("c"))
+        .collect()
+    }
+    got_cell = {v: c for v, c in after if v in fam_before}
+    assert got_cell == want_cell
+    # quantizer sizes: one cell replaced by two
+    assert len(idx.centroids()) == len(cents) + 1
+
+    # (c) search returns true cosines under the new routing
+    qv = [float(x) for x in rows[7]["embedding"]]
+    hits = idx.search(qv).collect()
+    assert len(hits) > 0
+    import math
+
+    byv = {r["vec_id"]: r for r in rows}
+    for h in hits:
+        w = [float(x) for x in byv[h.vec_id]["embedding"]]
+        acc = sum(a * b for a, b in zip(qv, w))
+        qn = math.sqrt(sum(a * a for a in qv))
+        wn = math.sqrt(sum(a * a for a in w))
+        assert abs(h.cosine - round(acc / (qn * wn), 6)) < 1e-5
+
+    # (b) post-split ingest assigns into the subs
+    extra = spark.createDataFrame(
+        [(9000 + i, byv[v]["embedding"], 0) for i, v in
+         enumerate(sorted(fam_before)[:3])],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx.absorb_batch(extra, 99)
+    new_rows = {
+        r.vec_id: int(r.cell_id)
+        for r in idx.index().filter(F.col("vec_id") >= 9000).collect()
+    }
+    # a copy of a family vector must land in the same sub
+    for i, v in enumerate(sorted(fam_before)[:3]):
+        assert new_rows[9000 + i] == got_cell[v]
+
+    # (d) crash between quantizer swap and base swap, then heal. The
+    # bomb fires only once the journal exists — the pre-split compact()
+    # also swaps the base and must succeed first.
+    idx2 = build(tmp_path / "sp_crash")
+    real_swap = type(idx2.store.base).swap
+
+    def bomb(store_self, df, partition_by=None):
+        if os.path.exists(idx2.journal_path):
+            raise RuntimeError("chaos: base swap lost")
+        return real_swap(store_self, df, partition_by=partition_by)
+
+    with mock.patch.object(
+        type(idx2.store.base), "swap", side_effect=bomb, autospec=True,
+    ):
+        with pytest.raises(RuntimeError, match="chaos"):
+            idx2.split_cell(big)
+    # journal survives; a second split is refused until healed
+    with pytest.raises(RuntimeError, match="journal"):
+        idx2.split_cell(big)
+    assert idx2.heal_splits() is True
+    assert idx2.heal_splits() is False  # nothing left to heal
+    healed = {(r.vec_id, int(r.cell_id)) for r in idx2.index().collect()}
+    clean = {(v, c) for v, c in after if v < 9000}
+    assert healed == clean
+
+    # (e) guards
+    with pytest.raises(ValueError, match="unknown cell_id"):
+        idx.split_cell(10**9)
+    with pytest.raises(ValueError, match="n_sub"):
+        idx.split_cell(big, n_sub=1)
