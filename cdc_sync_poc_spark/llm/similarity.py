@@ -1928,7 +1928,10 @@ def emb_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles), the audit is one N_CELLS-group agg plus a broadcast
     1-row total, and only cells breaching the occupancy trigger pay a
     rewrite (cell-local re-cluster), never the whole index —
-    the ANN twin of dedup_incremental's O(batch) screening."""
+    the ANN twin of dedup_incremental's O(batch) screening. The action
+    this table triggers is implemented:
+    streaming/ann_index.py::StreamingIVFIndex.split_cell (journal-first
+    crash-healed re-layout)."""
     n, _cents0, cents1 = _ivf_refined(spark, sf_dir)
     m = n.select(
         "vec_id",

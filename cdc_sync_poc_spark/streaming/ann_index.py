@@ -101,6 +101,11 @@ class StreamingIVFIndex:
                 "cell_id bigint, cv array<double>, cn double",
             ).coalesce(1).write.mode("overwrite").parquet(self.quant_dir)
         self._cents: list | None = None
+        # a restarted maintainer self-heals a crash-interrupted split
+        # before anything reads routing state — the SwapStore.read()
+        # recover() policy applied to the two-swap split protocol
+        if os.path.exists(self.journal_path) and self._quantizer_complete():
+            self._apply_journal()
 
     def _quantizer_complete(self) -> bool:
         return os.path.exists(os.path.join(self.quant_dir, "_SUCCESS"))

@@ -391,9 +391,11 @@ def test_split_cell_relayout_and_crash_heal(spark, tmp_path):
     # journal survives; a second split is refused until healed
     with pytest.raises(RuntimeError, match="journal"):
         idx2.split_cell(big)
-    assert idx2.heal_splits() is True
+    # a RESTARTED maintainer self-heals in its constructor
+    idx3 = StreamingIVFIndex(spark, str(tmp_path / "sp_crash"))
+    assert not os.path.exists(idx3.journal_path)
     assert idx2.heal_splits() is False  # nothing left to heal
-    healed = {(r.vec_id, int(r.cell_id)) for r in idx2.index().collect()}
+    healed = {(r.vec_id, int(r.cell_id)) for r in idx3.index().collect()}
     clean = {(v, c) for v, c in after if v < 9000}
     assert healed == clean
 
