@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "dedup_minhash_estimate",
     "corpus_dedup_rate_by_source",
     "emb_hard_negatives",
+    "dedup_lsh_curve",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

@@ -103,11 +103,13 @@ scount AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id)
 """
 
 
-def _mh_band_ctes(band_size: int) -> str:
+def _mh_band_ctes(band_size: int, tag: str = "") -> str:
     """DuckDB CTEs mirroring ``_minhash_sig`` + ``_band_pairs``: the
-    Kirsch–Mitzenmacher signature and the LSH band candidate pairs."""
+    Kirsch–Mitzenmacher signature and the LSH band candidate pairs.
+    ``tag`` suffixes the CTE names so multiple band sizes can coexist
+    in one WITH (the dedup_lsh_curve sweep)."""
     return f"""
-mh AS (
+mh{tag} AS (
   SELECT doc_id, j,
          min((CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)
               + j * CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT))
@@ -115,14 +117,14 @@ mh AS (
   FROM sh CROSS JOIN range(1, {N_HASHES + 1}) t(j)
   GROUP BY doc_id, j
 ),
-band AS (
+band{tag} AS (
   SELECT doc_id, (j - 1) // {band_size} AS band_id,
          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_key
-  FROM mh GROUP BY doc_id, (j - 1) // {band_size}
+  FROM mh{tag} GROUP BY doc_id, (j - 1) // {band_size}
 ),
-pairs AS (
+pairs{tag} AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM band a JOIN band b
+  FROM band{tag} a JOIN band{tag} b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )"""
 
@@ -1205,6 +1207,47 @@ JACCARD_T_DEN = 5  # t = 0.6
 # prefix filter; see _ppjoin_candidates for the soundness argument)
 PPJOIN_L = 2
 
+# corpus-wide exact-pair ground truth at t (DuckDB mirror of
+# ppjoin_pairs_frame's prefix-filter + integer verify), as a reusable
+# CTE chain ending in ``truth`` — shared by dedup_recall_corpuswide
+# and the dedup_lsh_curve sweep. Assumes _SHINGLE_CTES is in scope.
+_PPJOIN_TRUTH_CTES = f"""fr AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+arr AS (
+  SELECT s.doc_id, sc.n,
+         list_sort(list(struct_pack(c := fr.c, shingle := s.shingle))) AS rs
+  FROM sh s JOIN fr USING (shingle) JOIN scount sc USING (doc_id)
+  GROUP BY s.doc_id, sc.n
+),
+pre0 AS (
+  SELECT doc_id, n,
+         unnest(rs[1 : n - (({JACCARD_T_NUM} * n + {JACCARD_T_DEN - 1})
+                            // {JACCARD_T_DEN}) + 1]) AS e
+  FROM arr
+),
+pre AS (SELECT doc_id, n, e.shingle AS shingle FROM pre0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pre a JOIN pre b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND {JACCARD_T_DEN} * a.n >= {JACCARD_T_NUM} * b.n
+   AND {JACCARD_T_DEN} * b.n >= {JACCARD_T_NUM} * a.n
+),
+com AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh ta ON ta.doc_id = c.doc_a
+  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT m.doc_a, m.doc_b
+  FROM com m
+  JOIN scount na ON na.doc_id = m.doc_a
+  JOIN scount nb ON nb.doc_id = m.doc_b
+  WHERE {JACCARD_T_DEN} * m.common
+        >= {JACCARD_T_NUM} * (na.n + nb.n - m.common)
+)"""
+
 
 @register(
     "dedup_ppjoin_exact",
@@ -1435,42 +1478,7 @@ def _ppjoin_verify(sh: DataFrame, cand: DataFrame) -> DataFrame:
     oracle=f"""
 WITH {_SHINGLE_CTES},
 {_mh_band_ctes(BAND_SIZE)},
-fr AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
-arr AS (
-  SELECT s.doc_id, sc.n,
-         list_sort(list(struct_pack(c := fr.c, shingle := s.shingle))) AS rs
-  FROM sh s JOIN fr USING (shingle) JOIN scount sc USING (doc_id)
-  GROUP BY s.doc_id, sc.n
-),
-pre0 AS (
-  SELECT doc_id, n,
-         unnest(rs[1 : n - (({JACCARD_T_NUM} * n + {JACCARD_T_DEN - 1})
-                            // {JACCARD_T_DEN}) + 1]) AS e
-  FROM arr
-),
-pre AS (SELECT doc_id, n, e.shingle AS shingle FROM pre0),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pre a JOIN pre b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-   AND {JACCARD_T_DEN} * a.n >= {JACCARD_T_NUM} * b.n
-   AND {JACCARD_T_DEN} * b.n >= {JACCARD_T_NUM} * a.n
-),
-com AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS common
-  FROM cand c
-  JOIN sh ta ON ta.doc_id = c.doc_a
-  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
-  GROUP BY 1, 2
-),
-truth AS (
-  SELECT m.doc_a, m.doc_b
-  FROM com m
-  JOIN scount na ON na.doc_id = m.doc_a
-  JOIN scount nb ON nb.doc_id = m.doc_b
-  WHERE {JACCARD_T_DEN} * m.common
-        >= {JACCARD_T_NUM} * (na.n + nb.n - m.common)
-)
+{_PPJOIN_TRUTH_CTES}
 SELECT count(*)::BIGINT AS n_true,
        sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
          AS n_caught,
@@ -1512,6 +1520,88 @@ def dedup_recall_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
             caught.cast("double") / F.count("*"), 6
         ).alias("recall"),
     )
+
+
+_LSH_CURVE_SIZES = (2, 3, 4, 6)  # divisors of N_HASHES -> whole bands
+
+
+def _lsh_curve_select(b: int) -> str:
+    cnt_hit = (
+        f"(SELECT count(*) FROM truth t JOIN pairs_b{b} p"
+        f" ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)"
+    )
+    return f"""SELECT {b}::BIGINT AS band_size,
+       {N_HASHES // b}::BIGINT AS n_bands,
+       (SELECT count(*) FROM pairs_b{b})::BIGINT AS n_candidates,
+       (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       {cnt_hit}::BIGINT AS n_caught,
+       round(CAST({cnt_hit} AS DOUBLE)
+             / (SELECT count(*) FROM truth), 6) AS recall"""
+
+
+@register(
+    "dedup_lsh_curve",
+    oracle="WITH {sh},\n{bands},\n{truth}\n{selects}".format(
+        sh=_SHINGLE_CTES,
+        bands=",\n".join(
+            _mh_band_ctes(b, f"_b{b}") for b in _LSH_CURVE_SIZES
+        ),
+        truth=_PPJOIN_TRUTH_CTES,
+        selects="\nUNION ALL\n".join(
+            _lsh_curve_select(b) for b in _LSH_CURVE_SIZES
+        ),
+    ),
+)
+def dedup_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding s-curve, MEASURED: for every whole-band size of
+    the N_HASHES signature (2/3/4/6 -> 6/4/3/2 bands), the candidate
+    count next to true recall against the corpus-wide exact pair set
+    (PPJoin truth at t = 0.6) — the one-table answer to "which band
+    size do I run at 100 TB": recall buys candidates, and this is the
+    exchange rate on YOUR corpus rather than the closed-form
+    1-(1-t^r)^b curve's i.i.d. assumption.
+
+    Scale shape: the signature is computed once (shared cache), each
+    band size adds one map-side band explode + band equi-join (never
+    all-pairs) and two 1-row aggs attached as broadcast scalars; the
+    truth side reuses the persisted PPJoin pair frame (prefix-filter
+    bounded). Everything is candidate- or pairs-sized past the shared
+    shingle scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    mh = _minhash_sig(sh)
+    truth = _ppjoin_pairs_persisted(docs).select("doc_a", "doc_b")
+    parts = []
+    for b in _LSH_CURVE_SIZES:
+        cands = _band_pairs(mh, b)
+        hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+        parts.append(
+            cands.agg(F.count("*").cast("bigint").alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(
+                    truth.agg(F.count("*").cast("bigint").alias("n_true"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    hit.agg(F.count("*").cast("bigint").alias("n_caught"))
+                )
+            )
+            .select(
+                F.lit(b).cast("bigint").alias("band_size"),
+                F.lit(N_HASHES // b).cast("bigint").alias("n_bands"),
+                "n_candidates",
+                "n_true",
+                "n_caught",
+                F.round(
+                    F.col("n_caught").cast("double") / F.col("n_true"), 6
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def dedup_candidate_telemetry(

@@ -85,11 +85,12 @@ _PRIORITY_PREFIXES = [
     # to exactly 50
     "text_ngram_novelty", "dedup_minhash_estimate",
     "corpus_dedup_rate_by_source", "emb_hard_negatives",
+    "dedup_lsh_curve",
     "text_lm_score", "events_rfm_segments", "retrieval_rrf_fusion",
-    "source_csv_docs",
     # ---- 50-query driver window ends here ----
     # next in line for r11: the remaining r6-evidence ids in their r6
     # sample order
+    "source_csv_docs",
     "corpus_vocab_growth", "text_classifier_score",
     "text_classifier_confusion", "events_kmv_distinct",
     "events_kmv_union", "events_session_window", "events_ab_ttest",

@@ -24,7 +24,7 @@ load_all_queries()
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
 # the r10 window: the REAL staleness tail — all 33 r3-evidence ids,
-# all 9 r4-evidence ids, then first evidence for the four r10-new
+# all 9 r4-evidence ids, then first evidence for the five r10-new
 # operators, filled to 50 with the oldest r6-evidence ids (the probed
 # Avro source is env-gated, see README "Environment gates").
 # COVERAGE.md "Driver correctness-sample window".
@@ -47,8 +47,8 @@ R10_WINDOW = [
     'events_sessionize', 'text_tfidf_top_term', 'text_top_terms',
     'text_ngram_novelty', 'dedup_minhash_estimate',
     'corpus_dedup_rate_by_source', 'emb_hard_negatives',
+    'dedup_lsh_curve',
     'text_lm_score', 'events_rfm_segments', 'retrieval_rrf_fusion',
-    'source_csv_docs',
 ]
 
 

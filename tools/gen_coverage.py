@@ -43,6 +43,7 @@ GROUPS = [
       "dedup_incremental", "dedup_recall_minhash",
       "dedup_prefix_containment", "dedup_rate_by_source",
       "corpus_dedup_rate_by_source", "dedup_minhash_estimate",
+      "dedup_lsh_curve",
       "dedup_winnowing_pairs", "dedup_precision_minhash",
       "dedup_cluster_stats", "dedup_line_global",
       "dedup_ppjoin_exact", "dedup_recall_corpuswide"]),
