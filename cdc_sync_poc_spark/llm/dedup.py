@@ -1561,47 +1561,77 @@ def dedup_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange rate on YOUR corpus rather than the closed-form
     1-(1-t^r)^b curve's i.i.d. assumption.
 
-    Scale shape: the signature is computed once (shared cache), each
-    band size adds one map-side band explode + band equi-join (never
-    all-pairs) and two 1-row aggs attached as broadcast scalars; the
-    truth side reuses the persisted PPJoin pair frame (prefix-filter
-    bounded). Everything is candidate- or pairs-sized past the shared
-    shingle scan."""
+    Scale shape: the signature is computed once (shared cache); ALL
+    band sizes ride ONE tagged band frame, so the sweep is one
+    self-join sharded by (band_size, band_id, band_key) — never
+    all-pairs, never one job per size — one distinct-pair shuffle, one
+    per-size count agg, one semi-join against the persisted PPJoin
+    truth (prefix-filter bounded), and the 1-row true-pair total
+    attached as a broadcast scalar. A size that produces zero
+    candidates still emits its row (the sizes frame is the spine)."""
+    from cdc_sync_poc_spark.sources.loader import literal_frame
+
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
     mh = _minhash_sig(sh)
     truth = _ppjoin_pairs_persisted(docs).select("doc_a", "doc_b")
-    parts = []
+    sizes = literal_frame(
+        spark,
+        [(b, N_HASHES // b) for b in _LSH_CURVE_SIZES],
+        "band_size bigint, n_bands bigint",
+    )
+    bands_all = None
     for b in _LSH_CURVE_SIZES:
-        cands = _band_pairs(mh, b)
-        hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
-        parts.append(
-            cands.agg(F.count("*").cast("bigint").alias("n_candidates"))
-            .crossJoin(
-                F.broadcast(
-                    truth.agg(F.count("*").cast("bigint").alias("n_true"))
-                )
-            )
-            .crossJoin(
-                F.broadcast(
-                    hit.agg(F.count("*").cast("bigint").alias("n_caught"))
-                )
-            )
-            .select(
-                F.lit(b).cast("bigint").alias("band_size"),
-                F.lit(N_HASHES // b).cast("bigint").alias("n_bands"),
-                "n_candidates",
-                "n_true",
-                "n_caught",
-                F.round(
-                    F.col("n_caught").cast("double") / F.col("n_true"), 6
-                ).alias("recall"),
-            )
+        f = _band_frame(mh, b).withColumn(
+            "band_size", F.lit(b).cast("bigint")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        bands_all = f if bands_all is None else bands_all.unionByName(f)
+    a = bands_all.select(
+        "band_size", "band_id", F.col("band_key").alias("ka"),
+        F.col("doc_id").alias("doc_a"),
+    )
+    b2 = bands_all.select(
+        F.col("band_size").alias("bs"), F.col("band_id").alias("bi"),
+        F.col("band_key").alias("kb"), F.col("doc_id").alias("doc_b"),
+    )
+    pairs_all = (
+        a.join(
+            b2,
+            (F.col("band_size") == F.col("bs"))
+            & (F.col("band_id") == F.col("bi"))
+            & (F.col("ka") == F.col("kb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("band_size", "doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    cand = pairs_all.groupBy("band_size").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    hits = (
+        pairs_all.join(truth, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("band_size")
+        .agg(F.count("*").cast("bigint").alias("n_caught"))
+    )
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    n_cand = F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint")
+    n_hit = F.coalesce(F.col("n_caught"), F.lit(0)).cast("bigint")
+    return (
+        sizes.join(cand, "band_size", "left")
+        .join(hits, "band_size", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "band_size",
+            "n_bands",
+            n_cand.alias("n_candidates"),
+            "n_true",
+            n_hit.alias("n_caught"),
+            F.round(n_hit.cast("double") / F.col("n_true"), 6).alias(
+                "recall"
+            ),
+        )
+    )
 
 
 def dedup_candidate_telemetry(
