@@ -140,6 +140,8 @@ SECTIONS = [
      "N-gram novelty: per-doc gram distinctness map-side (array_distinct before the explode), first-owner as ONE min() hash agg on the uniform gram hash; the back-join is UNHINTED and follows statistics (auto-broadcast at fixture SF, shuffle join sharing the agg's partitioning at corpus scale)"),
     ("emb_hard_negatives",
      "Hard-negative mining: probe list + query vectors broadcast onto the cell-assigned corpus (equi-join on cell_id, never all-pairs), label mismatch filtered map-side, per-anchor top-1 as a WindowGroupLimit rank"),
+    ("dedup_lsh_curve",
+     "Measured LSH s-curve: ALL band sizes in ONE tagged band frame -> a single self-join sharded by (band_size, band_id, band_key) + one distinct-pair shuffle + per-size count aggs + one semi-join against the persisted PPJoin truth — never one job per size, never all-pairs"),
 ]
 
 
