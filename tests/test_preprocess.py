@@ -129,3 +129,32 @@ def test_emb_label_centroids_tracks_float_mean(spark):
     assert len(got) == len(want)
     for r in got:
         assert abs(r.centroid - want[(r.label, r.dim)]) <= 1.0 / Q_FIX + 1e-6
+
+
+def test_lsh_curve_subset_laws_and_spine(spark):
+    """dedup_lsh_curve invariants that hold by construction: when band
+    size p divides band size q, the size-p bands partition the size-q
+    bands exactly, so any pair agreeing on a q-band agrees on some
+    p-band — candidates(q) ⊆ candidates(p), hence n_candidates and
+    n_caught are monotone along the divisibility order (4|2 in the
+    divides-into sense, 6|3|..., 6|2); and every configured size emits
+    its row even when it produces zero candidates (the sizes frame is
+    the spine)."""
+    from cdc_sync_poc_spark.llm.dedup import _LSH_CURVE_SIZES, dedup_lsh_curve
+    from cdc_sync_poc_spark.registry import load_all_queries
+    from tests.conftest import SF_DIR
+
+    load_all_queries()
+    rows = {
+        int(r.band_size): r for r in dedup_lsh_curve(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == sorted(_LSH_CURVE_SIZES)
+    for r in rows.values():
+        assert 0 <= r.n_caught <= r.n_true
+        assert r.n_caught <= r.n_candidates
+        assert int(r.n_bands) * int(r.band_size) == 12
+    # divisibility ⇒ candidate containment ⇒ count monotonicity
+    for small, big in [(2, 4), (2, 6), (3, 6)]:
+        assert rows[big].n_candidates <= rows[small].n_candidates, (small, big)
+        assert rows[big].n_caught <= rows[small].n_caught, (small, big)
+        assert rows[big].recall <= rows[small].recall, (small, big)
