@@ -1092,6 +1092,60 @@ def test_additive_delta_store_totals_invariant(
 
 
 @given(
+    owners=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["g1", "g2", "g3", "g4"]),
+                st.integers(min_value=1, max_value=50),
+            ),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    compact_at=st.integers(min_value=-1, max_value=3),
+    replay=st.integers(min_value=0, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_min_delta_store_totals_invariant(
+    spark, tmp_path_factory, owners, compact_at, replay
+):
+    """MinDeltaStore (streaming/delta_store.py): for ANY batch split,
+    compaction point, and replayed batch, totals() equals the
+    straight-line per-key min over all batches — the min fold is
+    associative, commutative AND idempotent, so compaction, replays
+    and arrival order must all be observationally invisible."""
+    from cdc_sync_poc_spark.streaming.delta_store import MinDeltaStore
+
+    root = tmp_path_factory.mktemp("mds_prop")
+    store = MinDeltaStore(
+        spark, str(root), ["k"], ["owner"], "k string, owner bigint"
+    )
+
+    def agg_frame(batch):
+        mins: dict[str, int] = {}
+        for k, o in batch:
+            mins[k] = min(mins.get(k, o), o)
+        return spark.createDataFrame(
+            list(mins.items()), "k string, owner bigint"
+        )
+
+    want: dict[str, int] = {}
+    for bid, batch in enumerate(owners):
+        store.write_delta(agg_frame(batch), bid)
+        for k, o in batch:
+            want[k] = min(want.get(k, o), o)
+
+    store.compact(compact_at)
+    if replay < len(owners):
+        store.write_delta(agg_frame(owners[replay]), replay)
+
+    got = {r.k: r.owner for r in store.totals().collect()}
+    assert got == want
+
+
+@given(
     texts=st.lists(
         st.lists(
             st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
