@@ -209,6 +209,11 @@ BENCH_QUERIES = [
     "corpus_dedup_rate_by_source",
     "emb_hard_negatives",
     "dedup_lsh_curve",
+    # round-11 additions (append-only)
+    "corpus_zipf_coverage",
+    "text_char_diversity",
+    "dedup_threshold_curve",
+    "emb_ivf_cell_balance",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

@@ -1535,8 +1535,9 @@ def _lsh_curve_select(b: int) -> str:
        (SELECT count(*) FROM pairs_b{b})::BIGINT AS n_candidates,
        (SELECT count(*) FROM truth)::BIGINT AS n_true,
        {cnt_hit}::BIGINT AS n_caught,
-       round(CAST({cnt_hit} AS DOUBLE)
-             / (SELECT count(*) FROM truth), 6) AS recall"""
+       CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+            ELSE round(CAST({cnt_hit} AS DOUBLE)
+                       / (SELECT count(*) FROM truth), 6) END AS recall"""
 
 
 @register(
@@ -1627,10 +1628,175 @@ def dedup_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_cand.alias("n_candidates"),
             "n_true",
             n_hit.alias("n_caught"),
-            F.round(n_hit.cast("double") / F.col("n_true"), 6).alias(
-                "recall"
-            ),
+            # degenerate-corpus guard (ADVICE r10): an empty truth set
+            # must yield NULL recall on BOTH engines — unguarded, Spark's
+            # double division by zero is NULL while DuckDB's IEEE
+            # division is inf, a latent oracle mismatch
+            F.when(F.col("n_true") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(n_hit.cast("double") / F.col("n_true"), 6))
+            .alias("recall"),
         )
+    )
+
+
+# dedup_threshold_curve: the verify-threshold sweep. Exact doubles on
+# both engines: jac is a rational of BIGINTs (correctly-rounded once),
+# the taus are identical literals, so >= comparisons agree bit-for-bit.
+_CURVE_TAUS = (0.2, 0.4, 0.6, 0.8)
+
+
+@register(
+    "dedup_threshold_curve",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+{_mh_band_ctes(BAND_SIZE)},
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS ni
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+pj AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jac
+  FROM inter i
+  JOIN scount ca ON ca.doc_id = i.doc_a
+  JOIN scount cb ON cb.doc_id = i.doc_b
+),
+ntok AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS nt
+         FROM documents),
+tot AS (SELECT sum(nt)::BIGINT AS total FROM ntok),
+dropped AS (
+  SELECT p.doc_b, max(p.jac) AS mj, any_value(k.nt) AS nt
+  FROM pj p JOIN ntok k ON k.doc_id = p.doc_b
+  GROUP BY p.doc_b
+),
+taus AS (SELECT unnest([{", ".join(str(t) for t in _CURVE_TAUS)}])::DOUBLE
+                AS tau),
+pair_ct AS (
+  SELECT t.tau, count(p.doc_a)::BIGINT AS n_pairs
+  FROM taus t LEFT JOIN pj p ON p.jac >= t.tau
+  GROUP BY t.tau
+),
+drop_ct AS (
+  SELECT t.tau, count(d.doc_b)::BIGINT AS n_dropped_docs,
+         coalesce(sum(d.nt), 0)::BIGINT AS saved_tokens
+  FROM taus t LEFT JOIN dropped d ON d.mj >= t.tau
+  GROUP BY t.tau
+)
+SELECT p.tau, p.n_pairs, d.n_dropped_docs, d.saved_tokens,
+       round(CAST(d.saved_tokens AS DOUBLE) / t.total, 9) AS saved_frac
+FROM pair_ct p JOIN drop_ct d ON d.tau = p.tau CROSS JOIN tot t
+ORDER BY p.tau
+""",
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup verify-threshold sweep, MEASURED: for each Jaccard
+    cut tau, how many banded candidate pairs survive, how many
+    documents a keep-min-id collapse would drop, and the token mass
+    (and fraction of the corpus) that dropping them saves — the
+    one-table answer to "which threshold do I dedup at, and what does
+    each notch buy me in training tokens" on YOUR corpus, the
+    threshold twin of dedup_lsh_curve's band-size sweep.
+
+    Drop policy: a document is dropped at tau iff it is the LARGER id
+    of at least one pair with jac >= tau (keep-min canonical, the same
+    greedy rule dedup_corpus_keep applies) — so the per-doc max pair
+    similarity decides every threshold at once and the whole sweep
+    rides ONE exact-verification pass.
+
+    Scale shape: candidates from the shared banded equi-join (never
+    all-pairs); ONE pair-driven array_intersect verification (the
+    dedup_minhash_estimate gather, unfiltered — the sweep needs the
+    misses below the cut too); the tau sweep is conditional aggregates
+    over the bounded pair/drop frames against a 4-row literal spine,
+    with the 1-row corpus token total as a broadcast scalar. A tau
+    that drops nothing still emits its row (the spine left-joins), and
+    an empty candidate set yields all-zero rows, never a division
+    hazard (the denominator is the CORPUS total, not the pair count)."""
+    from cdc_sync_poc_spark.sources.loader import literal_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
+    # unfiltered exact Jaccard per candidate pair (the estimate gather)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), sh.doc_id == F.col("d"), "left_semi")
+    sets = shc.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shset"), F.count("*").alias("n")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shset").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shset").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    pj = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+    )
+    ntok = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt")
+    )
+    tot = ntok.agg(F.sum("nt").cast("bigint").alias("total"))
+    dropped = (
+        pj.groupBy("doc_b")
+        .agg(F.max("jac").alias("mj"))
+        .join(ntok, F.col("doc_b") == F.col("doc_id"))
+        .select("doc_b", "mj", "nt")
+    )
+    taus = literal_frame(
+        spark, [(t,) for t in _CURVE_TAUS], "tau double"
+    )
+    pair_ct = (
+        pj.crossJoin(F.broadcast(taus))
+        .filter(F.col("jac") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    drop_ct = (
+        dropped.crossJoin(F.broadcast(taus))
+        .filter(F.col("mj") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dropped_docs"),
+            F.sum("nt").cast("bigint").alias("saved_tokens"),
+        )
+    )
+    return (
+        taus.join(pair_ct, "tau", "left")
+        .join(drop_ct, "tau", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tau",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_dropped_docs"), F.lit(0)).cast("bigint").alias(
+                "n_dropped_docs"
+            ),
+            F.coalesce(F.col("saved_tokens"), F.lit(0)).cast("bigint").alias(
+                "saved_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("saved_tokens"), F.lit(0)).cast("double")
+                / F.col("total"),
+                9,
+            ).alias("saved_frac"),
+        )
+        .orderBy("tau")
     )
 
 

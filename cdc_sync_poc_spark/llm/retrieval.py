@@ -61,7 +61,9 @@ def _sem_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-CAND_N semantic candidates (cosine to the query vector),
     ranked — same TakeOrderedAndProject shape."""
     n = _normed(spark, sf_dir)
-    q = n.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    # limit(1): pk-unique filter made structurally bounded for the
+    # broadcast plan contract (test_plan_contract.py)
+    q = n.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))

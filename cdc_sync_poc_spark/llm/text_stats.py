@@ -578,3 +578,131 @@ def slice_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = _median_of(dev, "dv", "mad")
     return med.join(mad, "lang").select("lang", "median_len", "mad")
+
+
+# corpus_zipf_coverage: token-mass coverage of the top-k vocabulary —
+# bounded head size so the rank window is a design constant, not data.
+ZIPF_HEAD_MAX = 10000
+ZIPF_KS = [1, 10, 100, 1000, 10000]
+
+
+@register(
+    "corpus_zipf_coverage",
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
+head AS (
+  SELECT term, cnt, rnk FROM (
+    SELECT term, cnt,
+           row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+    FROM counts)
+  WHERE rnk <= {ZIPF_HEAD_MAX}
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in ZIPF_KS)}])::BIGINT AS k)
+SELECT ks.k,
+       sum(CASE WHEN h.rnk <= ks.k THEN 1 ELSE 0 END)::BIGINT AS n_terms,
+       sum(CASE WHEN h.rnk <= ks.k THEN h.cnt ELSE 0 END)::BIGINT
+         AS tokens_covered,
+       round(CAST(sum(CASE WHEN h.rnk <= ks.k THEN h.cnt ELSE 0 END)
+                  AS DOUBLE) / t.total, 9) AS coverage
+FROM head h CROSS JOIN ks CROSS JOIN tot t
+GROUP BY ks.k, t.total
+ORDER BY ks.k
+""",
+)
+def corpus_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-head coverage: what fraction of the corpus' total token
+    mass the top-k vocabulary terms cover, for k in ZIPF_KS — the
+    number a tokenizer/vocab budget decision actually needs ("how big
+    a vocab covers 99% of tokens"), complementing corpus_vocab_growth
+    (vocab size vs docs seen) and text_hapax_ratio (the tail).
+
+    Scale shape: one hash aggregate with map-side combine builds term
+    counts; the head is a TakeOrderedAndProject of ZIPF_HEAD_MAX rows —
+    an absolute design constant, so the subsequent rank window runs on
+    a bounded single partition BY CONSTRUCTION (never a data-sized
+    global sort); the k-sweep rides the head frame as conditional
+    aggregates, and the total is a 1-row broadcast. Pure integer
+    arithmetic until the final correctly-rounded division — exact on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread_small_input(docs).select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    head = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(ZIPF_HEAD_MAX)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = head.withColumn("rnk", F.row_number().over(w))
+    ks = literal_frame(spark, [(k,) for k in ZIPF_KS], "k bigint")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_terms"),
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_covered"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_terms",
+            "tokens_covered",
+            F.round(
+                F.col("tokens_covered").cast("double") / F.col("total"), 9
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "text_char_diversity",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+per AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_chars,
+       count(*)::BIGINT AS n_distinct,
+       round(CAST(sum(c * (c - 1)) AS DOUBLE)
+             / (sum(c) * (sum(c) - 1)), 9) AS char_collision
+FROM per GROUP BY doc_id
+""",
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character diversity: distinct characters and the
+    character collision probability (Simpson index over the character
+    unigram distribution, sum c_i(c_i-1)/(n(n-1))) — the rational twin
+    of character entropy (libm log() is not bit-identical across
+    engines; collision probability ranks garbage the same way: mashed-
+    key/repeated-char junk scores high, natural text low). The quality
+    gate a 100 TB pre-filter runs BEFORE tokenization, since it needs
+    no vocabulary.
+
+    Scale shape: map-side char explode then ONE two-key hash aggregate
+    (doc_id, char) with map-side combine — the (doc, char) domain is
+    ~doc_count x charset, far smaller than the char stream — and a
+    doc-keyed re-aggregate. Pure integer sums until the final division;
+    no broadcast, no window, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = spread_small_input(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    per = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("bigint")
+    coll = F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
+    return per.groupBy("doc_id").agg(
+        n.alias("n_chars"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(
+            coll.cast("double") / (n * (n - F.lit(1))).cast("double"), 9
+        ).alias("char_collision"),
+    )

@@ -79,9 +79,10 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 )
 def bench_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: selective dim filter -> join -> agg -> top-10.
-    customer (filtered) broadcasts into orders; orders->lineitem is the
-    one real shuffle. Top-K via TakeOrderedAndProject, never a global
-    sort."""
+    customer (filtered) joins into orders UNHINTED — it grows with SF,
+    so the optimizer broadcasts it while small and shuffles it at
+    scale; orders->lineitem is the one real shuffle. Top-K via
+    TakeOrderedAndProject, never a global sort."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -92,7 +93,7 @@ def bench_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -116,9 +117,11 @@ GROUP BY n.n_name
 """,
 )
 def bench_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped 5-way join: supplier/nation/region broadcast
-    (dims), lineitem->orders shuffled once on orderkey. Region filter
-    prunes before the join fans out."""
+    """TPC-H Q5-shaped 5-way join: nation/region broadcast (constant
+    dims); supplier joins unhinted — it grows with SF, so the strategy
+    is the optimizer's stats call, not a pinned hint. lineitem->orders
+    shuffled once on orderkey. Region filter prunes before the join
+    fans out."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -131,7 +134,7 @@ def bench_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -263,7 +266,8 @@ ORDER BY revenue DESC, c.c_custkey LIMIT 20
 )
 def bench_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped returned-item report: fact-fact join shuffles
-    once on orderkey; customer and nation broadcast; top-20 via
+    once on orderkey; nation broadcasts (constant dim), customer joins
+    unhinted (SF-growing); top-20 via
     TakeOrderedAndProject. The returnflag filter prunes lineitem at the
     scan before the join fans out."""
     c = load_table(spark, sf_dir, "customer")
@@ -275,7 +279,7 @@ def bench_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
@@ -366,9 +370,9 @@ def bench_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -436,7 +440,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 )
 def bench_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped promotion effect: one month of lineitem (range
-    filter pushed to the scan) joined to part — part broadcasts (it is
+    filter pushed to the scan) joined to part — part joins unhinted (it is
     the dimension side) — then a single global agg computing the promo
     share. The ratio divides two exact BIGINT cents sums, so the
     resulting double is bit-identical across engines and partition
@@ -450,7 +454,7 @@ def bench_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         100 - F.round(F.col("l_discount") * 100).cast("long")
     )
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         (F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_pct"),
         (F.sum(rev).cast("double") / 10000).alias("total_revenue"),
     )
@@ -478,7 +482,7 @@ def bench_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-shaped top supplier: quarterly revenue per supplier
     (one hash agg), the scalar max as a 1-row broadcast cross join, and
     the winner equality compared in exact BIGINT cents — float-safe
-    argmax without a window or global sort. Supplier dim broadcasts
+    argmax without a window or global sort. Supplier joins unhinted
     into the (tiny post-agg) winners."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -493,7 +497,7 @@ def bench_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_c") == F.col("max_c"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -538,7 +542,7 @@ def bench_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li_sel = li.join(
-        F.broadcast(p), li.l_partkey == F.col("p_partkey"), "left_semi"
+        p, li.l_partkey == F.col("p_partkey"), "left_semi"
     )
     per_part = li_sel.groupBy(F.col("l_partkey").alias("pp_key")).agg(
         F.count("*").alias("cnt"), F.sum(q_c).alias("sq")
@@ -602,7 +606,7 @@ def bench_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         100 - F.round(F.col("l_discount") * 100).cast("long")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             (F.sum(rev).cast("double") / 10000).alias("revenue"),
@@ -706,7 +710,8 @@ def bench_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     through agg+window that Catalyst cannot derive on its own, and at
     scale it shrinks the agg/window input to the selected parts'
     lineitems. The window partitions on partkey (high cardinality, no
-    single-task stage); supplier/nation/region broadcast. Cost compared
+    single-task stage); nation/region broadcast (constant dims),
+    supplier unhinted. Cost compared
     in BIGINT cents — no float equality."""
     li = load_table(spark, sf_dir, "lineitem")
     p_keys = (
@@ -714,7 +719,7 @@ def bench_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
         .select(F.col("p_partkey").alias("pk"))
     )
-    li_sel = li.join(F.broadcast(p_keys), li.l_partkey == F.col("pk"), "left_semi")
+    li_sel = li.join(p_keys, li.l_partkey == F.col("pk"), "left_semi")
     supply = li_sel.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_c")
     )
@@ -726,7 +731,7 @@ def bench_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu_supply = supply.join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey)
+    eu_supply = supply.join(eu, supply.l_suppkey == eu.s_suppkey)
     w = Window.partitionBy("l_partkey")
     eu_supply = eu_supply.withColumn("min_c", F.min("cost_c").over(w)).filter(
         F.col("cost_c") == F.col("min_c")
@@ -737,7 +742,7 @@ def bench_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_type")
     )
     return (
-        eu_supply.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        eu_supply.join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             "s_name",
             F.col("n_name").alias("nation"),
@@ -806,11 +811,11 @@ def bench_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation_rev = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -843,7 +848,8 @@ GROUP BY sn.n_name, year(o.o_orderdate)
 def bench_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-shaped product-type profit (reshaped: no partsupp, so
     unit cost is 20%% of p_retailprice — a fixed-margin proxy computed in
-    exact cents). Part/supplier/nation broadcast; lineitem->orders is
+    exact cents). Nation broadcasts (constant dim), part/supplier join
+    unhinted; lineitem->orders is
     the single fact shuffle; profit = revenue minus cost entirely in
     BIGINT 10^-4 dollars inside one hash agg keyed by (nation, year)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -863,8 +869,8 @@ def bench_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity")
     ).cast("long") * 20
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
@@ -910,7 +916,7 @@ def bench_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     val = (
-        li.join(F.broadcast(am), li.l_suppkey == am.s_suppkey)
+        li.join(am, li.l_suppkey == am.s_suppkey)
         .groupBy("l_partkey")
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("val_c")
@@ -962,15 +968,15 @@ def bench_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     pairs = (
         li.join(
-            F.broadcast(p.select(F.col("p_partkey").alias("pk"))),
+            p.select(F.col("p_partkey").alias("pk")),
             li.l_partkey == F.col("pk"),
             "left_semi",
         )
-        .join(F.broadcast(bad), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .join(bad, li.l_suppkey == F.col("bad_key"), "left_anti")
         .distinct()
     )
     return (
-        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        pairs.join(p, pairs.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1027,7 +1033,7 @@ def bench_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("small%"))
         .select(F.col("p_partkey").alias("pk"))
     )
-    li_sel = li.join(F.broadcast(p), li.l_partkey == F.col("pk"), "left_semi")
+    li_sel = li.join(p, li.l_partkey == F.col("pk"), "left_semi")
     shipped = li_sel.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty")
     )
@@ -1118,7 +1124,7 @@ def bench_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        culprit.join(s, culprit.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("s_name", F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("numwait"))

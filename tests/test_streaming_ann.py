@@ -404,3 +404,80 @@ def test_split_cell_relayout_and_crash_heal(spark, tmp_path):
         idx.split_cell(10**9)
     with pytest.raises(ValueError, match="n_sub"):
         idx.split_cell(big, n_sub=1)
+
+
+def test_split_heal_survives_crash_between_quantizer_renames(spark, tmp_path):
+    """ADVICE r10 (medium): _apply_journal swaps the quantizer through
+    SwapStore, and a crash BETWEEN its two renames leaves no live
+    quantizer/ dir while quantizer_next is complete. The old __init__
+    gated journal healing on a raw _SUCCESS check without first running
+    SwapStore.recover(), so a maintainer restarted inside that window
+    could not heal — centroids() raised — and a restart WITH cents_rows
+    would have overwritten the post-split quantizer with the original
+    seed. Both restart paths must recover to the healed post-split
+    state."""
+    import pytest
+    from unittest import mock
+
+    from cdc_sync_poc_spark.llm.similarity import _ivf_refined
+    from cdc_sync_poc_spark.streaming.ann_index import StreamingIVFIndex
+    from cdc_sync_poc_spark.streaming.swapstore import SwapStore
+
+    in_dir, _rows, cuts = _emb_batches(tmp_path)
+    _n, _c0, cents = _ivf_refined(spark, SF_DIR)
+    root = tmp_path / "sp_qcrash"
+    idx = StreamingIVFIndex(spark, str(root), cents)
+    for i in range(len(cuts)):
+        idx.absorb_batch(
+            spark.read.parquet(str(in_dir / f"part-{i}.parquet")), i
+        )
+    counts = {
+        int(r.cell_id): r.c
+        for r in idx.index().groupBy("cell_id").agg(
+            F.count("*").alias("c")
+        ).collect()
+    }
+    big = max(counts, key=lambda c: (counts[c], -c))
+
+    real_swap = SwapStore.swap
+
+    def bomb(store_self, df, partition_by=None):
+        if not store_self.cur_dir.endswith("quantizer"):
+            return real_swap(store_self, df, partition_by=partition_by)
+        # reproduce SwapStore.swap up to the crash point: next state
+        # fully written, live dir renamed aside — then die between the
+        # two renames
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(store_self.tmp_dir)
+        os.rename(store_self.cur_dir, store_self.old_dir)
+        raise RuntimeError("chaos: crashed between quantizer renames")
+
+    with mock.patch.object(SwapStore, "swap", side_effect=bomb, autospec=True):
+        with pytest.raises(RuntimeError, match="chaos"):
+            idx.split_cell(big)
+
+    # the crash window state: no live quantizer, complete next, journal
+    assert not os.path.isdir(idx.quant_dir)
+    assert os.path.exists(os.path.join(str(root), "quantizer_next", "_SUCCESS"))
+    assert os.path.exists(idx.journal_path)
+
+    # restart WITHOUT cents: must roll the swap forward and heal
+    idx2 = StreamingIVFIndex(spark, str(root))
+    assert not os.path.exists(idx2.journal_path)
+    assert len(idx2.centroids()) == len(cents) + 1
+    sub_ids = {int(c.cell_id) for c in idx2.centroids()} - {
+        int(c.cell_id) for c in cents
+    } | {big}
+    fam = {
+        int(r.cell_id)
+        for r in idx2.index().filter(F.col("cell_id").isin(list(sub_ids)))
+        .select("cell_id").distinct().collect()
+    }
+    assert fam <= sub_ids and len(fam) == 2  # base swap replayed too
+
+    # restart WITH the ORIGINAL cents must NOT clobber the healed
+    # quantizer (the overwrite gate sees the recovered live dir)
+    idx3 = StreamingIVFIndex(spark, str(root), cents)
+    assert len(idx3.centroids()) == len(cents) + 1
