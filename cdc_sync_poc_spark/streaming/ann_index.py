@@ -52,7 +52,6 @@ from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.llm.similarity import (
     ANN_TOP_K,
-    EMB_DIM,
     N_LLOYD,
     _assign_col,
     _Cent,
@@ -231,9 +230,12 @@ class StreamingIVFIndex:
                 if not dims:
                     nxt.append(c)  # emptied sub keeps its centroid
                     continue
+                # dimension from the centroid itself, not the batch
+                # fixture's EMB_DIM — the streaming index is
+                # dimension-agnostic (any frozen quantizer works)
                 cv = [
                     dims[i][0] / (_FP_SCALE * dims[i][1])
-                    for i in range(EMB_DIM)
+                    for i in range(len(c.cv))
                 ]
                 acc = 0.0
                 for x in cv:

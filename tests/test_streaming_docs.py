@@ -812,7 +812,18 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     carry snapshots, epoch order + carry, stored sample, line-dedup
     cleaned docs + segment index, BM25 stats + postings, media pairs +
     fingerprint bands, per-cell embedding sample, novelty owners + doc
-    counts — must equal a never-crashed run."""
+    counts, ANN quantizer + index — must equal a never-crashed run.
+
+    r11 (VERDICT r10 "Next round" #5): the body composes an ELEVENTH
+    maintainer — the streaming IVF index — and both runs perform an
+    offline cell split of the fullest cell between micro-batches 1 and
+    2; the chaos run's split is KILLED inside the journal window
+    (after the quantizer swap, before the base swap), so the replayed
+    batch must first heal the half-applied split (heal_splits on body
+    entry — the long-lived-body twin of the constructor self-heal
+    pinned in test_streaming_ann.py) and then converge to the
+    reference run's post-split quantizer, index layout and every
+    other store."""
     import os
     import time
 
@@ -850,6 +861,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
                 " CAST(doc_id % 11 AS DOUBLE) / 11.0 + 0.1,"
                 " CAST(doc_id % 13 AS DOUBLE) / 13.0 + 0.1, 0.5)"
             ).alias("embedding"),
+            (F.col("doc_id") % 3).cast("int").alias("label"),
         )
 
     t = pq.read_table(f"{SF_DIR}/documents.parquet")
@@ -877,12 +889,16 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
         os.utime(f, (now + i * 10, now + i * 10))
 
-    class CompositeBody:
-        """curator + sampler + line-dedup in one foreachBatch body,
-        with optional injected crashes: crash_plan maps batch_id ->
-        ('pack'|'after_sampler'), each firing exactly once."""
+    from cdc_sync_poc_spark.streaming.ann_index import StreamingIVFIndex
 
-        def __init__(self, root: str, crash_plan=None):
+    class CompositeBody:
+        """curator + sampler + line-dedup (+ 8 more) in one foreachBatch
+        body, with optional injected crashes: crash_plan maps batch_id
+        -> ('pack'|'after_sampler'|'after_bm25'), each firing exactly
+        once; split_plan maps batch_id -> crash_inside_journal(bool)
+        for an offline IVF cell split performed at batch entry."""
+
+        def __init__(self, root: str, crash_plan=None, split_plan=None):
             self.cur = StreamingCurator(spark, os.path.join(root, "cur"))
             self.smp = StreamingSampler(
                 spark, os.path.join(root, "smp"), n=10
@@ -894,10 +910,50 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
                 spark, os.path.join(root, "cs"), cents, n=4
             )
             self.nov = StreamingNovelty(spark, os.path.join(root, "nov"))
+            self.ann = StreamingIVFIndex(
+                spark, os.path.join(root, "ann"), cents
+            )
             self.crash_plan = dict(crash_plan or {})
+            self.split_plan = dict(split_plan or {})
             self.crashes = []
 
+        def _split_fullest(self, crash_inside_journal: bool, batch_id: int):
+            """The offline maintenance action, run between micro-batches;
+            with crash_inside_journal, the base swap is bombed so the
+            split dies AFTER the quantizer swap — the journal window."""
+            counts = {
+                int(r.cell_id): r.c
+                for r in self.ann.index()
+                .groupBy("cell_id").agg(F.count("*").alias("c")).collect()
+            }
+            big = max(counts, key=lambda c: (counts[c], -c))
+            if not crash_inside_journal:
+                self.ann.split_cell(big)
+                return
+            base_store = self.ann.store.base
+            real = base_store.swap
+
+            def bomb(df, partition_by=None):
+                if os.path.exists(self.ann.journal_path):
+                    self.crashes.append((batch_id, "split_journal"))
+                    raise RuntimeError("chaos: base swap lost mid-split")
+                return real(df, partition_by=partition_by)
+
+            base_store.swap = bomb
+            try:
+                self.ann.split_cell(big)
+            finally:
+                base_store.swap = real
+
         def __call__(self, docs_df, batch_id):
+            # long-lived body: a replayed batch enters HERE after a
+            # crash (the constructor self-heal only runs on process
+            # restart), so heal any half-applied split first — no-op
+            # without a journal
+            self.ann.heal_splits()
+            split = self.split_plan.pop(batch_id, None)
+            if split is not None:
+                self._split_fullest(split, batch_id)
             point = self.crash_plan.get(batch_id)
             if point == "pack":
                 # kill INSIDE the curator: funnel verdicts + dedup
@@ -926,9 +982,10 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
             self.mm.screen_batch(docs_df, batch_id)
             self.cs.absorb_batch(emb_of(docs_df), batch_id)
             self.nov.absorb_batch(docs_df, batch_id)
+            self.ann.absorb_batch(emb_of(docs_df), batch_id)
 
-    def drive(root, crash_plan=None, max_restarts=4):
-        body = CompositeBody(str(root), crash_plan)
+    def drive(root, crash_plan=None, split_plan=None, max_restarts=5):
+        body = CompositeBody(str(root), crash_plan, split_plan)
         ckpt = str(root) + "_ckpt"
         restarts = 0
         while True:
@@ -946,15 +1003,23 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
                 restarts += 1
                 assert restarts <= max_restarts, "chaos never converged"
 
-    ref_body, ref_restarts = drive(tmp_path / "ref")
+    # both runs split the fullest cell between batches 1 and 2; only
+    # the chaos run's split dies inside the journal window
+    ref_body, ref_restarts = drive(tmp_path / "ref", split_plan={2: False})
     assert ref_restarts == 0
     chaos_body, chaos_restarts = drive(
-        tmp_path / "chaos", {0: "pack", 1: "after_sampler", 2: "after_bm25"}
+        tmp_path / "chaos",
+        {0: "pack", 1: "after_sampler", 2: "after_bm25"},
+        split_plan={2: True},
     )
-    assert chaos_restarts == 3
+    assert chaos_restarts == 4
     assert chaos_body.crashes == [
-        (0, "pack"), (1, "after_sampler"), (2, "after_bm25")
+        (0, "pack"), (1, "after_sampler"), (2, "split_journal"),
+        (2, "after_bm25"),
     ]
+    # the healed quantizer gained exactly one cell
+    assert len(chaos_body.ann.centroids()) == len(cents) + 1
+    assert not os.path.exists(chaos_body.ann.journal_path)
 
     def snap(path, cols):
         if not os.path.isdir(path):
@@ -983,6 +1048,9 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         ("cs/cell_sample", ["vec_id", "cell_id", "hk"]),
         ("nov/owners", ["gh", "owner", "batch_id"]),
         ("nov/docs", ["doc_id", "n_distinct", "batch_id"]),
+        ("ann/quantizer", ["cell_id"]),
+        ("ann/base", ["vec_id", "cell_id", "batch_id"]),
+        ("ann/index", ["vec_id", "cell_id", "batch_id"]),
     ]
     for rel, cols in stores:
         ref = snap(str(tmp_path / "ref" / rel), cols)
