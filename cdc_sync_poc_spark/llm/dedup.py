@@ -242,6 +242,12 @@ def _verify_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFr
         .join(sb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # pair-bounded (tiny) and shared by FOUR consumers per session
+        # (minhash_lsh, corpus keep/cluster, rate-by-source, precision)
+        # via Spark's analyzed-plan cache identity — unpersisted, each
+        # consumer re-ran the gather+intersect (~1.9 s each at sf0.1,
+        # measured r11 warmup attribution)
+        .persist()
     )
 
 
@@ -644,6 +650,45 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
+# Connected-components fast path: below this many verified pairs the
+# component labels are computed on the driver (union-find over the
+# collected pair list) instead of by distributed label propagation.
+# The pair set is the OUTPUT of the banded+verified filter — bounded
+# and orders of magnitude smaller than the corpus — and iterating a
+# distributed fixpoint over a few hundred edges costs ~2 s of pure
+# per-round job overhead (measured r11: the loop was the single
+# largest warmup line after the builds themselves). Above the gate the
+# distributed min-label loop below is the path — the same small-graph
+# hybrid GraphFrames applies, with the cutover explicit. Both paths
+# produce the identical min-id component labels the oracle pins.
+LOCAL_CC_MAX_PAIRS = 65536
+
+
+def _local_components(pair_rows) -> list[tuple[int, int]]:
+    """Driver union-find over collected (doc_a, doc_b) pairs; returns
+    (doc_id, min-id component label) rows — bit-identical to the
+    distributed min-label fixpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in pair_rows:
+        a, b = find(int(r.doc_a)), find(int(r.doc_b))
+        if a != b:
+            hi, lo = max(a, b), min(a, b)
+            parent[hi] = lo
+    nodes = {int(r.doc_a) for r in pair_rows} | {
+        int(r.doc_b) for r in pair_rows
+    }
+    return [(n, find(n)) for n in sorted(nodes)]
+
+
 def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) labels — shared by the cluster report and
     the corpus-keep apply step; memoized per session + scale factor
@@ -659,6 +704,14 @@ def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN).select(
         "doc_a", "doc_b"
     )
+    n_pairs = pairs.count()  # already persisted; the gate is O(1)
+    if n_pairs <= LOCAL_CC_MAX_PAIRS:
+        labels_rows = _local_components(verified.collect())
+        result = spark.createDataFrame(
+            labels_rows or [], "doc_id bigint, cluster_id bigint"
+        ).localCheckpoint()
+        _CLUSTER_MEMO[key] = result
+        return result
     e1 = verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     e2 = verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     # lineage truncation is what makes the iteration viable: without it
