@@ -1,0 +1,130 @@
+"""Streaming LSH band-size curve — the live twin of the batch
+``dedup_lsh_curve`` sweep (llm/dedup.py): the batch query answers
+"which band size do I run at 100 TB" offline; this maintainer keeps the
+candidate-generation exchange rate CURRENT as the corpus grows, so the
+band-size decision can be re-read from a dashboard instead of re-run.
+
+What it tracks, exactly: per (band_size, band_id, band_key) the number
+of documents ever landed in that bucket, as an AdditiveDeltaStore
+(sum-mergeable, replay-safe by partition ownership + watermark).
+``curve()`` folds that into the per-band-size **candidate-slot count**
+sum over buckets of C(n, 2) — the number of co-bucket pairs the banded
+self-join would EMIT. That is the join's true fan-out cost (the number
+the candidate-growth telemetry watches); it upper-bounds and tracks the
+batch curve's distinct-pair count, which de-duplicates a pair caught by
+several bands AFTER the exchange. The distinct count needs the pair
+set itself (quadratic state — exactly what banding exists to avoid),
+so the incremental metric is deliberately the additive one; recall
+calibration against exact truth stays in the offline batch sweep.
+
+Fingerprints reuse the batch family's machinery (_shingles ->
+_minhash_sig -> _band_frame over every _LSH_CURVE_SIZES), so a bucket
+count is bit-identical whether a document arrived by stream or by
+backfill — pinned by the equals-batch test in
+tests/test_streaming_docs.py.
+
+Scale shape per batch: O(batch) shingle/signature map work, one
+map-side-combined count agg per batch (the tagged band frame for all
+sizes rides ONE explode — the r10 batch fusion applied to ingest),
+ZERO reads of prior state on the write path. ``curve()`` reads the
+bucket-count state (bounded by occupied buckets, itself bounded by
+total band rows) and reduces to len(_LSH_CURVE_SIZES) rows.
+
+Reference parity: the reference ships no streaming dedup tuning; this
+is part of the M6 training-data surface (SURVEY §2 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.llm.dedup import (
+    _LSH_CURVE_SIZES,
+    N_HASHES,
+    _band_frame,
+    _minhash_sig,
+    _shingles,
+)
+from cdc_sync_poc_spark.streaming.delta_store import AdditiveDeltaStore
+
+
+def tagged_band_counts(docs: DataFrame) -> DataFrame:
+    """Per-bucket membership counts of ``docs`` for every curve band
+    size, in ONE pass: the tagged band frame (union over sizes of the
+    map-side band explode) aggregated by (band_size, band_id,
+    band_key) with map-side combine."""
+    mh = _minhash_sig(_shingles(docs))
+    bands = None
+    for b in _LSH_CURVE_SIZES:
+        f = _band_frame(mh, b).withColumn(
+            "band_size", F.lit(b).cast("bigint")
+        )
+        bands = f if bands is None else bands.unionByName(f)
+    return bands.groupBy("band_size", "band_id", "band_key").agg(
+        F.count("*").alias("n")
+    )
+
+
+class StreamingLSHCurve:
+    """foreachBatch body maintaining live per-band-size bucket counts;
+    ``curve()`` is the current band-size exchange-rate table."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.store = AdditiveDeltaStore(
+            spark,
+            root,
+            key_cols=["band_size", "band_id", "band_key"],
+            sum_cols=["n"],
+            ddl="band_size bigint, band_id int, band_key string, n bigint",
+            deltas_name="bucket_counts",
+        )
+
+    def absorb_batch(self, docs: DataFrame, batch_id: int) -> None:
+        self.store.write_delta(tagged_band_counts(docs), batch_id)
+
+    def compact(self, upto_batch_id: int) -> None:
+        self.store.compact(upto_batch_id)
+
+    def curve(self) -> DataFrame:
+        """(band_size, n_bands, n_buckets, n_rows, candidate_slots):
+        candidate_slots = sum over buckets of n*(n-1)/2 — the banded
+        self-join's emission count at the current corpus state."""
+        totals = self.store.totals()
+        return (
+            totals.groupBy("band_size")
+            .agg(
+                F.count("*").cast("bigint").alias("n_buckets"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                (F.sum(F.col("n") * (F.col("n") - 1)) / 2)
+                .cast("bigint")
+                .alias("candidate_slots"),
+            )
+            .withColumn(
+                "n_bands",
+                (F.lit(N_HASHES) / F.col("band_size")).cast("bigint"),
+            )
+            .select(
+                "band_size", "n_bands", "n_buckets", "n_rows",
+                "candidate_slots",
+            )
+        )
+
+
+def run_streaming_lsh_curve(
+    spark: SparkSession, in_dir: str, root: str, checkpoint: str
+):
+    """Wire the document file-stream through the curve maintainer."""
+    from cdc_sync_poc_spark.streaming.docs_dedup import doc_stream
+
+    body = StreamingLSHCurve(spark, root)
+    return (
+        doc_stream(spark, in_dir)
+        .writeStream.foreachBatch(
+            lambda df, bid: body.absorb_batch(df, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -814,8 +814,9 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     fingerprint bands, per-cell embedding sample, novelty owners + doc
     counts, ANN quantizer + index — must equal a never-crashed run.
 
-    r11 (VERDICT r10 "Next round" #5): the body composes an ELEVENTH
-    maintainer — the streaming IVF index — and both runs perform an
+    r11 (VERDICT r10 "Next round" #5, #8): the body composes TWO more
+    maintainers — the streaming IVF index and the streaming LSH
+    band-size curve (twelve total) — and both runs perform an
     offline cell split of the fullest cell between micro-batches 1 and
     2; the chaos run's split is KILLED inside the journal window
     (after the quantizer swap, before the base swap), so the replayed
@@ -890,6 +891,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         os.utime(f, (now + i * 10, now + i * 10))
 
     from cdc_sync_poc_spark.streaming.ann_index import StreamingIVFIndex
+    from cdc_sync_poc_spark.streaming.lsh_curve import StreamingLSHCurve
 
     class CompositeBody:
         """curator + sampler + line-dedup (+ 8 more) in one foreachBatch
@@ -913,6 +915,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
             self.ann = StreamingIVFIndex(
                 spark, os.path.join(root, "ann"), cents
             )
+            self.lsh = StreamingLSHCurve(spark, os.path.join(root, "lsh"))
             self.crash_plan = dict(crash_plan or {})
             self.split_plan = dict(split_plan or {})
             self.crashes = []
@@ -983,6 +986,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
             self.cs.absorb_batch(emb_of(docs_df), batch_id)
             self.nov.absorb_batch(docs_df, batch_id)
             self.ann.absorb_batch(emb_of(docs_df), batch_id)
+            self.lsh.absorb_batch(docs_df, batch_id)
 
     def drive(root, crash_plan=None, split_plan=None, max_restarts=5):
         body = CompositeBody(str(root), crash_plan, split_plan)
@@ -1051,6 +1055,8 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         ("ann/quantizer", ["cell_id"]),
         ("ann/base", ["vec_id", "cell_id", "batch_id"]),
         ("ann/index", ["vec_id", "cell_id", "batch_id"]),
+        ("lsh/bucket_counts", ["band_size", "band_id", "band_key", "n",
+                               "batch_id"]),
     ]
     for rel, cols in stores:
         ref = snap(str(tmp_path / "ref" / rel), cols)
@@ -1294,3 +1300,96 @@ def test_streaming_train_order_carries_and_replays(spark, tmp_path):
     assigner.assign_batch(mid, batch_id=1)
     after = sorted((r.doc_id, r.shard, r.pos) for r in assigner.order().collect())
     assert after == before
+
+
+def test_streaming_lsh_curve_equals_batch_and_replays(
+    spark, doc_batches, tmp_path
+):
+    """StreamingLSHCurve (streaming/lsh_curve.py): the live band-size
+    curve after N micro-batches must equal the straight batch
+    computation over the union of all arrived documents (fingerprints
+    are the shared llm/dedup machinery, so stream vs backfill is
+    bit-identical); a replayed batch — before AND after compaction —
+    must change nothing (partition ownership + watermark); and per
+    band size the additive candidate_slots metric must upper-bound the
+    batch sweep's distinct-pair candidate count over the same corpus."""
+    import os
+
+    from cdc_sync_poc_spark.llm.dedup import (
+        _LSH_CURVE_SIZES,
+        _band_pairs,
+        _minhash_sig,
+        _shingles,
+    )
+    from cdc_sync_poc_spark.streaming.lsh_curve import (
+        StreamingLSHCurve,
+        run_streaming_lsh_curve,
+        tagged_band_counts,
+    )
+
+    in_dir, batch1, batch2 = doc_batches
+    root = tmp_path / "lshc"
+    q = run_streaming_lsh_curve(
+        spark, in_dir, str(root), str(tmp_path / "ckpt_lshc")
+    )
+    q.awaitTermination()
+
+    body = StreamingLSHCurve(spark, str(root))
+    got = {
+        r.band_size: (r.n_bands, r.n_buckets, r.n_rows, r.candidate_slots)
+        for r in body.curve().collect()
+    }
+
+    # straight batch reference over the union of all arrived docs
+    all_docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in batch1 + batch2],
+        "doc_id long, text string",
+    )
+    ref_counts = tagged_band_counts(all_docs)
+    ref = {
+        r.band_size: (r.n_buckets, r.n_rows, r.slots)
+        for r in ref_counts.groupBy("band_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            (F.sum(F.col("n") * (F.col("n") - 1)) / 2)
+            .cast("bigint")
+            .alias("slots"),
+        )
+        .collect()
+    }
+    assert set(got) == set(_LSH_CURVE_SIZES) == set(ref)
+    for b in _LSH_CURVE_SIZES:
+        assert got[b][1:] == ref[b], f"band_size {b} diverged from batch"
+
+    # candidate_slots >= the batch sweep's DISTINCT pair count
+    mh = _minhash_sig(_shingles(all_docs))
+    for b in _LSH_CURVE_SIZES:
+        distinct_pairs = _band_pairs(mh, b).count()
+        assert got[b][3] >= distinct_pairs
+
+    # replay batch 0 pre-compaction: overwrites its own partition
+    b0 = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in batch1],
+        "doc_id long, text string",
+    )
+    body.absorb_batch(b0, 0)
+    after_replay = {
+        r.band_size: (r.n_bands, r.n_buckets, r.n_rows, r.candidate_slots)
+        for r in body.curve().collect()
+    }
+    assert after_replay == got
+
+    # compact, then replay again: the recreated partition sits at or
+    # below the watermark and is never double-counted
+    body.compact(1)
+    assert not any(
+        d.startswith("batch_id=")
+        for d in os.listdir(body.store.deltas_dir)
+    )
+    body.absorb_batch(b0, 0)
+    after_compact_replay = {
+        r.band_size: (r.n_bands, r.n_buckets, r.n_rows, r.candidate_slots)
+        for r in body.curve().collect()
+    }
+    assert after_compact_replay == got
