@@ -1795,10 +1795,14 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ni = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    # pair-bounded (tiny) and consumed twice (the tau pair counts and
+    # the per-doc max-similarity drop side) — persist so the gather +
+    # intersect pipeline runs once
     pj = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
+        .persist()
     )
     ntok = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt")

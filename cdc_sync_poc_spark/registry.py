@@ -104,6 +104,8 @@ _PRIORITY_PREFIXES = [
     "r0", "r1", "s0",
     "st0",
     "src_", "sink_", "pipeline_",
+    "plan_", "clf_", "gopher_", "retrieval_", "slice_",
+    "dq_", "maint_", "ap1",
 ]
 
 

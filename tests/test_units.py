@@ -258,13 +258,17 @@ def test_prefix_bucket_invariant_holds_on_fixture(spark):
 
 
 def test_priority_prefixes_all_reachable():
-    """Every entry in the driver-sample priority list must (a) match at
-    least one registered query and (b) actually WIN for at least one
-    query (first-hit semantics) — a dead or shadowed prefix means the
-    window curation the comments describe silently isn't happening
-    (the failure mode that once duplicated a line and nearly displaced
-    pipeline_e2e from the 50-slot window)."""
+    """Since r11 the 50-id window is an EXACT list (registry.DRIVER_WINDOW
+    — prefix staging risked silent window collisions), and
+    _PRIORITY_PREFIXES only orders the tail behind the cutoff. Pin the
+    staging invariants: the window has no duplicates and every id is a
+    registered query; every tail prefix matches at least one registered
+    query and WINS for at least one (first-hit semantics) — a dead or
+    shadowed prefix means the tail ordering the comments describe
+    silently isn't happening; and no registered query falls through to
+    the unmatched bucket."""
     from cdc_sync_poc_spark.registry import (
+        DRIVER_WINDOW,
         QUERIES,
         _PRIORITY_PREFIXES,
         _priority,
@@ -272,21 +276,26 @@ def test_priority_prefixes_all_reachable():
     )
 
     load_all_queries()
+    assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)), "dup window id"
+    missing = [q for q in DRIVER_WINDOW if q not in QUERIES]
+    assert not missing, f"window ids not registered: {missing}"
     assert len(_PRIORITY_PREFIXES) == len(set(_PRIORITY_PREFIXES)), "dup prefix"
-    winners = {_priority(q) for q in QUERIES}
+    tail = [q for q in QUERIES if q not in DRIVER_WINDOW]
+    winners = {_priority(q)[1] for q in tail if _priority(q)[0] == 1}
     dead = [
         p
         for i, p in enumerate(_PRIORITY_PREFIXES)
-        if i not in winners
-        and not any(q.startswith(p) for q in QUERIES)
+        if i not in winners and not any(q.startswith(p) for q in tail)
     ]
-    assert not dead, f"prefixes matching no query: {dead}"
+    assert not dead, f"prefixes matching no tail query: {dead}"
     shadowed = [
         p
         for i, p in enumerate(_PRIORITY_PREFIXES)
-        if i not in winners and any(q.startswith(p) for q in QUERIES)
+        if i not in winners and any(q.startswith(p) for q in tail)
     ]
     assert not shadowed, f"prefixes always beaten by an earlier entry: {shadowed}"
+    unmatched = [q for q in tail if _priority(q)[0] == 2]
+    assert not unmatched, f"tail queries with no ordering prefix: {unmatched}"
 
 
 def test_interarrival_cv_null_on_degenerate_types(spark):
@@ -565,3 +574,29 @@ def test_literal_frame_matches_createdataframe(spark):
         (f.name, f.dataType) for f in ref.schema.fields
     ]
     assert empty.count() == 0
+
+
+def test_cluster_distributed_path_matches_unionfind(spark, monkeypatch):
+    """The r11 union-find fast path handles every corpus below
+    LOCAL_CC_MAX_PAIRS, which means the distributed min-label loop — the
+    100 TB path — would otherwise never run in CI. Force the gate to 0
+    and assert the distributed fixpoint produces the identical
+    (doc_id, cluster_id) labels the fast path (and the recursive-CTE
+    oracle) produce on the fixture corpus."""
+    from cdc_sync_poc_spark.llm import dedup as dd
+    from tests.conftest import SF_DIR
+
+    key_fast = (spark.sparkContext.applicationId, SF_DIR)
+    dd._CLUSTER_MEMO.pop(key_fast, None)
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dd._minhash_clusters(spark, SF_DIR).collect()
+    }
+    dd._CLUSTER_MEMO.pop(key_fast, None)
+    monkeypatch.setattr(dd, "LOCAL_CC_MAX_PAIRS", 0)
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dd._minhash_clusters(spark, SF_DIR).collect()
+    }
+    dd._CLUSTER_MEMO.pop(key_fast, None)  # don't poison later tests
+    assert fast and dist == fast

@@ -43,7 +43,7 @@ GROUPS = [
       "dedup_incremental", "dedup_recall_minhash",
       "dedup_prefix_containment", "dedup_rate_by_source",
       "corpus_dedup_rate_by_source", "dedup_minhash_estimate",
-      "dedup_lsh_curve",
+      "dedup_lsh_curve", "dedup_threshold_curve",
       "dedup_winnowing_pairs", "dedup_precision_minhash",
       "dedup_cluster_stats", "dedup_line_global",
       "dedup_ppjoin_exact", "dedup_recall_corpuswide"]),
@@ -52,6 +52,7 @@ GROUPS = [
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
       "emb_index_growth", "ann_recall_lsh",
       "ann_recall_ivf", "ann_recall_ivfpq", "ann_recall_truncated",
+      "emb_ivf_cell_balance",
       "emb_pq_error", "emb_pq_residual_error", "retrieval_rrf_fusion",
       "retrieval_hard_negatives", "emb_hard_negatives"]),
     ("M6: text analysis",
@@ -61,6 +62,7 @@ GROUPS = [
       "text_oov_ratio", "text_lexical_concentration",
       "text_winnowing_overlap", "text_cms_error", "text_hapax_ratio",
       "text_gini_concentration", "text_gopher_rules",
+      "text_char_diversity", "corpus_zipf_coverage",
       "gopher_rate_by_source"]),
     ("M6: corpus curation & hygiene",
      ["sample_stratified", "sample_fixed_n", "corpus_mix_weights",
@@ -138,15 +140,22 @@ def main() -> None:
     missing = sorted(set(QUERIES) - seen)
     if missing:
         lines += ["## Unlisted", ""] + [f"- `{q}`" for q in missing]
+    from cdc_sync_poc_spark.registry import WINDOW_STAGED_FOR
+
     window = list(QUERIES)[:50]
     lines += [
         "## Driver correctness-sample window (first 50 registered)",
         "",
-        "The round driver samples these 50 for CORRECTNESS_r{N}; ordering",
-        "is curated in `cdc_sync_poc_spark/registry.py` "
-        "(`_PRIORITY_PREFIXES`) to cover every query whose module changed",
-        "since its last green driver row, plus first-ever evidence for new",
-        "operators (see the comments there for this round's rationale).",
+        "The round driver samples these 50 for CORRECTNESS_r{N}; the",
+        "exact list is `registry.DRIVER_WINDOW`, anchored by",
+        f"`registry.WINDOW_STAGED_FOR = {WINDOW_STAGED_FOR}` (the round "
+        "it is staged FOR —",
+        "the ratchet tests in tests/test_registry_window.py compare",
+        "against CORRECTNESS_r{STAGED_FOR-1} and fold only pre-staging",
+        "evidence, so the suite stays green after the driver writes this",
+        "round's file). The window is the generated staleness tail plus",
+        "first-ever evidence for the round's new operators (see the",
+        "registry comments for this round's rationale).",
         "",
     ] + [f"{i + 1}. `{q}`" for i, q in enumerate(window)]
     lines.append(
