@@ -154,6 +154,17 @@ def _bpe_chain(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
         .agg(F.count("*").alias("n"))
         .persist()
     )
+    return _bpe_chain_from_vocab(vocab)
+
+
+def _bpe_chain_from_vocab(vocab: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """The BPE learn loop over an already-built (word, n) vocabulary —
+    the corpus never appears: every step is vocab-sized. Split out so
+    the streaming word-count maintainer (streaming/bpe_vocab.py) can
+    learn merges from its incrementally-maintained store through the
+    exact code path the batch query uses (same winners, same
+    tie-breaks). ``vocab`` should be persisted/materialized by the
+    caller (it feeds 2·BPE_STEPS-1 consumers)."""
     cur = vocab.withColumn("spaced", F.array_join(F.split("word", ""), " "))
     merges = []
     for step in range(1, BPE_STEPS + 1):
