@@ -201,9 +201,10 @@ def _band_pairs(mh: DataFrame, band_size: int) -> DataFrame:
     )
 
 
-def _verify_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification, PAIR-driven: gather each CANDIDATE
-    doc's (already-distinct) shingles into one array row, join the pair
+def _pair_jaccard_frame(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jac) — UNFILTERED exact Jaccard for every
+    candidate pair, PAIR-driven: gather each CANDIDATE doc's
+    (already-distinct) shingles into one array row, join the pair
     list to both sides' arrays on the doc keys, and count the
     intersection per pair with ``array_intersect`` — O(|pairs| x
     shingles/doc) work, bounded by the LSH candidate count. (A
@@ -215,7 +216,15 @@ def _verify_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFr
     the warm query.) The candidate-doc set is tiny, so a broadcast
     semi-join shrinks the shingle table first — the full shingle table
     is never shuffled; per-row array width is bounded by per-doc
-    shingle count (upstream chunking bounds document size)."""
+    shingle count (upstream chunking bounds document size).
+
+    Persisted (pair-bounded, tiny): per (sh, pairs) plan this frame is
+    the shared substrate of every verified consumer (minhash_lsh,
+    corpus keep/cluster, rate-by-source, precision via
+    _verify_jaccard), the threshold sweep and the estimator
+    calibration — unpersisted, each re-ran the gather+intersect
+    (~1.9 s each at sf0.1, measured r11 warmup attribution); Spark's
+    analyzed-plan cache identity dedupes across queries."""
     cand_docs = (
         pairs.select(F.col("doc_a").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("d")))
@@ -240,14 +249,19 @@ def _verify_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFr
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        # pair-bounded (tiny) and shared by FOUR consumers per session
-        # (minhash_lsh, corpus keep/cluster, rate-by-source, precision)
-        # via Spark's analyzed-plan cache identity — unpersisted, each
-        # consumer re-ran the gather+intersect (~1.9 s each at sf0.1,
-        # measured r11 warmup attribution)
+        .select("doc_a", "doc_b", jac.alias("jac"))
         .persist()
+    )
+
+
+def _verify_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification: the shared _pair_jaccard_frame cut
+    at ``threshold`` (raw-jac compare, rounded output — both engines
+    compare the identical correctly-rounded double)."""
+    return (
+        _pair_jaccard_frame(sh, pairs)
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", F.round(F.col("jac"), 6).alias("jaccard"))
     )
 
 
@@ -352,33 +366,14 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mb, "doc_b")
         .select("doc_a", "doc_b", n_match.alias("n_match"))
     )
-    # exact side: the pair-driven gather, unfiltered (calibration needs
-    # the misses near the cut, not just the survivors)
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("d")))
-        .distinct()
-    )
-    shc = sh.join(F.broadcast(cand_docs), sh.doc_id == F.col("d"), "left_semi")
-    sets = shc.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shset"), F.count("*").alias("n")
-    )
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shset").alias("sh_a"),
-        F.col("n").alias("na"),
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shset").alias("sh_b"),
-        F.col("n").alias("nb"),
-    )
-    ni = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    # exact side: the shared UNFILTERED pair-Jaccard frame (calibration
+    # needs the misses near the cut, not just the survivors) — the same
+    # persisted build the verify family and the threshold sweep ride
+    pj = _pair_jaccard_frame(sh, pairs)
     est_j = F.col("n_match").cast("double") / F.lit(float(N_HASHES))
+    jac = F.col("jac")
     return (
-        est.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        est.join(pj, ["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",
@@ -1773,37 +1768,10 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
     pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
-    # unfiltered exact Jaccard per candidate pair (the estimate gather)
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("d")))
-        .distinct()
-    )
-    shc = sh.join(F.broadcast(cand_docs), sh.doc_id == F.col("d"), "left_semi")
-    sets = shc.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shset"), F.count("*").alias("n")
-    )
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shset").alias("sh_a"),
-        F.col("n").alias("na"),
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shset").alias("sh_b"),
-        F.col("n").alias("nb"),
-    )
-    ni = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
-    # pair-bounded (tiny) and consumed twice (the tau pair counts and
-    # the per-doc max-similarity drop side) — persist so the gather +
-    # intersect pipeline runs once
-    pj = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jac"))
-        .persist()
-    )
+    # unfiltered exact Jaccard per candidate pair — the shared persisted
+    # frame (plan-identity cache hit with the verify family and the
+    # estimator)
+    pj = _pair_jaccard_frame(sh, pairs)
     ntok = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt")
     )
