@@ -369,6 +369,35 @@ class StreamingIVFIndex:
         # 6. the journal is the last thing to go
         os.remove(self.journal_path)
 
+    def balance(self) -> DataFrame:
+        """One-row occupancy-balance audit over the stored index — the
+        live twin of the batch ``emb_ivf_cell_balance`` query (the
+        dashboard scalar that decides when ``split_cell`` runs): used
+        cells, min/max occupancy, imbalance = max·k/total and the
+        coefficient of variation from the exact BIGINT identity
+        k·Σn² − (Σn)². One keyed agg over the store read + a 1-row
+        reduce; same arithmetic as the batch oracle."""
+        per = (
+            self.index()
+            .groupBy("cell_id")
+            .agg(F.count("*").alias("nv"))
+        )
+        k = F.count("*").cast("bigint")
+        tot = F.sum("nv").cast("bigint")
+        sumsq = F.sum(F.col("nv") * F.col("nv")).cast("bigint")
+        return per.agg(
+            k.alias("n_cells_used"),
+            tot.alias("n_vecs"),
+            F.min("nv").cast("bigint").alias("min_cell"),
+            F.max("nv").cast("bigint").alias("max_cell"),
+            F.round(
+                (F.max("nv").cast("bigint") * k).cast("double") / tot, 6
+            ).alias("imbalance"),
+            F.round(
+                F.sqrt((k * sumsq - tot * tot).cast("double")) / tot, 6
+            ).alias("cv"),
+        )
+
     def search(self, qv, k: int = ANN_TOP_K) -> DataFrame:
         """Top-k cosine neighbors of ``qv`` from the stored index: probe
         cells ranked on the driver against the k centroid rows, then ONE

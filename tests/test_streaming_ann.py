@@ -481,3 +481,59 @@ def test_split_heal_survives_crash_between_quantizer_renames(spark, tmp_path):
     # quantizer (the overwrite gate sees the recovered live dir)
     idx3 = StreamingIVFIndex(spark, str(root), cents)
     assert len(idx3.centroids()) == len(cents) + 1
+
+
+def test_index_balance_matches_straightline_and_improves_after_split(
+    spark, tmp_path
+):
+    """StreamingIVFIndex.balance(): the one-row occupancy audit equals
+    a straight-line Python computation over the stored rows, and
+    splitting the fullest cell strictly reduces max-cell occupancy
+    (the metric the audit exists to watch)."""
+    import math
+
+    from cdc_sync_poc_spark.llm.similarity import _ivf_refined
+    from cdc_sync_poc_spark.streaming.ann_index import StreamingIVFIndex
+
+    in_dir, _rows, cuts = _emb_batches(tmp_path)
+    _n, _c0, cents = _ivf_refined(spark, SF_DIR)
+    idx = StreamingIVFIndex(spark, str(tmp_path / "bal_root"), cents)
+    for i in range(len(cuts)):
+        idx.absorb_batch(
+            spark.read.parquet(str(in_dir / f"part-{i}.parquet")), i
+        )
+
+    def straightline():
+        counts: dict[int, int] = {}
+        for r in idx.index().collect():
+            c = int(r.cell_id)
+            counts[c] = counts.get(c, 0) + 1
+        ns = list(counts.values())
+        k, tot, sumsq = len(ns), sum(ns), sum(n * n for n in ns)
+        return {
+            "n_cells_used": k,
+            "n_vecs": tot,
+            "min_cell": min(ns),
+            "max_cell": max(ns),
+            "imbalance": round(max(ns) * k / tot, 6),
+            "cv": round(math.sqrt(k * sumsq - tot * tot) / tot, 6),
+        }
+
+    before_ref = straightline()
+    before = idx.balance().collect()[0].asDict()
+    assert before == before_ref
+
+    # split the fullest cell; the audit must agree with straight-line
+    # again AND report a strictly smaller max cell
+    big_row = max(
+        idx.index().groupBy("cell_id").agg(
+            F.count("*").alias("c")
+        ).collect(),
+        key=lambda r: (r.c, -int(r.cell_id)),
+    )
+    idx.split_cell(int(big_row.cell_id))
+    after = idx.balance().collect()[0].asDict()
+    assert after == straightline()
+    assert after["max_cell"] < before["max_cell"]
+    assert after["n_cells_used"] == before["n_cells_used"] + 1
+    assert after["n_vecs"] == before["n_vecs"]
