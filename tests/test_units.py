@@ -600,3 +600,29 @@ def test_cluster_distributed_path_matches_unionfind(spark, monkeypatch):
     }
     dd._CLUSTER_MEMO.pop(key_fast, None)  # don't poison later tests
     assert fast and dist == fast
+
+
+def test_threshold_curve_consistency_laws(spark):
+    """dedup_threshold_curve's internal consistency: the sweep is
+    monotone non-increasing in tau on every measure, and its
+    tau = MINHASH_JACCARD_MIN row counts exactly the pairs the
+    production verify filter (dedup_minhash_lsh) emits — the curve and
+    the shipped dedup must tell the same story at the shared cut."""
+    from cdc_sync_poc_spark.llm.dedup import _CURVE_TAUS, MINHASH_JACCARD_MIN
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+    from tests.conftest import SF_DIR
+
+    load_all_queries()
+    rows = sorted(
+        QUERIES["dedup_threshold_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.tau,
+    )
+    assert [r.tau for r in rows] == sorted(_CURVE_TAUS)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_dropped_docs >= b.n_dropped_docs
+        assert a.saved_tokens >= b.saved_tokens
+    assert MINHASH_JACCARD_MIN in _CURVE_TAUS
+    at_cut = next(r for r in rows if r.tau == MINHASH_JACCARD_MIN)
+    n_verified = QUERIES["dedup_minhash_lsh"](spark, SF_DIR).count()
+    assert at_cut.n_pairs == n_verified
