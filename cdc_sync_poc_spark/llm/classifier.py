@@ -69,12 +69,15 @@ scored AS (
 """
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, n_tokens, margin_fix): the map-only scoring pass.
-    margin_fix is the exact BIGINT sum of per-token weights — the
-    classifier margin before length normalization."""
-    docs = load_table(spark, sf_dir, "documents")
-    return spread_small_input(docs.select("doc_id", "lang", "text")).select(
+def scored_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, margin_fix) over any (doc_id, lang,
+    text) frame: the map-only scoring pass. margin_fix is the exact
+    BIGINT sum of per-token weights — the classifier margin before
+    length normalization. Shared by the batch queries and the
+    streaming calibration maintainer (streaming/clf_stats.py), so a
+    document's score is bit-identical whether it arrived by stream or
+    by backfill."""
+    return docs.select("doc_id", "lang", "text").select(
         "doc_id",
         "lang",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
@@ -83,6 +86,12 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("margin_fix"),
     )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scored_frame over the fixture documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return scored_frame(spread_small_input(docs))
 
 
 @register(

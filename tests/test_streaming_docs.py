@@ -814,10 +814,11 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     fingerprint bands, per-cell embedding sample, novelty owners + doc
     counts, ANN quantizer + index — must equal a never-crashed run.
 
-    r11 (VERDICT r10 "Next round" #5, #8): the body composes THREE
+    r11 (VERDICT r10 "Next round" #5, #8): the body composes FOUR
     more maintainers — the streaming IVF index, the streaming LSH
-    band-size curve and the streaming BPE vocabulary (thirteen total)
-    — and both runs perform an
+    band-size curve, the streaming BPE vocabulary and the streaming
+    classifier calibration stats (fourteen total) — and both runs
+    perform an
     offline cell split of the fullest cell between micro-batches 1 and
     2; the chaos run's split is KILLED inside the journal window
     (after the quantizer swap, before the base swap), so the replayed
@@ -893,6 +894,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
 
     from cdc_sync_poc_spark.streaming.ann_index import StreamingIVFIndex
     from cdc_sync_poc_spark.streaming.bpe_vocab import StreamingBPEVocab
+    from cdc_sync_poc_spark.streaming.clf_stats import StreamingClfStats
     from cdc_sync_poc_spark.streaming.lsh_curve import StreamingLSHCurve
 
     class CompositeBody:
@@ -919,6 +921,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
             )
             self.lsh = StreamingLSHCurve(spark, os.path.join(root, "lsh"))
             self.bpe = StreamingBPEVocab(spark, os.path.join(root, "bpe"))
+            self.clf = StreamingClfStats(spark, os.path.join(root, "clf"))
             self.crash_plan = dict(crash_plan or {})
             self.split_plan = dict(split_plan or {})
             self.crashes = []
@@ -991,6 +994,7 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
             self.ann.absorb_batch(emb_of(docs_df), batch_id)
             self.lsh.absorb_batch(docs_df, batch_id)
             self.bpe.absorb_batch(docs_df, batch_id)
+            self.clf.absorb_batch(docs_df, batch_id)
 
     def drive(root, crash_plan=None, split_plan=None, max_restarts=5):
         body = CompositeBody(str(root), crash_plan, split_plan)
@@ -1062,6 +1066,9 @@ def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
         ("lsh/bucket_counts", ["band_size", "band_id", "band_key", "n",
                                "batch_id"]),
         ("bpe/word_counts", ["word", "n", "batch_id"]),
+        ("clf/confusion/counts", ["clf_label", "ref_label", "n",
+                                  "batch_id"]),
+        ("clf/hist/counts", ["band", "n", "batch_id"]),
     ]
     for rel, cols in stores:
         ref = snap(str(tmp_path / "ref" / rel), cols)
@@ -1459,3 +1466,78 @@ def test_streaming_bpe_vocab_learns_batch_identical_merges(
     )
     body.absorb_batch(b0, 0)
     assert {(r.word, r.n) for r in body.vocab().collect()} == ref_vocab
+
+
+def test_streaming_clf_stats_equals_batch_and_replays(
+    spark, doc_batches, tmp_path
+):
+    """StreamingClfStats (streaming/clf_stats.py): after N micro-batches
+    the live confusion table equals the batch confusion computation
+    over the union of arrived documents (shared scored_frame — scores
+    are bit-identical stream vs backfill), the score histogram equals
+    the straight banding over the same docs, and replays before/after
+    compaction change neither."""
+    import os
+
+    from pyspark.sql import Window
+
+    from cdc_sync_poc_spark.streaming.clf_stats import (
+        StreamingClfStats,
+        confusion_counts,
+        run_streaming_clf_stats,
+        score_band_counts,
+    )
+
+    in_dir, batch1, batch2 = doc_batches
+    root = tmp_path / "clfs"
+    q = run_streaming_clf_stats(
+        spark, in_dir, str(root), str(tmp_path / "ckpt_clfs")
+    )
+    q.awaitTermination()
+
+    body = StreamingClfStats(spark, str(root))
+    all_docs = spark.createDataFrame(
+        [(d["doc_id"], d["lang"], d["text"]) for d in batch1 + batch2],
+        "doc_id long, lang string, text string",
+    )
+    got_conf = {
+        (r.clf_label, r.ref_label): (r.n, r.frac_of_pred)
+        for r in body.confusion().collect()
+    }
+    per_pred = Window.partitionBy("clf_label")
+    ref_conf = {
+        (r.clf_label, r.ref_label): (r.n, r.frac)
+        for r in confusion_counts(all_docs)
+        .select(
+            "clf_label",
+            "ref_label",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(per_pred), 6
+            ).alias("frac"),
+        )
+        .collect()
+    }
+    assert got_conf == ref_conf and got_conf
+
+    got_hist = {(r.band, r.n) for r in body.histogram().collect()}
+    ref_hist = {(r.band, r.n) for r in score_band_counts(all_docs).collect()}
+    assert got_hist == ref_hist and got_hist
+
+    # replay pre-compaction, compact, replay post-compaction
+    b0 = spark.createDataFrame(
+        [(d["doc_id"], d["lang"], d["text"]) for d in batch1],
+        "doc_id long, lang string, text string",
+    )
+    body.absorb_batch(b0, 0)
+    assert {
+        (r.clf_label, r.ref_label): (r.n, r.frac_of_pred)
+        for r in body.confusion().collect()
+    } == ref_conf
+    body.compact(1)
+    assert not any(
+        d.startswith("batch_id=")
+        for d in os.listdir(body.hist_store.deltas_dir)
+    )
+    body.absorb_batch(b0, 0)
+    assert {(r.band, r.n) for r in body.histogram().collect()} == ref_hist
