@@ -95,14 +95,20 @@ def test_window_covers_the_oldest_evidence():
 
 
 def test_staged_round_is_current():
-    """The window must be staged for the round AFTER the newest
-    committed evidence — catches committing a new CORRECTNESS file
-    without rotating (ADVICE r10) and a stale never-bumped anchor."""
-    rounds = [
+    """The anchor may never fall BEHIND the lifecycle: the window is
+    staged either for the round whose evidence is newest (the DRIVER
+    just wrote that file by sampling this window — rotation happens at
+    the start of the next working session) or for the next round
+    (already rotated). Anything older means two rounds passed without
+    a rotation — the stale-anchor failure ADVICE r10 warned about.
+    Both in-range states keep the other two ratchet tests green, since
+    they compare against CORRECTNESS_r{STAGED_FOR-1} and fold only
+    pre-staging evidence."""
+    newest = max(
         int(re.search(r"r(\d+)", f.name).group(1))
         for f in _REPO.glob("CORRECTNESS_r*.json")
-    ]
-    assert WINDOW_STAGED_FOR == max(rounds) + 1, (
+    )
+    assert WINDOW_STAGED_FOR in (newest, newest + 1), (
         f"window staged for r{WINDOW_STAGED_FOR} but newest evidence "
-        f"is r{max(rounds)} — rotate DRIVER_WINDOW and bump "
-        f"WINDOW_STAGED_FOR together")
+        f"is r{newest} — rotate DRIVER_WINDOW and bump "
+        f"WINDOW_STAGED_FOR")
