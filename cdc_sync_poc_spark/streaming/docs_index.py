@@ -90,7 +90,12 @@ class StreamingDedupIndex:
     def screen_batch(self, docs: DataFrame, batch_id: int) -> None:
         docs = docs.persist()
         hashes = docs.select("doc_id", F.md5("text").alias("h"))
-        bands = _band_frame(_minhash_sig(_shingles(docs)), BAND_SIZE).select(
+        # cache=False: a micro-batch plan never repeats, so the
+        # library's batch-sharing cache would leak an entry per batch
+        # for the stream's lifetime (VERDICT r11 #1).
+        bands = _band_frame(
+            _minhash_sig(_shingles(docs), cache=False), BAND_SIZE
+        ).select(
             "doc_id", "band_id", "band_key"
         )
 

