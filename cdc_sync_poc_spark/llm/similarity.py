@@ -835,16 +835,29 @@ def emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECALL_QUERY_BUDGET = 100
 _HASH_MULT = 2654435761  # Knuth 2^32 / phi
 _HASH_MOD = 4294967296
+# vec_id is folded mod 2^31 BEFORE the multiply (ADVICE r11): a raw
+# vec_id >= ~3.47e9 would overflow the int64 product, where Spark
+# (non-ANSI) wraps silently but DuckDB raises — an engine divergence at
+# exactly the corpus scale the absolute budget targets. (2^31-1) *
+# 2654435761 < 2^63, so the folded product is exact in both engines;
+# ids below 2^31 (every fixture) hash identically to the unfolded
+# form, and the vec_id tie-break keeps the sample deterministic even
+# where folded ids collide.
+_HASH_FOLD = 2147483648  # 2^31
 
 # ORDER BY clause both engines share for the budgeted sample
-_BUDGET_ORDER = f"(vec_id * {_HASH_MULT}) % {_HASH_MOD}, vec_id"
+_BUDGET_ORDER = (
+    f"((vec_id % {_HASH_FOLD}) * {_HASH_MULT}) % {_HASH_MOD}, vec_id"
+)
 
 
 def _budget_sample(frame: DataFrame, k: int = RECALL_QUERY_BUDGET) -> DataFrame:
     """Deterministic absolute-budget sample: bottom-``k`` rows of
     ``frame`` by multiplicative hash of vec_id (tie-break vec_id). The
     oracle mirrors the identical integer arithmetic via _BUDGET_ORDER."""
-    hk = (F.col("vec_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    hk = (
+        (F.col("vec_id") % F.lit(_HASH_FOLD)) * F.lit(_HASH_MULT)
+    ) % F.lit(_HASH_MOD)
     return frame.orderBy(hk.asc(), F.col("vec_id").asc()).limit(k)
 
 

@@ -672,8 +672,9 @@ per AS (
 SELECT doc_id,
        sum(c)::BIGINT AS n_chars,
        count(*)::BIGINT AS n_distinct,
-       round(CAST(sum(c * (c - 1)) AS DOUBLE)
-             / (sum(c) * (sum(c) - 1)), 9) AS char_collision
+       CASE WHEN sum(c) <= 1 THEN NULL
+            ELSE round(CAST(sum(c * (c - 1)) AS DOUBLE)
+                       / (sum(c) * (sum(c) - 1)), 9) END AS char_collision
 FROM per GROUP BY doc_id
 """,
 )
@@ -691,7 +692,12 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, char) with map-side combine — the (doc, char) domain is
     ~doc_count x charset, far smaller than the char stream — and a
     doc-keyed re-aggregate. Pure integer sums until the final division;
-    no broadcast, no window, no join."""
+    no broadcast, no window, no join.
+
+    Degenerate guard (ADVICE r11): a one-character document makes the
+    denominator n(n-1) zero — 0/0 is engine-divergent (NULL here, NaN
+    under DuckDB's IEEE float-ops setting), so both sides return an
+    explicit NULL for n <= 1, same pattern as dedup_lsh_curve."""
     docs = load_table(spark, sf_dir, "documents")
     ch = spread_small_input(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
@@ -702,7 +708,11 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("doc_id").agg(
         n.alias("n_chars"),
         F.count("*").cast("bigint").alias("n_distinct"),
-        F.round(
-            coll.cast("double") / (n * (n - F.lit(1))).cast("double"), 9
-        ).alias("char_collision"),
+        F.when(n <= F.lit(1), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                coll.cast("double") / (n * (n - F.lit(1))).cast("double"), 9
+            )
+        )
+        .alias("char_collision"),
     )

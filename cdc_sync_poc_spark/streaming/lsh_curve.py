@@ -95,14 +95,20 @@ class StreamingLSHCurve:
     def curve(self) -> DataFrame:
         """(band_size, n_bands, n_buckets, n_rows, candidate_slots):
         candidate_slots = sum over buckets of n*(n-1)/2 — the banded
-        self-join's emission count at the current corpus state."""
+        self-join's emission count at the current corpus state.
+
+        Integer arithmetic end to end (ADVICE r11): n*(n-1) is always
+        even, so the halving is an exact per-row BIGINT ``DIV 2``
+        BEFORE the sum. The previous ``sum(n*(n-1)) / 2`` routed the
+        summed slot mass through double division — silently lossy past
+        2^53 (one hot bucket of ~1e8 near-identical docs at 100 TB)."""
         totals = self.store.totals()
         return (
             totals.groupBy("band_size")
             .agg(
                 F.count("*").cast("bigint").alias("n_buckets"),
                 F.sum("n").cast("bigint").alias("n_rows"),
-                (F.sum(F.col("n") * (F.col("n") - 1)) / 2)
+                F.sum(F.expr("n * (n - 1) DIV 2"))
                 .cast("bigint")
                 .alias("candidate_slots"),
             )
