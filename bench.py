@@ -214,6 +214,10 @@ BENCH_QUERIES = [
     "text_char_diversity",
     "dedup_threshold_curve",
     "emb_ivf_cell_balance",
+    # round-12 additions (append-only)
+    "dedup_span_intervals",
+    "corpus_decontam_incremental",
+    "ann_recall_ivf_stream",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is

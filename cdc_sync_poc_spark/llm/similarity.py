@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import os
 from collections import namedtuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -970,9 +971,11 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_recall_ivf",
-    oracle=f"""
+# Shared by ann_recall_ivf and ann_recall_ivf_stream: the streamed
+# index is REQUIRED to reach byte-identical (vec_id, cell_id) state
+# under the frozen quantizer, so both run against the same one-shot
+# ground-truth SQL.
+_ANN_RECALL_IVF_ORACLE = f"""
 WITH {_ivf_cte_chain()},
 qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
        ORDER BY {_BUDGET_ORDER} LIMIT {RECALL_QUERY_BUDGET}),
@@ -1012,8 +1015,10 @@ hits AS (
 SELECT q.q_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {ANN_TOP_K} AS recall
 FROM qs q LEFT JOIN hits h ON q.q_id = h.q_id
-""",
-)
+"""
+
+
+@register("ann_recall_ivf", oracle=_ANN_RECALL_IVF_ORACLE)
 def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF-Flat probe against exact brute-force ground
     truth, per query vector — the twin of ann_recall_lsh for the IVF
@@ -1026,10 +1031,20 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     break cosine ties by vec_id, so the compared sets are
     deterministic on both engines."""
     n, _, cents1_rows = _ivf_refined(spark, sf_dir)
-    cents1 = _cents_frame(spark, cents1_rows)
     assigned1 = n.select(
         "vec_id", "v", "nrm", _assign_col(cents1_rows).alias("cell_id")
     )
+    return _ivf_recall_frame(spark, n, assigned1, cents1_rows)
+
+
+def _ivf_recall_frame(
+    spark: SparkSession, n: DataFrame, assigned1: DataFrame, cents1_rows
+) -> DataFrame:
+    """recall@ANN_TOP_K of probing ``assigned1`` (any (vec_id, v, nrm,
+    cell_id) frame assigned under ``cents1_rows``) against exact
+    brute force over ``n`` — the body shared by the batch and the
+    streamed-index recall audits."""
+    cents1 = _cents_frame(spark, cents1_rows)
     sample = _budget_sample(n)
     qs = sample.select(
         F.col("vec_id").alias("q_id"),
@@ -1081,6 +1096,80 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# per-(application, sf_dir) memo of the streamed index frame: the index
+# build writes parquet state; rebuilding it for every rep/action would
+# bill ingest cost to a read-side audit (mirrors _IVF_MEMO)
+_STREAM_IVF_MEMO: dict = {}
+_STREAM_IVF_BATCHES = 3
+
+
+def _streamed_ivf_frame(
+    spark: SparkSession, sf_dir: str, cents1_rows
+) -> DataFrame:
+    """(vec_id, v, nrm, cell_id) as maintained by the STREAMING IVF
+    index (streaming/ann_index.py): the embeddings table is driven
+    through ``absorb_batch`` in {_STREAM_IVF_BATCHES} deterministic
+    micro-batches (vec_id % {_STREAM_IVF_BATCHES}) against the frozen
+    batch quantizer, with a mid-stream ``compact()`` so the read path
+    exercises BOTH the folded base and a live delta partition. Built
+    once per session under a fresh scratch root (stale state from an
+    older code version must never leak into an audit), then the
+    localCheckpointed frame is reused by every action."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_IVF_MEMO.get(key)
+    if cached is not None:
+        return cached
+    import shutil
+    import tempfile
+    import uuid
+
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from cdc_sync_poc_spark.streaming.ann_index import StreamingIVFIndex
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_stream_{uuid.uuid4().hex}"
+    )
+    idx = StreamingIVFIndex(spark, root, cents_rows=cents1_rows)
+    embs = load_table(spark, sf_dir, "embeddings")
+    for b in range(_STREAM_IVF_BATCHES):
+        idx.absorb_batch(
+            embs.filter(F.col("vec_id") % _STREAM_IVF_BATCHES == b), b
+        )
+    idx.compact(_STREAM_IVF_BATCHES - 2)  # last batch stays a delta
+    out = (
+        idx.index()
+        .select("vec_id", "v", "nrm", "cell_id")
+        # localCheckpoint materializes the streamed state into the
+        # session, so the scratch root is no longer read afterwards
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    _STREAM_IVF_MEMO[key] = out
+    return out
+
+
+@register("ann_recall_ivf_stream", oracle=_ANN_RECALL_IVF_ORACLE)
+def ann_recall_ivf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of probing the STREAMING IVF index against exact brute
+    force — ann_recall_ivf with the probe side swapped from the batch
+    assignment to the state the foreachBatch maintainer actually
+    accumulated (ingest batches + compacted base + live delta). The
+    oracle is the SAME one-shot SQL as ann_recall_ivf: under a frozen
+    quantizer the streamed (vec_id, cell_id) state must be
+    byte-identical to the batch assignment, so any ingest defect
+    (dropped batch, double-read delta, wrong assignment expression)
+    surfaces as a recall/hash mismatch in the driver gate — the audit
+    VERDICT r11 "Next round" #6(c) asked for, at driver level rather
+    than pytest only.
+
+    Scale shape: identical to ann_recall_ivf (absolute query budget,
+    bounded broadcasts); the ingest cost is the streaming index's own
+    (map-only assignment per batch), paid once per session."""
+    n, _, cents1_rows = _ivf_refined(spark, sf_dir)
+    streamed = _streamed_ivf_frame(spark, sf_dir, cents1_rows)
+    return _ivf_recall_frame(spark, n, streamed, cents1_rows)
 
 
 @register(

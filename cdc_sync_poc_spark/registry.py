@@ -48,51 +48,55 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # WINDOW_STAGED_FOR only — green at every lifecycle point, including
 # after the driver writes this round's own evidence file.
 #
-# Round 11 rotates to the 46-id r6-evidence tail named in VERDICT r10
-# "What's missing" #1 (events analytics block, classic-dedup audit
-# family, corpus health metrics, dsir, classifier evals, csv/jsonl
-# sources), filled to exactly 50 with the round's new operators — a
-# query registered mid-round MUST be staged in DRIVER_WINDOW or it
-# stays never-sampled (tests/test_registry_window.py fails loudly).
-# Zero overlap with the r10 sample by construction.
-WINDOW_STAGED_FOR = 11
+# Round 12 rotates to the 47-id r7-evidence tail named in VERDICT r11
+# "Next round" #1 (aggregate/apply/scd core a04-a13 + ap07/ap10, the
+# TPC-H q1/q3/q5/q18 block, tokenizer bpe_* family, text quality core,
+# dq/maintenance audits), filled to exactly 50 with the round's new
+# operators — a query registered mid-round MUST be staged in
+# DRIVER_WINDOW or it stays never-sampled
+# (tests/test_registry_window.py fails loudly). Zero overlap with the
+# r11 sample by construction.
+WINDOW_STAGED_FOR = 12
 
 # Exact 50-id window (exact match, not prefix — prefix staging risked
 # a new id silently colliding into the window, e.g. sample_fixed_n /
 # sample_fixed_n_by_lang share a prefix).
 DRIVER_WINDOW = [
-    # ---- the r11 driver window: the 46 r6-evidence ids ----
-    "source_csv_docs", "source_jsonl_docs",
-    "corpus_vocab_growth", "corpus_simpson_diversity",
-    "corpus_token_budget", "corpus_filter_funnel",
-    "corpus_funnel_counts", "corpus_divergence_chi2",
-    "text_classifier_score", "text_classifier_confusion",
-    "text_winnowing_overlap", "text_hapax_ratio", "text_bm25_rank",
-    "events_kmv_distinct", "events_kmv_union", "events_session_window",
-    "events_ab_ttest", "events_user_overlap", "events_value_histogram",
-    "events_lateness_profile", "events_cohort_ltv",
-    "events_active_users", "events_interarrival_stats",
-    "events_seasonality", "events_markov_transitions",
-    "events_path_topk", "events_attribution", "events_anomaly_zscore",
-    "ap08_net_effect_compaction", "ap09_reconciliation",
-    "a12_incremental_rollup",
-    "dedup_prefix_containment", "dedup_winnowing_pairs",
-    "dedup_precision_minhash", "dedup_recall_minhash",
-    "dedup_incremental", "dedup_corpus_keep", "sem_dedup",
-    "dsir_importance", "dsir_resample",
-    "llm_curation_e2e", "slice_length_quantiles", "sample_fixed_n",
-    "emb_centroid_shift", "emb_dim_stats", "mm_integrity_check",
-    # fill block to exactly 50: the r11-new operators (first driver
+    # ---- the r12 driver window: the 47 r7-evidence ids ----
+    "a04_max_last_ts", "a05_next_id", "a06_min_max_filtered",
+    "a07_count_union", "a08_exists_count", "a09_percentiles",
+    "a10_pivot_report", "a11_rollup_report", "a13_cube_report",
+    "ap07_scd2_history", "ap10_pit_lookup",
+    "bench_q1_pricing", "bench_q3_shipping", "bench_q5_local_supplier",
+    "bench_q18_large_orders",
+    "bpe_fertility_by_lang", "bpe_merge_steps", "bpe_tokenize_count",
+    "cf01_lww", "j05_conflict_fullouter", "j09_bloom_prefilter_join",
+    "clf_calibration_by_length",
+    "corpus_shard_manifest",
+    "dedup_cluster_stats", "dedup_line_global", "dedup_rate_by_source",
+    "dq_constraint_report", "dq_profile_table",
+    "emb_covariance_topk", "emb_index_growth",
+    "events_decayed_engagement", "events_view_click_pairs",
+    "gopher_rate_by_source",
+    "maint_partition_stats", "maint_zorder_layout",
+    "mm_dedup_phash",
+    "plan_mapping_compile", "plan_mapping_roundtrip",
+    "retrieval_hard_negatives", "slice_length_mad",
+    "text_cms_error", "text_fingerprint", "text_gopher_rules",
+    "text_langid", "text_langid_eval", "text_quality", "text_tokens",
+    # fill block to exactly 50: the r12-new operators (first driver
     # evidence for each)
-    "corpus_zipf_coverage", "text_char_diversity",
-    "dedup_threshold_curve", "emb_ivf_cell_balance",
+    "dedup_span_intervals", "corpus_decontam_incremental",
+    "ann_recall_ivf_stream",
     # ---- 50-query driver window ends here ----
 ]
 
 # Tail ordering behind the cutoff — staging order only, not evidence.
 # Prefix match, first hit wins; unmatched ids keep relative order at
-# the end. Next in line for r12: the 47 r7-evidence ids (aggregate/
-# apply/scd core, TPC-H q1/q3/q5/q17/q18 block, tokenizer family).
+# the end. Next in line for r13: the 50-id r8-evidence tail (rowops
+# r01-r14, sorts s01-s05, stateful st01-st08, cdc sources, the
+# classic dedup family) — recompute exactly from CORRECTNESS_r*.json
+# before staging.
 _PRIORITY_PREFIXES = [
     "a0", "a1", "ap0", "bench_q1", "bench_q2", "bench_q3", "bench_q5",
     "bpe_", "cf0", "j0",

@@ -1585,3 +1585,107 @@ def test_streaming_ingest_bodies_do_not_leak_cache_entries(spark, tmp_path):
     # every per-batch persist must be released; a leak shows up as
     # +1 entry per batch (the old failure mode: +22 here)
     assert n_persisted() == before
+
+
+def test_streaming_decontam_converges_with_late_bench_arrival(
+    spark, tmp_path
+):
+    """streaming/decontam.py: corpus docs arrive FIRST, the benchmark
+    suite (doc_id % BENCH_MOD == 0) arrives in the LAST batch — the
+    retro-screening path must back-flag previously ingested docs so the
+    final contamination table equals the one-shot batch computation
+    over the union; a replayed batch must leave state byte-identical."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.llm.dedup import _shingles
+    from cdc_sync_poc_spark.llm.hygiene import BENCH_MOD
+    from cdc_sync_poc_spark.streaming.decontam import (
+        StreamingDecontam,
+        run_streaming_decontam,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    corpus = [d for d in t.to_pylist() if d["doc_id"] % BENCH_MOD != 0][:30]
+    # benchmark suite: near-copies of 6 corpus docs under % BENCH_MOD
+    # ids, so retro hits are guaranteed
+    bench = [
+        {**corpus[i], "doc_id": BENCH_MOD * (i + 1)} for i in range(6)
+    ]
+    batches = (corpus[:15], corpus[15:], bench)
+    in_dir = tmp_path / "dc_in"
+    in_dir.mkdir()
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    root = tmp_path / "dc_root"
+    q = run_streaming_decontam(
+        spark, str(in_dir), str(root), str(tmp_path / "ckpt_dc")
+    )
+    q.awaitTermination()
+    body = StreamingDecontam(spark, str(root))
+    got = {
+        r.doc_id: (r.n_hits, r.n_shingles, r.contamination_frac)
+        for r in body.contamination().collect()
+    }
+
+    # one-shot expectation over the union, same joins as the batch
+    # corpus_contamination
+    all_docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for b in batches for d in b],
+        "doc_id long, text string",
+    )
+    sh = _shingles(all_docs)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bset = sh.filter(is_bench).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(bset, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    scount = sh.filter(~is_bench).groupBy("doc_id").agg(
+        F.count("*").alias("n")
+    )
+    want = {
+        r.doc_id: (
+            r.n_hits,
+            r.n,
+            round(r.n_hits / r.n, 6),
+        )
+        for r in hits.join(scount, "doc_id").collect()
+    }
+    assert got == want and got  # nonempty and exactly equal
+    # the late suite retro-flagged docs from EARLIER batches
+    early_ids = {d["doc_id"] for d in corpus[:15]}
+    assert early_ids & set(got)
+
+    # replay the last batch: contamination and stores unchanged
+    last = spark.read.parquet(str(in_dir / "part-2.parquet"))
+    body.screen_batch(last, batch_id=2)
+    again = {
+        r.doc_id: (r.n_hits, r.n_shingles, r.contamination_frac)
+        for r in body.contamination().collect()
+    }
+    assert again == want
+
+    # compaction folds deltas without changing the answer
+    body.compact(2)
+    folded = {
+        r.doc_id: (r.n_hits, r.n_shingles, r.contamination_frac)
+        for r in body.contamination().collect()
+    }
+    assert folded == want
