@@ -52,6 +52,47 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def reduce_batch(changes: DataFrame, strategy: str) -> DataFrame:
+    """Per-key batch reduction shared by ParquetMergeWriter and the
+    Delta-gated DeltaMergeWriter (streaming/delta_writer.py), so the
+    two MERGE backends can never drift on WHAT gets merged — only HOW.
+    Returns one row per key: (cdc_seq, pk, operation, val, first_op).
+
+    ``last_wins``: the newest row per key decides (s01/ap01 semantics).
+    ``net``: ap08's net_effect — each key's in-batch op sequence
+    compacts to its replay-exact net op; the key's LAST real cdc_seq
+    rides along so audit rows keep a joinable sequence number (same
+    key, same shuffle — the extra agg shares the pk exchange), and
+    first_op rides along so a net DELETE of a key CREATED in the same
+    batch is not audited TARGET_NOT_FOUND."""
+    if strategy == "net":
+        from cdc_sync_poc_spark.operators.apply import net_effect
+
+        rows = changes.select("cdc_seq", "pk", "operation", "val")
+        last_seq = rows.groupBy("pk").agg(F.max("cdc_seq").alias("cdc_seq"))
+        return (
+            net_effect(rows)
+            .join(last_seq, "pk")
+            .select(
+                "cdc_seq",
+                "pk",
+                F.col("net_op").alias("operation"),
+                F.col("net_val").alias("val"),
+                "first_op",
+            )
+        )
+    w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
+    return (
+        changes.select("cdc_seq", "pk", "operation", "val")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        # last-wins audits the literal surviving op; no net algebra,
+        # so no in-batch-creation exemption applies
+        .withColumn("first_op", F.lit(None).cast("string"))
+    )
+
+
 def pk_bucket_col(col: F.Column, n_buckets: int) -> F.Column:
     """Deterministic pk bucket (stable across batches/retries/engines)
     — the ONE definition of the bucketed-state layout, shared by
@@ -157,42 +198,11 @@ class ParquetMergeWriter:
         """The foreachBatch body: crash recovery -> last-wins ->
         bucket-pruned merge -> idempotent audit -> atomic bucket swap."""
         self._recover_buckets()
-        if self.strategy == "net":
-            from cdc_sync_poc_spark.operators.apply import net_effect
-
-            rows = changes.select("cdc_seq", "pk", "operation", "val")
-            # the key's LAST real cdc_seq rides along so audit rows keep
-            # a joinable sequence number (same key, same shuffle — the
-            # extra agg shares the pk exchange)
-            last_seq = rows.groupBy("pk").agg(F.max("cdc_seq").alias("cdc_seq"))
-            last = (
-                net_effect(rows)
-                .join(last_seq, "pk")
-                .select(
-                    "cdc_seq",
-                    "pk",
-                    F.col("net_op").alias("operation"),
-                    F.col("net_val").alias("val"),
-                    # first_op rides along for the audit: a net DELETE
-                    # whose key was CREATED in this same batch must not
-                    # be audited TARGET_NOT_FOUND (see apply_batch)
-                    "first_op",
-                )
-                .withColumn("bucket", self._bucket(F.col("pk")))
-                .persist()
-            )
-        else:
-            w = Window.partitionBy("pk").orderBy(F.desc("cdc_seq"))
-            last = (
-                changes.select("cdc_seq", "pk", "operation", "val")
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                # last-wins audits the literal surviving op; no net
-                # algebra, so no in-batch-creation exemption applies
-                .withColumn("first_op", F.lit(None).cast("string"))
-                .withColumn("bucket", self._bucket(F.col("pk")))
-                .persist()
-            )
+        last = (
+            reduce_batch(changes, self.strategy)
+            .withColumn("bucket", self._bucket(F.col("pk")))
+            .persist()
+        )
         touched = sorted(r.bucket for r in last.select("bucket").distinct().collect())
         if not touched:
             last.unpersist()
