@@ -198,50 +198,50 @@ def _band_frame(mh: DataFrame, band_size: int) -> DataFrame:
 def _band_pairs(
     mh: DataFrame, band_size: int, cap: int = LSH_BUCKET_CAP
 ) -> DataFrame:
-    """LSH banding: equi-join the band frame against itself on
-    (band_id, band_key) — candidate near-dup pairs without the O(n^2)
-    cross join; band_size tunes the s-curve threshold.
+    """LSH banding: candidate near-dup pairs from shared bucket
+    membership on (band_id, band_key) — never the O(n^2) cross join;
+    band_size tunes the s-curve threshold.
 
-    Buckets with more than ``cap`` members are dropped before the
-    self-join (hot-bucket guard, LSH_BUCKET_CAP above). The per-bucket
-    count is a window count over the SAME keys the join shuffles on,
-    so the guard adds no extra exchange beyond its sort; the dropped
-    mass is surfaced in-plan via ``observe`` (rows_in_dropped_buckets /
-    max_bucket_n under observation name ``lsh_bucket_cap[b<size>]``) —
-    a QueryExecutionListener reads it per action, no silent cap. (One
-    caveat, pinned in tests/test_properties.py: if the filter empties
-    the WHOLE stream — every bucket degenerate — AQE empty-relation
-    propagation elides the metrics node; any corpus with at least one
-    surviving bucket reports.)"""
+    Emission is GROUP-BASED, not a self-join: ONE hash shuffle gathers
+    each bucket's (sorted) member list, buckets above ``cap`` members
+    are dropped right there (the hot-bucket guard, LSH_BUCKET_CAP
+    above — a degenerate boilerplate band key would otherwise emit
+    O(b^2) pairs in a single task), and the surviving lists fan out to
+    ordered pairs with two map-side explodes. Per-row memory is
+    bounded by ``cap`` ids and per-bucket emission by cap*(cap-1)/2 —
+    skew-immune by construction. Versus the band self-join this is one
+    exchange instead of two join sides plus the guard's own pass
+    (measured at sf0.1 on warm caches: 0.68 s grouped vs 0.87-1.08 s
+    for window/anti-join guarded self-joins, 0.42 s for the unguarded
+    blowup-prone join); the final distinct (a pair can be found by
+    several bands) is unchanged.
+
+    The dropped mass is surfaced in-plan via ``observe`` on the bucket
+    lists (n_hot_buckets / max_bucket_n under observation name
+    ``lsh_bucket_cap[b<size>]``) — a QueryExecutionListener reads it
+    per action, no silent cap; values pinned in
+    tests/test_properties.py."""
     band = _band_frame(mh, band_size)
-    band = band.withColumn(
-        "bucket_n",
-        F.count("*").over(
-            Window.partitionBy("band_id", "band_key")
-        ),
-    ).observe(
-        f"lsh_bucket_cap[b{band_size}]",
-        F.sum(
-            F.when(F.col("bucket_n") > cap, F.lit(1)).otherwise(F.lit(0))
-        ).alias("rows_in_dropped_buckets"),
-        F.max("bucket_n").alias("max_bucket_n"),
-    ).filter(F.col("bucket_n") <= cap).drop("bucket_n")
-    a = band.select(
-        F.col("doc_id").alias("doc_a"), "band_id", F.col("band_key").alias("k_a")
-    )
-    b = band.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band_id").alias("band_id_b"),
-        F.col("band_key").alias("k_b"),
+    g = (
+        band.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .observe(
+            f"lsh_bucket_cap[b{band_size}]",
+            F.sum(
+                F.when(F.size("ids") > cap, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_hot_buckets"),
+            F.max(F.size("ids")).cast("long").alias("max_bucket_n"),
+        )
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
     )
     return (
-        a.join(
-            b,
-            (F.col("band_id") == F.col("band_id_b"))
-            & (F.col("k_a") == F.col("k_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+        g.select(F.explode("ids").alias("doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(
+                F.filter("ids", lambda y: y > F.col("doc_a"))
+            ).alias("doc_b"),
         )
-        .select("doc_a", "doc_b")
         .distinct()
     )
 

@@ -1353,15 +1353,16 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     cold = clique(40, "a different shared body below the bucket cap")
     assert cold.count() == 40 * 39 // 2
 
-    # mixed corpus: the hot bucket is dropped (contributes 0 pairs),
+    # mixed corpus: the hot buckets are dropped (contribute 0 pairs),
     # the cold clique survives intact, and the drop is observable —
-    # the in-plan metric reports the dropped band rows (every hot doc
-    # x every band) and the hot bucket's size. Read from THIS frame's
-    # queryExecution: collect() executes it, while a derived action
-    # like .count() builds its own execution whose metrics map stays
-    # empty. (In the all-dropped case above, AQE empty-relation
-    # propagation elides the metrics node itself — telemetry rides the
-    # surviving-row path, which is every non-degenerate corpus.)
+    # the in-plan metric reports the hot-bucket count (one per band:
+    # identical docs share every signature slice) and the hot bucket's
+    # size. Read from THIS frame's queryExecution: collect() executes
+    # it, while a derived action like .count() builds its own
+    # execution whose metrics map stays empty. (With ZERO hot buckets,
+    # AQE empty-relation propagation replaces the guard anti-join with
+    # its probe side and elides the metrics node — an absent metric
+    # means nothing was dropped.)
     hot_docs = spark.range(n_hot).select(
         F.col("id").alias("doc_id"),
         F.lit("all documents share this exact boilerplate body").alias(
@@ -1388,5 +1389,5 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     }
     m = metrics[f"lsh_bucket_cap[b{BAND_SIZE}]"]
     n_bands = N_HASHES // BAND_SIZE
-    assert m.getLong(0) == n_hot * n_bands  # rows_in_dropped_buckets
+    assert m.getLong(0) == n_bands  # n_hot_buckets: one per band
     assert m.getLong(1) == n_hot  # max_bucket_n

@@ -1075,3 +1075,52 @@ def test_streaming_cluster_sampler_matches_batch(spark, tmp_path):
     assert {
         (r.vec_id, r.cell_id, r.cell_rank) for r in s.sample().collect()
     } == want
+
+
+def test_kafka_frame_decode_matches_batch_debezium_parse(spark):
+    """The Kafka wire-frame decode glue (streaming/source.py::
+    kafka_frame_to_envelope): binary UTF-8 envelopes in the EXACT
+    schema format("kafka").load() yields must parse to the same rows
+    as the oracle-checked batch src_debezium_parse, with malformed
+    payloads surfaced as parse_ok=false rather than dropped."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.cdc.envelope import _envelope_raw, cdc_view
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+    from cdc_sync_poc_spark.streaming.source import (
+        KAFKA_FRAME_SCHEMA,
+        kafka_frame_to_envelope,
+    )
+    from tests.conftest import SF_DIR
+
+    load_all_queries()
+    raw = _envelope_raw(cdc_view(spark, SF_DIR)).collect()
+    rows = [
+        (
+            str(r.orig_seq).encode(),
+            r.json.encode(),
+            "asis.ASIS_USER.CDC",
+            int(r.orig_seq % 3),
+            int(r.orig_seq),
+            None,
+            0,
+        )
+        for r in raw
+    ] + [(b"bad", b"{not json at all", "asis.ASIS_USER.CDC", 0, 10**9, None, 0)]
+    frame = spark.createDataFrame(rows, KAFKA_FRAME_SCHEMA)
+    out = kafka_frame_to_envelope(frame)
+
+    good = out.filter(F.col("parse_ok"))
+    got = {
+        r.cdc_seq: (r.op, r.ts_ms, r.table_name, r.before_v, r.after_v)
+        for r in good.collect()
+    }
+    want = {
+        r.cdc_seq: (r.op, r.ts_ms, r.table_name, r.before_v, r.after_v)
+        for r in QUERIES["src_debezium_parse"](spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+    bad = out.filter(~F.col("parse_ok")).collect()
+    assert len(bad) == 1 and bad[0].offset == 10**9
+    assert bad[0].cdc_seq is None  # malformed -> NULL fields, not dropped

@@ -46,7 +46,8 @@ GROUPS = [
       "dedup_lsh_curve", "dedup_threshold_curve",
       "dedup_winnowing_pairs", "dedup_precision_minhash",
       "dedup_cluster_stats", "dedup_line_global",
-      "dedup_ppjoin_exact", "dedup_recall_corpuswide"]),
+      "dedup_ppjoin_exact", "dedup_recall_corpuswide",
+      "dedup_span_intervals"]),
     ("M6: similarity search",
      ["sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_topk_all",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
@@ -54,7 +55,8 @@ GROUPS = [
       "ann_recall_ivf", "ann_recall_ivfpq", "ann_recall_truncated",
       "emb_ivf_cell_balance",
       "emb_pq_error", "emb_pq_residual_error", "retrieval_rrf_fusion",
-      "retrieval_hard_negatives", "emb_hard_negatives"]),
+      "retrieval_hard_negatives", "emb_hard_negatives",
+      "ann_recall_ivf_stream"]),
     ("M6: text analysis",
      ["text_langid", "text_langid_eval", "text_quality", "text_tokens",
       "text_fingerprint",
@@ -67,7 +69,8 @@ GROUPS = [
     ("M6: corpus curation & hygiene",
      ["sample_stratified", "sample_fixed_n", "corpus_mix_weights",
       "emb_quantize_error",
-      "corpus_train_split", "corpus_contamination", "emb_norm_stats",
+      "corpus_train_split", "corpus_contamination",
+      "corpus_decontam_incremental", "emb_norm_stats",
       "doc_length_quantiles", "slice_length_quantiles",
       "corpus_simpson_diversity",
       "corpus_vocab_growth", "emb_dim_stats", "emb_covariance_topk",

@@ -150,6 +150,14 @@ SECTIONS = [
      "Zipf-head token coverage: one map-side-combined term count agg -> TakeOrderedAndProject of the ZIPF_HEAD_MAX head (absolute design constant, so the rank window is bounded BY CONSTRUCTION, never a data-sized global sort) -> k-sweep as conditional aggs + 1-row total broadcast"),
     ("emb_ivf_cell_balance",
      "IVF cell-balance audit: map-only constant-folded centroid assignment -> one N_CELLS-group hash agg -> one 1-row reduce; exact BIGINT variance identity (k*sum(n^2) - (sum n)^2), IEEE sqrt, one division — bit-identical doubles on both engines"),
+    ("bench_q11_important",
+     "Q11 important-stock: the per-part agg PERSISTED so the global total reads the InMemoryTableScan instead of re-running the supplier join + aggregation (the r11 double-scan regression), threshold cross-multiplied in exact BIGINT against the 1-row broadcast total"),
+    ("dedup_span_intervals",
+     "Span-interval substring dedup: map-only stride-1 window explode, duplicated keys from ONE two-level hash agg on the uniform 128-bit span hash, shuffle semi-join back on the same key (exchange reusable), gaps-and-islands interval merge as doc-partitioned lag + running-sum windows — bounded by document length, never a corpus-wide sort"),
+    ("corpus_decontam_incremental",
+     "Incremental decontamination: three delta joins only — both bench shingle sets BROADCAST (the retro join's build side is just the NEW bench delta), corpus side map-only explode + one doc-keyed additive sum; wave-0 corpus rows are never re-screened against known shingles"),
+    ("ann_recall_ivf_stream",
+     "Streamed-IVF recall audit: probe side is the localCheckpointed state the foreachBatch maintainer accumulated (base + live delta), then the ann_recall_ivf shape — absolute query-budget sample, budget-bounded broadcasts, per-query windows over bounded candidate sets"),
 ]
 
 
