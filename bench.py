@@ -423,6 +423,11 @@ CACHE_WARMERS = [
     # dedup_recall_corpuswide reads it as ground truth instead of
     # re-running the prefix join + verify
     "dedup_ppjoin_exact",
+    # first streamed-IVF call drives the foreachBatch maintainer
+    # (3 ingest batches + compaction under a scratch root) and
+    # localCheckpoints the index state — ~12 s of one-time ingest that
+    # belongs in the attribution phase, not a headline pass
+    "ann_recall_ivf_stream",
 ]
 
 

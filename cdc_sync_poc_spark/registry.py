@@ -98,18 +98,18 @@ DRIVER_WINDOW = [
 # classic dedup family) — recompute exactly from CORRECTNESS_r*.json
 # before staging.
 _PRIORITY_PREFIXES = [
-    "a0", "a1", "ap0", "bench_q1", "bench_q2", "bench_q3", "bench_q5",
-    "bpe_", "cf0", "j0",
+    "a0", "a1", "ap0", "bench_q1", "bench_q2",
+    "cf0", "j0",
     "corpus_", "sample_", "emb_", "events_", "text_",
     "dedup_", "dup_", "bench_",
     "graph_pagerank", "mm_", "pii_", "doc_", "seq_pack",
     "pack_padding", "train_order", "sim_", "ann_recall",
-    "source_orc",
+    "source_",
     "r0", "r1", "s0",
     "st0",
     "src_", "sink_", "pipeline_",
-    "plan_", "clf_", "gopher_", "retrieval_", "slice_",
-    "dq_", "maint_", "ap1",
+    "retrieval_", "slice_",
+    "sem_", "llm_", "dsir_",
 ]
 
 
