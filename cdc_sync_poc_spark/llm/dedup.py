@@ -1682,23 +1682,28 @@ def dedup_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_size", F.lit(b).cast("bigint")
         )
         bands_all = f if bands_all is None else bands_all.unionByName(f)
-    a = bands_all.select(
-        "band_size", "band_id", F.col("band_key").alias("ka"),
-        F.col("doc_id").alias("doc_a"),
-    )
-    b2 = bands_all.select(
-        F.col("band_size").alias("bs"), F.col("band_id").alias("bi"),
-        F.col("band_key").alias("kb"), F.col("doc_id").alias("doc_b"),
-    )
+    # group-based pair emission, same recipe (and LSH_BUCKET_CAP) as
+    # _band_pairs: ONE shuffle on (band_size, band_id, band_key)
+    # gathers bucket member lists, the hot-bucket cap applies in place,
+    # two map-side explodes fan out ordered pairs — so the sweep
+    # measures exactly the candidate stream the capped PRODUCTION
+    # banding emits at each size, and a degenerate bucket cannot blow
+    # up the measurement job itself (fixture buckets are far below the
+    # cap, so the capless one-shot oracle is unchanged)
     pairs_all = (
-        a.join(
-            b2,
-            (F.col("band_size") == F.col("bs"))
-            & (F.col("band_id") == F.col("bi"))
-            & (F.col("ka") == F.col("kb"))
-            & (F.col("doc_a") < F.col("doc_b")),
+        bands_all.groupBy("band_size", "band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= LSH_BUCKET_CAP)
         )
-        .select("band_size", "doc_a", "doc_b")
+        .select("band_size", F.explode("ids").alias("doc_a"), "ids")
+        .select(
+            "band_size",
+            "doc_a",
+            F.explode(
+                F.filter("ids", lambda y: y > F.col("doc_a"))
+            ).alias("doc_b"),
+        )
         .distinct()
         .persist()
     )

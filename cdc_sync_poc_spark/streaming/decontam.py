@@ -100,6 +100,16 @@ class StreamingDecontam:
 
     def screen_batch(self, docs: DataFrame, batch_id: int) -> None:
         docs = docs.persist()
+        try:
+            self._screen_batch(docs, batch_id)
+        finally:
+            # released even when a write dies mid-batch — the replay
+            # re-persists; without the finally, every crash-and-retry
+            # cycle would strand one cache entry (the VERDICT r11 #1
+            # leak class, crash-path variant)
+            docs.unpersist()
+
+    def _screen_batch(self, docs: DataFrame, batch_id: int) -> None:
         # cache=False twin of the docs_index rule does not apply here
         # (no signature agg) — _shingles is map-only, no library cache
         sh = _shingles(docs)
@@ -156,7 +166,6 @@ class StreamingDecontam:
             .agg(F.count("*").alias("n_hits"))
         )
         self.hits.write_delta(delta, batch_id)
-        docs.unpersist()
 
     def compact(self, upto_batch_id: int) -> None:
         self.hits.compact(upto_batch_id)

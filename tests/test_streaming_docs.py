@@ -1689,3 +1689,56 @@ def test_streaming_decontam_converges_with_late_bench_arrival(
         for r in body.contamination().collect()
     }
     assert folded == want
+
+
+def test_streaming_decontam_recovers_from_mid_batch_crash(spark, tmp_path):
+    """At-least-once crash window: a batch that dies AFTER writing its
+    bench/corpus index partitions but BEFORE its hit delta must, on
+    replay, recompute byte-identical deltas from identical prior state
+    (every read excludes the batch's own partitions) and converge to
+    the straight-line answer."""
+    import pyarrow.parquet as pq
+
+    from cdc_sync_poc_spark.llm.hygiene import BENCH_MOD
+    from cdc_sync_poc_spark.streaming.decontam import StreamingDecontam
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    corpus = [d for d in t.to_pylist() if d["doc_id"] % BENCH_MOD != 0][:20]
+    bench = [{**corpus[i], "doc_id": BENCH_MOD * (i + 1)} for i in range(4)]
+    batches = (corpus[:10], corpus[10:] + bench)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in rows],
+            "doc_id long, text string",
+        )
+
+    # straight-line run = expectation
+    ref = StreamingDecontam(spark, str(tmp_path / "ref"))
+    for i, rows in enumerate(batches):
+        ref.screen_batch(frame(rows), batch_id=i)
+    want = sorted(map(tuple, ref.contamination().collect()))
+    assert want  # the late suite must flag something
+
+    # crashed run: batch 1's hit-delta write dies mid-batch, then the
+    # whole batch replays (the foreachBatch retry contract)
+    body = StreamingDecontam(spark, str(tmp_path / "crash"))
+    body.screen_batch(frame(batches[0]), batch_id=0)
+    real_write = body.hits.write_delta
+    calls = {"n": 0}
+
+    def dying_write(df, batch_id):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before the hit delta")
+
+    body.hits.write_delta = dying_write
+    try:
+        body.screen_batch(frame(batches[1]), batch_id=1)
+    except RuntimeError:
+        pass
+    assert calls["n"] == 1  # crashed exactly in the window
+    body.hits.write_delta = real_write
+    # indexes for batch 1 are already on disk; the replay overwrites
+    # them and recomputes the delta from prior-only state
+    body.screen_batch(frame(batches[1]), batch_id=1)
+    assert sorted(map(tuple, body.contamination().collect())) == want
