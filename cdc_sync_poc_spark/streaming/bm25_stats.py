@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_sync_poc_spark.streaming.util import persisted
+
 from cdc_sync_poc_spark.llm.lm_quality import (
     BM25_TERMS,
     BM25_TOP,
@@ -78,51 +80,50 @@ class StreamingBM25Stats:
         )
 
     def absorb_batch(self, docs: DataFrame, batch_id: int) -> None:
-        docs = docs.persist()
-        tok = docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-        )
-        dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-        tf = (
-            tok.filter(F.col("term").isin(*self.terms))
-            .groupBy("doc_id", "term")
-            .agg(F.count("*").alias("tf"))
-        )
-        # postings carry dl so scoring never rejoins the corpus
-        self.postings.write_delta(tf.join(dl, "doc_id"), batch_id)
+        with persisted(docs) as docs:
+            tok = docs.select(
+                "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+            )
+            dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+            tf = (
+                tok.filter(F.col("term").isin(*self.terms))
+                .groupBy("doc_id", "term")
+                .agg(F.count("*").alias("tf"))
+            )
+            # postings carry dl so scoring never rejoins the corpus
+            self.postings.write_delta(tf.join(dl, "doc_id"), batch_id)
 
-        # bounded collects: 1 scalar row + <= |terms| df rows. The
-        # sum coalesces to 0 because sum() over ZERO rows is NULL — a
-        # file-source stream can deliver an empty batch after a restart
-        # and the delta must still be written (partition ownership
-        # requires the replayed batch to own its partition), just with
-        # all-zero counts (advisor finding, r9)
-        scal = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.expr("sum(size(split(text, ' ')))"), F.lit(0))
-            .cast("bigint")
-            .alias("sum_len"),
-        ).collect()[0]
-        dfs = {
-            r.term: int(r.df)
-            for r in tok.filter(F.col("term").isin(*self.terms))
-            .groupBy("term")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .collect()
-        }
-        rows = [
-            (t, dfs.get(t, 0), int(scal.n_docs), int(scal.sum_len))
-            for t in self.terms
-        ]
-        self.stats.write_delta(
-            literal_frame(
-                self.spark,
-                rows,
-                "term string, df bigint, n_docs bigint, sum_len bigint",
-            ),
-            batch_id,
-        )
-        docs.unpersist()
+            # bounded collects: 1 scalar row + <= |terms| df rows. The
+            # sum coalesces to 0 because sum() over ZERO rows is NULL — a
+            # file-source stream can deliver an empty batch after a restart
+            # and the delta must still be written (partition ownership
+            # requires the replayed batch to own its partition), just with
+            # all-zero counts (advisor finding, r9)
+            scal = docs.agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.expr("sum(size(split(text, ' ')))"), F.lit(0))
+                .cast("bigint")
+                .alias("sum_len"),
+            ).collect()[0]
+            dfs = {
+                r.term: int(r.df)
+                for r in tok.filter(F.col("term").isin(*self.terms))
+                .groupBy("term")
+                .agg(F.count_distinct("doc_id").alias("df"))
+                .collect()
+            }
+            rows = [
+                (t, dfs.get(t, 0), int(scal.n_docs), int(scal.sum_len))
+                for t in self.terms
+            ]
+            self.stats.write_delta(
+                literal_frame(
+                    self.spark,
+                    rows,
+                    "term string, df bigint, n_docs bigint, sum_len bigint",
+                ),
+                batch_id,
+            )
 
     def totals(self) -> tuple[dict[str, int], int, int]:
         """Fold the per-batch deltas: (df per term, n_docs, sum_len).

@@ -36,6 +36,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_sync_poc_spark.streaming.util import persisted
+
 from cdc_sync_poc_spark.llm.curation import funnel_verdict_frame
 from cdc_sync_poc_spark.streaming.docs_index import StreamingDedupIndex
 from cdc_sync_poc_spark.streaming.packing import StreamingPacker
@@ -51,28 +53,31 @@ class StreamingCurator:
         self.assigner = StreamingOrderAssigner(spark, os.path.join(root, "order"))
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
-        docs = docs.persist()
-        verdicts = funnel_verdict_frame(docs).select("doc_id", "reason")
-        verdicts.write.mode("overwrite").parquet(
-            os.path.join(self.funnel_dir, f"batch_id={batch_id}")
-        )
-        kept_ids = verdicts.filter(F.col("reason") == "kept").select("doc_id")
-        survivors = docs.join(kept_ids, "doc_id", "left_semi").persist()
-
-        self.idx.screen_batch(survivors, batch_id)
-        fresh_ids = (
-            self.spark.read.parquet(self.idx.verdict_dir)
-            .filter(
-                (F.col("batch_id") == batch_id) & (F.col("verdict") == "new")
+        with persisted(docs) as docs:
+            verdicts = funnel_verdict_frame(docs).select("doc_id", "reason")
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(self.funnel_dir, f"batch_id={batch_id}")
             )
-            .select("doc_id")
-        )
-        fresh = survivors.join(fresh_ids, "doc_id", "left_semi").persist()
-        self.packer.pack_batch(fresh, batch_id)
-        self.assigner.assign_batch(fresh, batch_id)
-        fresh.unpersist()
-        survivors.unpersist()
-        docs.unpersist()
+            kept_ids = verdicts.filter(F.col("reason") == "kept").select(
+                "doc_id"
+            )
+            with persisted(
+                docs.join(kept_ids, "doc_id", "left_semi")
+            ) as survivors:
+                self.idx.screen_batch(survivors, batch_id)
+                fresh_ids = (
+                    self.spark.read.parquet(self.idx.verdict_dir)
+                    .filter(
+                        (F.col("batch_id") == batch_id)
+                        & (F.col("verdict") == "new")
+                    )
+                    .select("doc_id")
+                )
+                with persisted(
+                    survivors.join(fresh_ids, "doc_id", "left_semi")
+                ) as fresh:
+                    self.packer.pack_batch(fresh, batch_id)
+                    self.assigner.assign_batch(fresh, batch_id)
 
     def packed(self) -> DataFrame:
         return self.packer.packed()

@@ -37,6 +37,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.streaming.util import persisted
 from pyspark.sql import types as T
 
 from cdc_sync_poc_spark.llm.dedup import (
@@ -88,57 +90,56 @@ class StreamingDedupIndex:
         )
 
     def screen_batch(self, docs: DataFrame, batch_id: int) -> None:
-        docs = docs.persist()
-        hashes = docs.select("doc_id", F.md5("text").alias("h"))
-        # cache=False: a micro-batch plan never repeats, so the
-        # library's batch-sharing cache would leak an entry per batch
-        # for the stream's lifetime (VERDICT r11 #1).
-        bands = _band_frame(
-            _minhash_sig(_shingles(docs), cache=False), BAND_SIZE
-        ).select(
-            "doc_id", "band_id", "band_key"
-        )
-
-        idx_h = self._read_index(self.hash_dir, _HASH_SCHEMA, batch_id)
-        idx_b = self._read_index(self.band_dir, _BAND_SCHEMA, batch_id)
-
-        ex = hashes.join(
-            idx_h.select("h").distinct(), "h", "left_semi"
-        ).select("doc_id", F.lit(True).alias("exact_dup"))
-        nr = (
-            bands.join(
-                idx_b.select("band_id", "band_key"),
-                ["band_id", "band_key"],
-                "left_semi",
+        with persisted(docs) as docs:
+            hashes = docs.select("doc_id", F.md5("text").alias("h"))
+            # cache=False: a micro-batch plan never repeats, so the
+            # library's batch-sharing cache would leak an entry per batch
+            # for the stream's lifetime (VERDICT r11 #1).
+            bands = _band_frame(
+                _minhash_sig(_shingles(docs), cache=False), BAND_SIZE
+            ).select(
+                "doc_id", "band_id", "band_key"
             )
-            .select("doc_id")
-            .distinct()
-            .select("doc_id", F.lit(True).alias("near_dup"))
-        )
-        verdicts = (
-            docs.select("doc_id")
-            .join(ex, "doc_id", "left")
-            .join(nr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
-                F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
-                F.when(F.coalesce("exact_dup", F.lit(False)), "exact")
-                .when(F.coalesce("near_dup", F.lit(False)), "near")
-                .otherwise("new")
-                .alias("verdict"),
+
+            idx_h = self._read_index(self.hash_dir, _HASH_SCHEMA, batch_id)
+            idx_b = self._read_index(self.band_dir, _BAND_SCHEMA, batch_id)
+
+            ex = hashes.join(
+                idx_h.select("h").distinct(), "h", "left_semi"
+            ).select("doc_id", F.lit(True).alias("exact_dup"))
+            nr = (
+                bands.join(
+                    idx_b.select("band_id", "band_key"),
+                    ["band_id", "band_key"],
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+                .select("doc_id", F.lit(True).alias("near_dup"))
             )
-        )
-        verdicts.write.mode("overwrite").parquet(
-            os.path.join(self.verdict_dir, f"batch_id={batch_id}")
-        )
-        hashes.write.mode("overwrite").parquet(
-            os.path.join(self.hash_dir, f"batch_id={batch_id}")
-        )
-        bands.write.mode("overwrite").parquet(
-            os.path.join(self.band_dir, f"batch_id={batch_id}")
-        )
-        docs.unpersist()
+            verdicts = (
+                docs.select("doc_id")
+                .join(ex, "doc_id", "left")
+                .join(nr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+                    F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+                    F.when(F.coalesce("exact_dup", F.lit(False)), "exact")
+                    .when(F.coalesce("near_dup", F.lit(False)), "near")
+                    .otherwise("new")
+                    .alias("verdict"),
+                )
+            )
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(self.verdict_dir, f"batch_id={batch_id}")
+            )
+            hashes.write.mode("overwrite").parquet(
+                os.path.join(self.hash_dir, f"batch_id={batch_id}")
+            )
+            bands.write.mode("overwrite").parquet(
+                os.path.join(self.band_dir, f"batch_id={batch_id}")
+            )
 
     def verdicts(self) -> DataFrame:
         return self.spark.read.parquet(self.verdict_dir)

@@ -32,6 +32,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.streaming.util import persisted
 from pyspark.sql import types as T
 
 from cdc_sync_poc_spark.llm.cleaning import (
@@ -65,35 +67,39 @@ class StreamingLineDedup:
         )
 
     def clean_batch(self, docs: DataFrame, batch_id: int) -> None:
-        seg = line_segments(docs).persist()
-        seen = self._seen_segments(batch_id)
-        # fresh = first corpus-wide occurrence candidates; within-batch
-        # repeats resolve by the batch operator's winner rule
-        fresh = seg.join(seen, "segment", "left_anti")
-        enc = F.col("doc_id") * POS_ENC + F.col("pos")
-        win = fresh.groupBy("segment").agg(
-            F.min(F.col("doc_id") * POS_ENC + F.col("pos")).alias("w")
-        )
-        # persisted: winners feeds BOTH write actions (cleaned docs +
-        # index append); without it each action re-reads and re-probes
-        # the stored index — which grows with the corpus — per batch
-        winners = (
-            fresh.join(win, "segment").filter(enc == F.col("w")).persist()
-        )
-        kept = winners.select("doc_id", "pos").withColumn("kept", F.lit(True))
-        cleaned = reassemble_kept(
-            seg.join(kept, ["doc_id", "pos"], "left").withColumn(
-                "kept", F.coalesce("kept", F.lit(False))
+        with persisted(line_segments(docs)) as seg:
+            seen = self._seen_segments(batch_id)
+            # fresh = first corpus-wide occurrence candidates;
+            # within-batch repeats resolve by the batch operator's
+            # winner rule
+            fresh = seg.join(seen, "segment", "left_anti")
+            enc = F.col("doc_id") * POS_ENC + F.col("pos")
+            win = fresh.groupBy("segment").agg(
+                F.min(F.col("doc_id") * POS_ENC + F.col("pos")).alias("w")
             )
-        )
-        cleaned.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"batch_id={batch_id}")
-        )
-        winners.select("segment").distinct().write.mode("overwrite").parquet(
-            os.path.join(self.seg_dir, f"batch_id={batch_id}")
-        )
-        seg.unpersist()
-        winners.unpersist()
+            # persisted: winners feeds BOTH write actions (cleaned docs
+            # + index append); without it each action re-reads and
+            # re-probes the stored index — which grows with the corpus
+            # — per batch
+            with persisted(
+                fresh.join(win, "segment").filter(enc == F.col("w"))
+            ) as winners:
+                kept = winners.select("doc_id", "pos").withColumn(
+                    "kept", F.lit(True)
+                )
+                cleaned = reassemble_kept(
+                    seg.join(kept, ["doc_id", "pos"], "left").withColumn(
+                        "kept", F.coalesce("kept", F.lit(False))
+                    )
+                )
+                cleaned.write.mode("overwrite").parquet(
+                    os.path.join(self.out_dir, f"batch_id={batch_id}")
+                )
+                winners.select("segment").distinct().write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(self.seg_dir, f"batch_id={batch_id}")
+                )
 
     def cleaned(self) -> DataFrame:
         return self.spark.read.parquet(self.out_dir)

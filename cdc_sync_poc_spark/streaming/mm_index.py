@@ -36,6 +36,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_sync_poc_spark.streaming.util import persisted
+
 from cdc_sync_poc_spark.llm.multimodal import (
     PHASH_HAMMING_MAX,
     media_frame,
@@ -86,46 +88,45 @@ class StreamingMediaIndex:
     def screen_batch(self, docs: DataFrame, batch_id: int) -> None:
         """Fingerprint one micro-batch of documents' media payloads,
         emit its near-dup pairs, and append its fingerprints."""
-        bd = phash_band_frame(media_frame(docs)).persist()
+        with persisted(phash_band_frame(media_frame(docs))) as bd:
 
-        # within-batch pairs: the batch operator itself
-        pairs = phash_pairs_frame(bd)
+            # within-batch pairs: the batch operator itself
+            pairs = phash_pairs_frame(bd)
 
-        # cross-batch pairs: probe the stored index (predecessor state
-        # only), normalized to the batch operator's (lower id, higher
-        # id) orientation — hamming is symmetric, so only the ids need
-        # the least/greatest swap
-        stored = self._stored_before(batch_id)
-        if stored is not None:
-            s = stored.alias("s")
-            n = bd.alias("n")
-            cross = (
-                s.join(
-                    n,
-                    (F.col("s.band_id") == F.col("n.band_id"))
-                    & (F.col("s.band_key") == F.col("n.band_key"))
-                    & (F.col("s.doc_id") != F.col("n.doc_id")),
+            # cross-batch pairs: probe the stored index (predecessor state
+            # only), normalized to the batch operator's (lower id, higher
+            # id) orientation — hamming is symmetric, so only the ids need
+            # the least/greatest swap
+            stored = self._stored_before(batch_id)
+            if stored is not None:
+                s = stored.alias("s")
+                n = bd.alias("n")
+                cross = (
+                    s.join(
+                        n,
+                        (F.col("s.band_id") == F.col("n.band_id"))
+                        & (F.col("s.band_key") == F.col("n.band_key"))
+                        & (F.col("s.doc_id") != F.col("n.doc_id")),
+                    )
+                    .select(
+                        F.least("s.doc_id", "n.doc_id").alias("doc_a"),
+                        F.greatest("s.doc_id", "n.doc_id").alias("doc_b"),
+                        F.col("s.phash").alias("pa"),
+                        F.col("n.phash").alias("pb"),
+                    )
+                    .distinct()
+                    .withColumn(
+                        "hamming", F.expr("bit_count(pa ^ pb)").cast("bigint")
+                    )
+                    .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+                    .select("doc_a", "doc_b", "hamming")
                 )
-                .select(
-                    F.least("s.doc_id", "n.doc_id").alias("doc_a"),
-                    F.greatest("s.doc_id", "n.doc_id").alias("doc_b"),
-                    F.col("s.phash").alias("pa"),
-                    F.col("n.phash").alias("pb"),
-                )
-                .distinct()
-                .withColumn(
-                    "hamming", F.expr("bit_count(pa ^ pb)").cast("bigint")
-                )
-                .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-                .select("doc_a", "doc_b", "hamming")
+                pairs = pairs.unionByName(cross).distinct()
+
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(self.pairs_dir, f"batch_id={batch_id}")
             )
-            pairs = pairs.unionByName(cross).distinct()
-
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(self.pairs_dir, f"batch_id={batch_id}")
-        )
-        self.store.write_delta(bd, batch_id)
-        bd.unpersist()
+            self.store.write_delta(bd, batch_id)
 
     def pairs(self) -> DataFrame:
         return self.spark.read.parquet(self.pairs_dir)

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_sync_poc_spark.streaming.util import persisted
+
 from cdc_sync_poc_spark.llm.preprocess import DUP_N
 from cdc_sync_poc_spark.streaming.delta_store import (
     AppendDeltaStore,
@@ -82,16 +84,15 @@ class StreamingNovelty:
         )
 
     def absorb_batch(self, docs: DataFrame, batch_id: int) -> None:
-        grams = self._grams(docs).persist()
-        self.owners.write_delta(
-            grams.groupBy("gh").agg(F.min("doc_id").alias("owner")),
-            batch_id,
-        )
-        self.doc_counts.write_delta(
-            grams.groupBy("doc_id").agg(F.count("*").alias("n_distinct")),
-            batch_id,
-        )
-        grams.unpersist()
+        with persisted(self._grams(docs)) as grams:
+            self.owners.write_delta(
+                grams.groupBy("gh").agg(F.min("doc_id").alias("owner")),
+                batch_id,
+            )
+            self.doc_counts.write_delta(
+                grams.groupBy("doc_id").agg(F.count("*").alias("n_distinct")),
+                batch_id,
+            )
 
     def compact(self, upto_batch_id: int) -> None:
         self.owners.compact(upto_batch_id)

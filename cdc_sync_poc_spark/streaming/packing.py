@@ -29,6 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_sync_poc_spark.streaming.util import persisted
+
 from cdc_sync_poc_spark.llm.preprocess import (
     _bins_from_prev,
     packing_prev_frame,
@@ -59,42 +61,41 @@ class StreamingPacker:
         }
 
     def pack_batch(self, docs: DataFrame, batch_id: int) -> None:
-        docs = docs.persist()
-        carry = self._carry_before(batch_id)
-        prev = packing_prev_frame(docs)
-        if carry:
-            cdf = F.broadcast(
-                self.spark.createDataFrame(
-                    list(carry.items()), "lang string, c long"
+        with persisted(docs) as docs:
+            carry = self._carry_before(batch_id)
+            prev = packing_prev_frame(docs)
+            if carry:
+                cdf = F.broadcast(
+                    self.spark.createDataFrame(
+                        list(carry.items()), "lang string, c long"
+                    )
                 )
+                prev = (
+                    prev.join(cdf, "lang", "left")
+                    .withColumn("prev", F.col("prev") + F.coalesce("c", F.lit(0)))
+                    .drop("c")
+                )
+            _bins_from_prev(prev).write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, f"batch_id={batch_id}")
             )
-            prev = (
-                prev.join(cdf, "lang", "left")
-                .withColumn("prev", F.col("prev") + F.coalesce("c", F.lit(0)))
-                .drop("c")
+            totals = {
+                r.lang: int(r.t)
+                for r in docs.select(
+                    "lang",
+                    F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"),
+                )
+                .groupBy("lang")
+                .agg(F.sum("n").alias("t"))
+                .collect()
+            }
+            after = dict(carry)
+            for lang, t in totals.items():
+                after[lang] = after.get(lang, 0) + t
+            self.spark.createDataFrame(
+                list(after.items()), "lang string, total long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.carry_dir, f"batch_id={batch_id}")
             )
-        _bins_from_prev(prev).write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"batch_id={batch_id}")
-        )
-        totals = {
-            r.lang: int(r.t)
-            for r in docs.select(
-                "lang",
-                F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"),
-            )
-            .groupBy("lang")
-            .agg(F.sum("n").alias("t"))
-            .collect()
-        }
-        after = dict(carry)
-        for lang, t in totals.items():
-            after[lang] = after.get(lang, 0) + t
-        self.spark.createDataFrame(
-            list(after.items()), "lang string, total long"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.carry_dir, f"batch_id={batch_id}")
-        )
-        docs.unpersist()
 
     def packed(self) -> DataFrame:
         return self.spark.read.parquet(self.out_dir)

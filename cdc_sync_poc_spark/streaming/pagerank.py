@@ -52,6 +52,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.streaming.util import persisted
 from pyspark.sql import Window
 
 from cdc_sync_poc_spark.operators.graph import pr_fixed_point_frames
@@ -145,44 +147,43 @@ class StreamingPageRank:
         # lead() inside the unioned frame is exactly the boundary
         # transition, and intra-batch pairs form as in the batch
         # operator — one window, both kinds of edge
-        aug = (ev.unionByName(prev) if prev is not None else ev).persist()
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        # every pair in the unioned frame is NEW: the single tail row
-        # per user is the only pre-batch element, so its pair is the
-        # boundary transition and all others are intra-batch
-        deltas = (
-            aug.select(
-                F.col("event_type").alias("src"),
-                F.lead("event_type").over(w).alias("dst"),
+        with persisted((ev.unionByName(prev) if prev is not None else ev)) as aug:
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            # every pair in the unioned frame is NEW: the single tail row
+            # per user is the only pre-batch element, so its pair is the
+            # boundary transition and all others are intra-batch
+            deltas = (
+                aug.select(
+                    F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"),
+                )
+                .filter(F.col("dst").isNotNull())
+                .groupBy("src", "dst")
+                .agg(F.count("*").alias("n"))
             )
-            .filter(F.col("dst").isNotNull())
-            .groupBy("src", "dst")
-            .agg(F.count("*").alias("n"))
-        )
-        self.edge_store.write_delta(deltas, batch_id)
-        tails = (
-            aug.withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("user_id").orderBy(
-                        F.desc("ts"), F.desc("event_id")
-                    )
-                ),
+            self.edge_store.write_delta(deltas, batch_id)
+            tails = (
+                aug.withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(
+                            F.desc("ts"), F.desc("event_id")
+                        )
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .select(*_EV_COLS, "last_batch")
             )
-            .filter(F.col("__rn") == 1)
-            .select(*_EV_COLS, "last_batch")
-        )
-        if self.ttl_batches is not None:
-            # idle-user eviction: the surviving row's last_batch is the
-            # batch that produced the user's newest event (carried
-            # forward untouched while the user is idle)
-            tails = tails.filter(
-                F.col("last_batch") > batch_id - self.ttl_batches
+            if self.ttl_batches is not None:
+                # idle-user eviction: the surviving row's last_batch is the
+                # batch that produced the user's newest event (carried
+                # forward untouched while the user is idle)
+                tails = tails.filter(
+                    F.col("last_batch") > batch_id - self.ttl_batches
+                )
+            tails.write.mode("overwrite").parquet(
+                os.path.join(self.tails_dir, f"batch_id={batch_id}")
             )
-        tails.write.mode("overwrite").parquet(
-            os.path.join(self.tails_dir, f"batch_id={batch_id}")
-        )
-        aug.unpersist()
 
     def _newest_tails(self) -> DataFrame | None:
         if not os.path.isdir(self.tails_dir):

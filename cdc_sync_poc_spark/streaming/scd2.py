@@ -52,6 +52,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from cdc_sync_poc_spark.streaming.util import persisted
 from pyspark.sql import types as T
 
 from cdc_sync_poc_spark.streaming.swapstore import SwapStore
@@ -220,7 +222,7 @@ class Scd2StreamWriter:
             "val",
         )
         w = Window.partitionBy("pk").orderBy("cdc_seq")
-        vers = (
+        with persisted(
             pseudo.unionByName(rows)
             .select(
                 "*",
@@ -228,41 +230,42 @@ class Scd2StreamWriter:
                 F.lead("cdc_seq").over(w).alias("next_seq"),
             )
             .filter(F.col("operation") != "DELETE")
-            .persist()
-        )
-        newly_closed = vers.filter(F.col("next_seq").isNotNull()).select(
-            F.col("cdc_seq").alias("version_seq"),
-            "pk",
-            "val",
-            F.col("ts_ms").alias("valid_from_ms"),
-            F.col("next_ms").alias("valid_to_ms"),
-        )
-        # closed BEFORE swap: the commit marker then proves this write
-        newly_closed.write.mode("overwrite").parquet(
-            os.path.join(self.closed_dir, f"batch_id={batch_id}")
-        )
+        ) as vers:
+            newly_closed = vers.filter(F.col("next_seq").isNotNull()).select(
+                F.col("cdc_seq").alias("version_seq"),
+                "pk",
+                "val",
+                F.col("ts_ms").alias("valid_from_ms"),
+                F.col("next_ms").alias("valid_to_ms"),
+            )
+            # closed BEFORE swap: the commit marker then proves this
+            # write
+            newly_closed.write.mode("overwrite").parquet(
+                os.path.join(self.closed_dir, f"batch_id={batch_id}")
+            )
 
-        new_open = vers.filter(F.col("next_seq").isNull()).select(
-            F.col("cdc_seq").alias("version_seq"),
-            "pk",
-            "val",
-            F.col("ts_ms").alias("valid_from_ms"),
-        )
-        kept = open_prev.join(batch_pks, "pk", "left_anti")
-        if self.n_buckets is not None:
-            self._commit_buckets(batch_pks, kept, new_open, batch_id)
-        else:
-            sentinel = self.spark.createDataFrame(
-                [(None, None, None, None)],
-                T.StructType(_OPEN_SCHEMA.fields[:4]),
+            new_open = vers.filter(F.col("next_seq").isNull()).select(
+                F.col("cdc_seq").alias("version_seq"),
+                "pk",
+                "val",
+                F.col("ts_ms").alias("valid_from_ms"),
             )
-            open_next = (
-                kept.unionByName(new_open)
-                .unionByName(sentinel)
-                .withColumn("committed_batch", F.lit(batch_id).cast("long"))
-            )
-            self.open_store.swap(open_next)
-        vers.unpersist()
+            kept = open_prev.join(batch_pks, "pk", "left_anti")
+            if self.n_buckets is not None:
+                self._commit_buckets(batch_pks, kept, new_open, batch_id)
+            else:
+                sentinel = self.spark.createDataFrame(
+                    [(None, None, None, None)],
+                    T.StructType(_OPEN_SCHEMA.fields[:4]),
+                )
+                open_next = (
+                    kept.unionByName(new_open)
+                    .unionByName(sentinel)
+                    .withColumn(
+                        "committed_batch", F.lit(batch_id).cast("long")
+                    )
+                )
+                self.open_store.swap(open_next)
 
     def _commit_buckets(
         self,

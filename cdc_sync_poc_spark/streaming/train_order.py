@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_sync_poc_spark.streaming.util import persisted
+
 from cdc_sync_poc_spark.llm.preprocess import train_order_frame
 from cdc_sync_poc_spark.sources.loader import literal_frame
 
@@ -58,39 +60,38 @@ class StreamingOrderAssigner:
         }
 
     def assign_batch(self, docs: DataFrame, batch_id: int) -> None:
-        docs = docs.persist()
-        carry = self._carry_before(batch_id)
-        order = train_order_frame(docs.select("doc_id"))
-        if carry:
-            cdf = F.broadcast(
-                literal_frame(
-                    self.spark, list(carry.items()), "shard bigint, c bigint"
+        with persisted(docs) as docs:
+            carry = self._carry_before(batch_id)
+            order = train_order_frame(docs.select("doc_id"))
+            if carry:
+                cdf = F.broadcast(
+                    literal_frame(
+                        self.spark, list(carry.items()), "shard bigint, c bigint"
+                    )
                 )
+                order = (
+                    order.join(cdf, "shard", "left")
+                    .withColumn("pos", F.col("pos") + F.coalesce("c", F.lit(0)))
+                    .drop("c")
+                )
+            order.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, f"batch_id={batch_id}")
             )
-            order = (
-                order.join(cdf, "shard", "left")
-                .withColumn("pos", F.col("pos") + F.coalesce("c", F.lit(0)))
-                .drop("c")
+            totals = {
+                int(r.shard): int(r.n)
+                for r in train_order_frame(docs.select("doc_id"))
+                .groupBy("shard")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            after = dict(carry)
+            for shard, n in totals.items():
+                after[shard] = after.get(shard, 0) + n
+            literal_frame(
+                self.spark, list(after.items()), "shard bigint, total bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.carry_dir, f"batch_id={batch_id}")
             )
-        order.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"batch_id={batch_id}")
-        )
-        totals = {
-            int(r.shard): int(r.n)
-            for r in train_order_frame(docs.select("doc_id"))
-            .groupBy("shard")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        after = dict(carry)
-        for shard, n in totals.items():
-            after[shard] = after.get(shard, 0) + n
-        literal_frame(
-            self.spark, list(after.items()), "shard bigint, total bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.carry_dir, f"batch_id={batch_id}")
-        )
-        docs.unpersist()
 
     def order(self) -> DataFrame:
         return self.spark.read.parquet(self.out_dir)

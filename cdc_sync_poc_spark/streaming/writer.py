@@ -197,15 +197,19 @@ class ParquetMergeWriter:
     def apply_batch(self, changes: DataFrame, batch_id: int) -> None:
         """The foreachBatch body: crash recovery -> last-wins ->
         bucket-pruned merge -> idempotent audit -> atomic bucket swap."""
+        from cdc_sync_poc_spark.streaming.util import persisted
+
         self._recover_buckets()
-        last = (
-            reduce_batch(changes, self.strategy)
-            .withColumn("bucket", self._bucket(F.col("pk")))
-            .persist()
-        )
+        with persisted(
+            reduce_batch(changes, self.strategy).withColumn(
+                "bucket", self._bucket(F.col("pk"))
+            )
+        ) as last:
+            self._apply_reduced(last, batch_id)
+
+    def _apply_reduced(self, last: DataFrame, batch_id: int) -> None:
         touched = sorted(r.bucket for r in last.select("bucket").distinct().collect())
         if not touched:
-            last.unpersist()
             return
 
         # partition pruning: the filter on the partition column means the
@@ -274,7 +278,6 @@ class ParquetMergeWriter:
         audit.write.mode("overwrite").parquet(
             os.path.join(self.audit_dir, f"batch_id={batch_id}")
         )
-        last.unpersist()
 
         self._swap_buckets(tmp, touched)
 
