@@ -1391,3 +1391,73 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     n_bands = N_HASHES // BAND_SIZE
     assert m.getLong(0) == n_bands  # n_hot_buckets: one per band
     assert m.getLong(1) == n_hot  # max_bucket_n
+
+
+def _span_intervals_reference(docs_words, w):
+    """Brute-force dedup_span_intervals: duplicated position = its
+    w-word window occurs in >= 2 distinct docs; merge positions into
+    maximal intervals under the gap rule next_i <= prev_i + w."""
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for did, words in docs_words:
+        for i in range(1, len(words) - w + 2):
+            owners[tuple(words[i - 1 : i - 1 + w])].add(did)
+    out = []
+    for did, words in docs_words:
+        pos = [
+            i
+            for i in range(1, len(words) - w + 2)
+            if len(owners[tuple(words[i - 1 : i - 1 + w])]) >= 2
+        ]
+        start = prev = None
+        for i in pos:
+            if prev is not None and i <= prev + w:
+                prev = i
+                continue
+            if prev is not None:
+                out.append((did, start, prev + w - 1, prev + w - start))
+            start = prev = i
+        if prev is not None:
+            out.append((did, start, prev + w - 1, prev + w - start))
+    return sorted(out)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_span_intervals_matches_reference(spark, docs):
+    """dedup_span_intervals' distributed form (span-hash agg +
+    semi-join + gaps-and-islands windows) must equal the brute-force
+    position-set computation on adversarial tiny-alphabet corpora —
+    the 3-letter alphabet makes spans collide constantly, hitting
+    interval-merge boundaries (overlap, exact adjacency i = prev+w,
+    gap of one) that the fixture corpus rarely produces."""
+    import cdc_sync_poc_spark.llm.hygiene as hy
+    from cdc_sync_poc_spark.llm.hygiene import SPAN_INT_WORDS
+
+    docs_words = [(i, ws) for i, ws in enumerate(docs)]
+    frame = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs_words],
+        "doc_id long, text string",
+    )
+    # drive the registered operator body on the synthetic frame
+    orig = hy.load_table
+    try:
+        hy.load_table = lambda s, d, t: frame
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_words)
+            for r in hy.dedup_span_intervals(spark, "unused").collect()
+        )
+    finally:
+        hy.load_table = orig
+    assert got == _span_intervals_reference(docs_words, SPAN_INT_WORDS)
