@@ -203,21 +203,23 @@ def main() -> None:
         "",
         "## Warmup attribution (VERDICT r11 #5)",
         "",
-        "`warmup_total` measured 29.3 s at r12 (min over three",
-        "idle-machine runs of the final tree; the same session showed a",
+        "`warmup_total` reports ~42-46 s at r12, up from r11's 30.1 s —",
+        "BY CONSTRUCTION, not regression: r12 moved",
+        "ann_recall_ivf_stream's one-time streamed-index ingest (~12 s:",
+        "3 foreachBatch absorbs + a compaction under a scratch root) out",
+        "of pass 1 of the headline loop and into the named warmup phase,",
+        "where one-time cache builds belong. Excluding that mover, the",
+        "residual warmup measured 29.3 s on the quietest of four",
+        "idle-machine runs — level with r11 (the same session showed a",
         "10-20% uniform host-contention drift that pushed single runs to",
-        "33-37 s — per-query mins and the r11 like-for-like comparison",
-        "are unaffected because min-of-runs is the bench's noise model).",
-        "Composition is unchanged from r11 (~30.1 s): the two dominant",
-        "builders are dedup_ngram_jaccard (~5-7 s: shingle cache +",
-        "signature cache + the shared pair-Jaccard frame) and",
-        "st01_loop_dedup (~4.5-5.5 s: the loop-guard chain-walk",
-        "materialization); the r11 warmup campaign measured this cost as",
-        "per-stage overhead, not shareable data work, so it is attributed",
-        "as irreducible at this sf rather than ratcheted down. r12 adds",
-        "ann_recall_ivf_stream (~12 s one-time streamed-index ingest) to",
-        "the warmer list so the build cost lands here, visibly, instead",
-        "of inside pass 1 of the headline loop.",
+        "33-37 s; per-query mins are unaffected because min-of-runs is",
+        "the bench's noise model). Composition is unchanged from r11:",
+        "the dominant builders are dedup_ngram_jaccard (~5-7 s: shingle",
+        "cache + signature cache + the shared pair-Jaccard frame) and",
+        "st01_loop_dedup (~4.5-5.5 s loop-guard chain-walk); the r11",
+        "warmup campaign measured this as per-stage overhead, not",
+        "shareable data work, so it is attributed as irreducible at this",
+        "sf rather than ratcheted down.",
         "",
     ]
     for name, claim in SECTIONS:
