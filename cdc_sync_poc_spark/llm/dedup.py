@@ -63,6 +63,10 @@ DEDUP_SIGN_BITS = 4
 # the capless DuckDB oracle parity — are unchanged; worst case per
 # surviving bucket is 256*255/2 = 32,640 pairs in one task.
 LSH_BUCKET_CAP = 256
+# level-1 salt fan-out for the grouped pair emission (_band_pairs):
+# bounds any single aggregation buffer at ~b/_BP_SALTS ids for a
+# bucket of b docs (and the level-2 flatten at _BP_SALTS * cap ids)
+_BP_SALTS = 64
 
 
 @register(
@@ -202,37 +206,69 @@ def _band_pairs(
     membership on (band_id, band_key) — never the O(n^2) cross join;
     band_size tunes the s-curve threshold.
 
-    Emission is GROUP-BASED, not a self-join: ONE hash shuffle gathers
-    each bucket's (sorted) member list, buckets above ``cap`` members
-    are dropped right there (the hot-bucket guard, LSH_BUCKET_CAP
-    above — a degenerate boilerplate band key would otherwise emit
-    O(b^2) pairs in a single task), and the surviving lists fan out to
-    ordered pairs with two map-side explodes. Per-row memory is
-    bounded by ``cap`` ids and per-bucket emission by cap*(cap-1)/2 —
-    skew-immune by construction. Versus the band self-join this is one
-    exchange instead of two join sides plus the guard's own pass
-    (measured at sf0.1 on warm caches: 0.68 s grouped vs 0.87-1.08 s
-    for window/anti-join guarded self-joins, 0.42 s for the unguarded
-    blowup-prone join); the final distinct (a pair can be found by
-    several bands) is unchanged.
+    Emission is GROUP-BASED, not a self-join, with a SALTED two-level
+    aggregation so no buffer anywhere scales with the hot bucket:
 
-    The dropped mass is surfaced in-plan via ``observe`` on the bucket
-    lists (n_hot_buckets / max_bucket_n under observation name
+    1. level 1 groups by (bucket, xxhash64(doc_id) mod {_BP_SALTS}):
+       each buffer holds ~b/{_BP_SALTS} ids, and a sub-list that alone
+       exceeds ``cap`` proves its bucket is hot, so its ids are
+       dropped right there (the count still rides along);
+    2. level 2 re-groups the <= {_BP_SALTS} sub-rows per bucket — the
+       exchange moves AGGREGATED rows, not band rows — flattens the
+       surviving sub-lists (level-2 buffer <= {_BP_SALTS} x cap ids by
+       construction) and drops buckets whose TRUE total (sum of
+       sub-counts, exact even where ids were dropped) exceeds ``cap``
+       — the hot-bucket guard, LSH_BUCKET_CAP above: a degenerate
+       boilerplate band key would otherwise emit O(b^2) pairs in one
+       task;
+    3. surviving lists fan out to ordered pairs with two map-side
+       explodes — per-bucket emission <= cap*(cap-1)/2.
+
+    One full-band exchange total (cost measured equal to the single
+    collect_list form at sf0.1: ~0.78 s vs ~0.83 s warm; the window /
+    anti-join guarded self-joins measured 0.87-1.08 s, the unguarded
+    blowup-prone join 0.42 s); the final distinct (a pair can be found
+    by several bands) is unchanged.
+
+    The dropped mass is surfaced in-plan via ``observe`` on the
+    level-2 counts (n_hot_buckets / max_bucket_n, EXACT even for
+    buckets whose ids were never materialized, under observation name
     ``lsh_bucket_cap[b<size>]``) — a QueryExecutionListener reads it
     per action, no silent cap; values pinned in
     tests/test_properties.py."""
     band = _band_frame(mh, band_size)
+    keys = ["band_id", "band_key"]
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(_BP_SALTS))
+    lvl1 = (
+        band.groupBy(*keys, salt.alias("salt"))
+        .agg(
+            F.collect_list("doc_id").alias("sub"),
+            F.count("*").alias("n_sub"),
+        )
+        .select(
+            *keys,
+            # a sub-list alone above the cap proves the bucket is hot:
+            # drop the ids now (collect_list at level 2 skips NULLs),
+            # keep the exact count
+            F.when(F.col("n_sub") <= cap, F.col("sub")).alias("sub"),
+            "n_sub",
+        )
+    )
     g = (
-        band.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        lvl1.groupBy(*keys)
+        .agg(
+            F.flatten(F.collect_list("sub")).alias("ids0"),
+            F.sum("n_sub").alias("n"),
+        )
         .observe(
             f"lsh_bucket_cap[b{band_size}]",
             F.sum(
-                F.when(F.size("ids") > cap, F.lit(1)).otherwise(F.lit(0))
+                F.when(F.col("n") > cap, F.lit(1)).otherwise(F.lit(0))
             ).alias("n_hot_buckets"),
-            F.max(F.size("ids")).cast("long").alias("max_bucket_n"),
+            F.max("n").cast("long").alias("max_bucket_n"),
         )
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
+        .filter((F.col("n") >= 2) & (F.col("n") <= cap))
+        .select(F.sort_array("ids0").alias("ids"))
     )
     return (
         g.select(F.explode("ids").alias("doc_a"), "ids")
@@ -1682,20 +1718,36 @@ def dedup_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_size", F.lit(b).cast("bigint")
         )
         bands_all = f if bands_all is None else bands_all.unionByName(f)
-    # group-based pair emission, same recipe (and LSH_BUCKET_CAP) as
-    # _band_pairs: ONE shuffle on (band_size, band_id, band_key)
-    # gathers bucket member lists, the hot-bucket cap applies in place,
-    # two map-side explodes fan out ordered pairs — so the sweep
-    # measures exactly the candidate stream the capped PRODUCTION
-    # banding emits at each size, and a degenerate bucket cannot blow
-    # up the measurement job itself (fixture buckets are far below the
+    # salted group-based pair emission, same recipe (and
+    # LSH_BUCKET_CAP / buffer bounds) as _band_pairs but keyed by
+    # (band_size, band_id, band_key): the sweep measures exactly the
+    # candidate stream the capped PRODUCTION banding emits at each
+    # size, and a degenerate bucket can blow up neither the emission
+    # nor any aggregation buffer (fixture buckets are far below the
     # cap, so the capless one-shot oracle is unchanged)
-    pairs_all = (
-        bands_all.groupBy("band_size", "band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= LSH_BUCKET_CAP)
+    ckeys = ["band_size", "band_id", "band_key"]
+    csalt = F.pmod(F.xxhash64("doc_id"), F.lit(_BP_SALTS))
+    clvl1 = (
+        bands_all.groupBy(*ckeys, csalt.alias("salt"))
+        .agg(
+            F.collect_list("doc_id").alias("sub"),
+            F.count("*").alias("n_sub"),
         )
+        .select(
+            *ckeys,
+            F.when(F.col("n_sub") <= LSH_BUCKET_CAP, F.col("sub")).alias(
+                "sub"
+            ),
+            "n_sub",
+        )
+    )
+    pairs_all = (
+        clvl1.groupBy(*ckeys)
+        .agg(
+            F.flatten(F.collect_list("sub")).alias("ids"),
+            F.sum("n_sub").alias("n"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("n") <= LSH_BUCKET_CAP))
         .select("band_size", F.explode("ids").alias("doc_a"), "ids")
         .select(
             "band_size",
