@@ -1244,7 +1244,11 @@ def test_minhash_estimate_bounds_and_exact_side(spark, texts):
     for r in rows:
         steps = round(r.est_jaccard * N_HASHES)
         assert 0 <= steps <= N_HASHES
-        assert abs(r.est_jaccard - steps / N_HASHES) < 1e-9
+        # the engine rounds est_jaccard to 6 dp (llm/dedup.py display
+        # convention, oracle-identical), so the quantum check must
+        # compare against the same rounding — steps/N_HASHES raw can
+        # sit 3.3e-7 away (e.g. 4/12 -> 0.333333), VERDICT r12 #1
+        assert r.est_jaccard == round(steps / N_HASHES, 6)
         sa, sb = ref[r.doc_a], ref[r.doc_b]
         want_j = round(len(sa & sb) / len(sa | sb), 6)
         assert r.jaccard == want_j
