@@ -48,46 +48,46 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # WINDOW_STAGED_FOR only — green at every lifecycle point, including
 # after the driver writes this round's own evidence file.
 #
-# Round 12 rotates to the 47-id r7-evidence tail named in VERDICT r11
-# "Next round" #1 (aggregate/apply/scd core a04-a13 + ap07/ap10, the
-# TPC-H q1/q3/q5/q18 block, tokenizer bpe_* family, text quality core,
-# dq/maintenance audits), filled to exactly 50 with the round's new
-# operators — a query registered mid-round MUST be staged in
+# Round 13 rotates to the 50-id r8-evidence tail named in VERDICT r12
+# "Next round" #1 — the §2 row-transform/stateful/CDC-source heart
+# (rowops r01-r15, sorts s01-s05, stateful st01-st07, cf02-cf06,
+# j06-j08, the CDC source/sink ids, classic dedup/recall, events_hll_*,
+# graph_pagerank_dist, the two sampling ids) — last driver-sampled in
+# r8. The tail alone fills 50; any operator registered new this round
+# displaces an r8 id (non-strict oldest-tail ratchet: max(in)=8 ==
+# min(out)=8), because a query registered mid-round MUST be staged in
 # DRIVER_WINDOW or it stays never-sampled
 # (tests/test_registry_window.py fails loudly). Zero overlap with the
-# r11 sample by construction.
-WINDOW_STAGED_FOR = 12
+# r12 sample by construction.
+WINDOW_STAGED_FOR = 13
 
 # Exact 50-id window (exact match, not prefix — prefix staging risked
 # a new id silently colliding into the window, e.g. sample_fixed_n /
 # sample_fixed_n_by_lang share a prefix).
 DRIVER_WINDOW = [
-    # ---- the r12 driver window: the 47 r7-evidence ids ----
-    "a04_max_last_ts", "a05_next_id", "a06_min_max_filtered",
-    "a07_count_union", "a08_exists_count", "a09_percentiles",
-    "a10_pivot_report", "a11_rollup_report", "a13_cube_report",
-    "ap07_scd2_history", "ap10_pit_lookup",
-    "bench_q1_pricing", "bench_q3_shipping", "bench_q5_local_supplier",
-    "bench_q18_large_orders",
-    "bpe_fertility_by_lang", "bpe_merge_steps", "bpe_tokenize_count",
-    "cf01_lww", "j05_conflict_fullouter", "j09_bloom_prefilter_join",
-    "clf_calibration_by_length",
-    "corpus_shard_manifest",
-    "dedup_cluster_stats", "dedup_line_global", "dedup_rate_by_source",
-    "dq_constraint_report", "dq_profile_table",
-    "emb_covariance_topk", "emb_index_growth",
-    "events_decayed_engagement", "events_view_click_pairs",
-    "gopher_rate_by_source",
-    "maint_partition_stats", "maint_zorder_layout",
-    "mm_dedup_phash",
-    "plan_mapping_compile", "plan_mapping_roundtrip",
-    "retrieval_hard_negatives", "slice_length_mad",
-    "text_cms_error", "text_fingerprint", "text_gopher_rules",
-    "text_langid", "text_langid_eval", "text_quality", "text_tokens",
-    # fill block to exactly 50: the r12-new operators (first driver
-    # evidence for each)
-    "dedup_span_intervals", "corpus_decontam_incremental",
-    "ann_recall_ivf_stream",
+    # ---- the r13 driver window: the 50-id r8-evidence tail ----
+    # (when a new r13 operator registers, it swaps in here and
+    # displaces one same-round r8 id to the tail — non-strict ratchet)
+    "cf02_sys_priority", "cf03_field_merge", "cf04_upd_vs_del",
+    "cf05_policy_lookup", "cf06_pk_split",
+    "dedup_ppjoin_exact", "dedup_recall_corpuswide",
+    "events_hll_distinct", "events_hll_union", "events_pagerank",
+    "graph_pagerank_dist",
+    "j06_asof_join", "j07_range_join_bucketed", "j08_salted_skew_join",
+    "r01_filter_pending", "r02_project_rename", "r03_case_flag",
+    "r04_codemap_join", "r05_cast_date_ts", "r06_epoch_decode",
+    "r07_decimal_decode", "r08_default_coalesce", "r09_sha256_hash",
+    "r10_op_decode", "r11_pick_before_after", "r12_string_funcs",
+    "r13_ts_convert", "r14_to_json_preview", "r15_variant_extract",
+    "s01_order_by_seq", "s02_topn_desc", "s03_ring_buffer",
+    "s04_union_merge_sort", "s05_first_nonpk",
+    "sample_fixed_n_by_lang", "sample_systematic_pps",
+    "sink_cdc_append", "src_debezium_parse", "src_jdbc_lookup",
+    "src_jdbc_snapshot", "src_kafka_cdc", "src_point_lookup",
+    "src_schema_drift",
+    "st01_loop_dedup", "st02_state_upsert", "st03_state_ttl",
+    "st04_microbatch_trigger", "st05_late_and_order",
+    "st06_quarantine", "st07_backpressure_cfg",
     # ---- 50-query driver window ends here ----
 ]
 
@@ -98,18 +98,18 @@ DRIVER_WINDOW = [
 # classic dedup family) — recompute exactly from CORRECTNESS_r*.json
 # before staging.
 _PRIORITY_PREFIXES = [
-    "a0", "a1", "ap0", "bench_q1", "bench_q2",
+    "a0", "a1", "ap0", "ap1", "bench_q1", "bench_q2",
     "cf0", "j0",
     "corpus_", "sample_", "emb_", "events_", "text_",
     "dedup_", "dup_", "bench_",
     "graph_pagerank", "mm_", "pii_", "doc_", "seq_pack",
     "pack_padding", "train_order", "sim_", "ann_recall",
     "source_",
-    "r0", "r1", "s0",
     "st0",
-    "src_", "sink_", "pipeline_",
+    "sink_", "pipeline_",
     "retrieval_", "slice_",
     "sem_", "llm_", "dsir_",
+    "plan_", "clf_", "gopher_", "bpe_", "dq_", "maint_",
 ]
 
 
