@@ -236,8 +236,32 @@ def _band_pairs(
     ``lsh_bucket_cap[b<size>]``) — a QueryExecutionListener reads it
     per action, no silent cap; values pinned in
     tests/test_properties.py."""
-    band = _band_frame(mh, band_size)
-    keys = ["band_id", "band_key"]
+    return _salted_capped_pairs(
+        _band_frame(mh, band_size),
+        keys=["band_id", "band_key"],
+        cap=cap,
+        observe_name=f"lsh_bucket_cap[b{band_size}]",
+    )
+
+
+def _salted_capped_pairs(
+    band: DataFrame,
+    keys: list[str],
+    cap: int = LSH_BUCKET_CAP,
+    observe_name: str | None = None,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The ONE salted two-level grouped pair emission (mechanics and
+    buffer bounds documented on ``_band_pairs``), shared by the
+    production banding and the ``dedup_lsh_curve`` sweep so the
+    hot-bucket telemetry cannot drift between them (ADVICE r12: the
+    sweep's hand-copied emission had silently lost the observe).
+
+    ``keys`` are the bucket identity columns; ``carry`` is the subset
+    of keys to retain on the emitted pairs (e.g. ``band_size`` for the
+    tagged sweep); ``observe_name`` attaches the in-plan hot-bucket
+    metric (n_hot_buckets / max_bucket_n — exact even for buckets
+    whose ids were dropped at level 1)."""
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(_BP_SALTS))
     lvl1 = (
         band.groupBy(*keys, salt.alias("salt"))
@@ -254,25 +278,25 @@ def _band_pairs(
             "n_sub",
         )
     )
-    g = (
-        lvl1.groupBy(*keys)
-        .agg(
-            F.flatten(F.collect_list("sub")).alias("ids0"),
-            F.sum("n_sub").alias("n"),
-        )
-        .observe(
-            f"lsh_bucket_cap[b{band_size}]",
+    g = lvl1.groupBy(*keys).agg(
+        F.flatten(F.collect_list("sub")).alias("ids0"),
+        F.sum("n_sub").alias("n"),
+    )
+    if observe_name is not None:
+        g = g.observe(
+            observe_name,
             F.sum(
                 F.when(F.col("n") > cap, F.lit(1)).otherwise(F.lit(0))
             ).alias("n_hot_buckets"),
             F.max("n").cast("long").alias("max_bucket_n"),
         )
-        .filter((F.col("n") >= 2) & (F.col("n") <= cap))
-        .select(F.sort_array("ids0").alias("ids"))
+    g = g.filter((F.col("n") >= 2) & (F.col("n") <= cap)).select(
+        *carry, F.sort_array("ids0").alias("ids")
     )
     return (
-        g.select(F.explode("ids").alias("doc_a"), "ids")
+        g.select(*carry, F.explode("ids").alias("doc_a"), "ids")
         .select(
+            *carry,
             "doc_a",
             F.explode(
                 F.filter("ids", lambda y: y > F.col("doc_a"))
@@ -1718,47 +1742,20 @@ def dedup_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_size", F.lit(b).cast("bigint")
         )
         bands_all = f if bands_all is None else bands_all.unionByName(f)
-    # salted group-based pair emission, same recipe (and
-    # LSH_BUCKET_CAP / buffer bounds) as _band_pairs but keyed by
-    # (band_size, band_id, band_key): the sweep measures exactly the
-    # candidate stream the capped PRODUCTION banding emits at each
-    # size, and a degenerate bucket can blow up neither the emission
-    # nor any aggregation buffer (fixture buckets are far below the
-    # cap, so the capless one-shot oracle is unchanged)
-    ckeys = ["band_size", "band_id", "band_key"]
-    csalt = F.pmod(F.xxhash64("doc_id"), F.lit(_BP_SALTS))
-    clvl1 = (
-        bands_all.groupBy(*ckeys, csalt.alias("salt"))
-        .agg(
-            F.collect_list("doc_id").alias("sub"),
-            F.count("*").alias("n_sub"),
-        )
-        .select(
-            *ckeys,
-            F.when(F.col("n_sub") <= LSH_BUCKET_CAP, F.col("sub")).alias(
-                "sub"
-            ),
-            "n_sub",
-        )
-    )
-    pairs_all = (
-        clvl1.groupBy(*ckeys)
-        .agg(
-            F.flatten(F.collect_list("sub")).alias("ids"),
-            F.sum("n_sub").alias("n"),
-        )
-        .filter((F.col("n") >= 2) & (F.col("n") <= LSH_BUCKET_CAP))
-        .select("band_size", F.explode("ids").alias("doc_a"), "ids")
-        .select(
-            "band_size",
-            "doc_a",
-            F.explode(
-                F.filter("ids", lambda y: y > F.col("doc_a"))
-            ).alias("doc_b"),
-        )
-        .distinct()
-        .persist()
-    )
+    # the SHARED salted group-based pair emission (_salted_capped_pairs
+    # — same recipe, LSH_BUCKET_CAP and buffer bounds as _band_pairs)
+    # keyed by (band_size, band_id, band_key): the sweep measures
+    # exactly the candidate stream the capped PRODUCTION banding emits
+    # at each size, with the same hot-bucket observe telemetry (one
+    # metric across the tagged frame — a hot bucket at ANY size
+    # surfaces; fixture buckets are far below the cap, so the capless
+    # one-shot oracle is unchanged)
+    pairs_all = _salted_capped_pairs(
+        bands_all,
+        keys=["band_size", "band_id", "band_key"],
+        observe_name="lsh_bucket_cap[curve]",
+        carry=("band_size",),
+    ).persist()
     cand = pairs_all.groupBy("band_size").agg(
         F.count("*").cast("bigint").alias("n_candidates")
     )

@@ -1116,7 +1116,15 @@ def _streamed_ivf_frame(
     exercises BOTH the folded base and a live delta partition. Built
     once per session under a fresh scratch root (stale state from an
     older code version must never leak into an audit), then the
-    localCheckpointed frame is reused by every action."""
+    persisted frame is reused by every action.
+
+    Fault-tolerance (ADVICE r12): the memo is ``persist()``-ed, NOT
+    localCheckpointed, and the scratch root is removed at interpreter
+    exit rather than eagerly — so the frame's lineage stays rooted in
+    the on-disk parquet state for the whole session and a lost
+    executor's partitions recompute from durable files (a local
+    checkpoint is executor-local; rmtree-ing its source immediately
+    made the frame unrecoverable on a real cluster)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _STREAM_IVF_MEMO.get(key)
     if cached is not None:
@@ -1139,13 +1147,13 @@ def _streamed_ivf_frame(
         )
     idx.compact(_STREAM_IVF_BATCHES - 2)  # last batch stays a delta
     out = (
-        idx.index()
-        .select("vec_id", "v", "nrm", "cell_id")
-        # localCheckpoint materializes the streamed state into the
-        # session, so the scratch root is no longer read afterwards
-        .localCheckpoint()
+        idx.index().select("vec_id", "v", "nrm", "cell_id").persist()
     )
-    shutil.rmtree(root, ignore_errors=True)
+    # deferred cleanup: the persisted partitions must stay recomputable
+    # from the parquet state until the session ends (see docstring)
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     _STREAM_IVF_MEMO[key] = out
     return out
 
