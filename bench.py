@@ -218,6 +218,10 @@ BENCH_QUERIES = [
     "dedup_span_intervals",
     "corpus_decontam_incremental",
     "ann_recall_ivf_stream",
+    # round-13 additions (append-only)
+    "sem_dedup_incremental",
+    "emb_ivf_resplit",
+    "corpus_contamination_by_source",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is
@@ -653,7 +657,7 @@ def run(
 def summarize(result: dict) -> dict:
     """The short summary-only form of a run() result — every scalar the
     round-over-round comparison needs, none of the per-query maps."""
-    return {
+    out = {
         "metric": result["metric"],
         "unit": result["unit"],
         "n_queries": len(result.get("queries", {})),
@@ -676,6 +680,26 @@ def summarize(result: dict) -> dict:
         "value_median": result["value_median"],
         "value": result["value"],
     }
+    # like-for-like ratchet (VERDICT r12 #8): sum-of-mins over queries
+    # present in BOTH this run and the committed baseline, so the
+    # round-over-round total stops mixing new-query mass with drift —
+    # carried on the summary line because the driver tail-keeps only it
+    trend = result.get("trend") or {}
+    if "shared_total_now" in trend:
+        out["shared_total_prev"] = trend["shared_total_prev"]
+        out["shared_total_now"] = trend["shared_total_now"]
+        out["baseline_round"] = trend.get("baseline_round")
+    # warmup attribution (VERDICT r12 #3): warmup is a SINGLE unrepeated
+    # cold pass — unlike the min-of-interleaved-passes query numbers it
+    # has no noise floor, so a contended host inflates it by the full
+    # contention band. Naming the top builders on the summary line makes
+    # a driver-captured warmup_total self-attributing.
+    warm = result.get("warmup") or {}
+    if warm:
+        out["warmup_top3"] = {
+            k: warm[k] for k in sorted(warm, key=warm.get, reverse=True)[:3]
+        }
+    return out
 
 
 def main() -> None:

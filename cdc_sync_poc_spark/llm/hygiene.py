@@ -583,3 +583,104 @@ def corpus_decontam_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits").cast("double") / F.col("n_shingles"), 6
         ).alias("contamination_frac"),
     )
+
+
+@register(
+    "corpus_contamination_by_source",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*)::BIGINT AS n_hits
+  FROM sh s JOIN bench b USING (shingle)
+  WHERE s.doc_id % {BENCH_MOD} <> 0
+  GROUP BY s.doc_id
+),
+corpus AS (
+  SELECT c.doc_id, c.n AS n_shingles, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+  FROM scount c LEFT JOIN hits h USING (doc_id)
+  WHERE c.doc_id % {BENCH_MOD} <> 0
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN k.n_hits > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_contaminated,
+       round(CAST(sum(CASE WHEN k.n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS doc_rate,
+       sum(k.n_hits)::BIGINT AS n_hit_shingles,
+       sum(k.n_shingles)::BIGINT AS n_total_shingles,
+       round(CAST(sum(k.n_hits) AS DOUBLE) / sum(k.n_shingles), 6)
+         AS shingle_rate
+FROM corpus k JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def corpus_contamination_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source contamination ATTRIBUTION (VERDICT r12 "Next round"
+    #6c): roll corpus_contamination's per-document benchmark-overlap
+    hits up to the ingest-feed dimension — for each source, how many
+    of its corpus documents share any shingle with the benchmark
+    slice (doc_rate) and what fraction of its shingle mass is
+    benchmark-contaminated (shingle_rate). This is the table that
+    answers "WHICH feed is leaking the eval suite": a crawl that
+    re-syndicates benchmark hosts shows a high doc_rate long before
+    the corpus-wide contamination fraction moves, so the fix (drop or
+    re-filter that source) is targeted instead of corpus-wide.
+
+    The population is corpus documents that HAVE shingles (>= 3
+    words), matching corpus_contamination's denominator semantics;
+    benchmark-slice documents are excluded from every count.
+
+    Cross-engine exactness: both rates are single divisions of exact
+    BIGINT sums (never a sum of per-doc rounded doubles, whose
+    accumulation order differs between engines), rounded once.
+
+    Scale shape: reuses the shared shingle cache and the broadcast
+    benchmark set (module docstring — the corpus is never shuffled by
+    content); the per-doc hit counts are doc-keyed hash aggs, the
+    source rollup joins the (doc-bounded) per-doc frame to the
+    documents scan on doc_id and ends in a low-cardinality source
+    hash agg with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    scount = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    corpus = (
+        scount.filter(~is_bench)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+    contaminated = F.sum(
+        F.when(F.col("n_hits") > 0, 1).otherwise(0)
+    ).cast("bigint")
+    hit_sh = F.sum("n_hits").cast("bigint")
+    tot_sh = F.sum("n_shingles").cast("bigint")
+    return (
+        corpus.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            contaminated.alias("n_contaminated"),
+            F.round(
+                contaminated.cast("double") / F.count("*"), 6
+            ).alias("doc_rate"),
+            hit_sh.alias("n_hit_shingles"),
+            tot_sh.alias("n_total_shingles"),
+            F.round(hit_sh.cast("double") / tot_sh, 6).alias("shingle_rate"),
+        )
+    )

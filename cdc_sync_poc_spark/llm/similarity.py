@@ -1868,10 +1868,11 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEM_TAU = 0.35  # sem_dedup within-cell cosine threshold
 
-
-@register(
-    "sem_dedup",
-    oracle=f"""
+# One oracle for BOTH sem_dedup and sem_dedup_incremental: the
+# incremental delta decomposition must converge to the one-shot batch
+# answer, and the driver's exact compare against this shared SQL is
+# that proof (the corpus_decontam_incremental pattern).
+_SEM_DEDUP_ORACLE = f"""
 WITH {_ivf_cte_chain()},
 pairs AS (
   SELECT a.vec_id AS vid,
@@ -1884,8 +1885,10 @@ SELECT a1.vec_id, a1.cell_id,
        round(p.max_cos, 6) AS max_cos,
        coalesce(p.max_cos <= {SEM_TAU}, TRUE) AS kept
 FROM a1 LEFT JOIN pairs p ON a1.vec_id = p.vid
-""",
-)
+"""
+
+
+@register("sem_dedup", oracle=_SEM_DEDUP_ORACLE)
 def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
     clustering embeddings with the IVF coarse quantizer (k-means:
@@ -1928,6 +1931,81 @@ def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.select("vec_id", "cell_id")
         .join(pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.round("max_cos", 6).alias("max_cos"),
+            F.coalesce(F.col("max_cos") <= SEM_TAU, F.lit(True)).alias("kept"),
+        )
+    )
+
+
+SEM_WAVE_MOD = 2  # sem_dedup_incremental: vec_id % 2 -> arrival wave
+
+
+@register("sem_dedup_incremental", oracle=_SEM_DEDUP_ORACLE)
+def sem_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — the delta algebra a continuously-growing
+    embedding index needs (VERDICT r12 "Next round" #6a; the
+    corpus_decontam_incremental pattern applied to sem_dedup): split
+    arrivals into two waves (vec_id % {SEM_WAVE_MOD}) under the FROZEN
+    coarse quantizer and compute each vector's final max-cosine state
+    from three cell-keyed delta joins only, never a recompute of
+    wave-0 against wave-0:
+
+    1. wave-0 x wave-0 (the state after wave 0);
+    2. wave-1 arrivals x ALL lower-id index members (new vectors
+       screened on arrival — within-wave earlier arrivals included);
+    3. wave-0 x lower-id wave-1 arrivals (the RETRO screen: an
+       existing vector's nearest neighbor can be a NEW lower-id
+       arrival, so its max_cos — and its kept verdict — can flip
+       after the fact; decontam's retro-screen, embedding-side).
+
+    The three deltas PARTITION the (hi, lo<hi) same-cell pair set —
+    each pair lands in exactly one join — and per-pair cosine is the
+    identical fold sem_dedup runs, so max-of-deltas is bit-identical
+    to the batch max and the ORACLE is sem_dedup's SQL verbatim: the
+    driver compare proves the incremental decomposition converges.
+
+    Scale shape: every join is cell-keyed (quadratic term bounded per
+    cell like sem_dedup) and delta-driven — the wave-1 side of (2) and
+    (3) is only the new batch, so steady-state ingest cost is
+    O(batch x cell-occupancy), never O(corpus²) and never a wave-0
+    re-pass; max() is order-independent, so no cross-engine summation
+    hazard."""
+    n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
+    a = n.select(
+        "vec_id", _assign_col(cents1_rows).alias("cell_id"), "v", "nrm"
+    )
+    wave1 = F.col("vec_id") % SEM_WAVE_MOD == 1
+    w0, w1 = a.filter(~wave1), a.filter(wave1)
+    cos = F.expr(
+        "aggregate(zip_with(v, bv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, z) -> acc + z)"
+    ) / (F.col("nrm") * F.col("b_nrm"))
+
+    def lower_pairs(hi: DataFrame, lo: DataFrame) -> DataFrame:
+        b = lo.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("cell_id").alias("b_cell"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("b_nrm"),
+        )
+        return hi.join(
+            b,
+            (F.col("cell_id") == F.col("b_cell"))
+            & (F.col("b_id") < F.col("vec_id")),
+        ).select("vec_id", cos.alias("cos"))
+
+    deltas = (
+        lower_pairs(w0, w0)
+        .unionByName(lower_pairs(w1, a))
+        .unionByName(lower_pairs(w0, w1))
+    )
+    maxes = deltas.groupBy("vec_id").agg(F.max("cos").alias("max_cos"))
+    return (
+        a.select("vec_id", "cell_id")
+        .join(maxes, "vec_id", "left")
         .select(
             "vec_id",
             "cell_id",
@@ -2185,6 +2263,225 @@ def emb_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt((k * sumsq - tot * tot).cast("double")) / tot, 6
         ).alias("cv"),
+    )
+
+
+# emb_ivf_resplit: the nightly maintenance ACTION emb_index_growth's
+# decision table drives — re-split the heaviest cells. Top-K-by-
+# occupancy (not the emergency 2x-mean trigger, which a well-balanced
+# quantizer never fires — measured: max/mean is ~1.12 on every fixture
+# sf) is the steady-state policy: each window, the K largest cells pay
+# a cell-local 2-means re-layout so probe cost stays bounded as the
+# corpus grows.
+RESPLIT_TOP_K = 3
+RESPLIT_N_SUB = 2  # sub-cells per split
+SPLIT_LLOYD = 2  # per-cell Lloyd refinement rounds (unrolled in SQL)
+
+
+def _resplit_oracle() -> str:
+    """DuckDB mirror of emb_ivf_resplit: flagged = top-K cells of the
+    refined quantizer by occupancy; per cell, seed RESPLIT_N_SUB subs
+    from the lowest vec_ids and run SPLIT_LLOYD unrolled Lloyd rounds
+    (fixed-point BIGINT dimension sums — the _ivf_cte_chain recipe
+    keyed by (cell_id, sub_id)), then report the final sub membership."""
+    dim_sums = ", ".join(
+        f"CAST(sum(CAST(floor(v[{i + 1}] * {_FP_SCALE}) AS BIGINT))"
+        f" AS BIGINT) AS s{i}"
+        for i in range(EMB_DIM)
+    )
+    coords = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / ({_FP_SCALE} * cnt)" for i in range(EMB_DIM)
+    )
+    cos = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}),"
+        f" i -> m.v[i] * s.scv[i])) / (m.nrm * s.scn)"
+    )
+    blocks = [f"""{_ivf_cte_chain()},
+flagged AS (
+  SELECT cell_id, count(*)::BIGINT AS occ FROM a1 GROUP BY cell_id
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, cell_id)
+          <= {RESPLIT_TOP_K}),
+m AS (SELECT a.vec_id, a.cell_id, a.v, a.nrm
+      FROM a1 a JOIN flagged USING (cell_id)),
+sub0 AS (
+  SELECT cell_id,
+         row_number() OVER (PARTITION BY cell_id ORDER BY vec_id) - 1
+           AS sub_id,
+         v AS scv, nrm AS scn
+  FROM m
+  QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY vec_id)
+          <= {RESPLIT_N_SUB})"""]
+    for r in range(1, SPLIT_LLOYD + 1):
+        blocks.append(f"""asg{r} AS (
+  SELECT m.vec_id, m.cell_id, m.v, s.sub_id,
+         row_number() OVER (PARTITION BY m.cell_id, m.vec_id
+                            ORDER BY {cos} DESC, s.sub_id) AS rn
+  FROM m JOIN sub{r - 1} s USING (cell_id)),
+ssums{r} AS (
+  SELECT cell_id, sub_id, count(*)::BIGINT AS cnt, {dim_sums}
+  FROM asg{r} WHERE rn = 1 GROUP BY cell_id, sub_id),
+sub{r} AS (
+  SELECT cell_id, sub_id, scv,
+         sqrt(list_sum(list_transform(scv, x -> x * x))) AS scn
+  FROM (SELECT cell_id, sub_id, [{coords}]::DOUBLE[] AS scv
+        FROM ssums{r}))""")
+    blocks.append(f"""asgf AS (
+  SELECT m.vec_id, m.cell_id, s.sub_id,
+         row_number() OVER (PARTITION BY m.cell_id, m.vec_id
+                            ORDER BY {cos} DESC, s.sub_id) AS rn
+  FROM m JOIN sub{SPLIT_LLOYD} s USING (cell_id)),
+gf AS (SELECT cell_id, sub_id, count(*)::BIGINT AS n_members
+       FROM asgf WHERE rn = 1 GROUP BY cell_id, sub_id)""")
+    return "WITH " + ",\n".join(blocks) + f"""
+SELECT g.cell_id, g.sub_id, g.n_members,
+       round(CAST(g.n_members AS DOUBLE) / f.occ, 6) AS member_frac,
+       round(s.scn, 6) AS sub_nrm
+FROM gf g
+JOIN flagged f USING (cell_id)
+JOIN sub{SPLIT_LLOYD} s USING (cell_id, sub_id)
+"""
+
+
+def _sub_assign_col(subs) -> F.Column:
+    """Per-row argmax SUB id over a driver-local (cell_id, sub_id,
+    scv, scn) list, restricted to the row's own cell — _assign_col's
+    one-JSON-literal map-side trick with a filter-by-cell step, so
+    re-assignment during a split is still zero-shuffle pure map work.
+    Tie-break: cosc DESC then sub_id ASC via the negated-id struct."""
+    payload = json.dumps(
+        [
+            {
+                "c": int(cell),
+                "s": int(sub),
+                "scv": [float(x) for x in cv],
+                "scn": float(cn),
+            }
+            for cell, sub, cv, cn in subs
+        ],
+        separators=(",", ":"),
+    )
+    ddl = "array<struct<c:bigint,s:bigint,scv:array<double>,scn:double>>"
+    return -F.expr(
+        f"""array_max(transform(
+  filter(from_json('{payload}', '{ddl}'), e -> e.c = cell_id),
+  e -> struct(
+    aggregate(zip_with(v, e.scv, (x, y) -> x * y),
+              CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (nrm * e.scn)
+      AS cosc,
+    -e.s AS ns)))"""
+    ).getField("ns")
+
+
+@register("emb_ivf_resplit", oracle=_resplit_oracle())
+def emb_ivf_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell re-split — the maintenance ACTION behind
+    emb_index_growth's decision table (VERDICT r12 "Next round" #6b),
+    as a batch query: take the RESPLIT_TOP_K heaviest cells of the
+    refined quantizer and compute each one's deterministic 2-means
+    re-layout (seeds = the cell's RESPLIT_N_SUB lowest vec_ids,
+    SPLIT_LLOYD exact Lloyd rounds — the corpus quantizer's own recipe
+    scoped per cell, the same recipe
+    streaming/ann_index.py::StreamingIVFIndex.split_cell applies to
+    the on-disk index), reporting per (cell, sub) the final membership,
+    the split balance and the refined sub-centroid norm — the table a
+    maintenance job writes back as the new quantizer rows.
+
+    Cross-engine exactness: sub-centroid means use fixed-point BIGINT
+    dimension sums (order-independent), the norm/cosine folds are the
+    same sequential IEEE-double left folds both engines run, and every
+    argmax tie breaks (cosc DESC, sub_id ASC) on both sides. A sub
+    that empties in a round DROPS (its sums row vanishes identically
+    in both engines) rather than keeping a stale centroid — a
+    documented divergence from split_cell's keep-previous rule, which
+    exists there only to survive degenerate streams without crashing.
+
+    Scale shape: flagged-cell selection is an N_CELLS-row agg +
+    bounded driver sort; every Lloyd pass is map-only re-assignment
+    (one JSON-literal expression, zero shuffles) over the PERSISTED
+    flagged-member subset — O(flagged occupancy) per round, never the
+    corpus — plus one (K x RESPLIT_N_SUB x EMB_DIM)-row fixed-point
+    collect, the bounded centers exchange every distributed k-means
+    does. The final report is one tiny hash agg + two broadcast
+    literal-frame joins."""
+    n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
+    a = n.select(
+        "vec_id", _assign_col(cents1_rows).alias("cell_id"), "v", "nrm"
+    )
+    occ_rows = a.groupBy("cell_id").agg(F.count("*").alias("occ")).collect()
+    flagged = sorted(
+        ((int(r.occ), int(r.cell_id)) for r in occ_rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:RESPLIT_TOP_K]
+    occ_by_cell = {cell: occ for occ, cell in flagged}
+    m = a.filter(
+        F.col("cell_id").isin([cell for _, cell in flagged])
+    ).persist()
+    w = Window.partitionBy("cell_id").orderBy("vec_id")
+    seed_rows = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESPLIT_N_SUB)
+        .select("cell_id", (F.col("rn") - 1).alias("sub_id"), "v", "nrm")
+        .collect()
+    )
+    subs = [
+        (int(r.cell_id), int(r.sub_id), [float(x) for x in r.v], float(r.nrm))
+        for r in seed_rows
+    ]
+    for _ in range(SPLIT_LLOYD):
+        fp = m.select(
+            "cell_id",
+            _sub_assign_col(subs).alias("sub_id"),
+            F.expr(
+                f"transform(v, x -> CAST(floor(x * {_FP_SCALE!r}D) AS BIGINT))"
+            ).alias("fp"),
+        )
+        sums_rows = (
+            fp.select("cell_id", "sub_id", F.posexplode("fp").alias("i", "s"))
+            .groupBy("cell_id", "sub_id", "i")
+            .agg(F.sum("s").alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        by_sub: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums_rows:
+            by_sub.setdefault((int(r.cell_id), int(r.sub_id)), {})[
+                int(r.i)
+            ] = (int(r.s), int(r.cnt))
+        nxt = []
+        for cell, sub in sorted(by_sub):
+            dims = by_sub[(cell, sub)]
+            cv = [dims[i][0] / (_FP_SCALE * dims[i][1]) for i in range(EMB_DIM)]
+            acc = 0.0
+            for x in cv:
+                acc = acc + x * x
+            nxt.append((cell, sub, cv, math.sqrt(acc)))
+        subs = nxt
+    report = (
+        m.select("cell_id", _sub_assign_col(subs).alias("sub_id"))
+        .groupBy("cell_id", "sub_id")
+        .agg(F.count("*").alias("n_members"))
+    )
+    occf = literal_frame(
+        spark,
+        [(cell, occ) for occ, cell in flagged],
+        "cell_id bigint, occ bigint",
+    )
+    nrmf = literal_frame(
+        spark,
+        [(cell, sub, cn) for cell, sub, _cv, cn in subs],
+        "cell_id bigint, sub_id bigint, scn double",
+    )
+    return (
+        report.join(F.broadcast(occf), "cell_id")
+        .join(F.broadcast(nrmf), ["cell_id", "sub_id"])
+        .select(
+            "cell_id",
+            "sub_id",
+            "n_members",
+            F.round(
+                F.col("n_members").cast("double") / F.col("occ"), 6
+            ).alias("member_frac"),
+            F.round("scn", 6).alias("sub_nrm"),
+        )
     )
 
 

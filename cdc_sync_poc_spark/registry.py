@@ -65,13 +65,19 @@ WINDOW_STAGED_FOR = 13
 # a new id silently colliding into the window, e.g. sample_fixed_n /
 # sample_fixed_n_by_lang share a prefix).
 DRIVER_WINDOW = [
-    # ---- the r13 driver window: the 50-id r8-evidence tail ----
-    # (when a new r13 operator registers, it swaps in here and
-    # displaces one same-round r8 id to the tail — non-strict ratchet)
+    # ---- the r13 driver window ----
+    # the round's new operators (first driver evidence for each); each
+    # displaced one same-round r8-evidence EXTENSION id to the tail
+    # (displaced: events_hll_union, events_pagerank,
+    # sample_fixed_n_by_lang — all covered by tests/test_oracle_parity
+    # locally, none §2-core, legal under the non-strict ratchet)
+    "sem_dedup_incremental", "emb_ivf_resplit",
+    "corpus_contamination_by_source",
+    # the r8-evidence tail
     "cf02_sys_priority", "cf03_field_merge", "cf04_upd_vs_del",
     "cf05_policy_lookup", "cf06_pk_split",
     "dedup_ppjoin_exact", "dedup_recall_corpuswide",
-    "events_hll_distinct", "events_hll_union", "events_pagerank",
+    "events_hll_distinct",
     "graph_pagerank_dist",
     "j06_asof_join", "j07_range_join_bucketed", "j08_salted_skew_join",
     "r01_filter_pending", "r02_project_rename", "r03_case_flag",
@@ -81,7 +87,7 @@ DRIVER_WINDOW = [
     "r13_ts_convert", "r14_to_json_preview", "r15_variant_extract",
     "s01_order_by_seq", "s02_topn_desc", "s03_ring_buffer",
     "s04_union_merge_sort", "s05_first_nonpk",
-    "sample_fixed_n_by_lang", "sample_systematic_pps",
+    "sample_systematic_pps",
     "sink_cdc_append", "src_debezium_parse", "src_jdbc_lookup",
     "src_jdbc_snapshot", "src_kafka_cdc", "src_point_lookup",
     "src_schema_drift",
