@@ -91,3 +91,66 @@ def test_delta_merge_matches_batch_final_state(tmp_path):
         assert got == want
     finally:
         spark.stop()
+
+
+def test_merge_spec_conformance_without_delta(spark):
+    """VERDICT r12 #4: the MERGE branch's decision logic, asserted in
+    THIS environment. merge_batch_frame interprets the exact clause
+    spec DeltaMergeWriter binds into DeltaTable.merge (same
+    reduce_batch, same join condition, same clause conditions/value
+    expressions, same clause order) over a plain DataFrame — driving
+    batches plus a replay through it must land merge_final_state's
+    batch answer, including the idempotent-replay contract the Delta
+    transaction log provides for free."""
+    from pyspark.sql import functions as F
+
+    from cdc_sync_poc_spark.operators.apply import (
+        last_change_per_key,
+        merge_final_state,
+    )
+    from cdc_sync_poc_spark.sources.loader import load_table
+    from cdc_sync_poc_spark.streaming.delta_writer import merge_batch_frame
+
+    base = load_table(spark, SF_DIR, "customer")
+    # the fixture stream covers matched-delete / matched-update /
+    # insert-as-update / update-on-missing, but never exercises the
+    # actual INSERT clause or the idempotent delete-on-missing —
+    # augment with two synthetic keys beyond the base domain so EVERY
+    # clause row of the decision table fires in this test
+    max_pk = base.agg(F.max("c_custkey")).collect()[0][0]
+    extra = spark.createDataFrame(
+        [
+            (10_000_001, int(max_pk) + 1, "INSERT", 123.45),
+            (10_000_002, int(max_pk) + 2, "DELETE", 0.0),
+        ],
+        "cdc_seq long, pk long, operation string, val double",
+    )
+    changes = (
+        last_change_per_key(spark, SF_DIR)
+        .select("cdc_seq", "pk", "operation", "val")
+        .unionByName(extra)
+    )
+
+    state = base.select(
+        F.col("c_custkey").alias("pk"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    ).localCheckpoint()
+    # two batches split by pk parity (each key's changes land wholly in
+    # one batch), then a REPLAY of batch 1 — the interpreter must be
+    # replay-idempotent exactly like the transactional MERGE
+    b0 = changes.filter(F.col("pk") % 2 == 0)
+    b1 = changes.filter(F.col("pk") % 2 == 1)
+    for batch in (b0, b1, b1):
+        state = merge_batch_frame(state, batch).localCheckpoint()
+
+    got = {r.pk: (r.name, r.acctbal) for r in state.collect()}
+    want = {
+        r.pk: (r.name, r.acctbal)
+        for r in merge_final_state(base, changes).collect()
+    }
+    assert got == want
+    # the synthetic rows proved the remaining clauses: the new key WAS
+    # inserted, the missing-key DELETE stayed a no-op
+    assert got[int(max_pk) + 1] == (f"U{int(max_pk) + 1}", 123.45)
+    assert int(max_pk) + 2 not in got
