@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -1465,3 +1466,81 @@ def test_span_intervals_matches_reference(spark, docs):
     finally:
         hy.load_table = orig
     assert got == _span_intervals_reference(docs_words, SPAN_INT_WORDS)
+
+
+# ---- degenerate-corpus engine-parity sweep (VERDICT r12 #5) ----
+# The r12 lesson generalized: engine divergence hides in degenerate
+# inputs (0/0 divisions, empty aggregates, int64 overflow), so every
+# document-driven text_*/dedup_*/corpus_* query in the CURRENT driver
+# window must produce bit-identical Spark and DuckDB results over
+# three degenerate corpora. The id list is COMPUTED from the window so
+# rotating the window rotates the sweep.
+_DEGENERATE_CORPORA = {
+    "empty": [],
+    "single_one_char_doc": [(0, "x", "en", "src0", 1)],
+    "all_identical_docs": [
+        (i, "the same exact words repeat here verbatim every time",
+         "en", f"src{i % 2}", 51)
+        for i in range(6)
+    ],
+}
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _window_doc_queries() -> list[str]:
+    from cdc_sync_poc_spark.registry import (
+        DRIVER_WINDOW,
+        ORACLES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    return [
+        q
+        for q in DRIVER_WINDOW
+        if q.startswith(("text_", "dedup_", "corpus_")) and q in ORACLES
+    ]
+
+
+@pytest.mark.parametrize("fixture", sorted(_DEGENERATE_CORPORA))
+def test_degenerate_corpus_engine_parity(spark, fixture):
+    import unittest.mock as mock
+
+    import duckdb
+    import pandas as pd
+
+    from cdc_sync_poc_spark.registry import ORACLES, QUERIES
+    from tests.compare import compare_frames
+
+    rows = _DEGENERATE_CORPORA[fixture]
+    df = spark.createDataFrame(rows, _DOCS_SCHEMA)
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype(
+        {"doc_id": "int64", "text": "object", "lang": "object",
+         "source": "object", "n_chars": "int64"}
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    names = _window_doc_queries()
+    assert names, "window rotation left no document-driven sweep ids"
+    patches = [
+        mock.patch(f"cdc_sync_poc_spark.llm.{m}.load_table", return_value=df)
+        for m in ("dedup", "hygiene", "text", "text_stats", "curation",
+                  "preprocess", "lm_quality", "tokenizer")
+    ]
+    for p in patches:
+        p.start()
+    try:
+        for q in names:
+            try:
+                got = QUERIES[q](spark, "degenerate://fixture").toPandas()
+                want = con.sql(ORACLES[q]).df()
+                compare_frames(got, want)
+            except Exception as ex:  # noqa: BLE001 — name the query
+                raise AssertionError(
+                    f"degenerate parity failed for {q} on {fixture}: {ex}"
+                ) from ex
+    finally:
+        for p in patches:
+            p.stop()
