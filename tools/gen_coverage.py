@@ -47,7 +47,7 @@ GROUPS = [
       "dedup_winnowing_pairs", "dedup_precision_minhash",
       "dedup_cluster_stats", "dedup_line_global",
       "dedup_ppjoin_exact", "dedup_recall_corpuswide",
-      "dedup_span_intervals"]),
+      "dedup_span_intervals", "sem_dedup_incremental"]),
     ("M6: similarity search",
      ["sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_topk_all",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
@@ -56,7 +56,7 @@ GROUPS = [
       "emb_ivf_cell_balance",
       "emb_pq_error", "emb_pq_residual_error", "retrieval_rrf_fusion",
       "retrieval_hard_negatives", "emb_hard_negatives",
-      "ann_recall_ivf_stream"]),
+      "ann_recall_ivf_stream", "emb_ivf_resplit"]),
     ("M6: text analysis",
      ["text_langid", "text_langid_eval", "text_quality", "text_tokens",
       "text_fingerprint",
@@ -70,7 +70,8 @@ GROUPS = [
      ["sample_stratified", "sample_fixed_n", "corpus_mix_weights",
       "emb_quantize_error",
       "corpus_train_split", "corpus_contamination",
-      "corpus_decontam_incremental", "emb_norm_stats",
+      "corpus_decontam_incremental", "corpus_contamination_by_source",
+      "emb_norm_stats",
       "doc_length_quantiles", "slice_length_quantiles",
       "corpus_simpson_diversity",
       "corpus_vocab_growth", "emb_dim_stats", "emb_covariance_topk",

@@ -157,7 +157,13 @@ SECTIONS = [
     ("corpus_decontam_incremental",
      "Incremental decontamination: three delta joins only — both bench shingle sets BROADCAST (the retro join's build side is just the NEW bench delta), corpus side map-only explode + one doc-keyed additive sum; wave-0 corpus rows are never re-screened against known shingles"),
     ("ann_recall_ivf_stream",
-     "Streamed-IVF recall audit: probe side is the localCheckpointed state the foreachBatch maintainer accumulated (base + live delta), then the ann_recall_ivf shape — absolute query-budget sample, budget-bounded broadcasts, per-query windows over bounded candidate sets"),
+     "Streamed-IVF recall audit: probe side is the persisted state the foreachBatch maintainer accumulated (base + live delta; lineage stays rooted in the on-disk parquet until session end, so executor loss recomputes instead of voiding the memo — r13), then the ann_recall_ivf shape — absolute query-budget sample, budget-bounded broadcasts, per-query windows over bounded candidate sets"),
+    ("sem_dedup_incremental",
+     "Incremental SemDeDup: three cell-keyed delta joins that PARTITION the same-cell lower-id pair set (wave-0 state, on-arrival screen, retro screen) -> one per-vector max agg -> AQE-sized left join back; steady-state ingest is O(batch x cell-occupancy), wave-0 is never re-paired against itself"),
+    ("emb_ivf_resplit",
+     "IVF cell re-split: top-K-heaviest cells from one N_CELLS-row agg; each Lloyd pass is a ZERO-shuffle map-side re-assignment (per-cell sub-quantizer inlined as one JSON literal, filtered to the row's own cell) over the persisted flagged-member subset + one bounded fixed-point collect; final report = one tiny hash agg + two broadcast literal-frame joins"),
+    ("corpus_contamination_by_source",
+     "Contamination attribution: shared shingle cache + broadcast bench set (corpus never shuffled by content) -> doc-keyed hit/shingle-count hash aggs -> join to the documents scan on doc_id -> low-cardinality source agg; both rates are single divisions of exact BIGINT sums"),
 ]
 
 
