@@ -252,6 +252,31 @@ class MinDeltaStore(_KeyedFoldDeltaStore):
         self.min_cols = self.fold_cols
 
 
+class MaxDeltaStore(_KeyedFoldDeltaStore):
+    """Keyed max-fold — running-peak state (the streaming SemDeDup
+    maintainer keys vec_id -> max within-cell cosine seen so far).
+    Like min, max is associative, commutative AND idempotent, so even
+    a double-counted pair delta cannot corrupt this store — the
+    strongest replay story a keyed fold can have."""
+
+    _AGG = staticmethod(F.max)
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        max_cols: list[str],
+        ddl: str,
+        deltas_name: str = "deltas",
+        base_name: str = "base",
+    ) -> None:
+        super().__init__(
+            spark, root, key_cols, max_cols, ddl, deltas_name, base_name
+        )
+        self.max_cols = self.fold_cols
+
+
 class AppendDeltaStore(_DeltaStoreBase):
     """Append-only row sets — the union-fold twin of
     :class:`AdditiveDeltaStore`, extracted from the hand-rolled copies
