@@ -1544,3 +1544,83 @@ def test_degenerate_corpus_engine_parity(spark, fixture):
     finally:
         for p in patches:
             p.stop()
+
+
+# ---- degenerate-EMBEDDINGS engine parity (r13 extension of the sweep
+# above): the window's embedding-driven ops must agree with DuckDB on
+# degenerate vector corpora too. all_identical exercises
+# emb_ivf_resplit's drop-on-empty sub path (every cosine ties, sub 0
+# wins everything, sub 1 empties identically in both engines) and
+# sem_dedup's max_cos=1.0 ties; values are exact quarter multiples so
+# float32 -> float64 round-trips identically on both sides.
+def _qvec(vec_id: int) -> list[float]:
+    return [((vec_id * 37 + i) % 7 - 3) * 0.25 for i in range(64)]
+
+
+_DEGENERATE_EMBS = {
+    "empty": [],
+    "single_vector": [(0, _qvec(0), 0)],
+    "all_identical": [(i, _qvec(1), i % 2) for i in range(8)],
+    "two_cells_worth": [(i, _qvec(i), i % 3) for i in range(20)],
+}
+
+
+@pytest.mark.parametrize("fixture", sorted(_DEGENERATE_EMBS))
+def test_degenerate_embeddings_engine_parity(spark, fixture):
+    import unittest.mock as mock
+
+    import duckdb
+
+    from cdc_sync_poc_spark.registry import (
+        DRIVER_WINDOW,
+        ORACLES,
+        QUERIES,
+        load_all_queries,
+    )
+    from tests.compare import compare_frames
+
+    load_all_queries()
+    names = [
+        q
+        for q in DRIVER_WINDOW
+        if q.startswith(("sem_dedup", "emb_")) and q in ORACLES
+    ]
+    assert names, "window rotation left no embedding-driven sweep ids"
+
+    rows = _DEGENERATE_EMBS[fixture]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    # a typed Arrow table, NOT a pandas frame: an EMPTY object column
+    # would bind as VARCHAR in DuckDB and break the list arithmetic
+    import pyarrow as pa
+
+    tbl = pa.Table.from_pylist(
+        [
+            {"vec_id": v, "embedding": e, "label": lb}
+            for v, e, lb in rows
+        ],
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+    )
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    # distinct fake sf_dir per fixture: _IVF_MEMO keys on it
+    sf_tag = f"degenerate://emb/{fixture}"
+    with mock.patch(
+        "cdc_sync_poc_spark.llm.similarity.load_table", return_value=df
+    ):
+        for q in names:
+            try:
+                got = QUERIES[q](spark, sf_tag).toPandas()
+                want = con.sql(ORACLES[q]).df()
+                compare_frames(got, want)
+            except Exception as ex:  # noqa: BLE001 — name the query
+                raise AssertionError(
+                    f"degenerate parity failed for {q} on {fixture}: {ex}"
+                ) from ex
