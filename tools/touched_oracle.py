@@ -61,13 +61,57 @@ def changed_modules(base: str) -> list[str]:
     return mods
 
 
+def _importers_of(changed: set[str]) -> set[str]:
+    """Changed modules plus every package module that (transitively)
+    imports one of them — a rewritten HELPER must pull in the queries
+    registered by its consumers, not just its own module."""
+    import ast
+
+    # the registry is the aggregator: load_all_queries imports every
+    # registering module (registration side-effects, not data
+    # dependencies) and every module imports register() back — leaving
+    # it in the edge set makes the closure all-of-everything. Its own
+    # changes are window/ordering config, carried by the ratchet tests.
+    hub = "cdc_sync_poc_spark.registry"
+    pkg_root = REPO / "cdc_sync_poc_spark"
+    imports: dict[str, set[str]] = {}
+    for f in pkg_root.rglob("*.py"):
+        mod = str(f.relative_to(REPO))[: -len(".py")].replace("/", ".")
+        deps: set[str] = set()
+        try:
+            tree = ast.parse(f.read_text())
+        except SyntaxError:
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                deps.update(a.name for a in node.names)
+            elif isinstance(node, ast.ImportFrom) and node.module:
+                deps.add(node.module)
+        imports[mod] = {
+            d
+            for d in deps
+            if d.startswith("cdc_sync_poc_spark") and d != hub
+        }
+    imports[hub] = set()
+    affected = set(changed)
+    while True:
+        grown = affected | {
+            m for m, deps in imports.items() if deps & affected
+        }
+        if grown == affected:
+            return affected
+        affected = grown
+
+
 def queries_for_modules(mods: list[str]) -> list[str]:
     """Query ids whose registered callable is defined in (or wraps a
-    function from) one of the changed modules."""
+    function from) a changed module OR any module that transitively
+    imports one — a changed shared helper (e.g. llm/dedup._shingles)
+    taints every consumer's queries."""
     from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
 
     load_all_queries()
-    wanted = set(mods)
+    wanted = _importers_of(set(mods))
     hits = []
     for name, fn in QUERIES.items():
         mod = getattr(fn, "__module__", "")
