@@ -39,8 +39,18 @@ rows. Cosines are computed from the stored (v, nrm) doubles — parquet
 round-trips exactly, so the streamed verdicts are bit-identical to the
 batch query's.
 
-Reference parity: the reference ships no vector dedup; this extends the
-M6 training-data surface (SURVEY §7.1) like the other streaming twins.
+Cell-split interaction (documented limit, NOT implemented here):
+sem_dedup verdicts are defined WITHIN a cell, so splitting a cell
+(StreamingIVFIndex.split_cell — emb_ivf_resplit's action) refines the
+pair domain and can only ever LOWER a vector's true max_cos — which a
+monotone max store cannot express. Do not split cells under a live
+SemDeDup maintainer without also re-deriving the affected cells'
+max-cos state from the re-laid index (one cell-local pass, the same
+cost as the split itself); the store's per-batch partitioning makes
+"drop the affected keys' deltas and re-seed one" a partition-level
+operation when that maintenance path is built. Absent splits, verdicts
+here and in batch sem_dedup are identical (pinned by the convergence
+test).
 """
 
 from __future__ import annotations
