@@ -1253,7 +1253,16 @@ def test_minhash_estimate_bounds_and_exact_side(spark, texts):
         sa, sb = ref[r.doc_a], ref[r.doc_b]
         want_j = round(len(sa & sb) / len(sa | sb), 6)
         assert r.jaccard == want_j
-        assert abs(r.abs_err - round(abs(r.est_jaccard - len(sa & sb) / len(sa | sb)), 6)) <= 1e-6
+        # the engine rounds the RAW difference (llm/dedup.py:487:
+        # round(|est_raw - jac_raw|, 6)); recomputing the expectation
+        # from the rounded est_jaccard display column stacks two 6-dp
+        # roundings that can legitimately differ by exactly 1e-6, and
+        # float repr pushes that over a <= 1e-6 float bound (VERDICT
+        # r13 #1, falsifying example cached in .hypothesis/). Compare
+        # in integer micro-units with +-1 slack against the RAW
+        # estimate steps/N_HASHES instead.
+        raw_err = abs(steps / N_HASHES - len(sa & sb) / len(sa | sb))
+        assert abs(round(r.abs_err * 1e6) - round(raw_err * 1e6)) <= 1
 
 
 @given(
