@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
 from cdc_sync_poc_spark.sources.loader import literal_frame, load_table
+from cdc_sync_poc_spark.streaming.util import persisted
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -2421,12 +2422,16 @@ def emb_ivf_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: flagged-cell selection is an N_CELLS-row agg +
     bounded driver sort; every Lloyd pass is map-only re-assignment
-    (one JSON-literal expression, zero shuffles) over the PERSISTED
-    flagged-member subset — O(flagged occupancy) per round, never the
-    corpus — plus one (K x RESPLIT_N_SUB x EMB_DIM)-row fixed-point
-    collect, the bounded centers exchange every distributed k-means
-    does. The final report is one tiny hash agg + two broadcast
-    literal-frame joins."""
+    (one JSON-literal expression, zero shuffles) over the flagged-
+    member subset, persisted ONLY for the scope of the Lloyd loop
+    (released before returning — ADVICE r13 #4's leak was one stranded
+    cache entry per invocation) — O(flagged occupancy) per round,
+    never the corpus — plus one (K x RESPLIT_N_SUB x EMB_DIM)-row
+    fixed-point collect, the bounded centers exchange every
+    distributed k-means does. The final membership report is itself
+    a bounded (RESPLIT_TOP_K x RESPLIT_N_SUB)-row collect inside the
+    persisted scope, so the returned frame is literal-frame-only and
+    holds no reference to the cached subset."""
     n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
     a = n.select(
         "vec_id", _assign_col(cents1_rows).alias("cell_id"), "v", "nrm"
@@ -2436,53 +2441,71 @@ def emb_ivf_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((int(r.occ), int(r.cell_id)) for r in occ_rows),
         key=lambda t: (-t[0], t[1]),
     )[:RESPLIT_TOP_K]
-    occ_by_cell = {cell: occ for occ, cell in flagged}
-    m = a.filter(
-        F.col("cell_id").isin([cell for _, cell in flagged])
-    ).persist()
-    w = Window.partitionBy("cell_id").orderBy("vec_id")
-    seed_rows = (
-        m.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= RESPLIT_N_SUB)
-        .select("cell_id", (F.col("rn") - 1).alias("sub_id"), "v", "nrm")
-        .collect()
-    )
-    subs = [
-        (int(r.cell_id), int(r.sub_id), [float(x) for x in r.v], float(r.nrm))
-        for r in seed_rows
-    ]
-    for _ in range(SPLIT_LLOYD):
-        fp = m.select(
-            "cell_id",
-            _sub_assign_col(subs).alias("sub_id"),
-            F.expr(
-                f"transform(v, x -> CAST(floor(x * {_FP_SCALE!r}D) AS BIGINT))"
-            ).alias("fp"),
-        )
-        sums_rows = (
-            fp.select("cell_id", "sub_id", F.posexplode("fp").alias("i", "s"))
-            .groupBy("cell_id", "sub_id", "i")
-            .agg(F.sum("s").alias("s"), F.count("*").alias("cnt"))
+    with persisted(
+        a.filter(F.col("cell_id").isin([cell for _, cell in flagged]))
+    ) as m:
+        w = Window.partitionBy("cell_id").orderBy("vec_id")
+        seed_rows = (
+            m.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= RESPLIT_N_SUB)
+            .select("cell_id", (F.col("rn") - 1).alias("sub_id"), "v", "nrm")
             .collect()
         )
-        by_sub: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
-        for r in sums_rows:
-            by_sub.setdefault((int(r.cell_id), int(r.sub_id)), {})[
-                int(r.i)
-            ] = (int(r.s), int(r.cnt))
-        nxt = []
-        for cell, sub in sorted(by_sub):
-            dims = by_sub[(cell, sub)]
-            cv = [dims[i][0] / (_FP_SCALE * dims[i][1]) for i in range(EMB_DIM)]
-            acc = 0.0
-            for x in cv:
-                acc = acc + x * x
-            nxt.append((cell, sub, cv, math.sqrt(acc)))
-        subs = nxt
-    report = (
-        m.select("cell_id", _sub_assign_col(subs).alias("sub_id"))
-        .groupBy("cell_id", "sub_id")
-        .agg(F.count("*").alias("n_members"))
+        subs = [
+            (
+                int(r.cell_id),
+                int(r.sub_id),
+                [float(x) for x in r.v],
+                float(r.nrm),
+            )
+            for r in seed_rows
+        ]
+        for _ in range(SPLIT_LLOYD):
+            fp = m.select(
+                "cell_id",
+                _sub_assign_col(subs).alias("sub_id"),
+                F.expr(
+                    f"transform(v, x -> CAST(floor(x * {_FP_SCALE!r}D) AS BIGINT))"
+                ).alias("fp"),
+            )
+            sums_rows = (
+                fp.select(
+                    "cell_id", "sub_id", F.posexplode("fp").alias("i", "s")
+                )
+                .groupBy("cell_id", "sub_id", "i")
+                .agg(F.sum("s").alias("s"), F.count("*").alias("cnt"))
+                .collect()
+            )
+            by_sub: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+            for r in sums_rows:
+                by_sub.setdefault((int(r.cell_id), int(r.sub_id)), {})[
+                    int(r.i)
+                ] = (int(r.s), int(r.cnt))
+            nxt = []
+            for cell, sub in sorted(by_sub):
+                dims = by_sub[(cell, sub)]
+                cv = [
+                    dims[i][0] / (_FP_SCALE * dims[i][1])
+                    for i in range(EMB_DIM)
+                ]
+                acc = 0.0
+                for x in cv:
+                    acc = acc + x * x
+                nxt.append((cell, sub, cv, math.sqrt(acc)))
+            subs = nxt
+        rep_rows = (
+            m.select("cell_id", _sub_assign_col(subs).alias("sub_id"))
+            .groupBy("cell_id", "sub_id")
+            .agg(F.count("*").alias("n_members"))
+            .collect()
+        )
+    repf = literal_frame(
+        spark,
+        [
+            (int(r.cell_id), int(r.sub_id), int(r.n_members))
+            for r in rep_rows
+        ],
+        "cell_id bigint, sub_id bigint, n_members bigint",
     )
     occf = literal_frame(
         spark,
@@ -2495,7 +2518,7 @@ def emb_ivf_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id bigint, sub_id bigint, scn double",
     )
     return (
-        report.join(F.broadcast(occf), "cell_id")
+        repf.join(F.broadcast(occf), "cell_id")
         .join(F.broadcast(nrmf), ["cell_id", "sub_id"])
         .select(
             "cell_id",

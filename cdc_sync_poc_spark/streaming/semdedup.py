@@ -134,14 +134,16 @@ class StreamingSemDedup:
         """Fold both stores' batch partitions (small-file bound +
         probe-pruned base re-layout — each store's own recipe). Only
         compact batches whose checkpoint has committed (the shared
-        delta-store convention). Order matters for the crash window
-        BETWEEN the two folds: maxcos first — if the index were folded
-        first and a replay of a folded batch arrived before maxcos
-        folded, the replay would see an EMPTY arrival set (index reads
-        exclude folded partitions) and overwrite a still-live maxcos
-        delta with nothing; folded-maxcos-first leaves the replay
-        overwriting a partition its read path already ignores, with
-        byte-identical content either way."""
+        delta-store convention). The fold ORDER (maxcos first, index
+        second) is a belt-and-braces choice, not load-bearing: a
+        replay of a folded batch that lands in the crash window
+        between the two folds still recovers its arrival set from the
+        index store's FOLDED base, because AppendDeltaStore retains
+        the batch_id column through the fold — rows.filter(batch_id ==
+        bid) returns the batch's rows from the base and the recomputed
+        maxcos delta is byte-identical either way (ADVICE r13 #2
+        corrected the earlier claim that an index-first fold would
+        surface an empty arrival set)."""
         self.maxcos.compact(upto_batch_id)
         self.idx.compact(upto_batch_id)
 

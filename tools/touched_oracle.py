@@ -8,12 +8,17 @@ the exact driver-style Spark-vs-DuckDB comparison for those ids at
 sf0.01.
 
 Usage:
-    python tools/touched_oracle.py [BASE_REF] [--sf DIR] [extra ids...]
+    python tools/touched_oracle.py [BASE_REF] [--base REF] [--sf DIR]
+                                   [extra ids...]
 
 BASE_REF defaults to the last end-of-round snapshot reachable from
 HEAD (the most recent commit whose subject contains "end-of-round"),
 falling back to HEAD~1. Ids may also be passed explicitly to force
-queries into the pass regardless of the diff.
+queries into the pass regardless of the diff. A positional arg only
+counts as BASE_REF when ``git rev-parse --verify`` accepts it
+(ADVICE r13 #3: a query id that merely LOOKS like a sha, e.g. the
+8-char ``cf01_lww``, must land in the id list, not the diff base);
+``--base`` pins the ref unambiguously.
 """
 
 from __future__ import annotations
@@ -37,6 +42,19 @@ def _git(*args: str) -> str:
     return subprocess.run(
         ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
     ).stdout.strip()
+
+
+def _is_ref(candidate: str) -> bool:
+    """True iff git accepts ``candidate`` as a commit-ish. Replaces the
+    old length-in-(7,8,40) heuristic, which swallowed query ids like
+    ``cf01_lww`` as the diff base (ADVICE r13 #3)."""
+    return (
+        subprocess.run(
+            ["git", "rev-parse", "--verify", "--quiet", candidate + "^{commit}"],
+            cwd=REPO, capture_output=True, text=True,
+        ).returncode
+        == 0
+    )
 
 
 def default_base() -> str:
@@ -176,8 +194,9 @@ def main(argv: list[str]) -> int:
     for a in it:
         if a == "--sf":
             sf_dir = next(it)
-        elif base is None and ("/" in a or a.upper().startswith("HEAD")
-                               or len(a) in (7, 8, 40)) and not a.startswith("--"):
+        elif a == "--base":
+            base = next(it)
+        elif base is None and not a.startswith("--") and _is_ref(a):
             base = a
         else:
             extra.append(a)
