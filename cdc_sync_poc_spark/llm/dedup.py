@@ -814,8 +814,25 @@ def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         _CLUSTER_MEMO[key] = result
         return result
-    e1 = verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    e2 = verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    labels = _minlabel_fixpoint(verified)
+    result = labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    _CLUSTER_MEMO[key] = result
+    return result
+
+
+def _minlabel_fixpoint(pair_frame: DataFrame) -> DataFrame:
+    """Distributed Pregel-style min-label propagation over an
+    undirected (doc_a, doc_b) pair frame; returns (doc_id, lbl)
+    component labels — bit-identical to _local_components. Extracted
+    from _minhash_clusters so the incremental fold path reuses the
+    exact loop (same lineage-truncation and convergence-cap
+    discipline)."""
+    e1 = pair_frame.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    e2 = pair_frame.select(
+        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+    )
     # lineage truncation is what makes the iteration viable: without it
     # every round's logical plan nests the previous round's, and
     # analysis/planning time grows per round even though the data is
@@ -856,13 +873,94 @@ def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # from the recursive-CTE fixpoint oracle; fail loudly so a hash
         # mismatch is traceable to non-convergence, not arithmetic
         raise RuntimeError(
-            "dedup_minhash_cluster: min-label propagation did not "
-            f"converge within 50 rounds (changed={changed}); component "
-            "diameter exceeds the cap"
+            "min-label propagation did not converge within 50 rounds "
+            f"(changed={changed}); component diameter exceeds the cap"
         )
-    result = labels.select("doc_id", F.col("lbl").alias("cluster_id"))
-    _CLUSTER_MEMO[key] = result
-    return result
+    return labels
+
+
+CLUSTER_WAVE_MOD = 2  # dedup_minhash_cluster_incremental: doc_id % 2 -> wave
+
+
+@register(
+    "dedup_minhash_cluster_incremental",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES}
+SELECT src AS doc_id, min(r) AS cluster_id FROM reach GROUP BY src
+""",
+)
+def dedup_minhash_cluster_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup clustering — fold a new batch's verified
+    MinHash pairs into EXISTING cluster labels without recomputing the
+    base fixpoint (VERDICT r13 "Next round" #5c; the
+    sem_dedup_incremental pattern applied to connected components):
+    docs arrive in two waves (doc_id % {CLUSTER_WAVE_MOD}); wave-0
+    labels are the prior state, and the fold runs components over the
+    REDUCED graph of (a) one star edge per labeled base doc
+    (doc -> its wave-0 cluster label — contracting each base component
+    to its canonical survivor) plus (b) only the verified pairs that
+    touch a wave-1 doc. Contracting base components is
+    connectivity-preserving (base-only pairs connect strictly within
+    base components), and the node set is unchanged, so the folded
+    min-id labels are IDENTICAL to the one-shot clustering — the
+    oracle is dedup_minhash_cluster's recursive-CTE SQL verbatim and
+    the driver compare proves the fold converges.
+
+    Scale shape: steady-state ingest cost is components over
+    |labels| star edges (depth-1 stars — one propagation round
+    absorbs them) + |delta pairs| (bounded by the banded+verified
+    filter on the ARRIVING batch), never a re-walk of the base pair
+    graph; the same LOCAL_CC_MAX_PAIRS cutover as the batch path
+    gates driver union-find vs the distributed min-label loop
+    (_minlabel_fixpoint), and both phases reuse whichever path the
+    pair volume demands. Caches are scoped to the call (released
+    before returning; the fold's outputs are materialized by
+    collect/localCheckpoint, so lineage never re-reads them)."""
+    from collections import namedtuple
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
+    try:
+        verified = _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN).select(
+            "doc_a", "doc_b"
+        )
+        n_pairs = pairs.count()
+        w1a = F.col("doc_a") % CLUSTER_WAVE_MOD == 1
+        w1b = F.col("doc_b") % CLUSTER_WAVE_MOD == 1
+        base_pairs = verified.filter(~w1a & ~w1b)
+        delta_pairs = verified.filter(w1a | w1b)
+        if n_pairs <= LOCAL_CC_MAX_PAIRS:
+            P = namedtuple("P", ["doc_a", "doc_b"])
+            star = [
+                P(doc, lbl)
+                for doc, lbl in _local_components(base_pairs.collect())
+            ]
+            final = _local_components(
+                star
+                + [
+                    P(int(r.doc_a), int(r.doc_b))
+                    for r in delta_pairs.collect()
+                ]
+            )
+            return spark.createDataFrame(
+                final or [], "doc_id bigint, cluster_id bigint"
+            )
+        base_labels = _minlabel_fixpoint(base_pairs)
+        star_frame = base_labels.select(
+            F.col("doc_id").alias("doc_a"), F.col("lbl").alias("doc_b")
+        )
+        final_labels = _minlabel_fixpoint(
+            star_frame.unionByName(delta_pairs)
+        )
+        return final_labels.select(
+            "doc_id", F.col("lbl").alias("cluster_id")
+        )
+    finally:
+        pairs.unpersist()
+        sh.unpersist()
 
 
 @register(

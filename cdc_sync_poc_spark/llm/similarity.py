@@ -700,9 +700,11 @@ PROTO_PRUNE_FRAC = 0.25  # prune the most-prototypical quarter per cell
 _PROTO_BANDS = 256  # score-range bands for the two-level in-cell rank
 
 
-@register(
-    "emb_proto_prune",
-    oracle=f"""
+# One oracle for BOTH emb_proto_prune and emb_proto_prune_stream: the
+# streamed score store must reach byte-identical (vec_id, cell_id,
+# proto) state under the frozen quantizer (the _SEM_DEDUP_ORACLE /
+# _ANN_RECALL_IVF_ORACLE sharing pattern).
+_PROTO_PRUNE_ORACLE = f"""
 WITH {{ivf_chain}},
 s AS (
   SELECT a.vec_id, a.cell_id,
@@ -722,8 +724,10 @@ SELECT vec_id, cell_id,
        round(proto, 6) AS prototypicality,
        rn > CAST(ceil(nc * {PROTO_PRUNE_FRAC}::DOUBLE) AS BIGINT) AS keep
 FROM r
-""".format(ivf_chain=_ivf_cte_chain()),
-)
+""".format(ivf_chain=_ivf_cte_chain())
+
+
+@register("emb_proto_prune", oracle=_PROTO_PRUNE_ORACLE)
 def emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototypicality-based data pruning (the D4 / SSL-prototypes
     recipe: Sorscher et al. 2022, Tirumala et al. 2023): score every
@@ -752,13 +756,23 @@ def emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(cell, band) count frame. The oracle pins the identical rank
     as one flat window."""
     n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
+    d = n.select("vec_id", _assign_struct_col(cents1_rows).alias("mx")).select(
+        "vec_id",
+        (-F.col("mx").getField("nc")).alias("cell_id"),
+        F.col("mx").getField("cosc").alias("proto"),
+    )
+    return _proto_rank_frame(d)
+
+
+def _proto_rank_frame(scored: DataFrame) -> DataFrame:
+    """The banded two-level in-cell rank over any (vec_id, cell_id,
+    proto) frame — the body shared by the batch emb_proto_prune (scores
+    from the argmax map stage) and emb_proto_prune_stream (scores read
+    back from the streaming maintainer's store). See emb_proto_prune's
+    docstring for the full scale rationale; the rank itself is
+    score-source-agnostic."""
     d = (
-        n.select("vec_id", _assign_struct_col(cents1_rows).alias("mx"))
-        .select(
-            "vec_id",
-            (-F.col("mx").getField("nc")).alias("cell_id"),
-            F.col("mx").getField("cosc").alias("proto"),
-        )
+        scored
         # monotone: higher proto -> lower band; equal protos share a
         # band, so in-band (proto DESC, vec_id) + carry == flat rank.
         # The clamp absorbs cosine's float excursions beyond ±1.
@@ -828,6 +842,76 @@ def emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep",
         )
     )
+
+
+# per-(application, sf_dir) memo of the streamed score frame — the
+# ingest writes parquet state once per session (mirrors
+# _STREAM_IVF_MEMO; same batch split so the two maintainers model the
+# same arrival stream)
+_STREAM_PROTO_MEMO: dict = {}
+
+
+def _streamed_proto_frame(
+    spark: SparkSession, sf_dir: str, cents1_rows
+) -> DataFrame:
+    """(vec_id, cell_id, proto) as maintained by the STREAMING
+    prototypicality maintainer (streaming/proto_prune.py): the
+    embeddings table is driven through ``absorb_batch`` in the same
+    deterministic micro-batch split as the streamed IVF index
+    (vec_id % _STREAM_IVF_BATCHES), with a mid-stream ``compact()`` so
+    the read path exercises BOTH the folded base and a live delta
+    partition. Persist + atexit cleanup follow _streamed_ivf_frame's
+    fault-tolerance rationale (lineage rooted in durable parquet for
+    the whole session)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_PROTO_MEMO.get(key)
+    if cached is not None:
+        return cached
+    import shutil
+    import tempfile
+    import uuid
+
+    from cdc_sync_poc_spark.streaming.proto_prune import StreamingProtoPrune
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_proto_stream_{uuid.uuid4().hex}"
+    )
+    pp = StreamingProtoPrune(spark, root, cents_rows=cents1_rows)
+    embs = load_table(spark, sf_dir, "embeddings")
+    for b in range(_STREAM_IVF_BATCHES):
+        pp.absorb_batch(
+            embs.filter(F.col("vec_id") % _STREAM_IVF_BATCHES == b), b
+        )
+    pp.compact(_STREAM_IVF_BATCHES - 2)  # last batch stays a delta
+    out = pp.scored().persist()
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    _STREAM_PROTO_MEMO[key] = out
+    return out
+
+
+@register("emb_proto_prune_stream", oracle=_PROTO_PRUNE_ORACLE)
+def emb_proto_prune_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning read off the STREAMING maintainer
+    (VERDICT r13 "Next round" #5b) — emb_proto_prune with the score
+    source swapped from the batch argmax map stage to the state the
+    score-at-ingest maintainer actually accumulated (ingest batches +
+    compacted base + live delta). The oracle is the SAME one-shot SQL
+    as emb_proto_prune: scoring under a frozen quantizer is a pure row
+    function, so the streamed (vec_id, cell_id, proto) state must be
+    byte-identical to the batch map stage, and any ingest defect
+    (dropped batch, double-read delta, wrong assignment or score
+    expression, a fold that loses rows) surfaces as a rank/hash
+    mismatch in the driver gate. Why this maintainer has no delta
+    algebra — and why that is the correct streaming design here, not a
+    gap — is argued in streaming/proto_prune.py's module docstring.
+
+    Scale shape: the rank is the shared banded two-level prefix-sum
+    (_proto_rank_frame) over a 3-scalar-per-vector store; ingest cost
+    (one map stage per batch) is paid once per session."""
+    _n, _cents0, cents1_rows = _ivf_refined(spark, sf_dir)
+    return _proto_rank_frame(_streamed_proto_frame(spark, sf_dir, cents1_rows))
 
 
 # ABSOLUTE query budget for the recall audits and the hard-negative
@@ -1684,6 +1768,101 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(ANN_TOP_K)
         .select(
             "vec_id", "cell_id", F.round(F.col("adc_cos"), 6).alias("adc_cosine")
+        )
+    )
+
+
+# Retrieve-then-rerank candidate budget: the ADC probe hands this many
+# candidates to the exact re-scorer. A small constant multiple of the
+# final k is the standard refine ratio (FAISS's k_factor) — big enough
+# to recover ADC ranking inversions near the cut, small enough that the
+# exact pass touches a bounded candidate set, never the corpus.
+RERANK_CAND = 3 * ANN_TOP_K
+
+
+def _rerank_oracle() -> str:
+    exact_cos = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}),"
+        f" i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn)"
+    )
+    return f"""
+WITH {_ivf_cte_chain()},
+qc AS (SELECT cell_id FROM rk1
+       WHERE vec_id = {QUERY_VEC_ID} AND rn <= {N_PROBE_CELLS}),
+{_adc_oracle_ctes("n", "v", "adc")},
+cand AS (
+  SELECT a.vec_id, a.cell_id, a.v, a.nrm,
+         adc.adot / (a.nrm * q.qn) AS adc_cos
+  FROM a1 a JOIN qc USING (cell_id) JOIN adc USING (vec_id), q
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+  ORDER BY adc.adot / (a.nrm * q.qn) DESC, a.vec_id
+  LIMIT {RERANK_CAND}
+)
+SELECT vec_id, cell_id,
+       round({exact_cos}, 6) AS cosine,
+       round(adc_cos, 6) AS adc_cosine
+FROM cand c, q
+ORDER BY {exact_cos} DESC, vec_id
+LIMIT {ANN_TOP_K}
+"""
+
+
+@register("sim_rerank_exact_topk", oracle=_rerank_oracle())
+def sim_rerank_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank — the step that completes the IVF-PQ search
+    stack (VERDICT r13 "Next round" #5a): the ADC probe retrieves a
+    RERANK_CAND-deep candidate list from its compressed codes, then the
+    EXACT cosine re-scores only those candidates from their stored raw
+    vectors and emits the final top-ANN_TOP_K. This is the standard
+    refine pattern (FAISS IndexRefineFlat / k_factor) the recall audits
+    (ann_recall_ivfpq) measure the need for but never execute: ADC
+    ranking inversions near the cut are repaired by the exact pass, so
+    the output ranking is exact OVER the retrieved set while the corpus
+    is only ever touched through its PQ codes.
+
+    Scale shape: the retrieve stage is sim_ivfpq_topk's one map stage
+    (cell assignment + ADC sum in two constant-folded literals, probe
+    cells IN-filtered) ending in TakeOrderedAndProject(RERANK_CAND);
+    the rerank stage re-scores RERANK_CAND rows — a design constant,
+    O(1) in corpus size — whose raw vectors already ride in the
+    candidate rows (at rest: one bounded point-lookup join against the
+    vector store per candidate list). Both orderings break ties by
+    vec_id on both engines, so retrieve set AND final ranking are
+    deterministic cross-engine."""
+    n, cents0_rows, cents1_rows = _ivf_refined(spark, sf_dir)
+    assert N_CELLS >= PQ_K, "PQ seeds reuse the IVF seed rows"
+    seeds = sorted(cents0_rows, key=lambda r: int(r.cell_id))[:PQ_K]
+    qv, qn = _query_vec(n, cents0_rows)
+    probe = _probe_cells_for(qv, qn, cents1_rows)
+    adot = _adc_dot(
+        _adc_payload([(int(r.cell_id), r.cv) for r in seeds], qv), "v"
+    )
+    cand = (
+        n.select(
+            "vec_id", "v", "nrm", _assign_col(cents1_rows).alias("cell_id")
+        )
+        .filter(F.col("cell_id").isin(probe))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn(
+            "adc_cos", adot / (F.col("nrm") * F.lit(float(qn)))
+        )
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(RERANK_CAND)
+    )
+    qarr = "array(" + ",".join(f"{float(x)!r}D" for x in qv) + ")"
+    exact = F.expr(
+        f"aggregate(zip_with(v, {qarr}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    ) / (F.col("nrm") * F.lit(float(qn)))
+    return (
+        cand.withColumn("cosr", exact)
+        .orderBy(F.desc("cosr"), F.asc("vec_id"))
+        .limit(ANN_TOP_K)
+        .select(
+            "vec_id",
+            "cell_id",
+            F.round(F.col("cosr"), 6).alias("cosine"),
+            F.round(F.col("adc_cos"), 6).alias("adc_cosine"),
         )
     )
 

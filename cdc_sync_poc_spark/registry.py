@@ -48,71 +48,71 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # WINDOW_STAGED_FOR only — green at every lifecycle point, including
 # after the driver writes this round's own evidence file.
 #
-# Round 13 rotates to the 50-id r8-evidence tail named in VERDICT r12
-# "Next round" #1 — the §2 row-transform/stateful/CDC-source heart
-# (rowops r01-r15, sorts s01-s05, stateful st01-st07, cf02-cf06,
-# j06-j08, the CDC source/sink ids, classic dedup/recall, events_hll_*,
-# graph_pagerank_dist, the two sampling ids) — last driver-sampled in
-# r8. The tail alone fills 50; any operator registered new this round
-# displaces an r8 id (non-strict oldest-tail ratchet: max(in)=8 ==
-# min(out)=8), because a query registered mid-round MUST be staged in
-# DRIVER_WINDOW or it stays never-sampled
-# (tests/test_registry_window.py fails loudly). Zero overlap with the
-# r12 sample by construction.
-WINDOW_STAGED_FOR = 13
+# Round 14 rotates to the oldest staleness tail named in VERDICT r13
+# "Next round" #2: the 3 r8 stragglers (events_hll_union,
+# events_pagerank, sample_fixed_n_by_lang) + 44 of the 50 r9-evidence
+# ids — the §2 join/agg/apply core (j01-j04, a01-a03, ap01-ap06,
+# sink_target_apply, sink_audit_log, st08, pipeline_e2e) plus the
+# classic dedup/similarity/multimodal/packing cohort. The tail is 53
+# ids (> 50), so the non-strict oldest-tail ratchet (max(in)=9 ==
+# min(out)=9) splits the r9 cohort: the 3 new r14 operators displace
+# 6 r9 EXTENSION ids to the r15 tail (displaced: ann_recall_ivf,
+# ann_recall_ivfpq, ann_recall_lsh, ann_recall_truncated,
+# sim_ann_topk_all, sim_topk_bruteforce — all covered by
+# tests/test_oracle_parity locally, none §2-core).
+WINDOW_STAGED_FOR = 14
 
 # Exact 50-id window (exact match, not prefix — prefix staging risked
 # a new id silently colliding into the window, e.g. sample_fixed_n /
 # sample_fixed_n_by_lang share a prefix).
 DRIVER_WINDOW = [
-    # ---- the r13 driver window ----
-    # the round's new operators (first driver evidence for each); each
-    # displaced one same-round r8-evidence EXTENSION id to the tail
-    # (displaced: events_hll_union, events_pagerank,
-    # sample_fixed_n_by_lang — all covered by tests/test_oracle_parity
-    # locally, none §2-core, legal under the non-strict ratchet)
-    "sem_dedup_incremental", "emb_ivf_resplit",
-    "corpus_contamination_by_source",
-    # the r8-evidence tail
-    "cf02_sys_priority", "cf03_field_merge", "cf04_upd_vs_del",
-    "cf05_policy_lookup", "cf06_pk_split",
-    "dedup_ppjoin_exact", "dedup_recall_corpuswide",
-    "events_hll_distinct",
-    "graph_pagerank_dist",
-    "j06_asof_join", "j07_range_join_bucketed", "j08_salted_skew_join",
-    "r01_filter_pending", "r02_project_rename", "r03_case_flag",
-    "r04_codemap_join", "r05_cast_date_ts", "r06_epoch_decode",
-    "r07_decimal_decode", "r08_default_coalesce", "r09_sha256_hash",
-    "r10_op_decode", "r11_pick_before_after", "r12_string_funcs",
-    "r13_ts_convert", "r14_to_json_preview", "r15_variant_extract",
-    "s01_order_by_seq", "s02_topn_desc", "s03_ring_buffer",
-    "s04_union_merge_sort", "s05_first_nonpk",
-    "sample_systematic_pps",
-    "sink_cdc_append", "src_debezium_parse", "src_jdbc_lookup",
-    "src_jdbc_snapshot", "src_kafka_cdc", "src_point_lookup",
-    "src_schema_drift",
-    "st01_loop_dedup", "st02_state_upsert", "st03_state_ttl",
-    "st04_microbatch_trigger", "st05_late_and_order",
-    "st06_quarantine", "st07_backpressure_cfg",
+    # ---- the r14 driver window ----
+    # the round's new operators (first driver evidence for each)
+    "sim_rerank_exact_topk", "emb_proto_prune_stream",
+    "dedup_minhash_cluster_incremental",
+    # the 3 r8-evidence stragglers
+    "events_hll_union", "events_pagerank", "sample_fixed_n_by_lang",
+    # the r9-evidence tail (44 of 50)
+    "a01_global_counters", "a02_group_by_topic", "a03_group_by_status",
+    "ap01_merge_cdc", "ap02_ins_to_upd", "ap03_notfound_log",
+    "ap04_delete_idempotent", "ap05_exactly_once_mark",
+    "ap06_sequential_replay",
+    "bench_q2_mincost", "bench_q16_suppcnt", "bench_q17_small_qty",
+    "bench_q20_dominant",
+    "dedup_exact", "dedup_segment_boilerplate",
+    "doc_chunking", "doc_length_quantiles",
+    "emb_pq_error", "emb_pq_residual_error", "emb_proto_prune",
+    "graph_pagerank_mass",
+    "j01_broadcast_lookup", "j02_merge_upsert_join", "j03_antijoin_seen",
+    "j04_target_exists",
+    "mm_attach_meta", "mm_decode_features", "mm_frame_sample", "mm_resize",
+    "pack_padding_waste", "pii_redact", "pipeline_e2e",
+    "sample_cluster_balanced",
+    "seq_packing",
+    "sim_ann_lsh", "sim_ivf_topk", "sim_ivfpq_residual_topk",
+    "sim_ivfpq_topk",
+    "sink_audit_log", "sink_target_apply",
+    "source_orc_docs", "st08_quarantine_replay",
+    "text_gini_concentration", "train_order_shuffle",
     # ---- 50-query driver window ends here ----
 ]
 
 # Tail ordering behind the cutoff — staging order only, not evidence.
 # Prefix match, first hit wins; unmatched ids keep relative order at
-# the end. Next in line for r13: the 50-id r8-evidence tail (rowops
-# r01-r14, sorts s01-s05, stateful st01-st08, cdc sources, the
-# classic dedup family) — recompute exactly from CORRECTNESS_r*.json
+# the end. Next in line for r15: the 6 ids displaced this round
+# (ann_recall_*, sim_ann_topk_all, sim_topk_bruteforce) + the 50-id
+# r10-evidence tail — recompute exactly from CORRECTNESS_r*.json
 # before staging.
 _PRIORITY_PREFIXES = [
     "a0", "a1", "ap0", "ap1", "bench_q1", "bench_q2",
     "cf0", "j0",
     "corpus_", "sample_", "emb_", "events_", "text_",
     "dedup_", "dup_", "bench_",
-    "graph_pagerank", "mm_", "pii_", "doc_", "seq_pack",
-    "pack_padding", "train_order", "sim_", "ann_recall",
+    "graph_pagerank", "mm_", "sim_", "ann_recall",
     "source_",
+    "r0", "r1", "s0", "src_",
     "st0",
-    "sink_", "pipeline_",
+    "sink_",
     "retrieval_", "slice_",
     "sem_", "llm_", "dsir_",
     "plan_", "clf_", "gopher_", "bpe_", "dq_", "maint_",

@@ -1266,6 +1266,56 @@ def test_minhash_estimate_bounds_and_exact_side(spark, texts):
 
 
 @given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "gold"]),
+            min_size=3,
+            max_size=16,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_cluster_incremental_matches_batch(spark, texts):
+    """dedup_minhash_cluster_incremental's star-edge + delta-pair fold
+    must produce the IDENTICAL (doc_id, cluster_id) labels as the
+    one-shot batch clustering on ANY tiny corpus — the contraction
+    argument (base-only pairs connect strictly within base components)
+    asserted as a property, not just on the fixture. The batch side is
+    recomputed per example (its per-session memo is keyed by sf_dir,
+    so each example uses a distinct tag)."""
+    from cdc_sync_poc_spark.llm.dedup import (
+        _CLUSTER_MEMO,
+        dedup_minhash_cluster,
+        dedup_minhash_cluster_incremental,
+    )
+    from cdc_sync_poc_spark.registry import load_all_queries
+
+    load_all_queries()
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import unittest.mock as mock
+
+    _CLUSTER_MEMO.clear()  # the memo must not leak across examples
+    with mock.patch(
+        "cdc_sync_poc_spark.llm.dedup.load_table", return_value=df
+    ):
+        want = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup_minhash_cluster(spark, "prop://batch").collect()
+        }
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup_minhash_cluster_incremental(
+                spark, "prop://incr"
+            ).collect()
+        }
+    _CLUSTER_MEMO.clear()
+    assert got == want
+
+
+@given(
     batches=st.lists(
         st.lists(
             st.tuples(
@@ -1533,10 +1583,21 @@ def test_degenerate_corpus_engine_parity(spark, fixture):
     con.register("documents", pdf)
     names = _window_doc_queries()
     assert names, "window rotation left no document-driven sweep ids"
+    # patch EVERY llm module that imported load_table, discovered from
+    # the loaded module graph — a hardcoded module list silently missed
+    # newly rotated-in ids whose module wasn't on it (r14: the window
+    # brought in segment_stats' dedup_segment_boilerplate and the list
+    # didn't know the module)
+    import sys as _sys
+
+    llm_mods = [
+        name
+        for name, mod in list(_sys.modules.items())
+        if name.startswith("cdc_sync_poc_spark.llm.")
+        and hasattr(mod, "load_table")
+    ]
     patches = [
-        mock.patch(f"cdc_sync_poc_spark.llm.{m}.load_table", return_value=df)
-        for m in ("dedup", "hygiene", "text", "text_stats", "curation",
-                  "preprocess", "lm_quality", "tokenizer")
+        mock.patch(f"{m}.load_table", return_value=df) for m in llm_mods
     ]
     for p in patches:
         p.start()

@@ -535,6 +535,59 @@ def test_proto_prune_invariants(spark):
     assert len({r.vec_id for r in rows}) == len(rows)
 
 
+def test_rerank_refines_the_adc_candidate_list(spark):
+    """sim_rerank_exact_topk structural guarantees, independent of the
+    oracle: the output is exactly ANN_TOP_K rows drawn FROM the ADC
+    top-RERANK_CAND candidate list, ordered by exact cosine (ties by
+    vec_id never invert a score), and the exact pass is a genuine
+    refinement — its worst kept exact-cosine is >= the worst exact
+    cosine of the plain IVF-PQ top-k (re-scoring the same retrieve set
+    can only improve the exact ranking, never worsen it)."""
+    from tests.conftest import SF_DIR
+
+    from cdc_sync_poc_spark.llm.similarity import (
+        ANN_TOP_K,
+        RERANK_CAND,
+        _ivf_refined,
+        _query_vec,
+        normed_frame,
+    )
+    from cdc_sync_poc_spark.registry import QUERIES, load_all_queries
+    from cdc_sync_poc_spark.sources.loader import load_table
+
+    load_all_queries()
+    got = QUERIES["sim_rerank_exact_topk"](spark, SF_DIR).collect()
+    assert len(got) == ANN_TOP_K
+    cosines = [r.cosine for r in got]
+    assert all(a >= b for a, b in zip(cosines, cosines[1:]))
+
+    # exact cosines recomputed driver-side for every corpus vector
+    n, cents0_rows, _cents1 = _ivf_refined(spark, SF_DIR)
+    qv, qn = _query_vec(n, cents0_rows)
+    vecs = {
+        r.vec_id: (list(r.v), r.nrm)
+        for r in normed_frame(load_table(spark, SF_DIR, "embeddings"))
+        .select("vec_id", "v", "nrm")
+        .collect()
+    }
+
+    def exact(vid):
+        v, nrm = vecs[vid]
+        acc = 0.0
+        for x, y in zip(v, qv):
+            acc = acc + x * y
+        return acc / (nrm * qn)
+
+    # refinement law: ivfpq's top-k is the ADC-prefix of rerank's
+    # candidate set, so rerank (exact top-k over a SUPERSET) can never
+    # keep a worse exact cosine than the plain ADC ranking kept
+    ivfpq = QUERIES["sim_ivfpq_topk"](spark, SF_DIR).collect()
+    assert len(ivfpq) == ANN_TOP_K <= RERANK_CAND
+    worst_rerank = min(exact(r.vec_id) for r in got)
+    worst_plain = min(exact(r.vec_id) for r in ivfpq)
+    assert worst_rerank >= worst_plain - 1e-12
+
+
 def test_literal_frame_matches_createdataframe(spark):
     """literal_frame (JVM-side array-of-structs) must agree with
     createDataFrame on rows, schema types, and the typed-empty case —

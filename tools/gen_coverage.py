@@ -47,7 +47,8 @@ GROUPS = [
       "dedup_winnowing_pairs", "dedup_precision_minhash",
       "dedup_cluster_stats", "dedup_line_global",
       "dedup_ppjoin_exact", "dedup_recall_corpuswide",
-      "dedup_span_intervals", "sem_dedup_incremental"]),
+      "dedup_span_intervals", "sem_dedup_incremental",
+      "dedup_minhash_cluster_incremental"]),
     ("M6: similarity search",
      ["sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_topk_all",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
@@ -56,7 +57,8 @@ GROUPS = [
       "emb_ivf_cell_balance",
       "emb_pq_error", "emb_pq_residual_error", "retrieval_rrf_fusion",
       "retrieval_hard_negatives", "emb_hard_negatives",
-      "ann_recall_ivf_stream", "emb_ivf_resplit"]),
+      "ann_recall_ivf_stream", "emb_ivf_resplit",
+      "sim_rerank_exact_topk"]),
     ("M6: text analysis",
      ["text_langid", "text_langid_eval", "text_quality", "text_tokens",
       "text_fingerprint",
@@ -77,7 +79,8 @@ GROUPS = [
       "corpus_vocab_growth", "emb_dim_stats", "emb_covariance_topk",
       "corpus_shard_manifest", "slice_length_mad",
       "sample_systematic_pps", "sample_fixed_n_by_lang",
-      "sample_cluster_balanced", "emb_proto_prune"]),
+      "sample_cluster_balanced", "emb_proto_prune",
+      "emb_proto_prune_stream"]),
     ("M6: preprocessing & packing",
      ["pii_redact", "doc_chunking", "seq_packing", "pack_padding_waste",
       "train_order_shuffle", "text_rarity_score",

@@ -161,9 +161,15 @@ SECTIONS = [
     ("sem_dedup_incremental",
      "Incremental SemDeDup: three cell-keyed delta joins that PARTITION the same-cell lower-id pair set (wave-0 state, on-arrival screen, retro screen) -> one per-vector max agg -> AQE-sized left join back; steady-state ingest is O(batch x cell-occupancy), wave-0 is never re-paired against itself"),
     ("emb_ivf_resplit",
-     "IVF cell re-split: top-K-heaviest cells from one N_CELLS-row agg; each Lloyd pass is a ZERO-shuffle map-side re-assignment (per-cell sub-quantizer inlined as one JSON literal, filtered to the row's own cell) over the persisted flagged-member subset + one bounded fixed-point collect; final report = one tiny hash agg + two broadcast literal-frame joins"),
+     "IVF cell re-split: top-K-heaviest cells from one N_CELLS-row agg; each Lloyd pass is a ZERO-shuffle map-side re-assignment (per-cell sub-quantizer inlined as one JSON literal, filtered to the row's own cell) over the scope-persisted flagged-member subset (released before return — r14) + one bounded fixed-point collect; final report = one bounded (top-K x n_sub)-row collect -> literal-frame-only broadcast joins"),
     ("corpus_contamination_by_source",
      "Contamination attribution: shared shingle cache + broadcast bench set (corpus never shuffled by content) -> doc-keyed hit/shingle-count hash aggs -> join to the documents scan on doc_id -> low-cardinality source agg; both rates are single divisions of exact BIGINT sums"),
+    ("sim_rerank_exact_topk",
+     "Retrieve-then-rerank: sim_ivfpq_topk's ONE map stage (constant-folded cell assignment + ADC sum, probe-cell IN-filter) -> TakeOrderedAndProject(RERANK_CAND) -> exact-cosine re-score of the RERANK_CAND candidate rows (a design constant, O(1) in corpus size; raw vectors already ride in the candidate rows) -> TakeOrderedAndProject(k)"),
+    ("emb_proto_prune_stream",
+     "Streamed prototypicality prune: scores read from the score-at-ingest maintainer's store (3 scalars per vector — no raw vectors re-scanned at prune time), then the shared banded two-level prefix-sum rank; ingest itself is one zero-shuffle map stage per batch, paid once per session"),
+    ("dedup_minhash_cluster_incremental",
+     "Incremental near-dup clustering: components over the CONTRACTED graph only — one star edge per labeled base doc + the verified pairs touching the arriving wave — so steady-state fold cost is O(labels + delta pairs), never a re-walk of the base pair graph; same LOCAL_CC_MAX_PAIRS driver/distributed cutover as the batch path, caches released on return"),
 ]
 
 
