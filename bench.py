@@ -222,6 +222,10 @@ BENCH_QUERIES = [
     "sem_dedup_incremental",
     "emb_ivf_resplit",
     "corpus_contamination_by_source",
+    # round-14 additions (append-only)
+    "sim_rerank_exact_topk",
+    "emb_proto_prune_stream",
+    "dedup_minhash_cluster_incremental",
 ]
 
 # Bench-coverage ledger (VERDICT r6 #6): every registered query is
@@ -432,7 +436,46 @@ CACHE_WARMERS = [
     # localCheckpoints the index state — ~12 s of one-time ingest that
     # belongs in the attribution phase, not a headline pass
     "ann_recall_ivf_stream",
+    # first streamed-proto-prune call drives its score-at-ingest
+    # maintainer (same 3-batch split, lighter store: 3 scalars/vector)
+    "emb_proto_prune_stream",
 ]
+
+
+def _host_contention() -> dict:
+    """Machine-readable contention marker captured at run start
+    (VERDICT r13 #6): r12 and r13 both produced driver captures whose
+    headline needed after-the-fact archaeology to separate environment
+    contention from regression. 1-minute loadavg plus a count of
+    FOREIGN Spark JVMs (``org.apache.spark`` in /proc cmdlines —
+    excluding this process's own children, so a bench that owns its
+    session counts 0 on an idle host; a caller-provided session adds
+    its own JVM) lets a reader classify a slow capture from the JSON
+    alone. Never raises — a marker must not void the bench."""
+    out: dict = {}
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        out["loadavg_1m"] = None
+    try:
+        me = os.getpid()
+        n = 0
+        for d in os.listdir("/proc"):
+            if not d.isdigit() or int(d) == me:
+                continue
+            try:
+                with open(f"/proc/{d}/cmdline", "rb") as fh:
+                    cmd = fh.read()
+                with open(f"/proc/{d}/stat") as fh:
+                    ppid = int(fh.read().split(")")[-1].split()[1])
+            except OSError:
+                continue
+            if b"org.apache.spark" in cmd and ppid != me:
+                n += 1
+        out["foreign_spark_jvms"] = n
+    except OSError:
+        out["foreign_spark_jvms"] = None
+    return out
 
 
 def run(
@@ -443,6 +486,7 @@ def run(
 ) -> dict:
     """Run the bench and return the result dict (separated from main()
     so tests can drive it with a shared session)."""
+    contention = _host_contention()
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     load_all_queries()
@@ -643,6 +687,7 @@ def run(
         "reps": reps,
         "value_median": round(sum(medians.values()), 3),
         "value": round(sum(timings.values()), 3),
+        "contention": contention,
     }
     if errors or warm_errors:
         result["errors"] = {**warm_errors, **errors}
@@ -680,6 +725,11 @@ def summarize(result: dict) -> dict:
         "value_median": result["value_median"],
         "value": result["value"],
     }
+    # contention marker (VERDICT r13 #6) rides the summary line so the
+    # tail-kept driver capture is self-classifying: loadavg ~n_cpus or
+    # foreign JVMs > 0 at start -> read the headline as contended
+    if result.get("contention"):
+        out["contention"] = result["contention"]
     # like-for-like ratchet (VERDICT r12 #8): sum-of-mins over queries
     # present in BOTH this run and the committed baseline, so the
     # round-over-round total stops mixing new-query mass with drift —

@@ -915,52 +915,55 @@ def dedup_minhash_cluster_incremental(
     graph; the same LOCAL_CC_MAX_PAIRS cutover as the batch path
     gates driver union-find vs the distributed min-label loop
     (_minlabel_fixpoint), and both phases reuse whichever path the
-    pair volume demands. Caches are scoped to the call (released
-    before returning; the fold's outputs are materialized by
-    collect/localCheckpoint, so lineage never re-reads them)."""
+    pair volume demands.
+
+    Cache discipline: the shingle/pair caches here are the SAME
+    session-shared entries every dedup query builds — Spark's
+    CacheManager dedupes by logical plan, so caching them again
+    attaches to the existing entry rather than accumulating (the
+    resplit leak class needs per-invocation-DISTINCT plans). They are
+    deliberately NOT unpersisted on return: an unpersist here would
+    evict the shared entry out from under the rest of the dedup
+    family mid-session."""
     from collections import namedtuple
 
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
     pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
-    try:
-        verified = _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN).select(
-            "doc_a", "doc_b"
-        )
-        n_pairs = pairs.count()
-        w1a = F.col("doc_a") % CLUSTER_WAVE_MOD == 1
-        w1b = F.col("doc_b") % CLUSTER_WAVE_MOD == 1
-        base_pairs = verified.filter(~w1a & ~w1b)
-        delta_pairs = verified.filter(w1a | w1b)
-        if n_pairs <= LOCAL_CC_MAX_PAIRS:
-            P = namedtuple("P", ["doc_a", "doc_b"])
-            star = [
-                P(doc, lbl)
-                for doc, lbl in _local_components(base_pairs.collect())
+    verified = _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN).select(
+        "doc_a", "doc_b"
+    )
+    n_pairs = pairs.count()
+    w1a = F.col("doc_a") % CLUSTER_WAVE_MOD == 1
+    w1b = F.col("doc_b") % CLUSTER_WAVE_MOD == 1
+    base_pairs = verified.filter(~w1a & ~w1b)
+    delta_pairs = verified.filter(w1a | w1b)
+    if n_pairs <= LOCAL_CC_MAX_PAIRS:
+        P = namedtuple("P", ["doc_a", "doc_b"])
+        star = [
+            P(doc, lbl)
+            for doc, lbl in _local_components(base_pairs.collect())
+        ]
+        final = _local_components(
+            star
+            + [
+                P(int(r.doc_a), int(r.doc_b))
+                for r in delta_pairs.collect()
             ]
-            final = _local_components(
-                star
-                + [
-                    P(int(r.doc_a), int(r.doc_b))
-                    for r in delta_pairs.collect()
-                ]
-            )
-            return spark.createDataFrame(
-                final or [], "doc_id bigint, cluster_id bigint"
-            )
-        base_labels = _minlabel_fixpoint(base_pairs)
-        star_frame = base_labels.select(
-            F.col("doc_id").alias("doc_a"), F.col("lbl").alias("doc_b")
         )
-        final_labels = _minlabel_fixpoint(
-            star_frame.unionByName(delta_pairs)
+        return spark.createDataFrame(
+            final or [], "doc_id bigint, cluster_id bigint"
         )
-        return final_labels.select(
-            "doc_id", F.col("lbl").alias("cluster_id")
-        )
-    finally:
-        pairs.unpersist()
-        sh.unpersist()
+    base_labels = _minlabel_fixpoint(base_pairs)
+    star_frame = base_labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("lbl").alias("doc_b")
+    )
+    final_labels = _minlabel_fixpoint(
+        star_frame.unionByName(delta_pairs)
+    )
+    return final_labels.select(
+        "doc_id", F.col("lbl").alias("cluster_id")
+    )
 
 
 @register(
