@@ -39,18 +39,24 @@ rows. Cosines are computed from the stored (v, nrm) doubles — parquet
 round-trips exactly, so the streamed verdicts are bit-identical to the
 batch query's.
 
-Cell-split interaction (documented limit, NOT implemented here):
-sem_dedup verdicts are defined WITHIN a cell, so splitting a cell
-(StreamingIVFIndex.split_cell — emb_ivf_resplit's action) refines the
-pair domain and can only ever LOWER a vector's true max_cos — which a
-monotone max store cannot express. Do not split cells under a live
-SemDeDup maintainer without also re-deriving the affected cells'
-max-cos state from the re-laid index (one cell-local pass, the same
-cost as the split itself); the store's per-batch partitioning makes
-"drop the affected keys' deltas and re-seed one" a partition-level
-operation when that maintenance path is built. Absent splits, verdicts
-here and in batch sem_dedup are identical (pinned by the convergence
-test).
+Cell-split interaction (the r13 documented limit, CLOSED in r14 by
+``split_cell`` below): sem_dedup verdicts are defined WITHIN a cell,
+so splitting a cell (StreamingIVFIndex.split_cell — emb_ivf_resplit's
+action) refines the pair domain and can only ever LOWER a vector's
+true max_cos — which a monotone max store cannot express through its
+fold. ``split_cell`` therefore runs the split as ONE journaled
+maintenance action: quiesce-fold the max store (so every live key row
+sits in its base), journal the re-derive intent, run the index's own
+journaled split, then REPLACE the affected keys' state wholesale —
+anti-join the family's vec_ids out of the base and union in one
+cell-local max-cos pass over the re-laid index (the same bounded cost
+as the split itself). Replacement, not max-fold, is what lets a value
+go DOWN. Any crash is healed at construction: the index's journal
+restores the split first, then the re-derive journal replays the
+replacement — idempotent because it is a pure function of the
+re-laid index. Convergence with a mid-stream split is pinned in
+tests/test_streaming_semdedup.py against a one-shot recompute over
+the final index state.
 """
 
 from __future__ import annotations
@@ -71,12 +77,32 @@ _PAIR_COS = (
 )
 
 
+def _lower_pairs(hi: DataFrame, lo: DataFrame) -> DataFrame:
+    """(vec_id, cos) for every same-cell pair with a LOWER-id ``lo``
+    member — the one pair join both the per-batch screening deltas and
+    the post-split re-derive run. Inputs carry (vec_id, cell_id, v,
+    nrm)."""
+    b = lo.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell_id").alias("b_cell"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.expr(_PAIR_COS) / (F.col("nrm") * F.col("b_nrm"))
+    return hi.join(
+        b,
+        (F.col("cell_id") == F.col("b_cell"))
+        & (F.col("b_id") < F.col("vec_id")),
+    ).select("vec_id", cos.alias("cos"))
+
+
 class StreamingSemDedup:
     """foreachBatch body maintaining the shared IVF index and the
     per-vector running max within-cell cosine."""
 
     def __init__(self, spark: SparkSession, root: str, cents_rows=None) -> None:
         self.spark = spark
+        self.rederive_journal_path = os.path.join(root, "rederive_journal.json")
         self.idx = StreamingIVFIndex(
             spark, os.path.join(root, "ivf"), cents_rows=cents_rows
         )
@@ -89,6 +115,16 @@ class StreamingSemDedup:
             deltas_name="maxcos",
             base_name="maxcos_base",
         )
+        # heal a crash-interrupted split+re-derive: the index's own
+        # journal restored the split above (StreamingIVFIndex.__init__),
+        # so replaying the replacement from the re-laid index here is a
+        # pure idempotent recompute; if the crash landed BEFORE the
+        # index split even started, the replay replaces the family's
+        # state with values recomputed from the UNSPLIT layout — the
+        # same values it already holds (a no-op), and the caller's
+        # retried split_cell() redoes the whole action
+        if os.path.exists(self.rederive_journal_path):
+            self._apply_rederive()
 
     def absorb_batch(self, embs: DataFrame, batch_id: int) -> None:
         # 1. index the arrivals (idempotent partition overwrite); then
@@ -105,26 +141,12 @@ class StreamingSemDedup:
     def _write_max_delta(
         self, arrivals: DataFrame, prior: DataFrame, batch_id: int
     ) -> None:
-        def lower_pairs(hi: DataFrame, lo: DataFrame) -> DataFrame:
-            b = lo.select(
-                F.col("vec_id").alias("b_id"),
-                F.col("cell_id").alias("b_cell"),
-                F.col("v").alias("bv"),
-                F.col("nrm").alias("b_nrm"),
-            )
-            cos = F.expr(_PAIR_COS) / (F.col("nrm") * F.col("b_nrm"))
-            return hi.join(
-                b,
-                (F.col("cell_id") == F.col("b_cell"))
-                & (F.col("b_id") < F.col("vec_id")),
-            ).select("vec_id", cos.alias("cos"))
-
         visible = prior.unionByName(arrivals)
         delta = (
             # arrivals vs every lower-id member visible at arrival
-            lower_pairs(arrivals, visible)
+            _lower_pairs(arrivals, visible)
             # retro: stored vectors vs NEW lower-id arrivals
-            .unionByName(lower_pairs(prior, arrivals))
+            .unionByName(_lower_pairs(prior, arrivals))
             .groupBy("vec_id")
             .agg(F.max("cos").alias("max_cos"))
         )
@@ -146,6 +168,120 @@ class StreamingSemDedup:
         surface an empty arrival set)."""
         self.maxcos.compact(upto_batch_id)
         self.idx.compact(upto_batch_id)
+
+    def split_cell(
+        self, cell_id: int, upto_batch_id: int, n_sub: int = 2
+    ) -> list[int]:
+        """Split an overgrown cell under the LIVE maintainer — the
+        combined maintenance action that closes the r13 documented
+        limit (VERDICT r13 "Next round" #3): a split refines the pair
+        domain, so an affected vector's true max_cos can only drop,
+        and the monotone store needs its keys REPLACED, not max-folded.
+
+        Protocol (each step idempotent; crashes heal at construction):
+
+        1. quiesce-fold the max store to ``upto_batch_id`` — the last
+           ABSORBED batch (the caller quiesces ingest; enforced by
+           refusing to run while any newer delta partition is live,
+           since a live delta would max-fold a lowered key back up);
+        2. journal the re-derive intent (family cell ids, atomic
+           tmp+rename) BEFORE the index mutates — a crash after the
+           index split but before the replacement must leave a healing
+           marker, or the stale state the r13 docstring warned about
+           would persist silently;
+        3. run the index's own journaled split (its crash story is
+           its own — heal order at construction is index first, then
+           re-derive, so the replacement always reads a consistent
+           index);
+        4. replace the family's max-cos state from the re-laid index
+           (_apply_rederive), then drop the journal.
+
+        The family's sub ids are precomputed with the index's own
+        deterministic rule (first sub keeps ``cell_id``, the rest take
+        ids above the current max) and asserted against what the split
+        actually returns, so the journal can be written before step 3
+        without widening its schema. Returns the sub-cell ids."""
+        import json
+
+        self.maxcos.compact(upto_batch_id)
+        if os.path.isdir(self.maxcos.deltas_dir):
+            live = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(self.maxcos.deltas_dir)
+                if d.startswith("batch_id=")
+            ]
+            newer = [b for b in live if b > upto_batch_id]
+            if newer:
+                raise RuntimeError(
+                    "split_cell requires quiesced ingest: max-cos delta "
+                    f"partitions {sorted(newer)} are newer than "
+                    f"upto_batch_id={upto_batch_id} and would re-raise "
+                    "replaced keys — pass the last absorbed batch id"
+                )
+        by_id = sorted(
+            int(c.cell_id) for c in self.idx.centroids()
+        )
+        expected_ids = [int(cell_id)] + [
+            by_id[-1] + 1 + i for i in range(n_sub - 1)
+        ]
+        tmp = self.rederive_journal_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"cells": expected_ids}, fh)
+        os.replace(tmp, self.rederive_journal_path)
+        try:
+            new_ids = self.idx.split_cell(cell_id, n_sub)
+        except Exception:
+            # the index rejects bad splits (unknown cell, empty index)
+            # BEFORE writing its own journal; if so the layout never
+            # changed and our re-derive marker is pure debris — drop it
+            # rather than leave a no-op heal for every future construct
+            if not os.path.exists(self.idx.journal_path):
+                os.remove(self.rederive_journal_path)
+            raise
+        assert new_ids == expected_ids, (new_ids, expected_ids)
+        self._apply_rederive()
+        return new_ids
+
+    def _apply_rederive(self) -> None:
+        """Replace the journaled family cells' max-cos state with one
+        cell-local pair pass over the (re-laid) index, then remove the
+        journal. Pure function of the index state — safe to replay
+        after any crash, including one where the index split never
+        started (the recomputed values then equal the stored ones)."""
+        import json
+
+        with open(self.rederive_journal_path) as fh:
+            fam = [int(c) for c in json.load(fh)["cells"]]
+        rows = (
+            self.idx.index()
+            .filter(F.col("cell_id").isin(fam))
+            .select("vec_id", "cell_id", "v", "nrm")
+        )
+        with persisted(rows) as members:
+            derived = (
+                _lower_pairs(members, members)
+                .groupBy("vec_id")
+                .agg(F.max("cos").alias("max_cos"))
+            )
+            affected = members.select("vec_id").distinct()
+            base = self.maxcos.base.read()
+            if base is not None:
+                upto_row = base.agg(F.max("upto").alias("u")).collect()[0]
+                upto = int(upto_row.u) if upto_row.u is not None else 0
+                new_base = (
+                    base.select("vec_id", "max_cos", "upto")
+                    .join(affected, "vec_id", "left_anti")
+                    .unionByName(
+                        derived.withColumn(
+                            "upto", F.lit(upto).cast("long")
+                        )
+                    )
+                )
+                self.maxcos.base.swap(new_base)
+            # base None: nothing was ever folded, and the quiesce guard
+            # means nothing is live in deltas either — no state to
+            # replace (a split of a never-screened index)
+        os.remove(self.rederive_journal_path)
 
     def semdedup(self, tau: float = SEM_TAU) -> DataFrame:
         """Current per-vector verdicts — same columns and values as the
