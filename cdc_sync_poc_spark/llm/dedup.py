@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_sync_poc_spark.registry import register
-from cdc_sync_poc_spark.sources.loader import load_table
+from cdc_sync_poc_spark.sources.loader import literal_frame, load_table
 
 N_HASHES = 12
 BAND_SIZE = 4  # minhash: 3 bands of 4 -> s-curve threshold ~ (1/3)^(1/4) ~ 0.76
@@ -951,8 +951,11 @@ def dedup_minhash_cluster_incremental(
                 for r in delta_pairs.collect()
             ]
         )
-        return spark.createDataFrame(
-            final or [], "doc_id bigint, cluster_id bigint"
+        # literal_frame, not createDataFrame: this branch runs per
+        # invocation (no memo), and the Python-RDD round trip costs
+        # ~0.3-0.5 s per bench rep (sources/loader.py rationale)
+        return literal_frame(
+            spark, final, "doc_id bigint, cluster_id bigint"
         )
     base_labels = _minlabel_fixpoint(base_pairs)
     star_frame = base_labels.select(

@@ -655,6 +655,34 @@ def test_cluster_distributed_path_matches_unionfind(spark, monkeypatch):
     assert fast and dist == fast
 
 
+def test_cluster_incremental_distributed_fold_matches_driver_path(
+    spark, monkeypatch
+):
+    """Same CI gap for the INCREMENTAL fold: at fixture scale the pair
+    volume always takes the driver union-find branch, so the
+    distributed star-edge + delta-pair fixpoint (the 100 TB path)
+    would never run. Force the gate to 0 and assert the distributed
+    fold produces the identical labels as the driver branch (which the
+    oracle gate already proves equal to the one-shot clustering)."""
+    from cdc_sync_poc_spark.llm import dedup as dd
+    from tests.conftest import SF_DIR
+
+    driver = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.dedup_minhash_cluster_incremental(
+            spark, SF_DIR
+        ).collect()
+    }
+    monkeypatch.setattr(dd, "LOCAL_CC_MAX_PAIRS", 0)
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.dedup_minhash_cluster_incremental(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert driver and dist == driver
+
+
 def test_threshold_curve_consistency_laws(spark):
     """dedup_threshold_curve's internal consistency: the sweep is
     monotone non-increasing in tau on every measure, and its
