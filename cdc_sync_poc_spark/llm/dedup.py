@@ -930,8 +930,15 @@ def dedup_minhash_cluster_incremental(
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
     pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
-    verified = _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN).select(
-        "doc_a", "doc_b"
+    # persisted like sh/pairs (same session-shared plan-keyed entry
+    # discipline): the verify join is the only data-proportional stage
+    # left in this query, and every later invocation — and the batch
+    # cluster build, whose verified plan is identical — reads the
+    # cached pair set instead of re-joining shingle sets
+    verified = (
+        _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+        .persist()
     )
     n_pairs = pairs.count()
     w1a = F.col("doc_a") % CLUSTER_WAVE_MOD == 1

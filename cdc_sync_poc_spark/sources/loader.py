@@ -155,6 +155,65 @@ def literal_frame(spark: SparkSession, rows, schema) -> DataFrame:
         return spark.range(0).select(
             *[cell(None, n, t or "string") for n, t in fields]
         )
+    # Larger scalar literals ship as ONE from_json string (the
+    # _cents_frame trick generalized): the per-cell Column path below
+    # pays one py4j round trip per lit/cast/alias — measured ~1 s for
+    # a 131x2 frame, a PER-REP cost for queries that rebuild their
+    # driver-computed result frame each invocation — while a single
+    # constant-folded from_json literal is ~0.05 s regardless of row
+    # count. Only JSON-exact cell types take this path (ints are
+    # arbitrary-precision in both encoders; float repr round-trips
+    # shortest-form through Double.parseDouble bit-identically, the
+    # same guarantee _assign_struct_col's payload relies on); anything
+    # else — timestamps, dates, decimals, nested arrays — keeps the
+    # literal-cell path.
+    import json
+
+    def _json_exact(v, t) -> bool:
+        # value/type pairs whose JSON round trip is provably identical
+        # to lit+cast: JSON null -> null; Python int -> JSON int ->
+        # integral parse (arbitrary precision both sides); str -> JSON
+        # string (escaped, parsed verbatim); bool -> true/false;
+        # double parses the shortest repr correctly-rounded. float32
+        # is deliberately EXCLUDED (parse-string-to-float vs
+        # double-then-narrow can double-round differently), as is any
+        # cross-type pair like int-for-boolean the cast path coerces
+        # but a JSON parse nulls out.
+        if v is None:
+            return True
+        t = (t or "").lower()
+        if t in ("bigint", "long", "int", "integer", "smallint", "tinyint"):
+            return isinstance(v, int) and not isinstance(v, bool)
+        if t == "double":
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+        if t == "string":
+            return isinstance(v, str)
+        if t == "boolean":
+            return isinstance(v, bool)
+        return False
+
+    if (
+        isinstance(schema, str)
+        and all(t for _, t in fields)
+        and len(rows) * len(fields) > 64
+        and all(
+            _json_exact(v, t)
+            for r in rows
+            for v, (_n, t) in zip(r, fields)
+        )
+    ):
+        payload = json.dumps(
+            [dict(zip((n for n, _ in fields), r)) for r in rows],
+            separators=(",", ":"),
+        )
+        struct_ddl = ",".join(f"{n}:{t}" for n, t in fields)
+        return spark.range(1).select(
+            F.inline(
+                F.from_json(
+                    F.lit(payload), f"array<struct<{struct_ddl}>>"
+                )
+            )
+        )
     arr = F.array(
         *[
             F.struct(*[cell(v, n, t) for v, (n, t) in zip(r, fields)])

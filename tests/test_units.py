@@ -628,6 +628,36 @@ def test_literal_frame_matches_createdataframe(spark):
     ]
     assert empty.count() == 0
 
+    # the LARGE-literal from_json fast path (cells > 64) must be
+    # value- and schema-identical to both the cell path and
+    # createDataFrame — including negative ints, awkward strings
+    # (quotes, unicode, JSON-meaningful braces), exact doubles, bools
+    # and NULLs. Doubles chosen non-representable (0.1 etc.) so the
+    # shortest-repr JSON round trip is actually exercised.
+    big_rows = [
+        (
+            i - 50,
+            f'q"{i}é{{}}',
+            (i * 0.1) if i % 5 else None,
+            i % 2 == 0,
+        )
+        for i in range(120)
+    ]
+    big_ddl = "k bigint, s string, x double, f boolean"
+    got_big = literal_frame(spark, big_rows, big_ddl)
+    ref_big = spark.createDataFrame(big_rows, big_ddl)
+    assert [(f.name, f.dataType) for f in got_big.schema.fields] == [
+        (f.name, f.dataType) for f in ref_big.schema.fields
+    ]
+    assert sorted(map(tuple, got_big.collect())) == sorted(
+        map(tuple, ref_big.collect())
+    )
+    # a value the JSON parse would silently null out (bool in a bigint
+    # column) must fall back to the cell path, not diverge
+    odd = [(True, "x", 0.5, True)] * 40
+    got_odd = literal_frame(spark, odd, big_ddl)
+    assert got_odd.collect()[0].k == 1  # lit+cast semantics preserved
+
 
 def test_cluster_distributed_path_matches_unionfind(spark, monkeypatch):
     """The r11 union-find fast path handles every corpus below
