@@ -22,18 +22,23 @@ the PROTO_PRUNE_FRAC cut — is a read-side view over the stored scores
 (ranks shift as cells grow, so materializing them would be rework per
 batch; scores never shift, so materializing them is pure savings).
 
-Interaction with cell re-split: after StreamingIVFIndex.split_cell
-re-routes a cell, stored scores for that cell are stale (score =
-cosine to the RETIRED centroid). Unlike SemDeDup's monotone max —
-which cannot be lowered and needs a delta re-derive protocol — a
-stale score is repaired by one re-scoring pass over the split cells'
-members (the score is a pure row function of (v, quantizer)); because
-this store is append-only (stale rows cannot be superseded in place),
-the repair is a store rebuild scoped to the affected cells: fold, drop
-the split cells' rows, append their re-scored rows. Not wired here —
-splits are an offline maintenance action, and the maintainers are
-composed by the job that runs the split (the same ownership split as
-streaming/ann_index.py's split_cell).
+Interaction with cell re-split (``rederive_cells`` below): after
+StreamingIVFIndex.split_cell re-routes a cell, stored scores for that
+cell are stale (score = cosine to the RETIRED centroid) and the
+maintainer's own frozen centroid list is stale for FUTURE arrivals.
+Unlike SemDeDup's monotone max — whose fold can never lower a value —
+a stale score is repaired by one re-scoring pass over the split
+cells' re-laid members (the score is a pure row function of
+(v, quantizer)); because this store is append-only, the repair is a
+quiesce-folded base swap scoped to the affected cells: drop the
+family's rows, union their re-scored rows, adopt the post-split
+quantizer for subsequent batches. The method is a pure idempotent
+replacement, so a crash between the index split and the repair is
+healed by simply re-running it; the self-healing journaled
+composition (for a maintainer that OWNS its index) is
+StreamingSemDedup.split_cell — here the index is a sibling consumer
+of the same arrival stream, so the crash marker belongs to the
+maintenance job that orchestrates both.
 
 Scale shape: ingest is ONE map stage per batch (constant-folded
 centroid literal, zero shuffles, zero data collects); the store holds
@@ -109,3 +114,70 @@ class StreamingProtoPrune:
         from cdc_sync_poc_spark.llm.similarity import _proto_rank_frame
 
         return _proto_rank_frame(self.scored())
+
+    def rederive_cells(
+        self,
+        fam_cells: list[int],
+        members: DataFrame,
+        sub_cents,
+        new_cents,
+        upto_batch_id: int,
+    ) -> None:
+        """Post-split repair (module docstring): replace the family
+        cells' stored scores with one re-scoring pass and adopt the
+        post-split quantizer for future batches.
+
+        ``members`` is the re-laid index's rows for ``fam_cells``
+        (vec_id, v, nrm, batch_id — batch provenance is carried
+        through so replay semantics are unchanged); ``sub_cents`` is
+        the RESTRICTED sub-quantizer the index's re-lay assigned
+        against (family rows re-assign among the subs only — scoring
+        against the full quantizer could disagree with the stored
+        layout for boundary vectors); ``new_cents`` is the full
+        post-split quantizer subsequent ``absorb_batch`` calls must
+        score with, exactly as the index assigns new arrivals.
+
+        Quiesce contract (shared with StreamingSemDedup.split_cell):
+        ``upto_batch_id`` must be the last absorbed batch — a live
+        delta newer than the fold would resurface a replaced row, so
+        the method refuses to run over one."""
+        self.store.compact(upto_batch_id)
+        import os
+
+        if os.path.isdir(self.store.deltas_dir):
+            newer = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(self.store.deltas_dir)
+                if d.startswith("batch_id=")
+                and int(d.split("=", 1)[1]) > upto_batch_id
+            ]
+            if newer:
+                raise RuntimeError(
+                    "rederive_cells requires quiesced ingest: score "
+                    f"delta partitions {sorted(newer)} are newer than "
+                    f"upto_batch_id={upto_batch_id} — pass the last "
+                    "absorbed batch id"
+                )
+        base = self.store.base.read()
+        if base is not None:
+            rescored = members.select(
+                "vec_id",
+                _assign_struct_col(sub_cents).alias("mx"),
+                "batch_id",
+            ).select(
+                "vec_id",
+                (-F.col("mx").getField("nc")).alias("cell_id"),
+                F.col("mx").getField("cosc").alias("proto"),
+                "batch_id",
+            )
+            upto_row = base.agg(F.max("upto").alias("u")).collect()[0]
+            upto = int(upto_row.u) if upto_row.u is not None else 0
+            new_base = (
+                base.select(*_COLS, "upto")
+                .filter(~F.col("cell_id").isin(list(fam_cells)))
+                .unionByName(
+                    rescored.withColumn("upto", F.lit(upto).cast("long"))
+                )
+            )
+            self.store.base.swap(new_base)
+        self.cents = list(new_cents)
