@@ -455,7 +455,7 @@ def _host_contention() -> dict:
     out: dict = {}
     try:
         out["loadavg_1m"] = round(os.getloadavg()[0], 2)
-    except OSError:
+    except Exception:  # noqa: BLE001 — marker must not void the bench
         out["loadavg_1m"] = None
     try:
         me = os.getpid()
@@ -467,13 +467,17 @@ def _host_contention() -> dict:
                 with open(f"/proc/{d}/cmdline", "rb") as fh:
                     cmd = fh.read()
                 with open(f"/proc/{d}/stat") as fh:
+                    # "pid (comm) state ppid ..." — comm may hold
+                    # spaces/parens; a process exiting between open and
+                    # read can also yield an EMPTY read, so the parse
+                    # (IndexError/ValueError) is guarded per process
                     ppid = int(fh.read().split(")")[-1].split()[1])
-            except OSError:
+            except Exception:  # noqa: BLE001 — racy /proc entry
                 continue
             if b"org.apache.spark" in cmd and ppid != me:
                 n += 1
         out["foreign_spark_jvms"] = n
-    except OSError:
+    except Exception:  # noqa: BLE001 — marker must not void the bench
         out["foreign_spark_jvms"] = None
     return out
 

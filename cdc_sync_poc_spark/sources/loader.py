@@ -169,23 +169,41 @@ def literal_frame(spark: SparkSession, rows, schema) -> DataFrame:
     # literal-cell path.
     import json
 
+    _INT_RANGE = {
+        "bigint": 63, "long": 63, "int": 31, "integer": 31,
+        "smallint": 15, "tinyint": 7,
+    }
+
     def _json_exact(v, t) -> bool:
         # value/type pairs whose JSON round trip is provably identical
         # to lit+cast: JSON null -> null; Python int -> JSON int ->
-        # integral parse (arbitrary precision both sides); str -> JSON
-        # string (escaped, parsed verbatim); bool -> true/false;
-        # double parses the shortest repr correctly-rounded. float32
-        # is deliberately EXCLUDED (parse-string-to-float vs
-        # double-then-narrow can double-round differently), as is any
-        # cross-type pair like int-for-boolean the cast path coerces
-        # but a JSON parse nulls out.
+        # integral parse (IN RANGE ONLY — an overflowing int parses to
+        # NULL on the JSON path where lit+cast raises CAST_OVERFLOW
+        # loudly, so out-of-range values must keep the cell path);
+        # str -> JSON string (escaped, parsed verbatim); bool ->
+        # true/false; double parses the shortest repr correctly-
+        # rounded. float32 is deliberately EXCLUDED (parse-string-to-
+        # float vs double-then-narrow can double-round differently),
+        # as is any cross-type pair like int-for-boolean the cast path
+        # coerces but a JSON parse nulls out.
         if v is None:
             return True
         t = (t or "").lower()
-        if t in ("bigint", "long", "int", "integer", "smallint", "tinyint"):
-            return isinstance(v, int) and not isinstance(v, bool)
+        bits = _INT_RANGE.get(t)
+        if bits is not None:
+            return (
+                isinstance(v, int)
+                and not isinstance(v, bool)
+                and -(1 << bits) <= v < (1 << bits)
+            )
         if t == "double":
-            return isinstance(v, (int, float)) and not isinstance(v, bool)
+            # ints ride F.lit as LongType then cast — beyond int64 the
+            # cell path raises where JSON would parse, so stay in range
+            return (
+                isinstance(v, (int, float))
+                and not isinstance(v, bool)
+                and (isinstance(v, float) or -(1 << 63) <= v < (1 << 63))
+            )
         if t == "string":
             return isinstance(v, str)
         if t == "boolean":

@@ -252,7 +252,9 @@ class StreamingIVFIndex:
             cents = nxt
         return cents
 
-    def split_cell(self, cell_id: int, n_sub: int = 2) -> list[int]:
+    def split_cell(
+        self, cell_id: int, n_sub: int = 2, on_decision=None
+    ) -> list[int]:
         """Split an overgrown cell into ``n_sub`` sub-cells — the
         re-layout that keeps probe selectivity ~N_PROBE_CELLS/N_CELLS
         as the corpus grows (emb_index_growth's ``needs_split`` is the
@@ -279,7 +281,16 @@ class StreamingIVFIndex:
         nothing (recall degraded, results still true cosines) until
         heal_splits() replays 4-6 from the journal; replaying after 5
         re-assigns sub rows onto themselves (deterministic argmax) —
-        a no-op. Returns the sub-cell ids."""
+        a no-op. Returns the sub-cell ids.
+
+        ``on_decision`` (optional) is invoked with the final sub-cell
+        id list after every validation passes but BEFORE this index
+        journals or mutates anything — the hook a co-maintainer uses
+        to persist its own repair intent (e.g. StreamingSemDedup's
+        re-derive journal) without duplicating the id-allocation rule
+        or racing the crash window between the two journals; an
+        exception from the hook aborts the split with the index
+        untouched."""
         cents = self.centroids()
         by_id = {int(c.cell_id): c for c in cents}
         if int(cell_id) not in by_id:
@@ -309,6 +320,8 @@ class StreamingIVFIndex:
             max(by_id) + 1 + i for i in range(n_sub - 1)
         ]
         subs = self._sub_centroids(members, new_ids)
+        if on_decision is not None:
+            on_decision(list(new_ids))
         # 3. journal = the decision record
         tmp = self.journal_path + ".tmp"
         with open(tmp, "w") as fh:

@@ -153,6 +153,76 @@ class _DeltaStoreBase:
                         shutil.rmtree(os.path.join(self.deltas_dir, d))
 
 
+    def newer_deltas(self, watermark: int | None) -> list[int]:
+        """Live delta partition ids newer than ``watermark`` (ALL of
+        them when watermark is None) — the quiesce probe shared by
+        replace_base_rows and the maintenance pre-gates that must
+        refuse to mutate state while unabsorbed deltas are live."""
+        if not os.path.isdir(self.deltas_dir):
+            return []
+        newer = []
+        for d in os.listdir(self.deltas_dir):
+            if not d.startswith("batch_id="):
+                continue
+            try:
+                bid = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if watermark is None or bid > watermark:
+                newer.append(bid)
+        return newer
+
+    def replace_base_rows(
+        self,
+        drop_keys: DataFrame,
+        on: list[str],
+        replacement: DataFrame,
+        upto_batch_id: int | None = None,
+    ) -> None:
+        """Quiesce-guarded WHOLESALE replacement of base rows — the one
+        store operation whose safety a fold cannot provide: a repair
+        that must LOWER a max-folded value or re-route an append-only
+        row needs the old rows GONE, not merged (the r14 cell-split
+        re-derives). With ``upto_batch_id`` given, folds deltas to it
+        first; either way the call refuses to run while any delta
+        partition newer than the base watermark is live, because the
+        next read would fold a replaced row straight back. The new
+        base is (rows anti-joined against ``drop_keys`` on ``on``) ∪
+        (``replacement`` — full ``cols`` schema — stamped with the
+        carried watermark), swapped atomically with the store's own
+        partition layout. Extracted from the per-client copies in
+        streaming/semdedup.py and streaming/proto_prune.py so the
+        crash-window analysis stays in ONE place (the VERDICT r9 #3
+        rule that created this module). A pure function of its inputs:
+        replaying it after a crash is idempotent. No base (and, by the
+        guard, no live deltas) -> nothing to replace, no-op."""
+        if upto_batch_id is not None:
+            self.compact(upto_batch_id)
+        base, upto = self._base_frame()
+        wm = upto_batch_id if upto_batch_id is not None else upto
+        newer = self.newer_deltas(wm)
+        if newer:
+            raise RuntimeError(
+                f"{type(self).__name__}.replace_base_rows requires "
+                f"quiesced ingest: delta partitions {sorted(newer)} "
+                f"are newer than the fold watermark ({wm}) and would "
+                "fold replaced rows straight back — pass the last "
+                "absorbed batch id"
+            )
+        if base is None:
+            return
+        new_base = (
+            base.select(*self.cols, "upto")
+            .join(drop_keys, on, "left_anti")
+            .unionByName(
+                replacement.select(*self.cols).withColumn(
+                    "upto", F.lit(int(upto)).cast("long")
+                )
+            )
+        )
+        self.base.swap(new_base, partition_by=self.base_partition_by)
+
+
 class _KeyedFoldDeltaStore(_DeltaStoreBase):
     """Keyed state whose per-key values merge through an associative,
     commutative, idempotent-under-replay fold (``_AGG``): sum for

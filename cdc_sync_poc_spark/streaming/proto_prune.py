@@ -138,46 +138,37 @@ class StreamingProtoPrune:
         score with, exactly as the index assigns new arrivals.
 
         Quiesce contract (shared with StreamingSemDedup.split_cell):
-        ``upto_batch_id`` must be the last absorbed batch — a live
-        delta newer than the fold would resurface a replaced row, so
-        the method refuses to run over one."""
-        self.store.compact(upto_batch_id)
-        import os
+        ``upto_batch_id`` must be the last absorbed batch — pre-gated
+        here BEFORE any frame is built (analysis of ``members`` must
+        not outrun the refusal), and enforced again inside the shared
+        replace_base_rows (delta_store.py)."""
+        from cdc_sync_poc_spark.sources.loader import literal_frame
 
-        if os.path.isdir(self.store.deltas_dir):
-            newer = [
-                int(d.split("=", 1)[1])
-                for d in os.listdir(self.store.deltas_dir)
-                if d.startswith("batch_id=")
-                and int(d.split("=", 1)[1]) > upto_batch_id
-            ]
-            if newer:
-                raise RuntimeError(
-                    "rederive_cells requires quiesced ingest: score "
-                    f"delta partitions {sorted(newer)} are newer than "
-                    f"upto_batch_id={upto_batch_id} — pass the last "
-                    "absorbed batch id"
-                )
-        base = self.store.base.read()
-        if base is not None:
-            rescored = members.select(
-                "vec_id",
-                _assign_struct_col(sub_cents).alias("mx"),
-                "batch_id",
-            ).select(
-                "vec_id",
-                (-F.col("mx").getField("nc")).alias("cell_id"),
-                F.col("mx").getField("cosc").alias("proto"),
-                "batch_id",
+        self.store.compact(upto_batch_id)
+        newer = self.store.newer_deltas(upto_batch_id)
+        if newer:
+            raise RuntimeError(
+                "rederive_cells requires quiesced ingest: score delta "
+                f"partitions {sorted(newer)} are newer than "
+                f"upto_batch_id={upto_batch_id} — pass the last "
+                "absorbed batch id"
             )
-            upto_row = base.agg(F.max("upto").alias("u")).collect()[0]
-            upto = int(upto_row.u) if upto_row.u is not None else 0
-            new_base = (
-                base.select(*_COLS, "upto")
-                .filter(~F.col("cell_id").isin(list(fam_cells)))
-                .unionByName(
-                    rescored.withColumn("upto", F.lit(upto).cast("long"))
-                )
-            )
-            self.store.base.swap(new_base)
+        rescored = members.select(
+            "vec_id",
+            _assign_struct_col(sub_cents).alias("mx"),
+            "batch_id",
+        ).select(
+            "vec_id",
+            (-F.col("mx").getField("nc")).alias("cell_id"),
+            F.col("mx").getField("cosc").alias("proto"),
+            "batch_id",
+        )
+        drop = literal_frame(
+            self.spark,
+            [(int(c),) for c in fam_cells],
+            "cell_id bigint",
+        )
+        self.store.replace_base_rows(
+            drop, ["cell_id"], rescored, upto_batch_id
+        )
         self.cents = list(new_cents)

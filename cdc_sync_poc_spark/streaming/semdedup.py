@@ -185,60 +185,48 @@ class StreamingSemDedup:
            refusing to run while any newer delta partition is live,
            since a live delta would max-fold a lowered key back up);
         2. journal the re-derive intent (family cell ids, atomic
-           tmp+rename) BEFORE the index mutates — a crash after the
-           index split but before the replacement must leave a healing
-           marker, or the stale state the r13 docstring warned about
-           would persist silently;
-        3. run the index's own journaled split (its crash story is
+           tmp+rename) through the index's ``on_decision`` hook —
+           invoked with the ids the index ACTUALLY allocated, after
+           its validations, BEFORE it journals or mutates anything.
+           A crash after the index split but before the replacement
+           must leave a healing marker, or the stale state the r13
+           docstring warned about would persist silently; the hook
+           closes that window without duplicating the index's
+           id-allocation rule in a second module (a divergence there
+           would journal the WRONG family);
+        3. the index's own journaled split runs (its crash story is
            its own — heal order at construction is index first, then
            re-derive, so the replacement always reads a consistent
-           index);
+           index; a validation failure aborts before the hook, so no
+           journal debris is left);
         4. replace the family's max-cos state from the re-laid index
            (_apply_rederive), then drop the journal.
 
-        The family's sub ids are precomputed with the index's own
-        deterministic rule (first sub keeps ``cell_id``, the rest take
-        ids above the current max) and asserted against what the split
-        actually returns, so the journal can be written before step 3
-        without widening its schema. Returns the sub-cell ids."""
+        Returns the sub-cell ids."""
         import json
 
+        # pre-gate BEFORE the index mutates (replace_base_rows guards
+        # again at replacement time, but by then the split would have
+        # happened): fold, then refuse on any newer live delta
         self.maxcos.compact(upto_batch_id)
-        if os.path.isdir(self.maxcos.deltas_dir):
-            live = [
-                int(d.split("=", 1)[1])
-                for d in os.listdir(self.maxcos.deltas_dir)
-                if d.startswith("batch_id=")
-            ]
-            newer = [b for b in live if b > upto_batch_id]
-            if newer:
-                raise RuntimeError(
-                    "split_cell requires quiesced ingest: max-cos delta "
-                    f"partitions {sorted(newer)} are newer than "
-                    f"upto_batch_id={upto_batch_id} and would re-raise "
-                    "replaced keys — pass the last absorbed batch id"
-                )
-        by_id = sorted(
-            int(c.cell_id) for c in self.idx.centroids()
+        newer = self.maxcos.newer_deltas(upto_batch_id)
+        if newer:
+            raise RuntimeError(
+                "split_cell requires quiesced ingest: max-cos delta "
+                f"partitions {sorted(newer)} are newer than "
+                f"upto_batch_id={upto_batch_id} and would re-raise "
+                "replaced keys — pass the last absorbed batch id"
+            )
+
+        def _journal_intent(new_ids: list[int]) -> None:
+            tmp = self.rederive_journal_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"cells": [int(c) for c in new_ids]}, fh)
+            os.replace(tmp, self.rederive_journal_path)
+
+        new_ids = self.idx.split_cell(
+            cell_id, n_sub, on_decision=_journal_intent
         )
-        expected_ids = [int(cell_id)] + [
-            by_id[-1] + 1 + i for i in range(n_sub - 1)
-        ]
-        tmp = self.rederive_journal_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"cells": expected_ids}, fh)
-        os.replace(tmp, self.rederive_journal_path)
-        try:
-            new_ids = self.idx.split_cell(cell_id, n_sub)
-        except Exception:
-            # the index rejects bad splits (unknown cell, empty index)
-            # BEFORE writing its own journal; if so the layout never
-            # changed and our re-derive marker is pure debris — drop it
-            # rather than leave a no-op heal for every future construct
-            if not os.path.exists(self.idx.journal_path):
-                os.remove(self.rederive_journal_path)
-            raise
-        assert new_ids == expected_ids, (new_ids, expected_ids)
         self._apply_rederive()
         return new_ids
 
@@ -264,23 +252,11 @@ class StreamingSemDedup:
                 .agg(F.max("cos").alias("max_cos"))
             )
             affected = members.select("vec_id").distinct()
-            base = self.maxcos.base.read()
-            if base is not None:
-                upto_row = base.agg(F.max("upto").alias("u")).collect()[0]
-                upto = int(upto_row.u) if upto_row.u is not None else 0
-                new_base = (
-                    base.select("vec_id", "max_cos", "upto")
-                    .join(affected, "vec_id", "left_anti")
-                    .unionByName(
-                        derived.withColumn(
-                            "upto", F.lit(upto).cast("long")
-                        )
-                    )
-                )
-                self.maxcos.base.swap(new_base)
-            # base None: nothing was ever folded, and the quiesce guard
-            # means nothing is live in deltas either — no state to
-            # replace (a split of a never-screened index)
+            # the shared quiesce-guarded base swap (delta_store.py):
+            # drop the family's keys, union the re-derived maxes; with
+            # no base there is nothing folded and (by the guard)
+            # nothing live — a split of a never-screened index
+            self.maxcos.replace_base_rows(affected, ["vec_id"], derived)
         os.remove(self.rederive_journal_path)
 
     def semdedup(self, tau: float = SEM_TAU) -> DataFrame:

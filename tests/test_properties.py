@@ -1265,6 +1265,19 @@ def test_minhash_estimate_bounds_and_exact_side(spark, texts):
         assert abs(round(r.abs_err * 1e6) - round(raw_err * 1e6)) <= 1
 
 
+@pytest.fixture
+def _clear_cache_after(spark):
+    """Post-test cache sweep: each hypothesis example below mocks a
+    FRESH createDataFrame corpus, so the query bodies' cache()/persist()
+    calls create per-example-DISTINCT plans — the plan-keyed dedupe
+    that makes the fixture-corpus caches shared does NOT apply, and
+    nothing else unpersists them. One sweep after the whole test (all
+    examples) bounds the accumulation without evicting other tests'
+    legitimately shared session caches per example."""
+    yield
+    spark.catalog.clearCache()
+
+
 @given(
     texts=st.lists(
         st.lists(
@@ -1277,7 +1290,9 @@ def test_minhash_estimate_bounds_and_exact_side(spark, texts):
     )
 )
 @settings(**_SETTINGS)
-def test_minhash_cluster_incremental_matches_batch(spark, texts):
+def test_minhash_cluster_incremental_matches_batch(
+    spark, _clear_cache_after, texts
+):
     """dedup_minhash_cluster_incremental's star-edge + delta-pair fold
     must produce the IDENTICAL (doc_id, cluster_id) labels as the
     one-shot batch clustering on ANY tiny corpus — the contraction

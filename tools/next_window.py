@@ -73,13 +73,14 @@ def main(argv: list[str]) -> int:
     # oldest tail, oldest round first, name-sorted within a round —
     # the candidate pool for the next window; the non-strict ratchet
     # (max(in) <= min(out)) allows splitting the newest round IN the
-    # tail, so new-operator headroom is WINDOW - (tail ids in strictly
-    # older rounds) when the tail overflows, else WINDOW - len(tail)
-    tail = sorted(latest, key=lambda q: (latest[q], q))
-    pool = [q for q in tail if q not in never]
+    # tail, so when the pool OVERFLOWS the window (the id just past the
+    # cut shares the cut's newest round) new operators may displace
+    # that round's ids; with no overflow, displacement would evict a
+    # strictly-older must-stay id and fail tests/test_registry_window.py
+    pool = sorted(latest, key=lambda q: (latest[q], q))
     cut = pool[:WINDOW]
-    if len(cut) == WINDOW and latest[cut[-1]] == latest[pool[WINDOW - 1]]:
-        # count how many of the cut share the newest (splittable) round
+    overflows = len(pool) > WINDOW and latest[pool[WINDOW]] == latest[cut[-1]]
+    if overflows:
         newest = latest[cut[-1]]
         strictly_older = [q for q in cut if latest[q] < newest]
         headroom = WINDOW - len(strictly_older) - len(never)
@@ -91,8 +92,9 @@ def main(argv: list[str]) -> int:
         )
     else:
         print(
-            f"tail smaller than the window: headroom "
-            f"{WINDOW - len(cut) - len(never)} without displacing anything"
+            "no splittable overflow: headroom "
+            f"{max(0, WINDOW - len(cut) - len(never))} without "
+            "displacing anything"
         )
     print(f"oldest-{WINDOW} tail (round, id):")
     for q in cut:
