@@ -442,6 +442,18 @@ CACHE_WARMERS = [
 ]
 
 
+def _cpu_canary() -> float | None:
+    """~1 s of fixed single-thread integer work; see _host_contention."""
+    try:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10_000_000):
+            s += i
+        return round(time.perf_counter() - t0, 3)
+    except Exception:  # noqa: BLE001 — marker must not void the bench
+        return None
+
+
 def _host_contention() -> dict:
     """Machine-readable contention marker captured at run start
     (VERDICT r13 #6): r12 and r13 both produced driver captures whose
@@ -457,6 +469,13 @@ def _host_contention() -> dict:
         out["loadavg_1m"] = round(os.getloadavg()[0], 2)
     except Exception:  # noqa: BLE001 — marker must not void the bench
         out["loadavg_1m"] = None
+    # single-thread CPU canary: a fixed integer loop whose wall time
+    # exposes HOST slowdown directly (frequency scaling, noisy
+    # neighbors outside this VM) — r14 measured a run whose start
+    # loadavg was 0.06 yet came out ~1.5x slow across unrelated
+    # queries; the canary on the same host read ~1.5s degraded vs
+    # ~1.0s calm, the signal loadavg and steal time both missed
+    out["cpu_canary_s"] = _cpu_canary()
     try:
         me = os.getpid()
         n = 0
@@ -691,7 +710,12 @@ def run(
         "reps": reps,
         "value_median": round(sum(medians.values()), 3),
         "value": round(sum(timings.values()), 3),
-        "contention": contention,
+        # start AND end canaries: host load can arrive MID-run (r14:
+        # start loadavg 0.06, numbers ~1.5x) — an end-of-run loadavg
+        # would mostly measure our own executors, but the single-
+        # thread canary is load-independent of parallelism and reads
+        # the host's effective speed at both edges of the window
+        "contention": {**contention, "cpu_canary_end_s": _cpu_canary()},
     }
     if errors or warm_errors:
         result["errors"] = {**warm_errors, **errors}
