@@ -548,18 +548,27 @@ def corpus_decontam_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(docs).cache()
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     wave1 = F.col("doc_id") % DECONTAM_WAVE_MOD == 1
-    b0 = (
-        sh.filter(is_bench & ~wave1).select("shingle").distinct()
+    # ONE bench-shingle aggregate carries the wave split (r14, guide
+    # §2.4): w = min over the shingle's bench occurrences of its wave
+    # flag — 0 iff the shingle was already benchmarked in wave 0, 1 iff
+    # it only arrived with wave 1. b0 / b1_new / full_bench are then
+    # FILTERS over this single frame (b0 = w=0, b1_new = w=1, full =
+    # all), so the three broadcast builds share one ReusedExchange
+    # instead of running two distincts + a LEFT ANTI join (the before
+    # plan built b0's aggregate three separate times: 39 Exchange
+    # nodes, 16 jobs). Set-identical by construction: a shingle with
+    # any wave-0 bench occurrence has min=0 (exactly b0's definition),
+    # and b1_new was "wave-1 bench shingles MINUS b0" = min=1.
+    bw = (
+        sh.filter(is_bench)
+        .groupBy("shingle")
+        .agg(F.min(F.when(wave1, 1).otherwise(0)).alias("w"))
     )
-    b1_new = (
-        sh.filter(is_bench & wave1)
-        .select("shingle")
-        .distinct()
-        .join(b0, "shingle", "left_anti")
-    )
+    b0 = bw.filter(F.col("w") == 0).select("shingle")
+    b1_new = bw.filter(F.col("w") == 1).select("shingle")
     corpus0 = sh.filter(~is_bench & ~wave1)
     corpus1 = sh.filter(~is_bench & wave1)
-    full_bench = b0.unionByName(b1_new)
+    full_bench = bw.select("shingle")
     deltas = (
         # (1) state after wave 0
         corpus0.join(F.broadcast(b0), "shingle")

@@ -52,6 +52,19 @@ PR_ITERS = 8
 # each a shuffle keyed on dst — same fixed-point arithmetic, no
 # collect (see module docstring).
 PR_MAX_NODES = 10_000
+# Lineage-cut cadence for the distributed iteration: every
+# _CKPT_EVERY-th round's ranks frame is localCheckpoint()ed. Each
+# eager checkpoint is a BLOCKING driver job on the serial path;
+# skipping cuts makes the logical plan nest K deep and per-round
+# Column resolution (ranks.node) re-analyzes the whole stack —
+# O(K^2) analysis without cuts. Interleaved A/B at K=8 (r14, 6
+# alternations, same session, min wall per query): cadence 2 2.64 s,
+# cadence 4 2.10 s, no cuts 1.60 s — at the fixed K=8 the quadratic
+# analysis term is still far below one blocking job, so the default
+# disables intermediate cuts. A caller raising PR_ITERS well past ~8
+# (streaming twins with deep replay) should drop this to ~4: the
+# analysis term grows with K^2 while each cut stays one job.
+_CKPT_EVERY = PR_ITERS  # i % PR_ITERS == PR_ITERS-1 only at the final round, which is excluded -> no cuts at K=8
 _PR_EDGES_SQL = """
 nxt AS (
   SELECT event_type AS src,
@@ -192,12 +205,11 @@ def graph_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides shuffle on src, which is exactly GraphX/Pregel's message
     stage) → groupBy dst sum((v*n) div od) (one shuffle keyed on dst,
     with map-side partial aggregation) → left join back onto nodes for
-    the damping update. localCheckpoint() every second iteration
-    truncates the lineage — without it the logical plan nests K deep
-    and analysis time grows per round even though each round's data is
-    tiny (same recipe as dedup_minhash_cluster's label propagation,
-    llm/dedup.py; checkpointing every round doubles the job count for
-    no plan-depth benefit at K=8, measured ~2.5 s vs ~1.6 s warm).
+    the damping update. At the fixed K=8 NO intermediate lineage cut
+    is taken (r14, measured — see _CKPT_EVERY): the recurring
+    edge/node subtrees dedupe via ReuseExchange inside the one final
+    action, so each localCheckpoint only added a blocking driver job;
+    deep-K callers re-enable cuts through _CKPT_EVERY.
 
     Arithmetic is the same BIGINT fixed point as events_pagerank
     (module docstring), so the two operators — and the unrolled-CTE
@@ -276,29 +288,46 @@ def pr_fixed_point_frames(
     events_pagerank (module docstring)."""
     od = edges_raw.groupBy("src").agg(F.sum("n").alias("od"))
     # (src, dst, n, od): outdegree rides on the edge row so the
-    # iteration never re-joins it — one materialization, reused K times
-    edges = edges_raw.join(od, "src").localCheckpoint()
-    nodes = nodes.localCheckpoint()
-    n_nodes = nodes.count()  # one scalar to the driver, not the graph
-    if n_nodes == 0:
-        return literal_frame(
-            spark, [], "event_type string, pr_fixed long, pagerank double"
-        )
+    # iteration never re-joins it. NOT localCheckpoint()ed (r14): the
+    # edge/node subtrees recur in every iteration of the final plan,
+    # but physical planning dedupes them via ReuseExchange, so the
+    # shuffle runs once per action either way — while each eager
+    # checkpoint was a BLOCKING driver job on the serial path.
+    # Interleaved A/B (same session, 5 alternations): checkpointed
+    # edges+nodes min 1.33 s / median 1.64 s vs un-checkpointed
+    # min 1.02 s / median 1.28 s, bit-identical pr_fixed output.
+    edges = edges_raw.join(od, "src")
     dangling = None
     if redistribute_dangling:
         # node domain minus src domain, computed once outside the loop
         # (|dangling| <= |V| rows; at web scale this is a frame join,
-        # never collected)
-        dangling = nodes.join(
-            edges.select("src").distinct(),
-            nodes.node == F.col("src"),
-            "left_anti",
-        ).select("node").localCheckpoint()
-        if dangling.count() == 0:
-            # dm would be 0 every round — drop the per-iteration agg +
-            # cross-join entirely (one scalar count up front buys K
-            # skipped jobs; bit-identical by construction)
-            dangling = None
+        # never collected). The |V| count and the dangling-emptiness
+        # check share ONE left-join aggregate job (r14 — they were two
+        # serial blocking jobs): src ⊆ nodes, so n_dangling is the
+        # count of unmatched node rows.
+        srcs = edges.select("src").distinct()
+        row = (
+            nodes.join(srcs, nodes.node == F.col("src"), "left")
+            .agg(
+                F.count("*").alias("n_nodes"),
+                F.count(F.when(F.col("src").isNull(), 1)).alias("n_dang"),
+            )
+            .collect()[0]
+        )
+        n_nodes = int(row.n_nodes)
+        if int(row.n_dang) > 0:
+            dangling = nodes.join(
+                srcs, nodes.node == F.col("src"), "left_anti"
+            ).select("node")
+        # else: dm would be 0 every round — drop the per-iteration agg
+        # + cross-join entirely (the scalar check up front buys K
+        # skipped jobs; bit-identical by construction)
+    else:
+        n_nodes = nodes.count()  # one scalar to the driver, not the graph
+    if n_nodes == 0:
+        return literal_frame(
+            spark, [], "event_type string, pr_fixed long, pagerank double"
+        )
     base = (15 * PR_SCALE) // n_nodes
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // n_nodes).cast("long").alias("v")
@@ -330,11 +359,12 @@ def pr_fixed_point_frames(
                     " + 85 * coalesce(contrib, cast(0 as bigint))) div 100"
                 ).alias("v"),
             )
-        # cut lineage every 2nd round, but never after the FINAL round —
+        # cut lineage mid-iteration, but never after the FINAL round —
         # leaving the last iteration un-checkpointed keeps the returned
         # frame's plan showing the real join/agg shape (PLANS.md) and
-        # saves one materialization
-        if i % 2 == 1 and i != PR_ITERS - 1:
+        # saves one materialization (cadence measured r14; see
+        # _CKPT_EVERY).
+        if i % _CKPT_EVERY == _CKPT_EVERY - 1 and i != PR_ITERS - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select(
         F.col("node").alias("event_type"),
