@@ -881,6 +881,10 @@ def _minlabel_fixpoint(pair_frame: DataFrame) -> DataFrame:
 
 CLUSTER_WAVE_MOD = 2  # dedup_minhash_cluster_incremental: doc_id % 2 -> wave
 
+# (applicationId, sf_dir) -> (pairs, verified) UNEXECUTED plan handles
+# for the incremental clustering fold (see builder docstring)
+_CLUSTER_INC_PLAN_MEMO: dict = {}
+
 
 @register(
     "dedup_minhash_cluster_incremental",
@@ -927,49 +931,65 @@ def dedup_minhash_cluster_incremental(
     family mid-session."""
     from collections import namedtuple
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
-    # persisted like sh/pairs (same session-shared plan-keyed entry
-    # discipline): the verify join is the only data-proportional stage
-    # left in this query, and every later invocation — and the batch
-    # cluster build, whose verified plan is identical — reads the
-    # cached pair set instead of re-joining shingle sets
-    verified = (
-        _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    # PLAN handles memoized per (application, sf_dir): this builder is
+    # PLAN_MEMO_EXCLUDEd because its driver-side fold (collect +
+    # union-find) must re-run per invocation — but the band/verify
+    # PLAN assembly below it is pure py4j work (~1.1-2.2 s measured
+    # r14, re-built identically every call). Memoize only the
+    # unexecuted handles; the count/collect/fold still execute fresh
+    # each invocation against the session-shared cached frames.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    plans = _CLUSTER_INC_PLAN_MEMO.get(key)
+    if plans is None:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = _shingles(docs).cache()
+        pairs = _band_pairs(_minhash_sig(sh), BAND_SIZE).persist()
+        # persisted like sh/pairs (same session-shared plan-keyed entry
+        # discipline): the verify join is the only data-proportional
+        # stage left in this query, and every later invocation — and
+        # the batch cluster build, whose verified plan is identical —
+        # reads the cached pair set instead of re-joining shingle sets
+        verified = (
+            _verify_jaccard(sh, pairs, MINHASH_JACCARD_MIN)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        plans = _CLUSTER_INC_PLAN_MEMO[key] = (pairs, verified)
+    pairs, verified = plans
     n_pairs = pairs.count()
     w1a = F.col("doc_a") % CLUSTER_WAVE_MOD == 1
     w1b = F.col("doc_b") % CLUSTER_WAVE_MOD == 1
-    base_pairs = verified.filter(~w1a & ~w1b)
-    delta_pairs = verified.filter(w1a | w1b)
     if n_pairs <= LOCAL_CC_MAX_PAIRS:
         P = namedtuple("P", ["doc_a", "doc_b"])
-        star = [
-            P(doc, lbl)
-            for doc, lbl in _local_components(base_pairs.collect())
+        # ONE collect of the (bounded, persisted) verified pair set,
+        # wave-split driver-side (r14 — the base/delta collects were
+        # two serial blocking jobs over the same cached frame)
+        allp = [
+            (int(r.doc_a), int(r.doc_b)) for r in verified.collect()
         ]
-        final = _local_components(
-            star
-            + [
-                P(int(r.doc_a), int(r.doc_b))
-                for r in delta_pairs.collect()
-            ]
-        )
+        is_w1 = lambda d: d % CLUSTER_WAVE_MOD == 1  # noqa: E731
+        base_rows = [
+            P(a, b) for a, b in allp if not is_w1(a) and not is_w1(b)
+        ]
+        delta_rows = [
+            P(a, b) for a, b in allp if is_w1(a) or is_w1(b)
+        ]
+        star = [
+            P(doc, lbl) for doc, lbl in _local_components(base_rows)
+        ]
+        final = _local_components(star + delta_rows)
         # literal_frame, not createDataFrame: this branch runs per
         # invocation (no memo), and the Python-RDD round trip costs
         # ~0.3-0.5 s per bench rep (sources/loader.py rationale)
         return literal_frame(
             spark, final, "doc_id bigint, cluster_id bigint"
         )
-    base_labels = _minlabel_fixpoint(base_pairs)
+    base_labels = _minlabel_fixpoint(verified.filter(~w1a & ~w1b))
     star_frame = base_labels.select(
         F.col("doc_id").alias("doc_a"), F.col("lbl").alias("doc_b")
     )
     final_labels = _minlabel_fixpoint(
-        star_frame.unionByName(delta_pairs)
+        star_frame.unionByName(verified.filter(w1a | w1b))
     )
     return final_labels.select(
         "doc_id", F.col("lbl").alias("cluster_id")
@@ -1852,7 +1872,12 @@ def dedup_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-size count agg, one semi-join against the persisted PPJoin
     truth (prefix-filter bounded), and the 1-row true-pair total
     attached as a broadcast scalar. A size that produces zero
-    candidates still emits its row (the sizes frame is the spine)."""
+    candidates still emits its row (the sizes frame is the spine).
+
+    Construction alone costs ~1.4 s of py4j round trips (four tagged
+    band frames + the salted pair emission + the PPJoin truth plan) —
+    served once per session by the registry-wide plan memo
+    (registry.py, r14)."""
     from cdc_sync_poc_spark.sources.loader import literal_frame
 
     docs = load_table(spark, sf_dir, "documents")

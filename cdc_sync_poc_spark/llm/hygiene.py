@@ -366,30 +366,45 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_winnowing_overlap's per-doc ratio. The boilerplate guard is
     the scale bound: fingerprints shared by more than WINNOW_POST_MAX
     docs are template noise AND the O(posting²) hazard, so they are
-    dropped before the posting-list self-join — every surviving
-    posting list yields at most C({WINNOW_POST_MAX},2) pairs, making
-    the pair count linear in fingerprints at any corpus size (the same
-    cap MOSS applies; contrast an uncapped join where one viral
-    boilerplate line makes n² pairs)."""
+    dropped before pair emission — every surviving posting list yields
+    at most C({WINNOW_POST_MAX},2) pairs, making the pair count linear
+    in fingerprints at any corpus size (the same cap MOSS applies;
+    contrast an uncapped join where one viral boilerplate line makes
+    n² pairs).
+
+    Emission is GROUP-BASED (r14 — the _band_pairs recipe applied
+    here): the old form joined the (fp, doc) frame against a separate
+    per-fp count aggregate and then SELF-JOINED the survivors on fp —
+    three shipments of the posting rows plus two join stages. Now one
+    groupBy(fp) collects each posting list (bounded by the cap guard:
+    lists longer than WINNOW_POST_MAX are dropped whole, exactly the
+    old BETWEEN filter), and the ≤C(cap,2) ordered pairs fan out
+    map-side from the sorted list — one shuffle of posting rows total,
+    same pair multiset by construction (each fp contributes each
+    a<b pair once; (doc, fp) is distinct by _winnow_fps)."""
     fps = _winnow_fps(spark, sf_dir)
-    cnt = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
-    keepfp = fps.join(
-        cnt.filter(
-            (F.col("n_docs") >= 2) & (F.col("n_docs") <= WINNOW_POST_MAX)
-        ),
-        "fp",
-    ).select("doc_id", "fp")
-    a = keepfp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = keepfp.select(F.col("doc_id").alias("doc_b"), "fp")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
+    lists = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= WINNOW_POST_MAX)
+        )
     )
-    return pairs.orderBy(
-        F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b")
-    ).limit(WINNOW_PAIR_TOP)
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(WINNOW_PAIR_TOP)
+    )
 
 
 @register(

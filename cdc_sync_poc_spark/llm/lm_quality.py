@@ -284,50 +284,71 @@ def bm25_rank_frame(docs: DataFrame) -> DataFrame:
     """Core of text_bm25_rank over any frame with (doc_id, text) —
     separated so the streaming corpus-statistics twin
     (streaming/bm25_stats.py) can pin exact score parity against the
-    batch operator on arbitrary document subsets."""
+    batch operator on arbitrary document subsets.
+
+    One-pass shape (r14, guide §2.3/§2.4): the query-term set is a
+    small design constant, so the old tok→{dl, tf, df} three-consumer
+    fan-out (three shuffles of token rows + two broadcast builds +
+    two joins, 12 jobs at bench SF) collapses into ONE
+    groupBy(doc_id) pass with a conditional count per query term —
+    per-doc length and the per-term tfs ride the same aggregate. The
+    corpus statistics (n_docs, avgdl, per-term document frequencies)
+    are then ONE 1-row aggregate over that per-doc frame, broadcast
+    back. Every double is produced by the same expression text as
+    before (idf × tf-saturation with dl/avgdl), so scores stay
+    bit-identical to the oracle's join form: a doc without a term had
+    s_t = NULL→coalesce 0 there, and tf = 0 → s_t = 0.0 here; docs
+    matching no term are filtered exactly as the old inner join
+    dropped them. avgdl = sum(dl)/n_docs equals the oracle's
+    sum(size(split))/count(*) because split() never yields an empty
+    array (every doc has ≥1 token row)."""
     tok = spread_small_input(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n = docs.agg(
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(*)").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    any_term = None
+    for i in range(len(BM25_TERMS)):
+        c = F.col(f"tf{i}") > 0
+        any_term = c if any_term is None else (any_term | c)
+    # the same expression text as _bm25_term_case, with the term's tf
+    # and df columns substituted — identical IEEE evaluation order
+    s = [
         F.expr(
-            "CAST(sum(size(split(text, ' '))) AS DOUBLE) / count(*)"
-        ).alias("avgdl"),
-    )
-    tf = (
-        tok.filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    # df only ever joins the query terms — filter BEFORE the distinct
-    # agg so both the shuffle and the broadcast are O(|BM25_TERMS|),
-    # not O(vocab)
-    df = (
-        tok.filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
-    )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.expr(_bm25_term_case(t)).alias(f"s{i}")
-                for i, t in enumerate(BM25_TERMS)
-            ]
+            f"(CAST(n_docs + 1 AS DOUBLE) / (df{i} + 1))"
+            f" * (tf{i} * ({BM25_K1} + 1))"
+            f" / (tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
         )
-    )
+        for i in range(len(BM25_TERMS))
+    ]
     bm25 = F.round(
-        F.coalesce(F.col("s0"), F.lit(0))
-        + F.coalesce(F.col("s1"), F.lit(0))
-        + F.coalesce(F.col("s2"), F.lit(0)),
+        sum(
+            (F.when(F.col(f"tf{i}") > 0, s[i]).otherwise(F.lit(0)) for i in range(1, len(BM25_TERMS))),
+            F.when(F.col("tf0") > 0, s[0]).otherwise(F.lit(0)),
+        ),
         6,
     )
     return (
-        scored.select("doc_id", bm25.alias("bm25"))
+        per_doc.filter(any_term)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", bm25.alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )

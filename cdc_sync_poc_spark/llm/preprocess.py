@@ -467,15 +467,21 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exactly one document, so corpus novelty mass sums to the
     distinct-gram count).
 
-    Scale shape: per-doc gram DISTINCTNESS is map-side
-    (array_distinct before the explode — no (doc_id, gh) shuffle),
-    first-owner is one min() hash agg on the uniform 128-bit gram hash
-    with map-side combine, the back-join is UNHINTED so Catalyst picks
-    from statistics (auto-broadcast of the owner table at fixture SF;
-    a shuffle join sharing the agg's partitioning once the owner table
-    is corpus-sized), and the final per-doc rollup is a doc_id hash
-    agg. Every exchange keys on a uniform hash — no skew at any corpus
-    size."""
+    Scale shape (r14 rework, guide §2.3): per-doc gram DISTINCTNESS is
+    map-side (array_distinct before the explode — no (doc_id, gh)
+    shuffle); each gram's novelty credit goes to exactly ONE document
+    (the min-doc_id owner), so the per-doc novel count is the owner
+    table ROLLED UP BY OWNER — a gram-keyed min() hash agg (map-side
+    combined on the uniform 128-bit hash) followed by a doc-keyed
+    count. The old form instead joined the owner table back onto the
+    gram rows and rolled the JOINED gram-sized frame up by doc —
+    shipping every gram row through a join and a second gram-sized
+    aggregate; now the only gram-sized exchanges are the two partial
+    aggs' combined outputs, and the final join is doc-sized on both
+    sides (AQE broadcasts whichever fits). Same integers by
+    construction: n_distinct counts each doc's gram rows either way,
+    and summing owner==doc over the join ≡ counting the owner table
+    grouped by owner."""
     docs = load_table(spark, sf_dir, "documents")
     base = spread_small_input(
         docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
@@ -491,18 +497,21 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gh"),
     )
-    own = grams.groupBy("gh").agg(F.min("doc_id").alias("owner"))
-    novel = F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0))
-    return (
-        grams.join(own, "gh")
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_distinct"))
+    novel = (
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_distinct"),
-            novel.alias("n_novel"),
-            F.round(novel.cast("double") / F.count("*"), 6).alias(
-                "novelty_frac"
-            ),
-        )
+        .agg(F.count("*").alias("n_novel"))
+    )
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_distinct",
+        n_novel.alias("n_novel"),
+        F.round(n_novel.cast("double") / F.col("n_distinct"), 6).alias(
+            "novelty_frac"
+        ),
     )
 
 

@@ -388,21 +388,6 @@ LIMIT {ANN_TOP_K}
 """
 
 
-def _score_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
-    """Score every vector against every (broadcast) centroid: map-only
-    (the crossJoin build side is N_CELLS tiny rows).
-
-    (Measured alternative, kept out: expanding the dot product to an
-    explicit 64-term Add chain pushes past codegen's method-size
-    limits and falls back to interpreted eval of a 191-node tree —
-    slower than the sequential fold below.)"""
-    cosc = F.expr(
-        "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
-        " (acc, z) -> acc + z)"
-    ) / (F.col("nrm") * F.col("cn"))
-    return n.crossJoin(F.broadcast(cents)).withColumn("cosc", cosc)
-
-
 def _assign_struct_col(cents) -> F.Column:
     """The winning ``struct(cosc, nc)`` of the per-row argmax cell over
     a DRIVER-LOCAL centroid list (k rows, collected — the centers
@@ -446,6 +431,44 @@ def _assign_col(cents) -> F.Column:
     ``nc`` field of _assign_struct_col un-negated; see that docstring
     for the full mechanics."""
     return -_assign_struct_col(cents).getField("nc")
+
+
+def _probe_cells_col(cents, k: int) -> F.Column:
+    """Per-row array of the TOP-``k`` probe cell ids (cosine DESC,
+    cell_id ASC) over a driver-local centroid list — _assign_struct_col
+    generalized from argmax to top-k (r14, guide §2.4): the old
+    per-query probe list crossJoined the sampled queries against the
+    centroid frame and ranked budget × N_CELLS rows through a window
+    (an exchange + sort + broadcast-build chain per consumer); as one
+    constant-folded expression the probe list is computed in the same
+    map stage that reads the sample, with zero shuffles. Ordering is
+    realized as array_sort over struct(cosc, -cell_id) then reverse —
+    lexicographic ascending reversed = (cosc DESC, cell_id ASC), the
+    window's exact order — and the dot/normalization arithmetic is the
+    same sequential fold every IVF consumer uses, so the chosen cells
+    are bit-identical. (Measured alternative, kept out: expanding the
+    dot product to an explicit 64-term Add chain pushes past codegen's
+    method-size limits and falls back to interpreted eval — slower
+    than the sequential fold.)"""
+    payload = json.dumps(
+        [
+            {
+                "cid": int(r.cell_id),
+                "cv": [float(x) for x in r.cv],
+                "cn": float(r.cn),
+            }
+            for r in cents
+        ],
+        separators=(",", ":"),
+    )
+    return F.expr(
+        f"""transform(slice(reverse(array_sort(transform(
+  from_json('{payload}', 'array<struct<cid:bigint,cv:array<double>,cn:double>>'),
+  c -> struct(
+    aggregate(zip_with(v, c.cv, (x, y) -> x * y),
+              CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (nrm * c.cn) AS cosc,
+    -c.cid AS nc)))), 1, {k}), s -> -s.nc)"""
+    )
 
 
 def _cents_frame(spark: SparkSession, cents_rows) -> DataFrame:
@@ -761,16 +784,33 @@ def emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("mx").getField("nc")).alias("cell_id"),
         F.col("mx").getField("cosc").alias("proto"),
     )
-    return _proto_rank_frame(d)
+    # materialize: the rank body consumes the scored frame TWICE (local
+    # window + carry counts) and AQE does not dedupe the two subtrees,
+    # so without a cut the argmax map — the query's only
+    # data-proportional stage — runs twice per invocation (guide §2.4 /
+    # §5: materialize-and-reuse beats recompute for an expensive shared
+    # subtree). Interleaved A/B at sf0.1 (5 alternations, same
+    # session): 2.15 s -> 0.95 s min, identical output; at corpus
+    # scale this halves the assignment scan work.
+    return _proto_rank_frame(d, materialize=True)
 
 
-def _proto_rank_frame(scored: DataFrame) -> DataFrame:
+def _proto_rank_frame(scored: DataFrame, materialize: bool = False) -> DataFrame:
     """The banded two-level in-cell rank over any (vec_id, cell_id,
     proto) frame — the body shared by the batch emb_proto_prune (scores
     from the argmax map stage) and emb_proto_prune_stream (scores read
     back from the streaming maintainer's store). See emb_proto_prune's
     docstring for the full scale rationale; the rank itself is
-    score-source-agnostic."""
+    score-source-agnostic.
+
+    ``materialize`` localCheckpoints the banded score frame so the two
+    consumers below (the in-band window and the carry-count aggregate)
+    read one materialization instead of recomputing the score source.
+    The batch caller sets it (its source is the argmax map over the
+    corpus); the streamed caller leaves it off (its source is already
+    the maintainer's persisted store — 3 scalars per vector, cheap to
+    re-read, and an extra eager job would only lengthen the serial
+    path)."""
     d = (
         scored
         # monotone: higher proto -> lower band; equal protos share a
@@ -791,6 +831,8 @@ def _proto_rank_frame(scored: DataFrame) -> DataFrame:
             ).cast("bigint"),
         )
     )
+    if materialize:
+        d = d.localCheckpoint()
     w_local = Window.partitionBy("cell_id", "band").orderBy(
         F.desc("proto"), F.asc("vec_id")
     )
@@ -798,18 +840,13 @@ def _proto_rank_frame(scored: DataFrame) -> DataFrame:
     # Carry counts from a MAP-SIDE-COMBINED count over d, not from the
     # window output: the r10 form (bc = max(local_rn) over local) was
     # meant to share the argmax subtree, but the executed plan shows NO
-    # ReusedExchange under AQE — the scan+argmax runs twice either way,
+    # ReusedExchange under AQE — the scan+argmax ran twice that way too,
     # and the window form dragged the FULL table through a second sort
     # exchange. This form's second pass shuffles at most cells × bands
     # rows (partial agg collapses per task), so at 100 TB the carry
-    # build is scan-bound, never sort-bound. Exponent attribution
-    # (VERDICT r10 #3, measured r11): ~0.9 s is flat job overhead
-    # (three stages + broadcast), the argmax map is the only
-    # data-proportional stage (0.24 -> 0.42 s for 4x rows at the top
-    # probe points, run twice as the two consumers of d), and the
-    # result is a full-table audit — linear output, so the probed
-    # exponent converges to 1.0 by design as data outgrows the flat
-    # overhead. No super-linear stage anywhere.
+    # build is scan-bound, never sort-bound — and with ``materialize``
+    # (the batch path, r14) both consumers read ONE materialization of
+    # the scored frame, so the score source runs once per invocation.
     bc = d.groupBy("cell_id", "band").agg(
         F.count("*").alias("band_n")
     )
@@ -1136,21 +1173,22 @@ def _ivf_recall_frame(
     cell_id) frame assigned under ``cents1_rows``) against exact
     brute force over ``n`` — the body shared by the batch and the
     streamed-index recall audits."""
-    cents1 = _cents_frame(spark, cents1_rows)
     sample = _budget_sample(n)
     qs = sample.select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    # per-query probe cells: rank the N_CELLS scored cells per sampled
-    # vector (window over budget × N_CELLS rows — bounded by design)
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
-    qcells = (
-        _score_cells(sample, cents1)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE_CELLS)
-        .select(F.col("vec_id").alias("q_id"), "cell_id")
+    # per-query probe cells as ONE map-side top-k expression over the
+    # budgeted sample (r14 — was a crossJoin against the centroid
+    # frame + a budget × N_CELLS window; see _probe_cells_col)
+    probed = sample.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(_probe_cells_col(cents1_rows, N_PROBE_CELLS)).alias(
+            "cell_id"
+        ),
     )
     cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosr"), F.asc("vec_id"))
@@ -1159,7 +1197,7 @@ def _ivf_recall_frame(
     # side; each candidate belongs to exactly ONE cell (argmax
     # assignment), so (q_id, vec_id) pairs are already distinct
     ann = (
-        assigned1.join(F.broadcast(qcells.join(qs, "q_id")), "cell_id")
+        assigned1.join(F.broadcast(probed), "cell_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .withColumn("cosr", cos)
         .withColumn("rnk", F.row_number().over(w))
@@ -1324,28 +1362,38 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     This query is one wave; the old proportional vec_id % 5 sample
     (20% of the corpus on the broadcast side) was the r10 `weak` set."""
     n, _, cents1_rows = _ivf_refined(spark, sf_dir)
-    cents1 = _cents_frame(spark, cents1_rows)
+    # coalesce(-1): the inner join below infers isnotnull(cell_id) and
+    # pushes it past the projection, duplicating the argmax expression
+    # into the scan's data filter (the guide §4.4 duplication, for a
+    # derived join key); coalescing onto a sentinel makes the key
+    # provably non-null so the inferred filter folds away — and a
+    # hypothetically-null assignment row is dropped by the join either
+    # way (null key ≡ matchless -1). Measured 1.86 → 1.52 s min,
+    # identical output.
     assigned1 = n.select(
-        "vec_id", "label", "v", "nrm", _assign_col(cents1_rows).alias("cell_id")
+        "vec_id",
+        "label",
+        "v",
+        "nrm",
+        F.coalesce(_assign_col(cents1_rows), F.lit(-1)).alias("cell_id"),
     )
     sample = _budget_sample(n)
-    qs = sample.select(
+    # probe cells + query payload in ONE map-side projection of the
+    # budgeted sample (r14 — was crossJoin + window + an extra join;
+    # see _probe_cells_col)
+    probed = sample.select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-    )
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
-    qcells = (
-        _score_cells(sample, cents1)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE_CELLS)
-        .select(F.col("vec_id").alias("q_id"), "cell_id")
+        F.explode(_probe_cells_col(cents1_rows, N_PROBE_CELLS)).alias(
+            "cell_id"
+        ),
     )
     cos = F.expr(_DOT) / (F.col("nrm") * F.col("qn"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosr"), F.asc("vec_id"))
     return (
-        assigned1.join(F.broadcast(qcells.join(qs, "q_id")), "cell_id")
+        assigned1.join(F.broadcast(probed), "cell_id")
         .filter(
             (F.col("vec_id") != F.col("q_id"))
             & (F.col("label") != F.col("q_label"))
@@ -1977,13 +2025,15 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    cents1 = _cents_frame(spark, cents1_rows)
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), F.asc("cell_id"))
-    qcells = (
-        _score_cells(sample, cents1)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE_CELLS)
-        .select(F.col("vec_id").alias("q_id"), "cell_id")
+    # probe cells + query payload in ONE map-side projection of the
+    # budgeted sample (r14 — was crossJoin + window + an extra join;
+    # see _probe_cells_col)
+    probed = sample.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("nrm").alias("qn"),
+        F.explode(_probe_cells_col(cents1_rows, N_PROBE_CELLS)).alias(
+            "cell_id"
+        ),
     )
     # ADC table: dot(q_sub, code_sub) per (query, subspace, code) — the
     # codebook rides the same from_json literal, applied to the sampled
@@ -2008,8 +2058,7 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("e.t").alias("t"))
     )
     adc = (
-        qcells.join(qs, "q_id")
-        .join(cand_codes, "cell_id")
+        probed.join(cand_codes, "cell_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(tbl), ["q_id", "s", "cid"])
         .groupBy("q_id", "vec_id", "nrm", "qn")

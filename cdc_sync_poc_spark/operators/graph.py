@@ -135,13 +135,28 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iteration runs on the collected bounded matrix (module
     docstring)."""
     ev = load_table(spark, sf_dir, "events")
-    # ONE distinct job serves both the cap check and the node domain
-    # (ADVICE r8: a separate distinct().count() guard doubled the work
-    # and perturbed the query's headline-timing comparability)
-    nodes = sorted(
-        r.event_type
-        for r in ev.select("event_type").distinct().collect()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # node domain + weighted edge matrix in ONE collect job (r14 —
+    # they were two serial blocking jobs): node-marker rows ride the
+    # edge-count union with a NULL dst. Bounded: |types| + |types|^2
+    # rows. The single distinct job still serves both the cap check
+    # and the node domain (ADVICE r8).
+    edge_part = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
     )
+    node_part = ev.select(F.col("event_type").alias("src")).distinct().select(
+        "src", F.lit(None).cast("string").alias("dst"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    collected = edge_part.unionByName(node_part).collect()
+    nodes = sorted(r.src for r in collected if r.dst is None)
+    edges = [r for r in collected if r.dst is not None]
     n_nodes = len(nodes)
     if n_nodes > PR_MAX_NODES:
         raise ValueError(
@@ -154,17 +169,6 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return literal_frame(
             spark, [], "event_type string, pr_fixed long, pagerank double"
         )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        ev.select(
-            F.col("event_type").alias("src"),
-            F.lead("event_type").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n"))
-        .collect()  # bounded: |event_type|^2 rows
-    )
     outdeg: dict[str, int] = defaultdict(int)
     for r in edges:
         outdeg[r.src] += int(r.n)

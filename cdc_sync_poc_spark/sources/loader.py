@@ -54,8 +54,23 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
+# (applicationId, sf_dir, table) -> normalized scan DataFrame. A scan
+# plan, never data: every action against the memoized frame still reads
+# the parquet files. `spark.read.parquet` pays a driver footer/schema
+# read plus one tiny Spark job PER CALL (~0.1 s); with ~1-7 table loads
+# per query construction that overhead dominated plan building across
+# the whole registry (r14 census: 50.5 s of construction across the
+# 168 benched queries, most of it table loads). Guide §6's repeated-
+# listing caching argument, applied at the session level.
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with normalized TIMESTAMP columns."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _LOAD_MEMO.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_columns(path)
     if ns_cols:
@@ -70,6 +85,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+    _LOAD_MEMO[key] = df
     return df
 
 

@@ -190,3 +190,51 @@ def test_trend_baseline_contract():
     # and the trend block is wired into the detail line
     src = open(bench.__file__).read()
     assert '"trend"' in src.replace("'", '"')
+
+
+def test_plan_memo_excludes_every_eager_builder(spark):
+    """The registry plan memo (registry.py, r14) may only serve builders
+    whose construction is pure plan assembly: a builder that fires Spark
+    jobs while CONSTRUCTING computes data, and memoizing its DataFrame
+    would cache results across invocations — which the bench/driver
+    contract forbids. Pin the measured census both ways: every memoized
+    builder fires ZERO jobs on a warm re-construction, and every
+    PLAN_MEMO_EXCLUDE entry really is eager (so a fixed builder gets
+    un-excluded instead of rotting in the list)."""
+    from cdc_sync_poc_spark.registry import (
+        PLAN_MEMO_EXCLUDE,
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    unknown = PLAN_MEMO_EXCLUDE - set(QUERIES)
+    assert unknown == set(), sorted(unknown)
+    tracker = spark.sparkContext.statusTracker
+    raw = {
+        n: getattr(QUERIES[n], "__wrapped__", QUERIES[n]) for n in QUERIES
+    }
+    # two warm passes: internal per-session memos (quantizer, stream
+    # ingest, cluster labels) settle so the census sees steady state
+    for n, fn in raw.items():
+        fn(spark, SF_DIR)
+        fn(spark, SF_DIR)
+    wrongly_memoized = []
+    wrongly_excluded = []
+    for n, fn in raw.items():
+        before = set(tracker().getJobIdsForGroup(None) or [])
+        fn(spark, SF_DIR)
+        fired = len(set(tracker().getJobIdsForGroup(None) or []) - before)
+        if n in PLAN_MEMO_EXCLUDE:
+            if fired == 0:
+                wrongly_excluded.append(n)
+        elif fired > 0:
+            wrongly_memoized.append((n, fired))
+    assert not wrongly_memoized, (
+        "eager construction under the plan memo (results would be "
+        f"cached): {wrongly_memoized}"
+    )
+    assert not wrongly_excluded, (
+        "pure builders needlessly excluded from the plan memo: "
+        f"{wrongly_excluded}"
+    )

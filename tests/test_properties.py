@@ -1301,6 +1301,7 @@ def test_minhash_cluster_incremental_matches_batch(
     recomputed per example (its per-session memo is keyed by sf_dir,
     so each example uses a distinct tag)."""
     from cdc_sync_poc_spark.llm.dedup import (
+        _CLUSTER_INC_PLAN_MEMO,
         _CLUSTER_MEMO,
         dedup_minhash_cluster,
         dedup_minhash_cluster_incremental,
@@ -1312,7 +1313,12 @@ def test_minhash_cluster_incremental_matches_batch(
     df = spark.createDataFrame(docs, "doc_id long, text string")
     import unittest.mock as mock
 
-    _CLUSTER_MEMO.clear()  # the memo must not leak across examples
+    # the memos must not leak across examples: each example mocks a
+    # fresh corpus under the same sf_dir tags, so both the label memo
+    # and the incremental fold's plan-handle memo would replay example
+    # N-1's plans against example N's data
+    _CLUSTER_MEMO.clear()
+    _CLUSTER_INC_PLAN_MEMO.clear()
     with mock.patch(
         "cdc_sync_poc_spark.llm.dedup.load_table", return_value=df
     ):
@@ -1327,6 +1333,7 @@ def test_minhash_cluster_incremental_matches_batch(
             ).collect()
         }
     _CLUSTER_MEMO.clear()
+    _CLUSTER_INC_PLAN_MEMO.clear()
     assert got == want
 
 
@@ -1619,7 +1626,13 @@ def test_degenerate_corpus_engine_parity(spark, fixture):
     try:
         for q in names:
             try:
-                got = QUERIES[q](spark, "degenerate://fixture").toPandas()
+                # distinct fake sf_dir per fixture (the embedding sweep
+                # pattern): the registry plan memo and the per-session
+                # internal memos key on sf_dir, so a shared tag would
+                # replay fixture A's plan against fixture B's mock
+                got = QUERIES[q](
+                    spark, f"degenerate://fixture/{fixture}"
+                ).toPandas()
                 want = con.sql(ORACLES[q]).df()
                 compare_frames(got, want)
             except Exception as ex:  # noqa: BLE001 — name the query
