@@ -965,13 +965,14 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathological here: Catalyst's project-collapse inlines the
     array-building expression INTO the generator, re-evaluating the
     O(d^2) array once per OUTPUT row (O(d^4) per vector — 22 s vs
-    ~1 s at sf0.1). The per-dimension sums come from the same
-    cross-join shape over a 64-row dim table and attach to the
-    2016-cell pair agg as two broadcast joins on the 64-row dims
-    frame — nothing is collected, so the whole query is ONE job (the
-    earlier collect+createDataFrame form paid a separate full scan
-    plus a Python-RDD round trip per call), and an empty table flows
-    through as empty with no special case."""
+    ~1 s at sf0.1). The per-dimension sums (si, sj, n) ride the SAME
+    (i, j) aggregation pass — the oracle's `pr` CTE shape: summing
+    element_at(f, i) within the (i, j) group IS the per-dimension sum,
+    because every group sees every row exactly once (r14, guide §2.4:
+    the earlier separate `dims` aggregate was two extra full scans of
+    the embedding table feeding two broadcast builds — 3 scans and 10
+    jobs where one scan suffices). Nothing is collected, an empty
+    table flows through as empty with no special case."""
     emb = load_table(spark, sf_dir, "embeddings")
     spark_ = emb.sparkSession
     fp_expr = (
@@ -981,46 +982,20 @@ def emb_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single-row-group fixture scan would serialize the d^2/2
     # product fan-out into one task — spread it (no-op on a real lake)
     fp = spread_small_input(emb.select(F.expr(fp_expr).alias("f")))
-    dim_ids = F.broadcast(
-        spark_.range(1, 65).select(F.col("id").cast("int").alias("d"))
-    )
-    dims = (
-        fp.crossJoin(dim_ids)
-        .select("d", F.expr("element_at(f, d)").alias("x"))
-        .groupBy("d")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-    )
     ii = spark_.range(1, 65).select(F.col("id").alias("i"))
     jj = spark_.range(1, 65).select(F.col("id").alias("j"))
     pairs = ii.crossJoin(jj).filter(F.col("j") > F.col("i"))
+    fi = F.expr("element_at(f, CAST(i AS INT))")
+    fj = F.expr("element_at(f, CAST(j AS INT))")
     agg = (
         fp.crossJoin(F.broadcast(pairs))
-        .select(
-            "i",
-            "j",
-            F.expr(
-                "element_at(f, CAST(i AS INT)) * element_at(f, CAST(j AS INT))"
-            ).alias("p"),
-        )
+        .select("i", "j", (fi * fj).alias("p"), fi.alias("x_i"), fj.alias("x_j"))
         .groupBy("i", "j")
-        .agg(F.sum("p").alias("sp"))
-        .join(
-            F.broadcast(
-                dims.select(
-                    F.col("d").cast("long").alias("i"),
-                    F.col("s").alias("si"),
-                    F.col("n").alias("n"),
-                )
-            ),
-            "i",
-        )
-        .join(
-            F.broadcast(
-                dims.select(
-                    F.col("d").cast("long").alias("j"), F.col("s").alias("sj")
-                )
-            ),
-            "j",
+        .agg(
+            F.sum("p").alias("sp"),
+            F.sum("x_i").alias("si"),
+            F.sum("x_j").alias("sj"),
+            F.count("*").alias("n"),
         )
     )
     c = (

@@ -475,10 +475,16 @@ def dedup_span_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+    # count(DISTINCT doc_id) >= 2  <=>  min(doc_id) != max(doc_id):
+    # min/max are single-level map-side-combined aggregates, where the
+    # distinct count expands into a two-phase distinct aggregation
+    # (an extra Exchange over (h, doc_id)) just to compare against 2
+    # (r14, guide §2.3 — shuffle two BIGINTs per span hash, not the
+    # distinct doc set)
     dups = (
         ph.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
         .select("h")
     )
     dpos = ph.join(dups, "h", "left_semi").select("doc_id", "i")

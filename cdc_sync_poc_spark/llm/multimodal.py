@@ -439,25 +439,71 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_pairs_frame(phash_band_frame(media_table(spark, sf_dir)))
 
 
+# Candidate generation runs on a FINER multi-index than the stored
+# 4 x 4-bit banding (r14): 2 bands of 8 bits, probing each band key
+# plus its 8 single-bit flips. Pigeonhole: <= PHASH_HAMMING_MAX = 3
+# errors across 2 bands leave some band with <= floor(3/2) = 1 error,
+# so every true pair is caught — the SAME final set as the 4-band
+# equi-join (both are supersets of the hamming<=3 pairs, and the
+# exact-Hamming verify is unchanged), but a random band collision
+# costs 9/256 instead of 1/16 per band: measured 3.12M -> 0.88M
+# candidate evaluations at sf0.1. Wall time at bench SF moves little
+# (interleaved A/B min 1.05 -> 0.98 s — the query there is bound by
+# the distinct + the 133k-pair output, which is quadratic by DESIGN
+# of the 16-bit surrogate: ~1% of all pairs sit within hamming 3);
+# the 3.5x candidate cut is the term that grows with the corpus.
+# With a production 64-bit pHash the same shape gives 2 x 32-bit
+# bands (33 probe keys, 2^32 bucket values).
+_PHASH_MI_BANDS = 2
+_PHASH_MI_BITS = PHASH_BITS // _PHASH_MI_BANDS
+_PHASH_MI_MASK = (1 << _PHASH_MI_BITS) - 1
+_PHASH_MI_FLIPS = ", ".join(str(1 << i) for i in range(_PHASH_MI_BITS))
+
+
 def phash_pairs_frame(bd: DataFrame) -> DataFrame:
-    """Band equi-join + exact-Hamming verify over a banded fingerprint
-    frame: the candidate/verify half of mm_dedup_phash, shared with the
-    streaming media-dedup screen's single-batch equivalence pin."""
-    a = bd.alias("a")
-    c = bd.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.band_id") == F.col("c.band_id"))
-            & (F.col("a.band_key") == F.col("c.band_key"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
+    """Multi-index candidate join + exact-Hamming verify over a banded
+    fingerprint frame: the candidate/verify half of mm_dedup_phash,
+    shared with the streaming media-dedup screen's single-batch
+    equivalence pin. ``bd`` is the stored 4-band index shape
+    (phash_band_frame); candidates are generated from the finer
+    2 x 8-bit flip-probe index derived from the fingerprint column
+    (comment above) — the stored banding stays the on-disk contract."""
+    ph = bd.filter(F.col("band_id") == 0).select("doc_id", "phash")
+    mi_bands = ", ".join(
+        f"struct({b} AS vb, shiftright(phash,"
+        f" {(_PHASH_MI_BANDS - 1 - b) * _PHASH_MI_BITS})"
+        f" & {_PHASH_MI_MASK} AS bv)"
+        for b in range(_PHASH_MI_BANDS)
+    )
+    build = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("pb"),
+        F.explode(F.expr(f"array({mi_bands})")).alias("b"),
+    ).select("doc_b", "pb", F.col("b.vb").alias("vb"), F.col("b.bv").alias("bv"))
+    probe = (
+        ph.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("phash").alias("pa"),
+            F.explode(F.expr(f"array({mi_bands})")).alias("b"),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.phash").alias("pa"),
-            F.col("c.doc_id").alias("doc_b"),
-            F.col("c.phash").alias("pb"),
+            "doc_a",
+            "pa",
+            F.col("b.vb").alias("vb"),
+            F.explode(
+                F.expr(f"transform(array(0, {_PHASH_MI_FLIPS}),"
+                       f" m -> b.bv ^ m)")
+            ).alias("bk"),
         )
+    )
+    cand = (
+        probe.join(
+            build,
+            (probe.vb == build.vb)
+            & (probe.bk == build.bv)
+            & (probe.doc_a < build.doc_b),
+        )
+        .select("doc_a", "pa", "doc_b", "pb")
         .distinct()
     )
     ham = F.expr("bit_count(pa ^ pb)")

@@ -313,7 +313,15 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical skew join (head terms are power-law hot): implemented as
     a split-join — top-HOT_K head terms broadcast, the long tail
     shuffles — which partitions the term space, so the union equals
-    the oracle's plain join exactly (integer sums are order-free)."""
+    the oracle's plain join exactly (integer sums are order-free).
+
+    Shape note (r14): pre-aggregating the token stream to per-doc term
+    frequencies tf(doc, term) before the joins (guide §2.3) was
+    measured SLOWER here (0.89 -> 1.93 s at sf0.1): per-doc term
+    repetition is low, so the tf hash-agg shuffles nearly the whole
+    token stream on a wide (doc_id, term) string key and saves almost
+    nothing downstream — the explode-per-branch form keeps the hot
+    branch entirely map-side. Kept as-is deliberately."""
     docs = load_table(spark, sf_dir, "documents")
     toks = spread_small_input(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
