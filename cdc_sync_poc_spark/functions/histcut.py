@@ -47,18 +47,25 @@ def hist_bucket_edges(
     the row frame: ``rows.join(F.broadcast(edges), cell)``.
     """
     hist = frame.groupBy(cell).agg(F.count("*").alias("__c"))
-    tot = hist.agg(F.sum("__c").alias("__n"))
     order = F.desc(cell) if descending else F.asc(cell)
     w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        hist.select(cell, F.sum("__c").over(w).alias("__cum"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            cell,
-            F.expr(f"({n_buckets} * __cum + __n - 1) div __n")
-            .cast("bigint")
-            .alias(out),
-        )
+    # __n (the row total) is the SAME window with an unbounded-both
+    # frame, so one Window operator computes both over the domain-sized
+    # hist — the separate 1-row aggregate + crossJoin(broadcast) paid a
+    # broadcast-build job that re-planned the hist subtree per calling
+    # query (r14, guide §2.4)
+    w_all = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        cell,
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    ).select(
+        cell,
+        F.expr(f"({n_buckets} * __cum + __n - 1) div __n")
+        .cast("bigint")
+        .alias(out),
     )
 
 

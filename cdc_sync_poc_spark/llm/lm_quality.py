@@ -519,17 +519,21 @@ def corpus_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum at any parallelism.
 
     Scale shape: the grid is |vocab| × |langs| rows — vocabulary-sized,
-    not corpus-sized; it comes from one tokenize pass feeding three
-    hash aggs, a broadcast of the per-lang totals, and a left join of
-    the (lang, term) counts, shuffled on the uniform term key."""
+    not corpus-sized. ONE tokenize pass feeds ONE corpus-sized hash agg
+    (the (lang, term) counts); the term totals, per-lang totals and
+    grand total are integer reaggregations of that domain-sized table
+    (r14, guide §2.3 — the four independent aggs each re-ran the
+    explode scan: 4 corpus passes where 1 suffices), then a broadcast
+    of the per-lang totals and a left join of the (lang, term) counts,
+    shuffled on the uniform term key."""
     docs = load_table(spark, sf_dir, "documents")
     tok = spread_small_input(docs.select("lang", "text")).select(
         "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    ct = tok.groupBy("term").agg(F.count("*").alias("c_t"))
     cl = tok.groupBy("lang", "term").agg(F.count("*").alias("c_lt"))
-    nl = tok.groupBy("lang").agg(F.count("*").alias("n_l"))
-    tot = tok.agg(F.count("*").alias("n_tot"))
+    ct = cl.groupBy("term").agg(F.sum("c_lt").alias("c_t"))
+    nl = cl.groupBy("lang").agg(F.sum("c_lt").alias("n_l"))
+    tot = nl.agg(F.sum("n_l").alias("n_tot"))
     grid = (
         ct.crossJoin(F.broadcast(nl))
         .crossJoin(F.broadcast(tot))

@@ -279,7 +279,14 @@ def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("term")
     )
     uc = toks.groupBy("term").agg(F.count("*").alias("c"))
-    tot = toks.agg(F.count("*").alias("n"))
+    # n = sum of the unigram counts — a tiny reaggregation of uc, not a
+    # third explode pass over the corpus (r14, guide §2.3); and the two
+    # unigram joins broadcast the SAME unaliased uc subtree (renames
+    # applied ABOVE the join), so the second build is a ReusedExchange
+    # instead of a recompute
+    tot = uc.agg(F.sum("c").alias("n"))
+    u1 = uc.alias("u1")
+    u2 = uc.alias("u2")
     lift = F.round(
         F.col("c_ab").cast("double")
         * F.col("n").cast("double")
@@ -287,15 +294,17 @@ def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        pc.join(
-            F.broadcast(uc.select(F.col("term").alias("ta"), F.col("c").alias("ca"))),
-            "ta",
-        )
-        .join(
-            F.broadcast(uc.select(F.col("term").alias("tb"), F.col("c").alias("cb"))),
-            "tb",
-        )
+        pc.join(F.broadcast(u1), F.col("ta") == F.col("u1.term"))
+        .join(F.broadcast(u2), F.col("tb") == F.col("u2.term"))
         .crossJoin(F.broadcast(tot))
+        .select(
+            "ta",
+            "tb",
+            "c_ab",
+            F.col("u1.c").alias("ca"),
+            F.col("u2.c").alias("cb"),
+            "n",
+        )
         .select("ta", "tb", "c_ab", lift.alias("lift"))
         .orderBy(F.desc("lift"), "ta", "tb")
         .limit(COOC_TOP)

@@ -1040,14 +1040,20 @@ def bench_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("pk"))
     )
     li_sel = li.join(p, li.l_partkey == F.col("pk"), "left_semi")
-    shipped = li_sel.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty")
+    # repartition on l_partkey ONCE: hash(l_partkey) satisfies the
+    # groupBy(l_partkey, l_suppkey) clustering (subset rule) AND the
+    # per-part total window, so the agg + window share one exchange —
+    # the separate total_qty aggregate + join-back shuffled the shipped
+    # table twice more (r14, guide §2.4: two operations keyed the same
+    # way share one exchange)
+    shipped = (
+        li_sel.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
     )
-    tot = shipped.groupBy(F.col("l_partkey").alias("t_key")).agg(
-        F.sum("qty").alias("total_qty")
-    )
+    w_part = Window.partitionBy("l_partkey")
     dominant = (
-        shipped.join(tot, shipped.l_partkey == F.col("t_key"))
+        shipped.withColumn("total_qty", F.sum("qty").over(w_part))
         .filter(F.col("qty") * 2 > F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
