@@ -302,6 +302,11 @@ assert len(BENCH_EXCLUDED) == sum(len(qs) for qs in _EXCLUDE_GROUPS.values()), (
 
 N_REPS = 3
 
+# Byte budget for the FINAL summary JSON line: the driver's capture
+# keeps the last ~2000 chars of stdout, and the final line must parse
+# whole from that tail (see summarize()).
+_SUMMARY_LINE_BUDGET = 1900
+
 # Scale-probe (VERDICT r6 #3): measure — don't design-argue — how the
 # most expensive headline queries scale with data size. The top
 # SCALE_PROBE_TOP_K queries by main-pass time are re-run at every
@@ -777,6 +782,28 @@ def summarize(result: dict) -> dict:
         out["warmup_top3"] = {
             k: warm[k] for k in sorted(warm, key=warm.get, reverse=True)[:3]
         }
+    # per-query seconds ON the final line (VERDICT r14 #4): the driver
+    # keeps only the ~2000-char TAIL of stdout and extracts per-query
+    # timings from the last JSON line, so PERF_r14 could not compute
+    # per-query deltas/geomean/scaling — the full 168-entry map lives on
+    # the (front-truncated) detail line. The final line cannot simply
+    # carry the full map either: r4 measured exactly that failure (a
+    # ~4 KB single line lost its front half in the tail capture and
+    # parsed as null). Compromise: greedily add the MOST EXPENSIVE
+    # queries (2-decimal seconds, min-of-passes — same statistic as
+    # "queries") until the serialized line reaches _SUMMARY_LINE_BUDGET,
+    # so every query heavy enough for its regression to move the total
+    # is per-query-visible to the driver at both core counts, and the
+    # final line always survives the tail capture intact. The full map
+    # still rides the detail line, unchanged.
+    timings = result.get("queries", {})
+    per_query: dict[str, float] = {}
+    out["per_query"] = per_query
+    for q in sorted(timings, key=timings.get, reverse=True):
+        per_query[q] = round(timings[q], 2)
+        if len(json.dumps(out)) > _SUMMARY_LINE_BUDGET:
+            del per_query[q]
+            break
     return out
 
 

@@ -455,6 +455,16 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # With a production 64-bit pHash the same shape gives 2 x 32-bit
 # bands (33 probe keys, 2^32 bucket values).
 _PHASH_MI_BANDS = 2
+# Recall-completeness precondition (ADVICE r14): the radius-1
+# flip-probe is exhaustive only while the worst band carries <= 1
+# error (floor(PHASH_HAMMING_MAX / bands) <= 1) and the width splits
+# evenly; raising PHASH_HAMMING_MAX or changing PHASH_BITS without
+# rethinking the banding would silently drop true pairs (the DuckDB
+# oracle auto-scales its banding via PHASH_BANDS = hamming_max + 1).
+assert (
+    PHASH_HAMMING_MAX // _PHASH_MI_BANDS <= 1
+    and PHASH_BITS % _PHASH_MI_BANDS == 0
+), "phash multi-index banding no longer covers PHASH_HAMMING_MAX"
 _PHASH_MI_BITS = PHASH_BITS // _PHASH_MI_BANDS
 _PHASH_MI_MASK = (1 << _PHASH_MI_BITS) - 1
 _PHASH_MI_FLIPS = ", ".join(str(1 << i) for i in range(_PHASH_MI_BITS))

@@ -463,25 +463,43 @@ def ap09_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     legitimately diverge from the frozen source snapshot, so the
     mismatch counts here quantify exactly what the batch changed.
 
-    Scale: ONE full-outer shuffle join on pk (co-located when both
-    sides are pk-bucketed, streaming/writer.py layout) + a 4-group
-    agg. A 100 TB reconciliation sorts/joins once — this plan — and
+    Scale: ONE full-outer shuffle join on pk + a 4-group agg (r15,
+    guide §2.4). The naive form materialized the MERGE state and
+    full-outer-joined customer against it AGAIN — two customer scans
+    and two pk shuffle chains. But every diff status is a pure
+    function of the merge join row itself (base key present? change
+    present? operation? applied value vs base value), and both
+    customer.c_custkey and last-change pk are unique, so diff rows map
+    1:1 onto merge join rows: classify the SAME full-outer join the
+    MERGE reads instead of rebuilding its output and re-joining.
+    Dropped-by-merge rows with no base key (UPDATE/DELETE on a missing
+    key) appear on neither side of the oracle's diff and are filtered
+    out. A 100 TB reconciliation sorts/joins once — this plan — and
     never collects; per-status drill-down is a filter on the same
     joined frame."""
-    src = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("s_pk"), F.col("c_acctbal").alias("s_bal")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
     )
-    tgt = apply_final_state(spark, sf_dir).select(
-        F.col("pk").alias("t_pk"), F.col("acctbal").alias("t_bal")
-    )
-    j = src.join(tgt, src.s_pk == tgt.t_pk, "full_outer")
+    last = last_change_per_key(spark, sf_dir)
+    j = base.join(last, base.c_custkey == last.pk, "full_outer")
     cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
     status = (
-        F.when(F.col("t_pk").isNull(), "MISSING_IN_TARGET")
-        .when(F.col("s_pk").isNull(), "EXTRA_IN_TARGET")
-        .when(~cents("s_bal").eqNullSafe(cents("t_bal")), "VALUE_MISMATCH")
+        # no base row: an INSERT creates an extra target key; a
+        # dropped UPDATE/DELETE leaves the key on neither side
+        F.when(
+            F.col("c_custkey").isNull(),
+            F.when(F.col("operation") == "INSERT", "EXTRA_IN_TARGET"),
+        )
+        # base row untouched by the batch: target value IS the base
+        # value, so it can only MATCH
+        .when(F.col("pk").isNull(), "MATCH")
+        .when(F.col("operation") == "DELETE", "MISSING_IN_TARGET")
+        .when(~cents("c_acctbal").eqNullSafe(cents("val")), "VALUE_MISMATCH")
         .otherwise("MATCH")
     )
-    return j.select(status.alias("status")).groupBy("status").agg(
-        F.count("*").alias("n")
+    return (
+        j.select(status.alias("status"))
+        .filter(F.col("status").isNotNull())
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
     )

@@ -1101,12 +1101,26 @@ def bench_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt/commit dates, so 'late' = shipped more than 90 days after
     the order date). The EXISTS/NOT-EXISTS pair over lineitem self-joins
     decorrelates into one (orderkey, suppkey) aggregate (was-this-
-    supplier-ever-late) plus per-order window counts over the SAME rows
-    — a single lineitem scan and one orderkey-rooted shuffle chain; no
-    self-join recomputes the pairs relation (the agg+join-back form
-    built it twice — observed in the executed plan before this
-    rewrite). The culprit filter (multi-supplier order, exactly one
-    late supplier, this one) is a branch-free window predicate;
+    supplier-ever-late) plus a per-order aggregate over the SAME rows —
+    a single lineitem scan and one orderkey-rooted shuffle chain; no
+    self-join recomputes the pairs relation.
+
+    r15 (guide §2.2/§2.4 share one exchange): the per-order counts were
+    a Window over l_orderkey after the (orderkey, suppkey) aggregate —
+    partitioning on the superset key does NOT satisfy the window's
+    orderkey distribution, so the plan paid a second exchange plus a
+    sort. Now an explicit repartition(l_orderkey) feeds BOTH
+    aggregation levels (orderkey partitioning satisfies the (orderkey,
+    suppkey) grouping too), and the window becomes a second hash
+    aggregate on the same partitioning: when n_late = 1 the culprit IS
+    the order's only late supplier, so max(when(late, suppkey)) emits
+    exactly the row the window filter kept — one exchange, no sort, no
+    window (A/B at sf0.1: 0.96 -> 0.60 s min-of-4, rows identical).
+    At scale the orders side stops broadcasting and the join becomes a
+    sort-merge on orderkey whose output already carries the orderkey
+    partitioning — measured under autoBroadcastJoinThreshold=-1 that
+    the repartition is then elided (same exchange count as without
+    it), so the hint is free exactly when it is redundant;
     supplier/nation broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -1119,16 +1133,20 @@ def bench_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
     )
-    w = Window.partitionBy("l_orderkey")
     culprit = (
-        pairs.withColumn("n_supp", F.count("*").over(w))
-        .withColumn("n_late", F.sum("late").over(w))
-        .filter(
-            (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        pairs.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("late").alias("n_late"),
+            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+                "l_suppkey"
+            ),
         )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .select("l_suppkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(

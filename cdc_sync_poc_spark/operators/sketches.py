@@ -103,20 +103,40 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate = (k-1) * 2^48 / h_(k) from the k smallest hashes (the
     small-set regime, n_distinct <= k, returns the exact count — the
     sketch IS the distinct set there). n_exact rides along so the
-    estimator's error is measured, not asserted."""
+    estimator's error is measured, not asserted.
+
+    One pass over the distinct frame (r15, guide §2.3/§2.4): the old
+    form aggregated it once for n_exact and again through the salted
+    bottom-k for h_(k), then joined the two on event_type. The exact
+    count now rides the bottom-k itself — each level-1 salt bucket
+    carries its size (count over the same (type, salt) window the
+    ranking sorts), and the level-2 aggregate sums one representative
+    row per bucket (rn = 1) while picking the k-th smallest hash — so
+    the distinct frame is consumed once, the per-type join disappears,
+    and the level-2 aggregate reuses the level-2 window's event_type
+    partitioning (no extra exchange)."""
     d = _hashed_distinct(spark, sf_dir)
-    nd = d.groupBy("event_type").agg(F.count("*").alias("n_exact"))
-    kth = (
-        _bottom_k(d, ["event_type"])
-        .filter(F.col("rn") == KMV_K)
-        .select("event_type", F.col("hv").alias("hk"))
+    w1 = Window.partitionBy("event_type", "salt").orderBy("hv")
+    wb = Window.partitionBy("event_type", "salt")
+    lvl1 = (
+        d.withColumn("salt", F.col("hv") % SALT_BUCKETS)
+        .withColumn("rn", F.row_number().over(w1))
+        .withColumn("nb", F.count("*").over(wb))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    w2 = Window.partitionBy("event_type").orderBy("hv")
+    per_type = (
+        lvl1.withColumn("rn2", F.row_number().over(w2))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, F.col("nb"))).alias("n_exact"),
+            F.max(F.when(F.col("rn2") == KMV_K, F.col("hv"))).alias("hk"),
+        )
     )
     est = F.when(
         F.col("n_exact") <= KMV_K, F.col("n_exact").cast("double")
     ).otherwise(F.round(F.lit(float(_EST_NUM)) / F.col("hk"), 3))
-    return nd.join(kth, "event_type", "left").select(
-        "event_type", "n_exact", est.alias("kmv_estimate")
-    )
+    return per_type.select("event_type", "n_exact", est.alias("kmv_estimate"))
 
 
 @register(

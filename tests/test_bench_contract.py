@@ -38,13 +38,49 @@ def test_bench_summary_line_is_small_and_self_contained(spark):
 
     result = bench.run(spark=spark, sf_dir=SF_DIR, names=["bench_q1_pricing"])
     line = json.dumps(bench.summarize(result))
-    assert len(line) < 500  # a tail capture always keeps this intact
+    # a tail capture keeps the last ~2000 chars; the final line must
+    # parse whole from it (r15: per_query rides it under this budget)
+    assert len(line) <= bench._SUMMARY_LINE_BUDGET
     parsed = json.loads(line)
     assert parsed["value"] == result["value"]
     assert parsed["value_median"] == result["value_median"]
     assert parsed["sf"] == result["sf"]
     assert parsed["n_queries"] == 1 and parsed["n_errors"] == 0
-    assert "queries" not in parsed  # summary-only: no per-query maps
+    assert "queries" not in parsed  # the full min/median maps stay off
+    # per_query (VERDICT r14 #4): min-of-passes seconds, 2 decimals
+    assert parsed["per_query"] == {
+        "bench_q1_pricing": round(result["queries"]["bench_q1_pricing"], 2)
+    }
+
+
+def test_bench_summary_per_query_fills_to_budget_heaviest_first():
+    """per_query greedily carries the MOST expensive queries and stops
+    at the line budget, so the final line stays tail-capture-safe while
+    every regression-relevant query is per-query-visible."""
+    import bench
+
+    result = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "queries": {f"q{i:03d}_{'x' * 20}": i * 0.01 for i in range(400)},
+        "queries_median": {},
+        "scaling": {},
+        "agg": "a",
+        "sf": 0.1,
+        "reps": 3,
+        "value_median": 1.0,
+        "value": 1.0,
+        "contention": {"loadavg_1m": 1.0},
+    }
+    line = json.dumps(bench.summarize(result))
+    assert len(line) <= bench._SUMMARY_LINE_BUDGET
+    pq = json.loads(line)["per_query"]
+    assert 0 < len(pq) < 400  # budget bites before the full map
+    kept_min = min(result["queries"][q] for q in pq)
+    dropped_max = max(
+        v for q, v in result["queries"].items() if q not in pq
+    )
+    assert kept_min >= dropped_max  # heaviest-first greedy order
 
 
 def test_bench_list_is_resolvable():

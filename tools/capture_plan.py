@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Capture `.explain("formatted")` output for named queries into
-plans/r14/<query>_<tag>.txt (optimization-round evidence).
+plans/<round>/<query>_<tag>.txt (default round: r15) (optimization-round evidence).
 
-Usage: python tools/capture_plan.py TAG q1 q2 ... [--sf=DIR] [--exec]
+Usage: python tools/capture_plan.py TAG q1 q2 ... [--sf=DIR] [--exec] [--round=rNN]
 
 --exec runs the query (count) before explaining, so AQE's FINAL plan
 is captured (isFinalPlan=true, with ReusedExchange / AQEShuffleRead
@@ -32,7 +32,11 @@ def main() -> None:
     load_all_queries()
     spark = get_spark("capture-plan")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = pathlib.Path(__file__).resolve().parents[1] / "plans" / "r14"
+    rnd = "r15"
+    for a in sys.argv[2:]:
+        if a.startswith("--round="):
+            rnd = a.split("=", 1)[1]
+    out_dir = pathlib.Path(__file__).resolve().parents[1] / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
     execute = "--exec" in sys.argv
     for name in names:
