@@ -545,6 +545,25 @@ def run(
     warmup: dict[str, float] = {}
     warm_errors: dict[str, str] = {}
     if names is None:
+        # extend the untimed JVM/codegen prewarm to the cache-builder
+        # plans (r15, VERDICT r14 #6): each warmer runs once at the
+        # SMALLEST sibling sf dir first, so whole-stage-codegen
+        # compilation of the dedup/minhash/winnowing pipelines — a
+        # per-session JVM cost, not a cache-build cost — is paid here
+        # like the scan/Arrow spin-up above, and the TIMED warmup below
+        # measures the sf-proportional cache build it is meant to
+        # attribute. Caches built at the probe sf are keyed separately
+        # and tiny; failures fall through to the timed loop's own
+        # error handling.
+        probe_dirs = _probe_sf_dirs(sf_dir, sf)
+        if probe_dirs:
+            _, smallest = probe_dirs[0]
+            for w in CACHE_WARMERS:
+                try:
+                    QUERIES[w](spark, smallest).count()
+                except Exception:  # noqa: BLE001 — prewarm must not
+                    # void the bench; the timed loop reports the error
+                    pass
         # cold cost of each cache-building query, individually timed:
         # this is where e.g. the loop-guard materialization shows up
         for w in CACHE_WARMERS:

@@ -331,13 +331,23 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     density guarantee caps output at ~2/(W+1) per position); the only
     shuffles key on the uniform 32-bit fingerprint. The (fp, doc)
     frame is the winnowed corpus index — the same artifact MOSS
-    persists for O(batch) incremental screening."""
-    fps = _winnow_fps(spark, sf_dir)
-    cnt = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    persists for O(batch) incremental screening.
+
+    The per-fp sharing count is a count over the fp WINDOW on one
+    explicit fp repartition (r15, guide §2.4 — the same shape as
+    dedup_winnowing_pairs): the old count-agg + join-back re-shipped
+    the fingerprint rows and, at bench SF, broadcast a corpus-sized
+    count table. One fp exchange + the per-doc agg exchange (A/B at
+    sf0.1: 0.81 -> 0.48 s, identical rows)."""
+    w = Window.partitionBy("fp")
+    marked = (
+        _winnow_fps(spark, sf_dir)
+        .repartition("fp")
+        .withColumn("n_docs", F.count("*").over(w))
+    )
     shared = F.count(F.when(F.col("n_docs") >= 2, 1))
     return (
-        fps.join(cnt, "fp")
-        .groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_fp"),
             shared.alias("n_shared"),
@@ -632,15 +642,30 @@ def corpus_decontam_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus0.join(F.broadcast(b1_new), "shingle").select("doc_id")
         )
     )
-    hits = deltas.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
-    scount = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    return hits.join(scount, "doc_id").select(
-        "doc_id",
-        "n_hits",
-        "n_shingles",
-        F.round(
-            F.col("n_hits").cast("double") / F.col("n_shingles"), 6
-        ).alias("contamination_frac"),
+    # ONE doc-keyed aggregate (r15, guide §2.4): the shingle totals ride
+    # the same union as the delta hits (marker 0 rows = one per corpus
+    # shingle, marker 1 rows = the delta hits), so the separate scount
+    # aggregate over the full shingle frame AND the doc_id join both
+    # disappear — at corpus scale that is one fewer full pass; the
+    # delta algebra above is untouched.
+    u = deltas.withColumn("hit", F.lit(1)).unionByName(
+        sh.filter(~is_bench).select("doc_id").withColumn("hit", F.lit(0))
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("hit") == 1, 1)).alias("n_hits"),
+            F.count(F.when(F.col("hit") == 0, 1)).alias("n_shingles"),
+        )
+        .filter(F.col("n_hits") >= 1)
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_shingles",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination_frac"),
+        )
     )
 
 
@@ -707,21 +732,25 @@ def corpus_contamination_by_source(
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).cache()
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    bench = sh.filter(is_bench).select("shingle").distinct()
-    scount = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        sh.filter(~is_bench)
-        .join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+    # one corpus pass (r15, guide §2.3/§2.4 — the same left-join +
+    # conditional-count shape as corpus_contamination): n_hits and
+    # n_shingles ride ONE doc-keyed aggregate after a broadcast LEFT
+    # join against the bench set, replacing the two separate
+    # aggregates and their doc_id join; zero-hit docs stay (left join),
+    # matching the old coalesce(n_hits, 0) semantics
+    bench = (
+        sh.filter(is_bench)
+        .select("shingle")
+        .distinct()
+        .withColumn("is_b", F.lit(1))
     )
     corpus = (
-        scount.filter(~is_bench)
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("is_b")).alias("n_hits"),
+            F.count("*").alias("n_shingles"),
         )
     )
     contaminated = F.sum(

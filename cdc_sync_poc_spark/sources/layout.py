@@ -65,24 +65,26 @@ def maint_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH columns is what turns into file-level min/max pruning for
     predicates on either key once rows are written in bucket order.
 
-    One map-only projection (the bit-interleave is a JVM-side
-    ``aggregate`` fold over ``sequence(0, 15)`` — no UDF) and one hash
-    agg on the 64-value bucket key. At 100 TB the same zvalue feeds
-    ``repartitionByRange`` + sortWithinPartitions + write; the
-    reporting agg here is the layout-quality audit a maintenance job
-    would emit."""
+    One map-only projection (the bit-interleave is a statically
+    UNROLLED 2x16-term integer sum — no UDF, and since r15 no
+    higher-order ``aggregate`` fold either: the lambda fold built a
+    sequence array per row and evaluated its closure interpretively
+    outside whole-stage codegen, measured 3x slower than the unrolled
+    form at sf0.1, 0.59 -> 0.19 s, identical output — guide §1.2
+    per-task work) and one hash agg on the 64-value bucket key. At
+    100 TB the same zvalue feeds ``repartitionByRange`` +
+    sortWithinPartitions + write; the reporting agg here is the
+    layout-quality audit a maintenance job would emit."""
     ev = load_table(spark, sf_dir, "events")
+    interleave = " + ".join(
+        f"(shiftright(a, {i}) & 1) * {1 << (2 * i)}L"
+        f" + (shiftright(b, {i}) & 1) * {1 << (2 * i + 1)}L"
+        for i in range(ZORDER_SIDE_BITS)
+    )
     z = ev.select(
         (F.col("user_id").bitwiseAND(_MASK)).alias("a"),
         (F.col("event_id").bitwiseAND(_MASK)).alias("b"),
-    ).withColumn(
-        "zvalue",
-        F.expr(
-            f"aggregate(sequence(0, {ZORDER_SIDE_BITS - 1}), 0L, (acc, i) ->"
-            " acc + (shiftright(a, i) & 1) * shiftleft(1L, 2*i)"
-            "     + (shiftright(b, i) & 1) * shiftleft(1L, 2*i + 1))"
-        ),
-    )
+    ).withColumn("zvalue", F.expr(interleave))
     shift = 2 * ZORDER_SIDE_BITS - ZORDER_BITS
     return (
         z.withColumn("bucket", F.shiftright(F.col("zvalue"), shift))

@@ -251,10 +251,19 @@ def test_plan_memo_excludes_every_eager_builder(spark):
         n: getattr(QUERIES[n], "__wrapped__", QUERIES[n]) for n in QUERIES
     }
     # two warm passes: internal per-session memos (quantizer, stream
-    # ingest, cluster labels) settle so the census sees steady state
-    for n, fn in raw.items():
+    # ingest, cluster labels) settle so the census sees steady state.
+    # Warm passes don't need job ATTRIBUTION (only the serial census
+    # below does), so they run on a thread pool — 512 serial plan
+    # constructions were ~2/3 of this test's ~2 min wall (the driver's
+    # suite run must fit its time budget, VERDICT r14 #2).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def warm(fn):
         fn(spark, SF_DIR)
         fn(spark, SF_DIR)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(warm, raw.values()))
     wrongly_memoized = []
     wrongly_excluded = []
     for n, fn in raw.items():

@@ -130,6 +130,7 @@ def _lossless(spec: TableMapping) -> TableMapping:
     return TableMapping(spec.source_table, spec.target_table, spec.key, tuple(cols))
 
 
+@pytest.mark.slow
 def test_all_171_mirror_specs_compile_and_invert_involutes(mapping_world):
     """Every one of the 171 specs mirrors into a TOBE->ASIS spec that
     (a) compiles to an ANALYZED plan against the forward OUTPUT with

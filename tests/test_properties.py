@@ -35,6 +35,7 @@ def _greedy_reference(events, window_s=300):
     return out
 
 
+@pytest.mark.slow
 @given(
     gaps=st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=12),
     hashes=st.lists(st.sampled_from(["h1", "h2"]), min_size=1, max_size=12),
@@ -70,6 +71,7 @@ def _greedy_reference_validity(events, window_s=300):
     return out
 
 
+@pytest.mark.slow
 @given(
     gaps=st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=12),
     hashes=st.lists(st.sampled_from(["h1", "h2"]), min_size=1, max_size=12),
@@ -119,6 +121,7 @@ def _merge_reference(base, changes):
     return out
 
 
+@pytest.mark.slow
 @given(
     ops=st.lists(
         st.tuples(
@@ -182,6 +185,7 @@ def _boilerplate_reference(texts, seg_words=8, min_docs=3):
     }
 
 
+@pytest.mark.slow
 @given(
     lengths=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=10),
     words=st.lists(st.sampled_from(["a", "b"]), min_size=30, max_size=60),
@@ -386,6 +390,7 @@ def _lm_reference(rows):
     return out
 
 
+@pytest.mark.slow
 @given(
     docs=st.lists(
         st.lists(
@@ -736,6 +741,7 @@ def test_hist_bucket_edges_matches_reference(spark, values, n_buckets, descendin
     )  # monotone along the cut order
 
 
+@pytest.mark.slow
 @given(
     lens=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=18),
     langs=st.lists(st.sampled_from(["en", "de"]), min_size=1, max_size=18),
@@ -833,6 +839,7 @@ def test_line_dedup_matches_reference_and_conserves_segments(spark, docs):
     assert sum(k for _n, k, _t in got.values()) == len(distinct_segments)
 
 
+@pytest.mark.slow
 @given(
     docs=st.lists(
         st.lists(
@@ -927,6 +934,7 @@ def test_systematic_pps_reference_and_multiplicity(spark, weights):
             assert i in drawn, (i, w, total)
 
 
+@pytest.mark.slow
 @given(
     a=st.lists(st.integers(min_value=0, max_value=10**9), max_size=30),
     b=st.lists(st.integers(min_value=0, max_value=10**9), max_size=30),
@@ -1037,6 +1045,7 @@ def test_pack_padding_waste_invariants(spark, tmp_path):
     assert rows["packed"].n_slots == rows["packed"].n_units * PACK_BUDGET
 
 
+@pytest.mark.slow
 @given(
     counts=st.lists(
         st.lists(
@@ -1092,6 +1101,7 @@ def test_additive_delta_store_totals_invariant(
     assert got == {k: v for k, v in want.items() if v}
 
 
+@pytest.mark.slow
 @given(
     owners=st.lists(
         st.lists(
@@ -1203,6 +1213,7 @@ def test_ngram_novelty_matches_reference(spark, texts):
         assert sum(n for _, n in got.values()) == len(all_grams)
 
 
+@pytest.mark.slow
 @given(
     texts=st.lists(
         st.lists(
@@ -1278,6 +1289,7 @@ def _clear_cache_after(spark):
     spark.catalog.clearCache()
 
 
+@pytest.mark.slow
 @given(
     texts=st.lists(
         st.lists(
@@ -1337,6 +1349,7 @@ def test_minhash_cluster_incremental_matches_batch(
     assert got == want
 
 
+@pytest.mark.slow
 @given(
     batches=st.lists(
         st.lists(

@@ -33,6 +33,7 @@ from cdc_sync_poc_spark.registry import (
     DRIVER_WINDOW,
     QUERIES,
     WINDOW_STAGED_FOR,
+    WINDOW_TAINTED,
     load_all_queries,
 )
 
@@ -62,12 +63,19 @@ def test_driver_sample_window_is_the_staged_fifty():
 def test_window_has_zero_overlap_with_previous_sample():
     """Fresh evidence only: overlap with the PREVIOUS round's sample
     (the newest evidence at staging time) must be 0 (VERDICT r8 #1,
-    re-pinned every round; round-anchored per VERDICT r10 #1)."""
+    re-pinned every round; round-anchored per VERDICT r10 #1) — except
+    TAINTED ids (registry.WINDOW_TAINTED): a query rewritten after the
+    previous capture needs re-witnessing even if it was just sampled
+    (the touched-oracle-taint principle, VERDICT r14 #3: changed code
+    outranks fresh-but-stale-for-this-code evidence)."""
     prev = _REPO / f"CORRECTNESS_r{WINDOW_STAGED_FOR - 1:02d}.json"
     if not prev.exists():
         prev = _REPO / f"CORRECTNESS_r{WINDOW_STAGED_FOR - 1}.json"
     sampled = set(json.loads(prev.read_text()))
-    assert not set(DRIVER_WINDOW) & sampled
+    overlap = set(DRIVER_WINDOW) & sampled
+    assert overlap <= WINDOW_TAINTED, (
+        f"non-tainted repeats from the previous sample: "
+        f"{sorted(overlap - WINDOW_TAINTED)}")
 
 
 def test_window_covers_the_oldest_evidence():
@@ -87,7 +95,14 @@ def test_window_covers_the_oldest_evidence():
         f"never-sampled ids staged outside the window: "
         f"{set(never_sampled) - window}")
 
-    in_rounds = [latest[q] for q in window if q in latest]
+    # TAINTED ids (rewritten after their newest evidence) jump the
+    # staleness queue by design (VERDICT r14 #3) — the oldest-tail
+    # invariant holds over everything else
+    assert WINDOW_TAINTED <= window, (
+        f"tainted ids must be staged: {sorted(WINDOW_TAINTED - window)}")
+    in_rounds = [
+        latest[q] for q in window if q in latest and q not in WINDOW_TAINTED
+    ]
     out_rounds = [latest[q] for q in outside if q in latest]
     assert max(in_rounds) <= min(out_rounds), (
         f"window is not the oldest tail: newest in-window evidence "

@@ -792,6 +792,7 @@ def test_scd2_stream_matches_batch_ap07(spark, chunked_events, tmp_path):
     assert any(not r[5] for r in got)   # and closed ones
 
 
+@pytest.mark.slow
 def test_scd2_replay_and_crash_windows_are_idempotent(spark, tmp_path):
     """Exactly-once under foreachBatch at-least-once: (a) a fully
     committed batch replayed verbatim is a no-op (commit marker), and
@@ -837,6 +838,7 @@ def test_scd2_replay_and_crash_windows_are_idempotent(spark, tmp_path):
     assert want == _hist_set(ap07_scd2_history(spark, SF_DIR))
 
 
+@pytest.mark.slow
 def test_scd2_bucketed_matches_whole_swap(spark, chunked_events, tmp_path):
     """VERDICT r8 #8: the bucketed MVCC open store produces the exact
     whole-swap history (== batch ap07), while touching only changed
@@ -863,6 +865,7 @@ def test_scd2_bucketed_matches_whole_swap(spark, chunked_events, tmp_path):
             assert len(vs) == 1, (b, vs)
 
 
+@pytest.mark.slow
 def test_scd2_bucketed_crash_windows_are_idempotent(spark, tmp_path):
     """Bucketed-mode exactly-once: (a) replay of a committed batch is a
     no-op (marker), and (b) a crash AFTER some bucket version dirs are

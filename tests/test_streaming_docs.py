@@ -227,6 +227,7 @@ def test_streaming_funnel_matches_batch(spark, doc_batches, tmp_path):
     assert streamed == expected
 
 
+@pytest.mark.slow
 def test_streaming_dedup_index_matches_batch_screening(spark, tmp_path):
     """The foreachBatch index maintainer (streaming/docs_index.py) must
     produce, for every micro-batch, exactly the verdicts the BATCH
@@ -347,6 +348,7 @@ def test_streaming_dedup_index_matches_batch_screening(spark, tmp_path):
     assert spark.read.parquet(str(root / "hash_idx")).count() == n_hash
 
 
+@pytest.mark.slow
 def test_streaming_packing_matches_batch_on_ordered_arrival(spark, tmp_path):
     """The continuous packer (streaming/packing.py): when documents
     arrive in doc_id order, per-batch packing with the per-language
@@ -409,6 +411,7 @@ def test_streaming_packing_matches_batch_on_ordered_arrival(spark, tmp_path):
     assert sorted(map(tuple, packer.packed().collect())) == before
 
 
+@pytest.mark.slow
 def test_streaming_curation_pipeline_matches_straightline(spark, tmp_path):
     """Continuous curation (streaming/curation_pipeline.py): per batch,
     funnel -> dedup-screen -> pack must equal the straight-line batch
@@ -542,6 +545,7 @@ def test_streaming_curation_pipeline_matches_straightline(spark, tmp_path):
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
 
 
+@pytest.mark.slow
 def test_streaming_curator_survives_all_dropped_batch(spark, tmp_path):
     """A micro-batch whose documents ALL fail the funnel (or an empty
     batch) must flow through dedup-screen and packing without error and
@@ -797,6 +801,7 @@ def test_streaming_sampler_never_promotes_partial_first_write(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "partial_root"))
 
 
+@pytest.mark.slow
 def test_streaming_curation_chaos_crash_restart_converges(spark, tmp_path):
     """Chaos test for the COMPOSED streaming curation pipeline
     (VERDICT r6 #5; r9 maintainers composed in per VERDICT r9 #6): one
@@ -1543,6 +1548,7 @@ def test_streaming_clf_stats_equals_batch_and_replays(
     assert {(r.band, r.n) for r in body.histogram().collect()} == ref_hist
 
 
+@pytest.mark.slow
 def test_streaming_ingest_bodies_do_not_leak_cache_entries(spark, tmp_path):
     """VERDICT r11 "What's wrong" #1: `_minhash_sig` ends in `.cache()`
     for batch plan-identity sharing, but a foreachBatch body calls it

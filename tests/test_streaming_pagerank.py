@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+import pytest
 
 N_BATCHES = 3
 
@@ -106,6 +107,7 @@ def test_compact_before_any_absorb_is_a_clean_noop(spark, tmp_path):
     assert before == after and len(after) > 0
 
 
+@pytest.mark.slow
 def test_compaction_preserves_ranks_and_bounds_partitions(spark, tmp_path):
     """compact() folds delta partitions into the SwapStore base:
     ranks unchanged (bit-for-bit), folded partitions gone, and a
@@ -140,6 +142,7 @@ def test_compaction_preserves_ranks_and_bounds_partitions(spark, tmp_path):
     assert {r.event_type: r.pr_fixed for r in pr.ranks().collect()} == want
 
 
+@pytest.mark.slow
 def test_compaction_crash_window_never_double_counts(spark, tmp_path):
     """Crash between the base swap and the delta cleanup leaves folded
     partitions on disk; the in-frame watermark must exclude them. The
@@ -174,6 +177,7 @@ def test_compaction_crash_window_never_double_counts(spark, tmp_path):
     assert {r.event_type: r.pr_fixed for r in pr.ranks().collect()} == want
 
 
+@pytest.mark.slow
 def test_readstream_wrapper_matches_batch(spark, tmp_path):
     """Drive the REAL readStream wiring (file source, one file per
     trigger, availableNow): ranks after the stream drains must equal

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+import pytest
 
 
 def _load(spark):
@@ -152,6 +153,7 @@ def _scores_from_index(idx):
     }
 
 
+@pytest.mark.slow
 def test_rederive_cells_repairs_scores_after_index_split(spark, tmp_path):
     """The module-docstring repair protocol, executed: index and score
     maintainer consume the same arrival stream; the index splits its

@@ -16,6 +16,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+import pytest
 
 
 def _emb_batches(n_batches: int):
@@ -223,6 +224,7 @@ def _heaviest_cell(body):
     return int(max(occ, key=lambda r: (r.n, -r.cell_id)).cell_id)
 
 
+@pytest.mark.slow
 def test_split_cell_rederive_converges_mid_stream(spark, tmp_path):
     """VERDICT r13 #3's done-criterion: split a cell mid-stream under
     the live maintainer, keep ingesting, and the verdicts still equal
@@ -341,6 +343,7 @@ def test_split_cell_guards_and_journal_hygiene(spark, tmp_path):
     assert not os.path.exists(body.rederive_journal_path)
 
 
+@pytest.mark.slow
 def test_split_crash_before_rederive_heals_at_construction(spark, tmp_path):
     """Crash window between the index split and the max-cos
     replacement: the re-derive journal written BEFORE the split is the

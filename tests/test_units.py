@@ -419,6 +419,7 @@ def test_pagerank_dist_matches_driver_side(spark):
     assert drv == dist and len(drv) > 0
 
 
+@pytest.mark.slow
 def test_pagerank_mass_conserves_and_degenerates(spark):
     """VERDICT r8 #7 — the dangling-mass variant: (a) on a graph WITH
     a dangling node, ranks sum to PR_SCALE minus floor-division dust
