@@ -435,8 +435,18 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blob column once; candidates come from a band equi-join (never
     all-pairs); the verify is one xor + bit_count per candidate. The
     blob column prunes out of the join entirely — only the 16-bit
-    fingerprints shuffle."""
-    return phash_pairs_frame(phash_band_frame(media_table(spark, sf_dir)))
+    fingerprints shuffle. The input is SPREAD before the banding
+    (r15): the candidate join's probe side inherits the scan's
+    parallelism, and on a single-split input the whole quadratic
+    candidate evaluation ran in ONE task — measured at the derived sf1
+    fixture: 64-68 s FLAT across 8 vs 32 cores before, 16x less wall
+    after spreading; a real lake's many-file scan makes the spread a
+    no-op."""
+    from cdc_sync_poc_spark.sources.loader import spread_small_input
+
+    return phash_pairs_frame(
+        phash_band_frame(spread_small_input(media_table(spark, sf_dir)))
+    )
 
 
 # Candidate generation runs on a FINER multi-index than the stored

@@ -278,8 +278,17 @@ def sim_ann_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     also high-cardinality, so no single-task stage anywhere. A
     candidate lives in exactly one bucket and probe buckets are
     distinct, so (query, candidate) pairs are already unique — no
-    dedup step needed before ranking."""
-    n = _normed(spark, sf_dir)
+    dedup step needed before ranking.
+
+    The normed frame is SPREAD before bucketing (r15): the probe-side
+    explode and the candidate scoring inherit the scan's parallelism,
+    and on a single-split embeddings input the whole probes x buckets
+    evaluation ran in ONE task — measured at the derived sf1 fixture:
+    33-36 s FLAT across 8 vs 32 cores before the spread; a many-file
+    lake scan makes it a no-op."""
+    from cdc_sync_poc_spark.sources.loader import spread_small_input
+
+    n = spread_small_input(_normed(spark, sf_dir))
     bucketed = n.select("vec_id", "v", "nrm", bucket_col("v").alias("bucket"))
     probes = F.array(
         F.col("bucket"),

@@ -115,12 +115,20 @@ def main() -> None:
         full = shards[0]
         for s in shards[1:]:
             full = full.unionByName(s)
-        (
-            full.repartition(8 if table in ("lineitem", "documents",
-                                            "events", "orders") else 1)
-            .write.mode("overwrite")
-            .parquet(f"{out}/{table}.parquet")
-        )
+        tmp = f"{out}/_tmp_{table}"
+        full.coalesce(4).write.mode("overwrite").parquet(tmp)
+        # the driver fixture layout is ONE parquet FILE per table
+        # (loader reads {dir}/{table}.parquet as a file) — consolidate
+        # the Spark output directory into a single file
+        import shutil
+
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        tbl = ds.dataset(tmp, format="parquet").to_table()
+        pq.write_table(tbl, f"{out}/{table}.parquet",
+                       compression="snappy", row_group_size=200_000)
+        shutil.rmtree(tmp)
         print(f"{table}: {base.count()} -> {copies}x written")
     spark.stop()
     print(f"done: {out}")
