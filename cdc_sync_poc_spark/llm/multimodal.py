@@ -439,9 +439,9 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r15): the candidate join's probe side inherits the scan's
     parallelism, and on a single-split input the whole quadratic
     candidate evaluation ran in ONE task — measured at the derived sf1
-    fixture: 64-68 s FLAT across 8 vs 32 cores before, 16x less wall
-    after spreading; a real lake's many-file scan makes the spread a
-    no-op."""
+    fixture: 64-68 s FLAT across 8 vs 32 cores before, ~15x less wall
+    after spreading (BENCH_r15_sf1.json); a real lake's many-file scan
+    makes the spread a no-op."""
     from cdc_sync_poc_spark.sources.loader import spread_small_input
 
     return phash_pairs_frame(

@@ -167,7 +167,7 @@ DRIVER_WINDOW = [
     "bench_q4_priority", "bench_q6_forecast", "bench_q7_volume",
     "bench_q8_mktshare", "bench_q9_profit",
     "corpus_dedup_rate_by_source", "corpus_mix_weights",
-    "corpus_train_split", "dedup_embedding_cosine",
+    "corpus_train_split", "events_concurrency",
     # ---- 50-query driver window ends here ----
 ]
 
@@ -182,14 +182,14 @@ _PRIORITY_PREFIXES = [
     "cf0", "j0",
     "corpus_", "sample_", "emb_", "events_", "text_",
     "dedup_", "dup_", "bench_",
-    "graph_pagerank", "mm_", "sim_", "ann_recall",
+    "graph_pagerank", "mm_", "sim_",
     "source_",
     "r0", "r1", "s0", "src_",
     "st0",
     "sink_",
     "retrieval_", "slice_",
     "sem_", "llm_", "dsir_",
-    "plan_", "clf_", "gopher_", "bpe_", "dq_", "maint_",
+    "plan_", "gopher_", "bpe_", "dq_", "maint_",
 ]
 
 

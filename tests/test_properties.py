@@ -1691,10 +1691,18 @@ def test_degenerate_embeddings_engine_parity(spark, fixture):
     from tests.compare import compare_frames
 
     load_all_queries()
+    # embeddings-only ids from the similarity module: the sweep mocks
+    # similarity.load_table with a lone embeddings frame, so a window
+    # id living elsewhere (e.g. emb_covariance_topk in curation.py) or
+    # needing other tables cannot run under this harness (r15 window
+    # rotation surfaced exactly that)
     names = [
         q
         for q in DRIVER_WINDOW
-        if q.startswith(("sem_dedup", "emb_")) and q in ORACLES
+        if q.startswith(("sem_dedup", "emb_"))
+        and q in ORACLES
+        and getattr(QUERIES[q], "__wrapped__", QUERIES[q]).__module__
+        == "cdc_sync_poc_spark.llm.similarity"
     ]
     assert names, "window rotation left no embedding-driven sweep ids"
 
